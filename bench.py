@@ -1,0 +1,82 @@
+"""Bench harness (BASELINE.md metric set): per-query wall time at
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
+reference's cold/warm pair (QueryOrchestration.cs:425-439 ≙ uncached vs
+cached re-run) and non-empty file count (QO:459-468).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from parquet_storage_query_spark.registry import all_queries
+from parquet_storage_query_spark.session import get_spark
+
+# Headline set: one per operator family (reference replay, OLAP agg, star
+# join, window, time-window, dedup, ANN, text, distinct).
+HEADLINE = [
+    "ref_total_count",
+    "ref_min_max",
+    "ref_max_by",
+    "ref_distinct",
+    "q1_pricing_summary",
+    "join_star_revenue",
+    "agg_count_distinct",
+    "topk_orders",
+    "window_topk_per_group",
+    "window_sessionize",
+    "stream_tumbling_counts",
+    "text_quality_score",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "")) if "sf" in Path(sf_dir).name else -1.0
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = qs[name]
+        t0 = time.perf_counter()
+        n = qd.builder(spark, sf_dir).count()  # count() forces full execution
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    # cold/warm pair on the flagship (QO:425-439 analogue)
+    flagship = qs["q1_pricing_summary"].builder(spark, sf_dir).cache()
+    t0 = time.perf_counter()
+    flagship.count()
+    timings["q1_warm_cache_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    flagship.count()
+    timings["q1_warm"] = round(time.perf_counter() - t0, 3)
+    flagship.unpersist()
+
+    total = round(sum(v for k, v in timings.items() if k in HEADLINE), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Catalog layer: parquet folders registered as named tables.
+
+Reference parity: a "table" in the reference is a folder of parquet blobs
+addressed by URI prefix, enumerated per query (BlobCollection.cs:15-30) and
+re-declared as an external table per run (QueryOrchestration.cs:413-424).
+Spark's `InMemoryFileIndex` does the enumeration; `createOrReplaceTempView`
+is the external-table DDL analogue. Schemas are declared explicitly
+(reference declares every read, QueryOrchestration.cs:418-424) so the engine
+catalog is authoritative rather than inferred — at 100 TB, schema inference
+is a full-listing cost you never want on the query path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The driver-generated corpus (TESTDATA.md). Explicit schemas: parquet is
+# self-describing but the catalog pins what the engine promises downstream.
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLES = tuple(SCHEMAS)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Tables whose parquet stores TIMESTAMP(NANOS): Spark has no nanosecond
+# timestamp type, so we read the column as raw int64 nanoseconds
+# (spark.sql.legacy.parquet.nanosAsLong) and floor-truncate to microseconds
+# — the same truncation DuckDB applies, so oracle comparison stays exact.
+_NANOS_TS: dict[str, str] = {"events": "ts"}
+
+
+def _raw_read_schema(name: str) -> T.StructType:
+    fields = []
+    for f in SCHEMAS[name].fields:
+        if f.name == _NANOS_TS.get(name):
+            fields.append(T.StructField(f.name, T.LongType(), f.nullable))
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Folder-of-parquet → DataFrame (reference: per-query DataFolderUri)."""
+    path = table_path(sf_dir, name)
+    # timestamps must be interpreted as UTC instants regardless of which
+    # session the caller (e.g. the driver harness) hands us
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_col = _NANOS_TS.get(name)
+    if ts_col is None:
+        return spark.read.schema(SCHEMAS[name]).parquet(path)
+    # runtime-settable SQL conf; set here so any caller-provided session
+    # (e.g. the driver's) works without special builder flags
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.schema(_raw_read_schema(name)).parquet(path)
+    return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+
+
+def load_stream(spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """Structured Streaming file-source twin of `load` (same schema fixes)."""
+    path = table_path(sf_dir, name)
+    ts_col = _NANOS_TS.get(name)
+    schema = _raw_read_schema(name) if ts_col else SCHEMAS[name]
+    if ts_col:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    if ts_col:
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view (S8: external-table DDL,
+    QueryOrchestration.cs:416-424 → createOrReplaceTempView)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

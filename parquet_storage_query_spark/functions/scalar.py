@@ -1,0 +1,203 @@
+"""Scalar function pack (SURVEY.md §2.8).
+
+The reference's entire scalar surface is TO_TIMESTAMP / datetime literals
+(QueryOrchestration.cs:338, 345) and a path-string replace
+(DataPreparationOrchestration.cs:107). The engine exposes the full
+`pyspark.sql.functions` catalogue; the queries here are the representative
+correctness subset (dates, strings, JSON, math/conditional, arrays) — each
+one stays inside whole-stage codegen (no Python UDFs anywhere).
+
+Oracle-alignment notes (DuckDB 1.0 vs Spark):
+- DuckDB length()/year()/ceil() return BIGINT/BIGINT/DOUBLE where Spark
+  returns INT/INT/BIGINT — oracles cast explicitly.
+- Session TZ pinned UTC on the Spark side so timestamp math agrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS INTEGER)       AS y,
+           CAST(month(ts) AS INTEGER)      AS mo,
+           CAST(day(ts) AS INTEGER)        AS d,
+           CAST(hour(ts) AS INTEGER)       AS h,
+           CAST(minute(ts) AS INTEGER)     AS mi,
+           CAST(date_trunc('day', ts) AS TIMESTAMP)  AS day_ts,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+           CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS epoch_s
+    FROM events WHERE event_id < 500
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime extraction + truncation (F1/F2 generalized: TO_TIMESTAMP
+    parity per QO:338 plus the extraction family)."""
+    df = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return df.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+@query(
+    "scalar_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2001-01-01 00:00:00') AS INTEGER)
+               AS days_to_ref,
+           o_orderdate + INTERVAL 30 DAY  AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: datediff, interval add, month bucketing."""
+    df = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return df.select(
+        "o_orderkey",
+        F.datediff(F.lit("2001-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_ref"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+    )
+
+
+@query(
+    "scalar_strings",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                                   AS uname,
+           lower(c_mktsegment)                             AS lseg,
+           CAST(length(c_name) AS INTEGER)                 AS name_len,
+           substring(c_name, 1, 9)                         AS name_prefix,
+           concat(c_name, '#', c_mktsegment)               AS tagged,
+           replace(c_name, 'Customer', 'C')                AS short_name,
+           trim(concat(' ', c_name, ' '))                  AS trimmed,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0')        AS padded_key,
+           (c_mktsegment LIKE 'BUILD%')                    AS is_building,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num
+    FROM customer
+    """,
+)
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family incl. LIKE and regexp extraction (F3
+    generalized: the reference's only string op is a replace, DP:107)."""
+    df = load(spark, sf_dir, "customer")
+    return df.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tagged"),
+        F.regexp_replace("c_name", "Customer", "C").alias("short_name"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.col("c_mktsegment").like("BUILD%").alias("is_building"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).cast("long").alias("name_num"),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                    AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)   AS k_int
+    FROM events WHERE event_id < 1000
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column (schema-on-read
+    over semi-structured data — beyond the reference's fixed 7 columns)."""
+    df = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return df.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )
+
+
+@query(
+    "scalar_math_case",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4)  AS net_price,
+           CAST(ceil(l_quantity) AS BIGINT)              AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT)             AS qty_floor,
+           abs(l_discount - 0.05)                        AS disc_dev,
+           round(sqrt(l_extendedprice), 4)               AS price_sqrt,
+           round(ln(l_extendedprice + 1), 4)             AS price_ln,
+           round(pow(l_tax + 1, 2), 6)                   AS tax_sq,
+           CASE WHEN l_discount > 0.05 THEN 'high'
+                WHEN l_discount > 0.02 THEN 'mid'
+                ELSE 'low' END                           AS disc_band
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + CASE WHEN conditional family."""
+    df = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round to 4, not 2: the true product of two 2-decimal values has
+        # ≤4 decimals, so no decimal-tie exists at the 4th place — Spark
+        # (rounds decimal repr) and DuckDB (rounds binary) then agree.
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        F.when(F.col("l_discount") > 0.05, "high")
+        .when(F.col("l_discount") > 0.02, "mid")
+        .otherwise("low")
+        .alias("disc_band"),
+    )
+
+
+@query(
+    "scalar_arrays",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)  AS dim,
+           embedding[1]                     AS first_val,
+           list_max(embedding)              AS max_val,
+           list_min(embedding)              AS min_val,
+           round(list_sum(embedding::DOUBLE[]), 4) AS sum_val
+    FROM embeddings
+    """,
+)
+def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column: size / element_at /
+    array_max / array_min / aggregate-fold — all JVM-side, no UDF."""
+    df = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return df.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.array_max("embedding").alias("max_val"),
+        F.array_min("embedding").alias("min_val"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("sum_val"),
+    )

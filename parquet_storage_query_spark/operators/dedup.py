@@ -1,0 +1,259 @@
+"""Deduplication operators over `documents` / `embeddings` — the core
+LLM-training-pipeline surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dedup, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design:
+- Exact dedup = hash-groupBy: shuffles 16-byte digests, not documents.
+- MinHash-LSH: signature computation is map-side JVM expressions
+  (xxhash64 folds — no Python); the only shuffle is the band-bucket
+  self-join, whose fan-in is bounded by band collision rate. This is the
+  100 TB path: cost is O(n · sig) + O(candidate pairs), never O(n²).
+- n-gram Jaccard uses a cheap blocking key (8-token prefix hash) so the
+  pairwise verify also avoids O(n²).
+- Embedding-cosine pairwise is the *small-corpus / verification* variant;
+  the scale path is the LSH-bucketed ANN in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.vectors import as_double, cosine
+from ..registry import query
+from .text import words_col
+
+N_MINHASH = 16  # signature length
+N_BANDS = 4  # LSH bands (4 rows each): catches jaccard ≳ 0.5 reliably
+
+
+def shingles_col(text: Column | str = "text", k: int = 3) -> Column:
+    """Word k-shingles as an array column (JVM-side, no UDF). Documents
+    shorter than k words fall back to the whole text as one shingle."""
+    w = words_col(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
+    )
+    return F.when(n >= k, grams).otherwise(F.array(F.trim(F.col(text) if isinstance(text, str) else text)))
+
+
+def minhash_signature(sh: Column, n_hashes: int = N_MINHASH) -> Column:
+    """MinHash signature: for seed j, min over shingles of xxhash64(j, s).
+    xxhash64 is Spark-native (codegen) — one pass over the shingle array
+    per seed, all map-side."""
+    sigs = [
+        F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+        for j in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one representative (min doc_id) per
+    distinct text. Shuffles digests only — works at any corpus size."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per duplicate group —
+    deterministic (unlike dropDuplicates, which keeps an arbitrary row)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("text").orderBy("doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)  # xxhash64 not reproducible in DuckDB
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs, verified with exact
+    shingle-set Jaccard.
+
+    Pipeline: shingle → 16-hash MinHash signature → 4 bands × 4 rows →
+    explode band keys → self-join on (band, band_hash) → exact Jaccard on
+    the survivors. Only banding collisions are ever compared pairwise, so
+    the cost is O(n·sig + pairs), not O(n²) — the standard web-scale
+    near-dedup shape (Broder MinHash / LSH banding).
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", shingles_col().alias("sh"))
+        .withColumn("sh", F.array_distinct("sh"))
+        .withColumn("sig", minhash_signature(F.col("sh")))
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = docs.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", "bk.band", "bk.bhash")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(text), ' ')) AS ws,
+               md5(array_to_string(string_split(trim(text), ' ')[1:8], ' ')) AS blk
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard similarity over blocked candidate pairs.
+
+    Blocking key = 8-token prefix hash (text_fingerprint's prefix_md5), so
+    only same-prefix docs are compared — a deliberate cheap blocker that
+    demonstrates the block→verify shape with a SQL-checkable oracle."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_distinct(words_col()).alias("ws"),
+            F.md5(F.concat_ws(" ", F.slice(words_col(), 1, 8)).cast("binary")).alias("blk"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect("a.ws", "b.ws")).cast("double") / F.size(
+        F.array_union("a.ws", "b.ws")
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(jac >= 0.3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+@query("dedup_simhash", oracle=None)  # xxhash64 not reproducible in DuckDB
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash per document (Charikar): per-token xxhash64, signed
+    bit votes, majority sign per bit. Explode + groupBy keeps it fully
+    distributed; the 63 conditional sums are one partial-aggregated
+    shuffle keyed on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(words_col()).alias("w")).withColumn(
+        "h", F.xxhash64("w")
+    )
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(63)
+    ]
+    voted = tokens.groupBy("doc_id").agg(*bit_votes)
+    sim = None
+    for j in range(63):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return voted.select("doc_id", sim.alias("simhash"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+               AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.8
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs by cosine > 0.8 — exact pairwise
+    variant for verification corpora. The scale path is the LSH-bucketed
+    ANN (similarity.py: sim_lsh_topk); this one is O(n²) by design and
+    says so."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    cs = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cs > 0.8)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cs, 4).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Multimodal column handling: opaque `binary` payloads + typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is a stub
+(`decode_image` raises NotImplementedError; `fake_decode_meta` is the
+deterministic stand-in) — but the Spark-side plumbing is real: binary
+columns, Arrow-batched `mapInPandas` with the exact schema/batch shape a
+real decoder would use, and metadata derivation that stays oracle-checkable.
+
+At scale: binary payloads ride Parquet as byte arrays; `mapInPandas`
+streams Arrow batches through Python once, and per-batch work is
+vectorized pandas — the pattern for real decode/resize/frame-sample jobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+def decode_image(data: bytes) -> "object":
+    """Real image decode — NOT IMPLEMENTED in this container (no codec
+    libraries baked in). A deployment with Pillow/ffmpeg plugs in here;
+    the mapInPandas plumbing in mm_feature_extract is what's under test."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def fake_decode_meta(n_bytes: int) -> tuple[int, int]:
+    """Deterministic stand-in for decode: fake (width, height) derived from
+    payload length. Replace with decode_image(...)'s real metadata."""
+    return 64 + n_bytes % 256, 64 + (n_bytes // 7) % 256
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text)                                   AS payload_md5,
+           substring(text, 1, 4)                       AS magic
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over a binary payload column (documents.text encoded
+    to bytes stands in for an image/audio blob): byte length, content
+    digest, magic-prefix sniff. Pure JVM expressions."""
+    df = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return df.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.decode(F.expr("substring(payload, 1, 4)"), "UTF-8").alias("magic"),
+    )
+
+
+@query(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER)              AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 256 AS INTEGER)   AS width,
+           CAST(64 + (octet_length(encode(text)) // 7) % 256 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary payloads via Arrow-batched
+    mapInPandas — the real plumbing (schema, batch iteration, vectorized
+    per-batch work) with the codec stubbed deterministically
+    (fake_decode_meta; see decode_image for the real hook)."""
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int32"),
+                    # fake_decode_meta, vectorized per batch
+                    "width": (64 + n_bytes % 256).astype("int32"),
+                    "height": (64 + (n_bytes // 7) % 256).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(extract, schema="doc_id long, n_bytes int, width int, height int")

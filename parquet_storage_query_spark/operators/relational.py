@@ -1,0 +1,487 @@
+"""Relational completion (SURVEY.md §2.4-2.7): the operator families the
+reference lacks entirely — joins, multi-key/grouping-set aggregation, sorts
+and top-k, set operations — exposed as Spark built-ins over the star schema.
+
+The reference has no joins (SURVEY §2.4: its only multi-input operation is
+the client-side concat of per-blob partials, QueryOrchestration.cs:206, 235,
+292), so everything here is new surface, designed Spark-first:
+
+- Dimension joins (region/nation/supplier/part) are BROADCAST joins: the
+  build side ships to every executor, no shuffle of the 100 TB fact side.
+- Fact-fact joins (orders⋈lineitem) are shuffle joins on the join key;
+  AQE converts to broadcast at runtime when a filtered side turns out
+  small, and splits skewed partitions.
+- Aggregations are partial/final; only |groups| rows cross the shuffle.
+- Top-k is `TakeOrderedAndProject` — never a full global sort.
+
+All double-valued aggregates are rounded to 2 decimals IN BOTH the Spark
+builder and the oracle SQL: float summation order differs between engines,
+and the driver compares value hashes, not tolerances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_all
+from ..registry import query
+
+
+# ---------------------------------------------------------------------------
+# Aggregation pipelines
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)                                    AS avg_qty,
+           round(avg(l_extendedprice), 2)                               AS avg_price,
+           round(avg(l_discount), 2)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with 8 aggregates over 2 keys.
+
+    The headline "is the engine a real OLAP engine" query: one scan, full
+    partial aggregation map-side (4 group values → ~nothing shuffles).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_multi_key_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                         AS n_orders,
+           round(sum(o_totalprice), 2)      AS sum_price,
+           round(avg(o_totalprice), 2)      AS avg_price,
+           round(stddev_samp(o_totalprice), 2) AS sd_price,
+           round(min(o_totalprice), 2)      AS min_price,
+           round(max(o_totalprice), 2)      AS max_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_multi_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key grouping with statistical aggregates (absent in reference,
+    SURVEY §2.3 'no multi-key grouping')."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §2.3: grouping sets → df.rollup)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (same Catalyst Expand plan as cube)."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (Expand + two-phase agg in Spark)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # HLL estimates differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale answer to A7:
+    no shuffle of distinct keys, fixed-size sketch per partition. Rows-only
+    check: DuckDB's approx algorithm yields different estimates."""
+    return (
+        load(spark, sf_dir, "events")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4 — all absent in reference; full surface here)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_star_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    """,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact⋈fact shuffle join + broadcast dims.
+
+    Plan shape that must survive 100 TB: lineitem⋈orders shuffles on the
+    orderkey; customer/nation/region are explicitly broadcast so the big
+    side never re-shuffles for them. Filter on o_orderdate prunes orders
+    before the join (Catalyst pushes it below)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count(col) skips
+    nulls, so they report 0)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey, n_customers, n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (nulls on both sides)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(supp, cust.nk == supp.nk, "full").select(
+        F.coalesce(cust.nk, supp.nk).alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≙ EXISTS: customers with ≥1 finished order. Only the
+    key column of the build side ships; output never duplicates."""
+    cust = load(spark, sf_dir, "customer")
+    f_orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≙ NOT EXISTS: customers with no pending orders."""
+    cust = load(spark, sf_dir, "customer")
+    p_orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(p_orders, cust.c_custkey == p_orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (region × nation, 125 rows) — BroadcastNestedLoopJoin."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT p_partkey, p_name, b.bucket_name
+    FROM part JOIN (
+        VALUES (0, 10, 'small'), (10, 25, 'medium'), (25, 51, 'large')
+    ) AS b(lo, hi, bucket_name)
+    ON p_size >= b.lo AND p_size < b.hi
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: fact row matched to the bucket whose [lo,hi)
+    interval contains it. Tiny build side → broadcast nested-loop, which is
+    the right plan at any fact-side scale when the interval table is small."""
+    part = load(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [(0, 10, "small"), (10, 25, "medium"), (25, 51, "large")],
+        "lo INT, hi INT, bucket_name STRING",
+    )
+    return part.join(
+        F.broadcast(buckets),
+        (part.p_size >= buckets.lo) & (part.p_size < buckets.hi),
+    ).select("p_partkey", "p_name", "bucket_name")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit plans TakeOrderedAndProject — each task
+    keeps its local top-10, driver merges; no full sort at any scale.
+    Tie-broken on o_orderkey so the result is deterministic."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@query(
+    "sort_multi_col",
+    oracle="""
+    SELECT n_name, n_regionkey FROM nation ORDER BY n_regionkey DESC, n_name
+    """,
+)
+def sort_multi_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-column sort (range-partitioned exchange + local sort)."""
+    return (
+        load(spark, sf_dir, "nation")
+        .orderBy(F.col("n_regionkey").desc(), F.col("n_name"))
+        .select("n_name", "n_regionkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setop_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (nations having both customers and suppliers)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (customer keys minus keys holding pending orders). Set
+    semantics: `subtract` is EXCEPT DISTINCT (exceptAll would keep surplus
+    multiplicities of keys present on both sides)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.subtract(o)
+
+
+@query(
+    "dedup_rows",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a column subset (SURVEY §2.7)."""
+    return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Pivot (reshaping — beyond reference, standard OLAP surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (explicit list avoids the extra
+    distinct-values job — required practice at scale)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )

@@ -1,0 +1,172 @@
+"""Similarity search over the `embeddings` table (`array<float>`, 64-dim).
+
+Two tiers, per the north star:
+- `sim_bruteforce_topk`: exact cosine top-k — the correctness baseline.
+  Query set × corpus cross join; right answer, O(|Q|·n) cost. Fine when
+  |Q| is small or n fits; the verification oracle for the ANN tier.
+- `sim_lsh_topk`: random-hyperplane LSH (SimHash for vectors, Charikar):
+  8 fixed hyperplanes → 8-bit bucket signature; only same-bucket pairs are
+  scored. At 100 TB the bucket join replaces the cross join: cost drops to
+  O(n · planes) + O(pairs-in-bucket). Hyperplanes are deterministic
+  (numpy seed 42) and inlined into the oracle SQL, so even the ANN tier is
+  hash-checked against DuckDB — not just rows-only.
+
+All vector math is JVM expressions (functions/vectors.py) — no UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.vectors import as_double, cosine, dot
+from ..registry import query
+
+N_QUERY_VECS = 5  # vec_id < 5 are the probe set
+TOP_K = 5
+N_PLANES = 8
+DIM = 64
+
+
+def _hyperplanes() -> np.ndarray:
+    """Deterministic random hyperplanes (unit-free; only the sign matters)."""
+    rng = np.random.RandomState(42)
+    return rng.standard_normal((N_PLANES, DIM))
+
+
+def _plane_lit(p: np.ndarray) -> Column:
+    return F.array(*[F.lit(float(x)) for x in p])
+
+
+def _plane_sql(p: np.ndarray) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+
+def bucket_col(v: Column) -> Column:
+    """8-bit LSH bucket signature as a string like '01101001'."""
+    bits = [
+        F.when(dot(v, _plane_lit(p)) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in _hyperplanes()
+    ]
+    return F.concat(*bits)
+
+
+def _bucket_sql() -> str:
+    bits = [
+        f"CASE WHEN list_dot_product(v, {_plane_sql(p)}) > 0 THEN '1' ELSE '0' END"
+        for p in _hyperplanes()
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                       AS cos_raw
+            FROM e q JOIN e c ON q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+         )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rk FROM (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the probe set: broadcast the probes, score
+    every corpus vector, per-query window top-k. The broadcast means the
+    corpus is scanned once with no shuffle of the 100 TB side; only
+    |Q|·k rows survive to the window."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos_raw", cosine(F.col("qv"), F.col("v")))
+        .select(F.col("query_id"), F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rk")
+    )
+
+
+@query(
+    "sim_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (SELECT vec_id, v, {_bucket_sql()} AS bucket FROM e),
+         scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                       AS cos_raw
+            FROM b q JOIN b c ON q.bucket = c.bucket
+                 AND q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+         )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rk FROM (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing: score only
+    vectors sharing the probe's 8-bit bucket. The bucket equi-join is a
+    plain shuffle/broadcast join — the plan that survives 100 TB, trading
+    recall (tunable via planes / multi-probe) for a ~2^planes cost cut."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    b = e.withColumn("bucket", bucket_col(F.col("v")))
+    q = b.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        b.join(
+            F.broadcast(q),
+            (F.col("qb") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .withColumn("cos_raw", cosine(F.col("qv"), F.col("v")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rk")
+    )
+
+
+@query(
+    "sim_label_centroid",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT label, count(*) AS n_vecs,
+           round(avg(v[1]), 4) AS centroid_d1,
+           round(avg(v[2]), 4) AS centroid_d2,
+           round(avg(sqrt(list_dot_product(v, v))), 4) AS avg_norm
+    FROM e GROUP BY label
+    """,
+)
+def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid coordinates + average norm — the grouped-vector
+    aggregation shape (the reduce side of k-means / IVF training)."""
+    e = load(spark, sf_dir, "embeddings").select("label", as_double("embedding").alias("v"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(F.element_at("v", 1)), 4).alias("centroid_d1"),
+        F.round(F.avg(F.element_at("v", 2)), 4).alias("centroid_d2"),
+        F.round(F.avg(F.sqrt(dot(F.col("v"), F.col("v")))), 4).alias("avg_norm"),
+    )

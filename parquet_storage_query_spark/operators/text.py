@@ -1,0 +1,189 @@
+"""Text-analysis operators over the `documents` table — the LLM-pipeline
+surface (BASELINE.json north star): token counting, quality scoring,
+language-ID heuristic, fingerprinting, corpus rollups.
+
+Everything is built-in `pyspark.sql.functions` (split / filter / transform /
+md5 / regexp) — no Python in the hot path, so all of it rides whole-stage
+codegen and scales linearly with input splits. At 100 TB these are
+embarrassingly parallel map-side ops: zero shuffles except the final
+rollups, which aggregate partially map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+# Tiny per-language stopword lexicons for the n-gram/stopword-hit language
+# heuristic. Deterministic + SQL-expressible so the oracle can mirror it.
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "et", "dans", "pour"),
+    "es": ("el", "los", "de", "que", "por"),
+}
+
+
+def words_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), " ")
+
+
+def _hits(words: Column, lexicon: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*lexicon)))
+
+
+def _sql_hits(lexicon: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in lexicon)
+    return f"len(list_filter(string_split(trim(text), ' '), w -> w IN ({inlist})))"
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INTEGER)                AS n_tokens,
+           CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER) AS n_distinct,
+           round(CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                 / len(string_split(trim(text), ' ')), 4)                     AS distinct_ratio,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(string_split(trim(text), ' ')), 4)                     AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + vocabulary-diversity ratios."""
+    df = load(spark, sf_dir, "documents")
+    w = words_col()
+    n_tok = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(n_distinct.cast("double") / n_tok, 4).alias("distinct_ratio"),
+        F.round(F.length("text").cast("double") / n_tok, 4).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+           round(CAST({_sql_hits(LEXICONS['en'])} AS DOUBLE)
+                 / len(string_split(trim(text), ' ')), 4)      AS stopword_ratio,
+           round(CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+                 / length(text), 4)                            AS punct_ratio,
+           (len(string_split(trim(text), ' ')) BETWEEN 20 AND 1000
+            AND CAST({_sql_hits(LEXICONS['en'])} AS DOUBLE)
+                / len(string_split(trim(text), ' ')) < 0.5)    AS passes_filter
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics (length band, stopword ratio, punctuation ratio)
+    with a boolean keep/drop verdict — the classic pretraining-corpus
+    filter step, entirely map-side."""
+    df = load(spark, sf_dir, "documents")
+    w = words_col()
+    n_tok = F.size(w)
+    stop_ratio = _hits(w, LEXICONS["en"]).cast("double") / n_tok
+    punct_ratio = (
+        F.length(F.regexp_replace("text", r"[^.!?,;]", "")).cast("double") / F.length("text")
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        (n_tok.between(20, 1000) & (stop_ratio < 0.5)).alias("passes_filter"),
+    )
+
+
+def _lang_case_sql() -> str:
+    h = {lang: _sql_hits(lex) for lang, lex in LEXICONS.items()}
+    g = f"greatest({h['en']}, {h['de']}, {h['fr']}, {h['es']})"
+    return f"""
+    CASE WHEN {g} = 0 THEN 'unknown'
+         WHEN {h['en']} = {g} THEN 'en'
+         WHEN {h['de']} = {g} THEN 'de'
+         WHEN {h['fr']} = {g} THEN 'fr'
+         ELSE 'es' END
+    """
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang, {_lang_case_sql()} AS detected_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language heuristic: score each lexicon, arg-max with
+    fixed precedence (en>de>fr>es), 'unknown' when nothing hits."""
+    df = load(spark, sf_dir, "documents")
+    w = words_col()
+    h = {lang: _hits(w, lex) for lang, lex in LEXICONS.items()}
+    g = F.greatest(*h.values())
+    detected = (
+        F.when(g == 0, "unknown")
+        .when(h["en"] == g, "en")
+        .when(h["de"] == g, "de")
+        .when(h["fr"] == g, "fr")
+        .otherwise("es")
+    )
+    return df.select("doc_id", F.col("lang").alias("labeled_lang"), detected.alias("detected_lang"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                                                 AS content_md5,
+           md5(lower(trim(text)))                                    AS normalized_md5,
+           md5(array_to_string(string_split(trim(text), ' ')[1:8], ' ')) AS prefix_md5
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: raw hash, normalized hash, and an 8-token
+    prefix hash (cheap near-dup blocking key)."""
+    df = load(spark, sf_dir, "documents")
+    w = words_col()
+    return df.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("normalized_md5"),
+        F.md5(F.concat_ws(" ", F.slice(w, 1, 8)).cast("binary")).alias("prefix_md5"),
+    )
+
+
+@query(
+    "text_corpus_rollup",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)       AS total_chars,
+           round(avg(n_chars), 2)             AS avg_chars,
+           CAST(min(n_chars) AS BIGINT)       AS min_chars,
+           CAST(max(n_chars) AS BIGINT)       AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by (lang, source) — the dataset-card query."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

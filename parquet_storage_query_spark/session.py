@@ -1,0 +1,74 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference delegates optimization to its backends (SURVEY.md §4); here the
+equivalent is a session configured so Catalyst/Tungsten/AQE do that work:
+AQE on (runtime re-plan, skew-join handling, partition coalescing), parquet
+filter + aggregate pushdown on, UTC session timezone (so results compare
+bit-for-bit against a DuckDB oracle), Arrow enabled for the Pandas-UDF path.
+
+At 100 TB these settings matter more than any operator code: AQE coalesces
+the post-shuffle partitions to target size instead of a fixed 200/32, skewed
+join keys get split automatically, and stats-only COUNT/MIN/MAX queries are
+answered from parquet footers without scanning data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# local[32] single-JVM test box; a real deployment overrides master/memory
+# via spark-submit and these become per-executor settings.
+_DEFAULTS = {
+    # --- optimizer / adaptive execution ---
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # target post-shuffle partition size; AQE coalesces down to this
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    # --- parquet scan path ---
+    "spark.sql.parquet.filterPushdown": "true",
+    # answer COUNT/MIN/MAX from row-group statistics when possible
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # --- correctness vs oracle ---
+    "spark.sql.session.timeZone": "UTC",
+    # --- python interop ---
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # --- broadcast threshold: dims like region/nation/supplier always fit ---
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "parquet-storage-query-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 on the test
+    box); on a cluster pass None and set master via spark-submit.
+    ``shuffle_partitions`` defaults to the core count locally — with AQE
+    coalescing enabled this is an upper bound, not a fixed fan-out.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

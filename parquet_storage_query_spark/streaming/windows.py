@@ -1,0 +1,185 @@
+"""Time-window operators (SURVEY.md §2.9 — streaming is absent in the
+reference; this is the engine's Structured Streaming extension).
+
+Each window shape is registered as a *batch* builder (same `F.window` /
+`F.session_window` expressions, oracle-checkable against DuckDB) plus a
+*streaming* runner over `readStream` used by tests to prove the identical
+plan runs incrementally. That pairing is the Spark idiom: one logical
+query, two execution modes.
+
+Watermarking: the streaming runners use `withWatermark("ts", ...)` so
+state for closed windows is dropped — the thing that keeps a 100 TB/day
+stream's state bounded. Local tests drive them with the file source +
+memory sink + processAllAvailable().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, load_stream
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# Batch-equivalent window aggregations (registered, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type: the streaming version of the
+    reference's grouped counts (A5/A7 shapes) with a time dimension."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - j * INTERVAL 30 MINUTE AS window_start,
+           time_bucket(INTERVAL '30 minutes', ts) - j * INTERVAL 30 MINUTE
+               + INTERVAL 1 HOUR                                           AS window_end,
+           count(*) AS n
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in 2
+    overlapping windows — Spark expands them natively in `F.window`."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts)                       AS session_start,
+           max(ts) + INTERVAL 30 MINUTE  AS session_end,
+           count(*)                      AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via the native
+    `F.session_window` operator; oracle reconstructs the same merge with
+    a lag-gap cumulative sum."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming runners (readStream → memory sink); tests assert batch parity
+# ---------------------------------------------------------------------------
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (S5/S6 streaming twin).
+    maxFilesPerTrigger bounds each micro-batch like a real ingest."""
+    return load_stream(spark, sf_dir, "events", max_files_per_trigger=1)
+
+
+def _run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A5-style counts over tumbling windows, executed incrementally
+    with a 10-minute watermark."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "stream_tumbling_out", "complete")
+
+
+def streaming_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A1 TotalCount: running global count via incremental agg."""
+    agg = read_events_stream(spark, sf_dir).agg(F.count(F.lit(1)).alias("cnt"))
+    return _run_to_memory(agg, "stream_total_out", "complete")
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows running incrementally with watermark state
+    cleanup — the stateful-operator smoke path."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "stream_session_out", "complete")

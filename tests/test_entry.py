@@ -1,0 +1,26 @@
+"""Driver-contract smoke tests for __spark_entry__.py."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty", "count_order"}
+
+
+def test_queries_oracles_aligned():
+    qs = entrymod.queries()
+    os = entrymod.oracle_sql()
+    assert len(qs) >= 50
+    assert set(os) <= set(qs)
+    for name, sql in os.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name

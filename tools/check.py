@@ -1,0 +1,106 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every registered query on Spark at the given sf_dir AND its DuckDB
+oracle on the same parquet files, then compares row count, sorted column
+names, and an order-insensitive value hash. Stricter than tolerant — if
+this passes, the driver's CORRECTNESS check should too.
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from parquet_storage_query_spark.catalog import TABLES, table_path
+from parquet_storage_query_spark.registry import all_queries
+from parquet_storage_query_spark.session import get_spark
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        # canonicalize -0.0 / int-valued floats
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def result_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, tuple[str, ...], str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    return len(rows), tuple(sorted(cols)), h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
+
+    qs = all_queries()
+    failures, passed, rows_only = [], 0, 0
+    for name, qd in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = qd.builder(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        if qd.oracle is None:
+            rows_only += 1
+            print(f"rows  {name}: {len(srows)} rows ({time.perf_counter()-t0:.1f}s) [no oracle]")
+            continue
+        try:
+            cur = con.execute(qd.oracle)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            continue
+        sfp = result_fingerprint(scols, srows)
+        ofp = result_fingerprint(ocols, orows)
+        if sfp == ofp:
+            passed += 1
+            print(f"ok    {name}: {sfp[0]} rows ({time.perf_counter()-t0:.1f}s)")
+        else:
+            failures.append((name, "mismatch"))
+            print(f"FAIL  {name}: spark={sfp[0]} rows cols={sfp[1]} hash={sfp[2][:8]}")
+            print(f"      oracle={ofp[0]} rows cols={ofp[1]} hash={ofp[2][:8]}")
+            if sfp[1] != ofp[1]:
+                print("      COLUMN MISMATCH")
+            elif sfp[0] == ofp[0]:
+                smap = {l for l in ("|".join(norm_cell(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i])) for r in srows)}
+                omap = {l for l in ("|".join(norm_cell(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i])) for r in orows)}
+                for d in list(smap - omap)[:3]:
+                    print(f"      spark-only : {d[:200]}")
+                for d in list(omap - smap)[:3]:
+                    print(f"      oracle-only: {d[:200]}")
+    print(f"\n{passed} ok, {rows_only} rows-only, {len(failures)} failed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
