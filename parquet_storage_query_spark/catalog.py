@@ -154,6 +154,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`load`, re-spread across the session's default parallelism when the
+    source yields fewer splits than cores. Small single-file tables read as
+    ONE partition, which serializes CPU-heavy expression pipelines (hashing,
+    shingling, vector math). On a real 100 TB folder the file splits already
+    provide parallelism and this repartition is a no-op branch."""
+    df = load(spark, sf_dir, name)
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
+    return df
+
+
 def load_stream(spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int = 1) -> DataFrame:
     """Structured Streaming file-source twin of `load` (same schema fixes)."""
     path = table_path(sf_dir, name)
@@ -161,11 +174,15 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str, max_files_per_trigg
     schema = _raw_read_schema(name) if ts_col else SCHEMAS[name]
     if ts_col:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory; single-file tables stream
+        # from the parent dir with a name filter
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
     if ts_col:
         df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
     return df

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, load_parallel
 from ..functions.vectors import as_double, cosine
 from ..registry import query
 from .text import words_col
@@ -30,22 +30,39 @@ N_BANDS = 4  # LSH bands (4 rows each): catches jaccard ≳ 0.5 reliably
 
 def shingles_col(text: Column | str = "text", k: int = 3) -> Column:
     """Word k-shingles as an array column (JVM-side, no UDF). Documents
-    shorter than k words fall back to the whole text as one shingle."""
+    shorter than k words fall back to the whole text as one shingle.
+
+    Implementation: zip_with over k shifted slices of the word array.
+    NOT `transform(sequence(...), i -> element_at(w, i+j))`: a lambda that
+    references the word-array *expression* re-evaluates it per element
+    (the split would run O(tokens) times per row); slices/zip_with
+    evaluate each child once per row."""
     w = words_col(text)
     n = F.size(w)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
+    width = n - (k - 1)
+    parts = [F.slice(w, i + 1, width) for i in range(k)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(n >= k, grams).otherwise(
+        F.array(F.trim(F.col(text) if isinstance(text, str) else text))
     )
-    return F.when(n >= k, grams).otherwise(F.array(F.trim(F.col(text) if isinstance(text, str) else text)))
 
 
-def minhash_signature(sh: Column, n_hashes: int = N_MINHASH) -> Column:
-    """MinHash signature: for seed j, min over shingles of xxhash64(j, s).
-    xxhash64 is Spark-native (codegen) — one pass over the shingle array
-    per seed, all map-side."""
+def shingle_hashes(sh: Column) -> Column:
+    """Each shingle hashed once to int64 — materialize this as a column
+    BEFORE computing signatures so the string hashing isn't repeated per
+    seed."""
+    return F.transform(sh, lambda s: F.xxhash64(s))
+
+
+def minhash_signature(hashed: Column, n_hashes: int = N_MINHASH) -> Column:
+    """MinHash signature over pre-hashed shingles: for seed j, min over
+    xxhash64(j, h). Re-hashing fixed-width int64s per seed instead of
+    variable-length strings cuts the per-seed cost ~n_hashes× — all
+    Spark-native codegen, map-side."""
     sigs = [
-        F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+        F.array_min(F.transform(hashed, lambda h, j=j: F.xxhash64(F.lit(j), h)))
         for j in range(n_hashes)
     ]
     return F.array(*sigs)
@@ -105,16 +122,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cost is O(n·sig + pairs), not O(n²) — the standard web-scale
     near-dedup shape (Broder MinHash / LSH banding).
     """
+    # Signatures computed ONCE and persisted: the band self-join and the
+    # two verify joins below would otherwise each recompute the whole
+    # shingle+hash pipeline. At cluster scale this persist is the
+    # "write signatures to a staging table" step.
     docs = (
-        load(spark, sf_dir, "documents")
+        load_parallel(spark, sf_dir, "documents")
         .select("doc_id", shingles_col().alias("sh"))
-        .withColumn("sh", F.array_distinct("sh"))
-        .withColumn("sig", minhash_signature(F.col("sh")))
+        .select("doc_id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
+        .withColumn("sig", minhash_signature(F.col("hs")))
+        .persist()
     )
     rows_per_band = N_MINHASH // N_BANDS
+    # band keys only (doc_id, band, bhash) — no arrays ride the shuffle
     bands = docs.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -128,7 +150,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sh", "bk.band", "bk.bhash")
+    ).select("doc_id", "bk.band", "bk.bhash")
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -139,19 +161,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bhash") == F.col("b.bhash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
+    # exact Jaccard verify over hashed shingle sets (int64s — same value as
+    # string sets modulo negligible hash collisions, far cheaper to ship)
+    pairs = (
+        cand.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a")
+        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b")
+    )
+    jac = F.size(F.array_intersect("hs_a", "hs_b")).cast("double") / F.size(
+        F.array_union("hs_a", "hs_b")
     )
     return (
-        cand.withColumn("jaccard", F.round(jac, 4))
+        pairs.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -181,7 +204,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     only same-prefix docs are compared — a deliberate cheap blocker that
     demonstrates the block→verify shape with a SQL-checkable oracle."""
     d = (
-        load(spark, sf_dir, "documents")
+        load_parallel(spark, sf_dir, "documents")
         .select(
             "doc_id",
             F.array_distinct(words_col()).alias("ws"),
@@ -209,7 +232,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit votes, majority sign per bit. Explode + groupBy keeps it fully
     distributed; the 63 conditional sums are one partial-aggregated
     shuffle keyed on doc_id."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     tokens = docs.select("doc_id", F.explode(words_col()).alias("w")).withColumn(
         "h", F.xxhash64("w")
     )
@@ -245,7 +268,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant for verification corpora. The scale path is the LSH-bucketed
     ANN (similarity.py: sim_lsh_topk); this one is O(n²) by design and
     says so."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
     a, b = e.alias("a"), e.alias("b")
     cs = cosine(F.col("a.v"), F.col("b.v"))
     return (

@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, load_parallel
 from ..functions.vectors import as_double, cosine, dot
 from ..registry import query
 
@@ -85,7 +85,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every corpus vector, per-query window top-k. The broadcast means the
     corpus is scanned once with no shuffle of the 100 TB side; only
     |Q|·k rows survive to the window."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -128,7 +128,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors sharing the probe's 8-bit bucket. The bucket equi-join is a
     plain shuffle/broadcast join — the plan that survives 100 TB, trading
     recall (tunable via planes / multi-probe) for a ~2^planes cost cut."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
     b = e.withColumn("bucket", bucket_col(F.col("v")))
     q = b.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")

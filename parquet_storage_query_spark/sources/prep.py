@@ -1,0 +1,190 @@
+"""Data preparation: format conversion + small-file compaction.
+
+Reference parity (SURVEY.md §2.11 D2/D3): DataPreparationOrchestration.cs
+enumerates source blobs, greedily bin-packs them into groups of at most
+`BlobSizeTarget` MiB (DP:88-143), and rewrites each group as one Snappy
+parquet file capped at 1 GiB (DP:145-170, sizeLimit=1073741824). This is
+the classic lakehouse ingest: CSV.gz → parquet conversion and many-small-
+files → few-right-sized-files compaction.
+
+Spark-first design:
+- `convert`: `spark.read.schema(s).csv(...)` → `.write.parquet(...)` —
+  gzip codec auto-detected (DP's format='csv' on .csv.gz, DP:154, 165).
+- `compact`: two modes.
+  * `plan_packing` + per-group coalesce(1) mirrors the reference's greedy
+    first-fit exactly (DP:113-141) — useful when group membership matters.
+  * The default `compact` is the *Spark-native* strategy: one read of the
+    whole folder, `repartition(ceil(bytes/target))`, one write — at 100 TB
+    this is one distributed job instead of thousands of driver-sequenced
+    group jobs, and AQE right-sizes the shuffle. The byte cap per output
+    file is enforced with `maxRecordsPerFile` derived from sampled row
+    width (Spark caps rows, not bytes — SURVEY §7 risk register).
+- Bounded retry with backoff replaces the reference's unbounded transient
+  retry recursion (DP:172-195; SURVEY §7: replicate as bounded).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class PathMapping:
+    """One compaction group: source files → one destination file.
+    Mirrors the reference's PathMapping (DP:57-86)."""
+
+    original_paths: tuple[str, ...]
+    destination_path: str
+
+
+def list_data_files(folder: str, suffix: str = "") -> list[tuple[str, int]]:
+    """Enumerate (path, size) under a folder, skipping zero-length files —
+    the reference's blob listing + empty filter (BC:15-30; DP:97-99).
+    Local filesystem here; on a cluster the same via the Hadoop FS API."""
+    out: list[tuple[str, int]] = []
+    for root, _dirs, files in os.walk(folder):
+        for f in sorted(files):
+            if suffix and not f.endswith(suffix):
+                continue
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            size = os.path.getsize(p)
+            if size > 0:
+                out.append((p, size))
+    return out
+
+
+def plan_packing(
+    files: list[tuple[str, int]], dest_folder: str, target_mb: int | None
+) -> list[PathMapping]:
+    """Greedy size-target packing, one pass in listing order — the same
+    accumulate-until-over-target loop as the reference (DP:113-141).
+    target_mb None → 1:1 re-encode mapping (DP:133-139's no-target mode)."""
+    if target_mb is None:
+        return [
+            PathMapping((p,), os.path.join(dest_folder, f"part-{i:05d}.parquet"))
+            for i, (p, _s) in enumerate(files)
+        ]
+    target = target_mb * 1024 * 1024
+    groups: list[PathMapping] = []
+    current: list[str] = []
+    acc = 0
+    for p, size in files:
+        current.append(p)
+        acc += size
+        if acc >= target:
+            groups.append(
+                PathMapping(tuple(current), os.path.join(dest_folder, f"part-{len(groups):05d}.parquet"))
+            )
+            current, acc = [], 0
+    if current:
+        groups.append(
+            PathMapping(tuple(current), os.path.join(dest_folder, f"part-{len(groups):05d}.parquet"))
+        )
+    return groups
+
+
+def convert(
+    spark: SparkSession,
+    src: str | list[str],
+    dest: str,
+    schema: T.StructType,
+    src_format: str = "csv",
+    compression: str = "snappy",
+    header: bool = False,
+) -> None:
+    """Format conversion (D3, DP:145-170): CSV[.gz] or parquet in →
+    Snappy parquet out, schema enforced (never inferred — the reference
+    declares all 7 columns in externaldata, DP:165)."""
+    if src_format == "csv":
+        df = spark.read.schema(schema).option("header", str(header).lower()).csv(src)
+    elif src_format == "json":
+        df = spark.read.schema(schema).json(src)
+    elif src_format == "parquet":
+        df = spark.read.schema(schema).parquet(*src if isinstance(src, list) else [src])
+    else:
+        raise ValueError(f"unsupported source format: {src_format}")
+    df.write.mode("overwrite").option("compression", compression).parquet(dest)
+
+
+def compact(
+    spark: SparkSession,
+    src_folder: str,
+    dest_folder: str,
+    target_mb: int = 256,
+    max_file_bytes: int = 1 << 30,
+    compression: str = "snappy",
+) -> dict[str, int]:
+    """Spark-native compaction (D2): one distributed read → repartition to
+    ceil(total/target) → one write. The 1 GiB per-file cap (DP:158) is
+    approximated via maxRecordsPerFile from sampled average row width.
+
+    Returns {"in_files": N, "out_files": M} — the reference's printed
+    compaction ratio (DP:69-73)."""
+    files = list_data_files(src_folder, suffix=".parquet")
+    total_bytes = sum(s for _p, s in files)
+    df = spark.read.parquet(src_folder)
+    n_parts = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+
+    # bytes cap → rows cap: sample average encoded row width
+    n_rows = df.count()
+    avg_row = max(1, total_bytes // max(1, n_rows))
+    max_records = max(1, max_file_bytes // avg_row)
+
+    (
+        df.repartition(n_parts)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records)
+        .parquet(dest_folder)
+    )
+    out_files = list_data_files(dest_folder, suffix=".parquet")
+    return {"in_files": len(files), "out_files": len(out_files), "n_rows": n_rows}
+
+
+def compact_grouped(
+    spark: SparkSession,
+    src_folder: str,
+    dest_folder: str,
+    target_mb: int | None,
+    compression: str = "snappy",
+) -> list[PathMapping]:
+    """Reference-faithful grouped compaction: greedy first-fit groups
+    (plan_packing ≙ DP:88-143), each group read and written as exactly one
+    file via coalesce(1) (≙ one .export per mapping, DP:145-170).
+    Driver-sequenced per group — use `compact` for large folders."""
+    files = list_data_files(src_folder, suffix=".parquet")
+    mappings = plan_packing(files, dest_folder, target_mb)
+    for m in mappings:
+        (
+            spark.read.parquet(*m.original_paths)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .parquet(m.destination_path)
+        )
+    return mappings
+
+
+def with_retry(
+    fn: Callable[[], None], max_attempts: int = 4, base_delay_s: float = 0.5
+) -> None:
+    """Bounded exponential-backoff retry for job-level transients —
+    replaces the reference's unbounded recursion on !IsPermanent
+    (DP:172-195; SURVEY §7 risk register)."""
+    for attempt in range(max_attempts):
+        try:
+            fn()
+            return
+        except Exception:  # noqa: BLE001
+            if attempt == max_attempts - 1:
+                raise
+            time.sleep(base_delay_s * (2**attempt))

@@ -1,0 +1,85 @@
+"""Recall tests for the hash-seeded dedup operators (no DuckDB oracle):
+plant known near-duplicates and verify MinHash-LSH / SimHash find them.
+The corpus tables contain no real dups (all 500 sf0.001 texts distinct),
+so these tests construct them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_storage_query_spark.operators.dedup import (
+    N_MINHASH,
+    minhash_signature,
+    shingle_hashes,
+    shingles_col,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest while the hunter watches quietly"
+    )
+    near = base.replace("quietly", "silently")  # one token changed
+    other = (
+        "completely different content about spark query engines and "
+        "columnar storage with predicate pushdown at massive scale"
+    )
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)],  # 4 = exact dup of 1
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_finds_planted_near_dups(corpus):
+    docs = (
+        corpus.select("doc_id", shingles_col().alias("sh"))
+        .withColumn("sh", F.array_distinct("sh"))
+        .withColumn("sig", minhash_signature(shingle_hashes(F.col("sh"))))
+    )
+    rows = {r["doc_id"]: r["sig"] for r in docs.collect()}
+    assert len(rows[1]) == N_MINHASH
+    # exact dup → identical signature
+    assert rows[1] == rows[4]
+    # near dup → mostly-matching signature
+    matches_near = sum(a == b for a, b in zip(rows[1], rows[2]))
+    matches_other = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert matches_near >= N_MINHASH // 2
+    assert matches_other <= 2
+
+
+def test_lsh_pipeline_emits_planted_pair(spark, corpus, tmp_path, monkeypatch):
+    """End-to-end dedup_minhash_lsh over a corpus containing planted dups:
+    the (1,4) exact pair and (1,2) near pair must surface."""
+    # write the synthetic corpus as the documents table of a fake sf_dir
+    sf = str(tmp_path)
+    corpus.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    from parquet_storage_query_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash_lsh(spark, sf).collect()
+    }
+    assert pairs.get((1, 4)) == 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.7
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_close_for_near_dups(spark, corpus, tmp_path):
+    sf = str(tmp_path)
+    corpus.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    from parquet_storage_query_spark.operators.dedup import dedup_simhash
+
+    sims = {r["doc_id"]: r["simhash"] for r in dedup_simhash(spark, sf).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sims[1], sims[4]) == 0  # exact dup
+    assert ham(sims[1], sims[2]) <= 8  # near dup: few bits differ
+    assert ham(sims[1], sims[3]) >= 16  # unrelated: many bits differ

@@ -1,0 +1,79 @@
+"""Physical-plan audits: prove the scale-critical plan properties hold
+(SURVEY.md §4) rather than assuming Catalyst did the right thing.
+
+These are the Spark equivalents of what the reference hand-encodes:
+filters inside the per-blob SQL (pushdown), one-column SELECT (pruning),
+partial-per-blob + client-merge (two-phase agg)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_storage_query_spark.catalog import load
+from parquet_storage_query_spark.operators.relational import (
+    join_range,
+    join_star_revenue,
+    q1_pricing_summary,
+    topk_orders,
+)
+from parquet_storage_query_spark.plans.explain import (
+    formatted_plan,
+    has_broadcast_join,
+    has_partial_final_agg,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+    whole_stage_codegen_spans,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """P5: l_shipdate predicate must appear in PushedFilters (row-group
+    stats skipping at scale)."""
+    plan = formatted_plan(q1_pricing_summary(spark, SF_SMOKE))
+    pf = " ".join(pushed_filters(plan))
+    assert "l_shipdate" in pf, plan
+
+
+def test_column_pruning(spark):
+    """P2: a two-column projection must not scan all 11 lineitem columns."""
+    df = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity").filter(
+        F.col("l_quantity") > 40
+    )
+    schemas = read_schemas(formatted_plan(df))
+    assert schemas, "no scan found"
+    assert all("l_extendedprice" not in s and "l_comment" not in s for s in schemas)
+    assert any("l_orderkey" in s and "l_quantity" in s for s in schemas)
+
+
+def test_dimension_joins_are_broadcast(spark):
+    """Star join must broadcast the dims — no shuffle of the fact side for
+    customer/nation/region at any scale."""
+    plan = formatted_plan(join_star_revenue(spark, SF_SMOKE))
+    assert has_broadcast_join(plan), plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = formatted_plan(join_range(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_topk_plans_take_ordered(spark):
+    """orderBy+limit must plan TakeOrderedAndProject, not a global sort."""
+    plan = formatted_plan(topk_orders(spark, SF_SMOKE))
+    assert has_take_ordered(plan), plan
+
+
+def test_aggregate_is_two_phase(spark):
+    """A1-A7's partial-per-blob + merge shape = partial/final agg split."""
+    from parquet_storage_query_spark.operators.reference import ref_max_by
+
+    plan = formatted_plan(ref_max_by(spark, SF_SMOKE))
+    assert has_partial_final_agg(plan), plan
+
+
+def test_scan_agg_stays_in_codegen(spark):
+    """The hot path must be inside WholeStageCodegen spans."""
+    assert whole_stage_codegen_spans(q1_pricing_summary(spark, SF_SMOKE)) >= 1
