@@ -1,0 +1,456 @@
+"""Advanced relational surface beyond the reference (SURVEY.md §2.4-2.8
+"ABSENT" categories, completed): as-of joins, subqueries, ordered/positional
+aggregates, percentiles, explode/unpivot reshaping, deterministic sampling,
+range-frame windows, composite OLAP pipelines, and the bin-packing
+compaction *planner* as a queryable DataFrame (reference D2,
+DataPreparationOrchestration.cs:88-143).
+
+Scale notes per operator live in each docstring; the common theme:
+- every join here either broadcasts a small side or shuffles once on its key;
+- window ops partition by a high-cardinality key (user_id / text-bin) so no
+  single partition holds the whole corpus — except the compaction planner,
+  which windows over *file-level metadata* (thousands of rows at 100 TB,
+  not billions) and is documented as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load, load_parallel, register_all
+from ..registry import query
+from .text import words_col
+
+
+# ---------------------------------------------------------------------------
+# As-of join (SURVEY §2.4: range/as-of joins via inequality + window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT a.event_id, a.user_id, a.ts AS click_ts,
+           b.ts AS view_ts, round(b.value, 2) AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the latest view at-or-before it for
+    the same user (inner as-of: clicks with no prior view drop out).
+
+    Spark-first plan — NOT a pairwise inequality join (which explodes to
+    O(clicks × views) per user): union both sides tagged, ONE shuffle on
+    user_id, one ordered window pass carrying the last view forward. Cost is
+    O(n log n) per user partition; at 100 TB the shuffle key (user_id) is
+    high-cardinality so partitions stay balanced. This is the standard
+    streaming/point-in-time-correct join used for feature backfill.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value", F.lit(0).alias("side")
+    )
+    tagged = clicks.unionByName(views.drop("value"), allowMissingColumns=False).join(
+        views.select(F.col("event_id").alias("ve"), F.col("value")),
+        F.col("event_id") == F.col("ve"),
+        "left",
+    ).drop("ve")
+    # view rows sort before click rows at equal ts (side 0 < 1) so a
+    # same-instant view is visible to the click — matching ASOF's ts >= ts
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_view",
+        F.last(
+            F.when(F.col("side") == 0, F.struct("ts", "value")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.filter((F.col("side") == 1) & F.col("last_view").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("last_view.ts").alias("view_ts"),
+            F.round("last_view.value", 2).alias("view_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (scalar + IN) — Catalyst decorrelates / rewrites to joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subq_scalar",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate: orders above 1.5× the global average.
+    Catalyst plans the subquery as an independent aggregate whose single-row
+    result broadcasts into the filter — the fact scan happens exactly once,
+    with the (runtime) constant folded into the pushed filter."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "subq_in",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    """,
+)
+def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery predicate → Catalyst rewrites to a left-semi join; the
+    25-row nation side broadcasts, so the customer scan never shuffles."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered / positional / distributional aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_arg_max",
+    oracle="""
+    SELECT o_orderstatus,
+           first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey) AS top_orderkey,
+           round(max(o_totalprice), 2) AS top_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max per group via max_by with a composite (price, -key) ordering
+    struct — deterministic under price ties (lowest key wins), unlike bare
+    max_by. One partial/final aggregate; no window, no sort of the fact
+    table. The KQL `summarize arg_max(...)` analogue the reference's MaxBy
+    hints at (SURVEY §2.3 A5)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.max_by(
+                "o_orderkey", F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk"))
+            ).alias("top_orderkey"),
+            F.round(F.max("o_totalprice"), 2).alias("top_price"),
+        )
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (percentile_cont semantics).
+    Exact percentiles buffer each group's values — fine for bounded group
+    counts; for 100 TB high-cardinality profiling the engine's scale path is
+    approx_percentile (t-digest sketch, fixed memory), same call shape."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+        )
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered by contract, so
+    sort inside the aggregate output (array_sort) before joining — the only
+    deterministic way to listagg in a distributed engine."""
+    return (
+        load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer GROUP BY c_nationkey HAVING count(*) >= 5
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter; runs on the (tiny) aggregated set,
+    never re-scans the input. sum not avg: avg can land exactly on a .xx5
+    rounding boundary where engines' half-up/half-even disagree; sums of
+    2-decimal inputs cannot."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .filter(F.col("n_customers") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite OLAP pipeline (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast semi-reduction of the
+    fact join → aggregate → top-k. The segment-filtered customer side is
+    broadcast; lineitem⋈orders shuffles once on orderkey; the final top-10 is
+    TakeOrderedAndProject (per-task heap, no global sort)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping: explode (lateral view) and unpivot (melt)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "explode_top_tokens",
+    oracle="""
+    SELECT w AS token, count(*) AS n
+    FROM documents, unnest(string_split(trim(text), ' ')) AS t(w)
+    GROUP BY w ORDER BY n DESC, w LIMIT 20
+    """,
+)
+def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode of the token array + global term frequency top-20.
+    Explode is map-side (no shuffle); the token groupBy partial-aggregates
+    before its single shuffle, so the wire carries |vocab| rows, not
+    |tokens|. Tie-broken on the token for determinism."""
+    return (
+        load_parallel(spark, sf_dir, "documents")
+        .select(F.explode(words_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "unpivot_price_metrics",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderstatus,
+               round(sum(o_totalprice), 2) AS total,
+               round(avg(o_totalprice), 2) AS average,
+               round(max(o_totalprice), 2) AS peak
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, metric, val
+    FROM s UNPIVOT (val FOR metric IN (total, average, peak))
+    """,
+)
+def unpivot_price_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide aggregates to long form — the inverse of pivot;
+    runs on the already-aggregated tiny frame."""
+    s = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.avg("o_totalprice"), 2).alias("average"),
+            F.round(F.max("o_totalprice"), 2).alias("peak"),
+        )
+    )
+    return s.unpivot("o_orderstatus", ["total", "average", "peak"], "metric", "val")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (reproducible shards — training-data pipelines)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash_bucket",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 10
+    """,
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash bucket sampling: a reproducible ~10% shard selected by
+    md5(text) mod 100 — unlike TABLESAMPLE/rand(), the same rows are chosen
+    on every engine, every run, every partitioning. This is how training
+    pipelines carve held-out splits so re-runs and backfills stay consistent.
+    Pure map-side filter; at 100 TB it's a full scan but zero shuffle."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10).cast("long") % 100
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(bucket < 10)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-frame window (time-decayed / sliding metrics without explode)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_last_10min,
+           round(sum(value) OVER w, 2) AS val_last_10min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time: per user, rolling count/sum of the
+    trailing 10 minutes at every event — computed in ONE pass per partition
+    with a value-based frame (no self-join, no explode-into-buckets). The
+    frame is on int64 microseconds so Spark and the oracle agree exactly."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_10min"),
+        F.round(F.sum("value").over(w), 2).alias("val_last_10min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner as a query (reference D2, DP:88-143)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prep_binpack_plan",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, n_chars,
+               sum(n_chars) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS offset_chars
+        FROM documents
+    )
+    SELECT CAST(floor(offset_chars / 32000.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM sized GROUP BY 1
+    """,
+)
+def prep_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-target bin-packing plan (reference D2: greedy accumulation of
+    blobs into ≤BlobSizeTarget groups, DataPreparationOrchestration.cs:88-143)
+    expressed as a DataFrame: cumulative-offset binning assigns each item to
+    bin floor(offset/target) — the deterministic, order-preserving variant of
+    the reference's greedy loop, and the one that parallelizes.
+
+    The global-ordered window runs over *planning metadata* (one row per
+    file/doc): at 100 TB with 1 GiB files that is ~10⁵ rows on one task —
+    trivially safe, and the plan itself is what `sources/prep.compact`
+    executes with a distributed write."""
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sized = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("offset_chars"),
+    )
+    return (
+        sized.withColumn("bin_id", F.floor(F.col("offset_chars") / F.lit(32000.0)).cast("long"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
