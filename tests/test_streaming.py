@@ -31,3 +31,58 @@ def test_streaming_session_windows_match_batch(spark):
     got = sw.streaming_session_windows(spark, SF_SMOKE)
     want = sw.stream_session_windows(spark, SF_SMOKE)
     assert _rows(got) == _rows(want)
+
+
+def test_stateful_user_stats_match_batch(spark):
+    """Custom applyInPandasWithState operator converges to the batch agg."""
+    from parquet_storage_query_spark.streaming import stateful as st
+
+    got = st.streaming_user_stats(spark, SF_SMOKE)
+    want = st.stream_user_stats(spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a 10-min watermark: a row arriving a
+    day late (in a later micro-batch) is excluded from its closed window.
+    This is the late-data contract that bounds state at 100 TB/day."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_one(name, rows):
+        spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, value DOUBLE").coalesce(
+            1
+        ).write.parquet(str(src / name))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 5)
+    # batch 1: two on-time rows in the 00:00 window, then batch 2 advances
+    # the watermark a day forward, then batch 3 delivers a very late row
+    write_one("b1", [(1, t0, 1.0), (2, t0.replace(minute=20), 2.0)])
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = stream.writeStream.outputMode("append").format("memory").queryName("wm_out").start()
+    try:
+        q.processAllAvailable()
+        write_one("b2", [(3, t0 + dt.timedelta(days=1), 3.0)])
+        q.processAllAvailable()
+        write_one("b3", [(4, t0, 99.0)])  # a day late — beyond the watermark
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r["ws"]: r["n"] for r in spark.table("wm_out").collect()}
+    # the 00:00 window closed with exactly the 2 on-time rows; the late row
+    # neither re-emits the window nor creates a new one
+    assert out.get(dt.datetime(2024, 1, 1, 0, 0)) == 2
