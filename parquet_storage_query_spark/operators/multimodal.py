@@ -94,3 +94,52 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return df.mapInPandas(extract, schema="doc_id long, n_bytes int, width int, height int")
+
+
+FRAME_BYTES = 16  # bytes per "frame" of the fake video payload
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id, k AS frame_idx,
+           md5(substring(text, CAST(k * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES}))
+               AS frame_md5
+    FROM documents,
+         unnest(range(0, octet_length(encode(text)) // {FRAME_BYTES}, {FRAME_STRIDE}))
+             AS t(k)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a video-stand-in binary payload: treat every
+    {FRAME_BYTES}-byte block as a frame, emit every {FRAME_STRIDE}th frame's
+    digest — a 1→N row-exploding mapInPandas (the real ffmpeg frame-sample
+    job's exact plumbing: binary in, Arrow batches through Python, multiple
+    typed rows out). The digest stands in for the decoded frame tensor;
+    plug a real codec into the inner loop.
+
+    Oracle caveat: DuckDB's md5/substring work on VARCHAR; the corpus is
+    pure ASCII (verified at every SF) so char slices == byte slices."""
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            digests: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for k in range(0, len(data) // FRAME_BYTES, FRAME_STRIDE):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    digests.append(
+                        hashlib.md5(data[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": digests})
+
+    return df.mapInPandas(sample, schema="doc_id long, frame_idx long, frame_md5 string")

@@ -149,6 +149,124 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 10  # IVF coarse cells (matches the label cardinality of the corpus)
+N_PROBE = 2  # cells probed per query
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+_IVF_CENT_SQL = ", ".join(f"round(avg(v[{i + 1}]), 4)" for i in range(DIM))
+
+_IVF_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT label AS clabel, [{_IVF_CENT_SQL}]::DOUBLE[] AS c
+             FROM e GROUP BY label),
+    assigned AS (
+        SELECT e.vec_id, e.v,
+               first(clabel ORDER BY {_cos_sql('e.v', 'c')} DESC, clabel) AS cell
+        FROM e CROSS JOIN cent GROUP BY e.vec_id, e.v),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, clabel AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY {_cos_sql('v', 'c')} DESC, clabel) AS crk
+        FROM e CROSS JOIN cent WHERE vec_id < {N_QUERY_VECS}),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_cos_sql('p.qv', 'a.v')} AS cos_raw
+        FROM (SELECT * FROM probes WHERE crk <= {N_PROBE}) p
+        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rk FROM (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id) AS rk
+        FROM cand
+    ) WHERE rk <= {TOP_K}
+"""
+
+
+@query("sim_ivf_topk", oracle=_IVF_ORACLE)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: train a coarse quantizer (10 cell centroids = rounded
+    per-label means), assign every corpus vector to its nearest cell
+    map-side, then probe only the N_PROBE nearest cells per query.
+
+    Scale shape — the inverted-file structure as dataflow:
+    1. *Train*: one aggregate pass → 10×64 doubles, collected to the driver
+       (the "model"; at 100 TB this is k-means on a sample, still tiny).
+    2. *Assign*: centroids inlined as literals → cell = argmax cosine is a
+       pure map over the corpus, NO shuffle, no 10× row blowup (the 10
+       cosines fold inside one projection).
+    3. *Search*: probe cells (≤ |Q|·nprobe rows) broadcast; the join prunes
+       the corpus to ~nprobe/ncells of its rows before any exact scoring.
+    Centroids are rounded to 4 decimals on both engines so the oracle's
+    assignment is bit-identical despite float-sum order differences."""
+    e = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    lbl = load(spark, sf_dir, "embeddings").select("label", as_double("embedding").alias("v"))
+    cent_rows = sorted(
+        lbl.groupBy("label")
+        .agg(F.array(*[F.round(F.avg(F.element_at("v", i + 1)), 4) for i in range(DIM)]).alias("c"))
+        .collect(),
+        key=lambda r: r["label"],
+    )
+    labels = [int(r["label"]) for r in cent_rows]
+    cents = [[float(x) for x in r["c"]] for r in cent_rows]
+
+    def cos_lit(v: Column, c: list[float]) -> Column:
+        c_lit = F.array(*[F.lit(x) for x in c])
+        return cosine(v, c_lit)
+
+    cos_exprs = [cos_lit(F.col("v"), c) for c in cents]
+    cos_arr = F.array(*cos_exprs)
+    lbl_arr = F.array(*[F.lit(l) for l in labels])
+    # argmax: array_position finds the FIRST max → lowest label on ties,
+    # matching the oracle's ORDER BY cos DESC, clabel
+    cell = F.element_at(lbl_arr, F.array_position(cos_arr, F.array_max(cos_arr)).cast("int"))
+    assigned = e.withColumn("cell", cell)
+
+    # probe top-N_PROBE cells per query: sort (−cos, label) structs ascending
+    ranked = F.slice(
+        F.sort_array(
+            F.array(
+                *[
+                    F.struct((-cos_exprs[i]).alias("negcs"), F.lit(labels[i]).alias("lbl"))
+                    for i in range(len(labels))
+                ]
+            )
+        ),
+        1,
+        N_PROBE,
+    )
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.transform(ranked, lambda s: s["lbl"])).alias("pcell"),
+        )
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("pcell")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .withColumn("cos_raw", cosine(F.col("qv"), F.col("v")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rk")
+    )
+
+
 @query(
     "sim_label_centroid",
     oracle="""
