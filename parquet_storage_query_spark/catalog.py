@@ -162,7 +162,22 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     provide parallelism and this repartition is a no-op branch."""
     df = load(spark, sf_dir, name)
     want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    # Estimate the scan's split count from the file listing instead of
+    # df.rdd.getNumPartitions(): materializing the RDD plan costs a few
+    # hundred ms per call, pure overhead on the query path. Files larger
+    # than maxPartitionBytes split further, so this undercounts only when
+    # the scan already has enough parallelism — the branch we skip anyway.
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    max_split = 128 * 1024 * 1024  # session default for files.maxPartitionBytes
+    total = sum(os.path.getsize(f) for f in files)
+    est_splits = max(len(files), -(-total // max_split))
+    if est_splits < want:
         df = df.repartition(want)
     return df
 
