@@ -405,6 +405,85 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew mitigation: salted join + two-phase distinct
+# ---------------------------------------------------------------------------
+
+N_SALT = 16
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (SELECT event_type AS det, round(avg(value), 4) AS type_avg
+                 FROM events GROUP BY event_type)
+    SELECT event_type, count(*) AS n,
+           round(sum(value - type_avg), 2) AS total_deviation
+    FROM events JOIN dim ON event_type = det
+    GROUP BY event_type
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a pathologically skewed key (event_type: 5 values for
+    the whole fact table — every row lands on 5 of the shuffle's partitions).
+
+    The salting pattern, end-to-end: the fact side gets a deterministic
+    salt from a unique column (pmod(xxhash64(event_id), 16)); the dim side
+    is exploded ×16 with every salt value; the join key becomes
+    (key, salt), spreading each hot key over 16 partitions. Deterministic
+    salt (not rand()) keeps the result reproducible and oracle-checkable —
+    the join multiplicity is unchanged, so the plain-join oracle matches.
+
+    On this 5-row dim you would broadcast instead (sort-merge is forced
+    here with a hint to actually exercise the salted shuffle); the pattern
+    is for dim tables too big to broadcast joined on skewed keys. AQE's
+    skewJoin handles moderate skew automatically — explicit salting is the
+    escape hatch when one key exceeds what AQE can split."""
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy(F.col("event_type").alias("det"))
+        .agg(F.round(F.avg("value"), 4).alias("type_avg"))
+    )
+    salted_fact = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)))
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)).cast("array<long>"))
+    )
+    joined = salted_fact.hint("merge").join(
+        salted_dim,
+        (F.col("event_type") == F.col("det")) & (salted_fact.salt == salted_dim.salt),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") - F.col("type_avg")), 2).alias("total_deviation"),
+        )
+    )
+
+
+@query(
+    "agg_skew_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe distinct count: dedupe on the COMPOSITE key (event_type,
+    user_id) first — that shuffle is spread over the full composite-key
+    space, immune to event_type's 5-value skew — then count per key on the
+    already-tiny result. The naive count(DISTINCT) plans the same Expand
+    shape, but making the two-phase split explicit documents the pattern
+    for aggregates Spark can't auto-split (e.g. collect_set of a hot key)."""
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .dropDuplicates()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Compaction planner as a query (reference D2, DP:88-143)
 # ---------------------------------------------------------------------------
 

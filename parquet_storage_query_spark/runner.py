@@ -1,0 +1,141 @@
+"""Config-driven job runner — the reference's orchestration layer (D8,
+SURVEY.md §2.11): Program.cs:14-54 loads a YAML config and runs the
+data-prep jobs then the query jobs in order, timing each and printing a
+5-row preview (QueryOrchestration.cs:371-401, 441-444).
+
+Config shape (dict, or YAML/JSON file path):
+
+    app_name: my-run            # optional
+    data_prep:                  # optional, run first (PG:35)
+      - kind: convert           # D3
+        src: /data/raw_csv
+        dest: /data/parquet
+        table: nation           # schema from the catalog
+        format: csv
+      - kind: compact           # D2
+        src: /data/small_files
+        dest: /data/compacted
+        target_mb: 256
+    queries:                    # then queries (PG:36-40)
+      - name: ref_total_count   # any registry entry
+        sf_dir: /root/testdata/sf0.01
+      - name: q1_pricing_summary
+        sf_dir: /root/testdata/sf0.01
+        differential: true      # D6: also run the DuckDB oracle + compare
+
+Each query job mirrors QueryBothSystemsAsync: run, time, preview — and
+with `differential: true` the DuckDB oracle runs on the same parquet and
+the row-count/value-hash comparison is reported (the automated upgrade of
+the reference's print-both-engines methodology, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .catalog import TABLES, SCHEMAS, table_path
+from .registry import all_queries
+from .session import get_spark
+from .sources import prep
+
+
+def load_config(source: str | dict[str, Any]) -> dict[str, Any]:
+    """Dict passthrough, else YAML (if pyyaml is present) or JSON file —
+    the reference's camelCase-YAML loader analogue (PG:44-54)."""
+    if isinstance(source, dict):
+        return source
+    text = open(source).read()
+    try:
+        import yaml  # type: ignore[import-not-found]
+
+        return yaml.safe_load(text)
+    except ImportError:
+        return json.loads(text)
+
+
+def _run_prep(spark: SparkSession, job: dict[str, Any]) -> dict[str, Any]:
+    kind = job["kind"]
+    t0 = time.perf_counter()
+    if kind == "convert":
+        schema = SCHEMAS[job["table"]]
+        prep.with_retry(
+            lambda: prep.convert(
+                spark, job["src"], job["dest"], schema, src_format=job.get("format", "csv")
+            )
+        )
+        detail: dict[str, Any] = {}
+    elif kind == "compact":
+        detail = prep.compact(spark, job["src"], job["dest"], target_mb=job.get("target_mb", 256))
+    else:
+        raise ValueError(f"unknown prep kind: {kind}")
+    return {"kind": kind, "dest": job["dest"], "seconds": round(time.perf_counter() - t0, 3), **detail}
+
+
+def _differential(name: str, sf_dir: str, spark_rows: list[tuple], spark_cols: list[str]) -> dict[str, Any]:
+    """D6: run the registered DuckDB oracle on the same parquet folder and
+    compare count + order-insensitive value hash."""
+    import duckdb
+
+    qd = all_queries()[name]
+    if qd.oracle is None:
+        return {"differential": "no-oracle"}
+    import hashlib
+
+    def norm(v: Any) -> str:
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return repr(v)
+        return str(v)
+
+    def fp(cols: list[str], rows: list[tuple]) -> str:
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+        return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
+    cur = con.execute(qd.oracle)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    match = len(orows) == len(spark_rows) and fp(spark_cols, spark_rows) == fp(ocols, orows)
+    return {"differential": "match" if match else "MISMATCH", "oracle_rows": len(orows)}
+
+
+def run(config: str | dict[str, Any], spark: SparkSession | None = None) -> dict[str, Any]:
+    """Execute the config: prep jobs, then query jobs (PG:35-40 order).
+    Returns a report dict; also prints per-job lines like the reference's
+    console output (elapsed + preview)."""
+    cfg = load_config(config)
+    spark = spark or get_spark(cfg.get("app_name", "runner"))
+    queries = all_queries()
+
+    report: dict[str, Any] = {"prep": [], "queries": []}
+    for job in cfg.get("data_prep", []) or []:
+        res = _run_prep(spark, job)
+        print(f"prep {res['kind']} -> {res['dest']}: {res['seconds']}s")
+        report["prep"].append(res)
+
+    for job in cfg.get("queries", []) or []:
+        name, sf_dir = job["name"], job["sf_dir"]
+        if name not in queries:
+            raise KeyError(f"unknown query: {name}")
+        t0 = time.perf_counter()
+        df = queries[name].builder(spark, sf_dir)
+        rows = df.collect()
+        elapsed = round(time.perf_counter() - t0, 3)
+        entry: dict[str, Any] = {"name": name, "rows": len(rows), "seconds": elapsed}
+        # S9 preview sink: first 5 rows (QO:441-444's Take(5))
+        preview = [tuple(r) for r in rows[:5]]
+        print(f"query {name}: {len(rows)} rows in {elapsed}s; preview: {preview}")
+        if job.get("differential"):
+            entry.update(_differential(name, sf_dir, [tuple(r) for r in rows], df.columns))
+        report["queries"].append(entry)
+    return report

@@ -174,6 +174,32 @@ def compact_grouped(
     return mappings
 
 
+def csv_with_error_channel(
+    spark: SparkSession, src: str | list[str], schema: T.StructType
+) -> DataFrame:
+    """Per-record error channel (D5): the reference prints each failing
+    blob's position/name/description and continues (QueryOrchestration.cs:
+    470-475). Spark's analogue is PERMISSIVE mode with a _corrupt_record
+    column: malformed rows land in the channel instead of failing the job,
+    and `WHERE _corrupt_record IS NOT NULL` is the error report."""
+    with_channel = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(with_channel)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(src)
+    )
+
+
+def read_ignoring_corrupt_files(spark: SparkSession, folder: str) -> DataFrame:
+    """Per-FILE error channel: skip unreadable parquet blobs and keep going
+    (the reference's continue-on-blob-error behavior at file granularity).
+    Scoped via the DataFrame reader option, not session-wide config."""
+    return spark.read.option("ignoreCorruptFiles", "true").parquet(folder)
+
+
 def with_retry(
     fn: Callable[[], None], max_attempts: int = 4, base_delay_s: float = 0.5
 ) -> None:

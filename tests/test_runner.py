@@ -1,0 +1,71 @@
+"""Config-driven runner (D8, Program.cs:14-54 analogue) and error-channel
+(D5, QueryOrchestration.cs:470-475 analogue) tests."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from parquet_storage_query_spark import runner
+from parquet_storage_query_spark.catalog import SCHEMAS, load
+from parquet_storage_query_spark.sources import prep
+
+from .conftest import SF_SMOKE
+
+
+def test_runner_executes_prep_then_queries(spark, tmp_path):
+    """Full config: a convert prep job, then two query jobs (one with the
+    D6 differential oracle check) — the reference's Main() flow."""
+    src_csv = str(tmp_path / "csv_in")
+    load(spark, SF_SMOKE, "nation").write.csv(src_csv)
+
+    cfg = {
+        "data_prep": [
+            {"kind": "convert", "src": src_csv, "dest": str(tmp_path / "out"), "table": "nation"}
+        ],
+        "queries": [
+            {"name": "ref_total_count", "sf_dir": SF_SMOKE},
+            {"name": "q1_pricing_summary", "sf_dir": SF_SMOKE, "differential": True},
+        ],
+    }
+    report = runner.run(cfg, spark=spark)
+
+    assert report["prep"][0]["kind"] == "convert"
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 25
+    assert report["queries"][0]["rows"] == 1
+    assert report["queries"][1]["differential"] == "match"
+
+
+def test_runner_loads_json_config_file(spark, tmp_path):
+    cfg_file = tmp_path / "cfg.json"
+    cfg_file.write_text(
+        json.dumps({"queries": [{"name": "ref_min_max", "sf_dir": SF_SMOKE}]})
+    )
+    report = runner.run(str(cfg_file), spark=spark)
+    assert report["queries"][0]["rows"] == 1
+
+
+def test_csv_error_channel_captures_malformed_rows(spark, tmp_path):
+    """Malformed rows land in _corrupt_record; good rows parse (D5)."""
+    p = tmp_path / "mixed.csv"
+    p.write_text("0,AFRICA\n1,AMERICA\nnot-an-int,EUROPE,extra,fields\n")
+    df = prep.csv_with_error_channel(spark, str(p), SCHEMAS["region"]).cache()
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 2
+        assert bad.count() == 1
+        assert "not-an-int" in bad.collect()[0]["_corrupt_record"]
+    finally:
+        df.unpersist()
+
+
+def test_ignore_corrupt_files_skips_bad_blob(spark, tmp_path):
+    """A garbage .parquet file in the folder is skipped, not fatal (D5 at
+    file granularity — the reference continues past failing blobs)."""
+    folder = tmp_path / "tbl"
+    load(spark, SF_SMOKE, "region").coalesce(1).write.parquet(str(folder))
+    (folder / "part-junk.parquet").write_bytes(b"this is not parquet")
+    out = prep.read_ignoring_corrupt_files(spark, str(folder))
+    assert out.count() == 5
