@@ -167,6 +167,58 @@ def streaming_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "stream_total_out", "complete")
 
 
+def streaming_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A4 MinMax: incremental min-of-mins/max-of-maxes — each
+    micro-batch folds into two scalars of state."""
+    agg = read_events_stream(spark, sf_dir).agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+    )
+    return _run_to_memory(agg, "stream_minmax_out", "complete")
+
+
+def streaming_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A3 FilterCount: predicate applied per micro-batch before
+    the incremental count (the filter is stateless; only the count is
+    state)."""
+    from ..operators.reference import LEVEL_VALUE
+
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == LEVEL_VALUE)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return _run_to_memory(agg, "stream_filter_count_out", "complete")
+
+
+def streaming_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A5 MaxBy: grouped max as running state per key."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("max_ts"))
+    )
+    return _run_to_memory(agg, "stream_max_by_out", "complete")
+
+
+def streaming_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A7 Distinct: distinct keys = groupBy(key) with count-free
+    state; state is O(|distinct user_id|), the streaming analogue of the
+    reference's union-of-partials distinct (QO:205-208)."""
+    agg = read_events_stream(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return _run_to_memory(agg, "stream_distinct_out", "complete").select("user_id")
+
+
+def streaming_point_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A6 PointFilter: stateless append-mode predicate — rows
+    stream straight through, no state at all."""
+    from ..operators.reference import POINT_EVENT_ID
+
+    flt = read_events_stream(spark, sf_dir).filter(F.col("event_id") == POINT_EVENT_ID)
+    return _run_to_memory(flt, "stream_point_filter_out", "append")
+
+
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows running incrementally with watermark state
     cleanup — the stateful-operator smoke path."""

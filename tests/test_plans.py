@@ -77,3 +77,52 @@ def test_aggregate_is_two_phase(spark):
 def test_scan_agg_stays_in_codegen(spark):
     """The hot path must be inside WholeStageCodegen spans."""
     assert whole_stage_codegen_spans(q1_pricing_summary(spark, SF_SMOKE)) >= 1
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Bucketing for co-located joins (the 100 TB fact⋈fact answer): two
+    tables bucketed on the join key join WITHOUT any Exchange on either
+    side — the shuffle happened once at write time, amortized over every
+    future join. Verified from the physical plan."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    load(spark, SF_SMOKE, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("b_orders")
+    load(spark, SF_SMOKE, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable("b_lineitem")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: zero shuffles
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must plan exactly ONE exchange for the window pass —
+    not a quadratic inequality join (no NestedLoop anywhere)."""
+    import re
+
+    from parquet_storage_query_spark.operators.advanced import join_asof
+
+    plan = formatted_plan(join_asof(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan, plan
+    n_exchanges = len(re.findall(r"\bExchange\b", plan))
+    assert n_exchanges <= 2, plan  # hashpartition on user_id (+AQE read)
+
+
+def test_ivf_assignment_is_map_side(spark):
+    """IVF cell assignment must not shuffle the corpus: the only exchanges
+    allowed are the probe-side broadcast and the final top-k window."""
+    from parquet_storage_query_spark.operators.similarity import sim_ivf_topk
+
+    plan = formatted_plan(sim_ivf_topk(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan

@@ -33,6 +33,28 @@ def test_streaming_session_windows_match_batch(spark):
     assert _rows(got) == _rows(want)
 
 
+import pytest
+
+
+@pytest.mark.parametrize(
+    "stream_fn,batch_query",
+    [
+        ("streaming_min_max", "ref_min_max"),
+        ("streaming_filter_count", "ref_filter_count"),
+        ("streaming_max_by", "ref_max_by"),
+        ("streaming_distinct", "ref_distinct"),
+        ("streaming_point_filter", "ref_point_filter"),
+    ],
+)
+def test_streaming_reference_queries_match_batch(spark, stream_fn, batch_query):
+    """Streaming A2-A7 converge to their batch twins (SURVEY §7 M4)."""
+    from parquet_storage_query_spark.registry import all_queries
+
+    got = getattr(sw, stream_fn)(spark, SF_SMOKE)
+    want = all_queries()[batch_query].builder(spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)
+
+
 def test_stateful_user_stats_match_batch(spark):
     """Custom applyInPandasWithState operator converges to the batch agg."""
     from parquet_storage_query_spark.streaming import stateful as st
