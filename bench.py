@@ -28,15 +28,19 @@ HEADLINE = [
     "ref_max_by",
     "ref_distinct",
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "join_star_revenue",
+    "join_asof",
     "agg_count_distinct",
     "topk_orders",
     "window_topk_per_group",
     "window_sessionize",
+    "rollup_time_hierarchy",
     "stream_tumbling_counts",
     "text_quality_score",
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
+    "sim_ivf_topk",
 ]
 
 

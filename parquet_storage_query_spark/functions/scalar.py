@@ -201,3 +201,34 @@ def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4
         ).alias("sum_val"),
     )
+
+
+@query(
+    "scalar_maps",
+    oracle="""
+    SELECT event_id,
+           m['type'][1] AS type_val,
+           m['uid'][1]  AS uid_val,
+           array_to_string(map_keys(m), ',') AS keys,
+           CAST(cardinality(m) AS INTEGER)   AS n_keys
+    FROM (SELECT event_id,
+                 MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+          FROM events)
+    """,
+)
+def scalar_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + extraction (create_map / element_at / map_keys /
+    size) — the schema-on-read key-value surface, all JVM expressions."""
+    df = load(spark, sf_dir, "events").withColumn(
+        "m",
+        F.create_map(
+            F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+        ),
+    )
+    return df.select(
+        "event_id",
+        F.element_at("m", "type").alias("type_val"),
+        F.element_at("m", "uid").alias("uid_val"),
+        F.array_join(F.map_keys("m"), ",").alias("keys"),
+        F.size("m").alias("n_keys"),
+    )

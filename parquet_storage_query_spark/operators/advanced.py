@@ -405,6 +405,48 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series multi-resolution rollup (hypertable continuous-aggregate shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN date_trunc('hour', ts) END AS hour_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+        (date_trunc('day', ts), date_trunc('hour', ts), event_type),
+        (date_trunc('day', ts), event_type)
+    )
+    """,
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly AND daily aggregates
+    per event_type in one pass via GROUPING SETS — the continuous-aggregate
+    hierarchy (raw → hour → day) that time-series stores maintain, computed
+    as a single Expand + two-phase aggregate. One scan, one shuffle, both
+    resolutions; at 100 TB this replaces two separate jobs and the day level
+    aggregates ~24× fewer rows than re-scanning raw."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT date_trunc('DAY', ts) AS day_start,
+               CASE WHEN GROUPING(date_trunc('HOUR', ts)) = 0
+                    THEN date_trunc('HOUR', ts) END AS hour_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS (
+            (date_trunc('DAY', ts), date_trunc('HOUR', ts), event_type),
+            (date_trunc('DAY', ts), event_type)
+        )
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew mitigation: salted join + two-phase distinct
 # ---------------------------------------------------------------------------
 
