@@ -133,6 +133,32 @@ def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "subq_correlated",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers holding > 2× their own
+    nation's average balance. Catalyst DECORRELATES this into a per-nation
+    aggregate joined back on the correlation key — one scan + one
+    aggregate + one join, never a per-row re-execution (which is what
+    correlation means on a naive engine and is fatal at scale)."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+        FROM customer c
+        WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal) FROM customer c2
+                               WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ordered / positional / distributional aggregates
 # ---------------------------------------------------------------------------

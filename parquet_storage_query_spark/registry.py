@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         windows,
     )
     from .functions import scalar  # noqa: F401
+    from .streaming import joins as stream_joins  # noqa: F401
     from .streaming import stateful as stream_stateful  # noqa: F401
     from .streaming import windows as stream_windows  # noqa: F401
 

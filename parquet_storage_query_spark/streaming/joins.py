@@ -1,0 +1,102 @@
+"""Stream-stream join (SURVEY.md §2.9 extension): two live streams joined
+on key + event-time interval, with watermarks bounding both sides' state.
+
+The batch twin (`stream_interval_join`, oracle-checked) is a plain
+inequality join; the streaming runner executes the identical predicate as
+an incremental stream-stream inner join where each side buffers only rows
+newer than its watermark — the state-bounding contract that makes the join
+feasible on unbounded input. At 100 TB/day the interval width (30 min) and
+watermark delay directly size the state store; both are the tunables here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+from .windows import read_events_stream
+
+INTERVAL_MIN = 30
+
+
+@query(
+    "stream_interval_join",
+    oracle=f"""
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           c.ts AS click_ts, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts
+     AND v.ts >  c.ts - INTERVAL {INTERVAL_MIN} MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin: every (click, view) pair for the same user where the
+    view happened within the 30 minutes before the click. Equi-join on
+    user_id carries the shuffle; the interval predicate filters inside the
+    joined partitions (NOT a nested-loop: the equi-key makes it a hash
+    join with a residual condition)."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return (
+        c.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") <= F.col("click_ts"))
+            & (
+                F.col("view_ts")
+                > F.col("click_ts") - F.expr(f"INTERVAL {INTERVAL_MIN} MINUTES")
+            ),
+        )
+        .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+    )
+
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same join as two live streams: watermarks on both sides plus the
+    time-bound condition let Spark expire buffered rows (clicks can only
+    match views ≤30 min older, so view-side state older than
+    watermark−30 min drops)."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") > F.col("click_ts") - F.expr(f"INTERVAL {INTERVAL_MIN} MINUTES")),
+    ).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_interval_join_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("stream_interval_join_out")

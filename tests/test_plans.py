@@ -106,6 +106,22 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """Hive-partitioned layout + a filter on the partition column must
+    prune at planning time: the scan's PartitionFilters carries the
+    predicate and only the matching directory is read — the layout-level
+    analogue of row-group skipping, and the reason 100 TB tables are laid
+    out by date/tenant."""
+    dest = str(tmp_path / "events_by_type")
+    load(spark, SF_SMOKE, "events").write.partitionBy("event_type").parquet(dest)
+
+    df = spark.read.parquet(dest).filter(F.col("event_type") == "click")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    n_click = load(spark, SF_SMOKE, "events").filter(F.col("event_type") == "click").count()
+    assert df.count() == n_click
+
+
 def test_asof_join_single_shuffle(spark):
     """The as-of join must plan exactly ONE exchange for the window pass —
     not a quadratic inequality join (no NestedLoop anywhere)."""

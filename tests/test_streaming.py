@@ -64,6 +64,16 @@ def test_stateful_user_stats_match_batch(spark):
     assert _rows(got) == _rows(want)
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Stream-stream inner join with watermarks converges to the batch
+    inequality join (all data within watermark in the single-file test)."""
+    from parquet_storage_query_spark.streaming import joins as sj
+
+    got = sj.streaming_interval_join(spark, SF_SMOKE)
+    want = sj.stream_interval_join(spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Append-mode windowed agg with a 10-min watermark: a row arriving a
     day late (in a later micro-batch) is excluded from its closed window.
