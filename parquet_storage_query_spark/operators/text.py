@@ -187,3 +187,29 @@ def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                AS INTEGER) AS n_subtokens,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+                AS INTEGER) AS n_unique
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword tokenization via regex (letter runs | digit runs |
+    single punctuation) — the pre-tokenizer split most BPE vocabularies
+    apply before merges, as a JVM-side regexp_extract_all. Counting at this
+    granularity approximates LLM token budgets far better than whitespace
+    words; a real tokenizer drops into the same column shape via
+    mapInPandas if exact counts are needed."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )

@@ -195,3 +195,26 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6)    AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing analytics (percent_rank / cume_dist) per status —
+    one shuffle on the partition key, one ordered pass; the ordering is
+    tie-broken on the key so both engines rank identically."""
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
