@@ -311,6 +311,34 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q18_SQL = """
+    SELECT c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+@query("q18_large_orders", oracle=_Q18_SQL)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate IN-subquery (orders whose total quantity
+    exceeds a threshold) semi-reduces the join, then re-aggregate + top-k.
+    Catalyst plans the subquery as an aggregate feeding a left-semi join on
+    orderkey; the lineitem scan happens twice by design (once aggregated
+    for the filter, once for the detail) — at scale the subquery side
+    shuffles only |orderkey| grouped rows and AQE broadcasts its (tiny)
+    qualifying-key output into the semi join."""
+    register_all(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Reshaping: explode (lateral view) and unpivot (melt)
 # ---------------------------------------------------------------------------

@@ -180,6 +180,75 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list (doc_a, doc_b) by
+    iterative min-label propagation: every node starts labeled with itself;
+    each round every node takes the min label in its neighborhood; stop when
+    no label changes. Converges in O(diameter) rounds — near-dup clusters
+    are small and dense, so typically 2-4.
+
+    This is the canonical Spark shape for iterative graph algorithms the
+    SQL surface can't express: a driver loop over DataFrame ops, each
+    iteration one shuffle keyed on node id, with the previous iteration
+    persisted and the old cache released after the new one materializes.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@query("dedup_clusters", oracle=None)  # iterative; pairs are xxhash64-seeded
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH candidate pairs → connected
+    components → per-document (cluster_id, keep) verdict, keeping the
+    lowest doc_id of each cluster — the actual deletion list a training
+    pipeline consumes. Rows-only check (pairs derive from xxhash64)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle="""

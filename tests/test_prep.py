@@ -15,6 +15,54 @@ from parquet_storage_query_spark.sources import prep
 from .conftest import SF_SMOKE
 
 
+def test_schema_evolution_merge(spark, tmp_path):
+    """Folder with files written under two schema versions (a column added
+    later) reads as the union schema with mergeSchema; old rows surface
+    NULL for the new column — the append-only evolution story a long-lived
+    100 TB table needs."""
+    folder = str(tmp_path / "evolving")
+    v1 = load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    v2 = load(spark, SF_SMOKE, "nation").withColumn("added_col", F.lit("v2")).select(
+        "n_nationkey", "n_name", "added_col"
+    )
+    v1.write.parquet(folder + "/batch=1")
+    v2.write.parquet(folder + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(folder)
+    assert "added_col" in merged.columns
+    assert merged.count() == 50
+    assert merged.filter(F.col("added_col").isNull()).count() == 25
+
+
+def test_binpack_plan_properties(spark):
+    """Property test (hypothesis): for arbitrary file-size lists, greedy
+    packing (D2, DP:88-143) covers every file exactly once, preserves
+    listing order, and every group except possibly the last exceeds the
+    target only by its final member."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=10 * 1024 * 1024), max_size=40),
+        target_mb=st.integers(min_value=1, max_value=8),
+    )
+    def check(sizes, target_mb):
+        files = [(f"f{i}", s) for i, s in enumerate(sizes)]
+        groups = prep.plan_packing(files, "/dest", target_mb)
+        flat = [p for g in groups for p in g.original_paths]
+        assert flat == [p for p, _ in files]  # complete, ordered, no dupes
+        target = target_mb * 1024 * 1024
+        by_path = dict(files)
+        for g in groups:
+            acc = sum(by_path[p] for p in g.original_paths)
+            # every proper prefix is under target (greedy closes the group
+            # at the first file that reaches it)
+            assert acc - by_path[g.original_paths[-1]] < target
+
+    check()
+
+
 def test_convert_csv_roundtrip(spark, tmp_path):
     """CSV.gz → parquet conversion (D3) keeps every row and value."""
     src_csv = str(tmp_path / "csv_in")
