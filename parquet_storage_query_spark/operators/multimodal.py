@@ -143,3 +143,38 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": digests})
 
     return df.mapInPandas(sample, schema="doc_id long, frame_idx long, frame_md5 string")
+
+
+RESIZE_STRIDE = 4  # keep every 4th byte — a 4x "downsample"
+
+
+@query(
+    "mm_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS orig_len,
+           CAST(len(range(1, length(text) + 1, {RESIZE_STRIDE})) AS INTEGER) AS resized_len,
+           md5(array_to_string(
+               [substring(text, CAST(i AS INT), 1)
+                for i in range(1, length(text) + 1, {RESIZE_STRIDE})], '')) AS resized_md5
+    FROM documents
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing over a binary-ish payload: keep every
+    {RESIZE_STRIDE}th byte (the nearest-neighbor downsample of a 1-D
+    'image'), emit new length + content digest. Entirely JVM expressions
+    (sequence → transform → concat), so the downsample rides whole-stage
+    codegen with no Python; a real image resize swaps the strided-select
+    for a codec call inside mapInPandas (see mm_feature_extract)."""
+    resized = F.expr(
+        "concat_ws('', transform(sequence(1, length(text), {s}), i -> substring(text, i, 1)))".format(
+            s=RESIZE_STRIDE
+        )
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).alias("orig_len"),
+        F.length(resized).alias("resized_len"),
+        F.md5(resized.cast("binary")).alias("resized_md5"),
+    )

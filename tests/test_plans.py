@@ -106,6 +106,18 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """AQE must collapse the configured shuffle fan-out down to what the
+    data actually needs (tiny agg → 1 partition instead of 8/32) — the
+    runtime right-sizing that keeps small stages from scheduling thousands
+    of empty tasks at cluster scale."""
+    from parquet_storage_query_spark.plans.explain import executed_plan
+
+    df = load(spark, SF_SMOKE, "orders").groupBy("o_orderstatus").count()
+    plan = executed_plan(df)
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+
+
 def test_partitioned_layout_prunes(spark, tmp_path):
     """Hive-partitioned layout + a filter on the partition column must
     prune at planning time: the scan's PartitionFilters carries the
