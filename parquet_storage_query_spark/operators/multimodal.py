@@ -150,27 +150,27 @@ RESIZE_STRIDE = 4  # keep every 4th byte — a 4x "downsample"
 
 @query(
     "mm_resize",
-    oracle=f"""
+    oracle=rf"""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS INTEGER) AS orig_len,
-           CAST(len(range(1, length(text) + 1, {RESIZE_STRIDE})) AS INTEGER) AS resized_len,
-           md5(array_to_string(
-               [substring(text, CAST(i AS INT), 1)
-                for i in range(1, length(text) + 1, {RESIZE_STRIDE})], '')) AS resized_md5
+           CAST(length(regexp_replace(text, '(.).{{0,{RESIZE_STRIDE - 1}}}', '\1', 'gs'))
+                AS INTEGER) AS resized_len,
+           md5(regexp_replace(text, '(.).{{0,{RESIZE_STRIDE - 1}}}', '\1', 'gs'))
+               AS resized_md5
     FROM documents
     """,
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/downsample plumbing over a binary-ish payload: keep every
     {RESIZE_STRIDE}th byte (the nearest-neighbor downsample of a 1-D
-    'image'), emit new length + content digest. Entirely JVM expressions
-    (sequence → transform → concat), so the downsample rides whole-stage
-    codegen with no Python; a real image resize swaps the strided-select
-    for a codec call inside mapInPandas (see mm_feature_extract)."""
-    resized = F.expr(
-        "concat_ws('', transform(sequence(1, length(text), {s}), i -> substring(text, i, 1)))".format(
-            s=RESIZE_STRIDE
-        )
+    'image'), emit new length + content digest. One single-pass
+    regexp_replace — no per-character array materialization — and empty or
+    NULL text degrades identically on both engines ('' → '', NULL → NULL),
+    unlike a sequence(1, length, k) expression, whose boundaries are
+    illegal at length 0. A real image resize swaps the strided-select for
+    a codec call inside mapInPandas (see mm_feature_extract)."""
+    resized = F.regexp_replace(
+        F.col("text"), r"(?s)(.).{0,%d}" % (RESIZE_STRIDE - 1), "$1"
     )
     return load(spark, sf_dir, "documents").select(
         "doc_id",
