@@ -138,18 +138,41 @@ def _raw_read_schema(name: str) -> T.StructType:
     return T.StructType(fields)
 
 
+_SIZE_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _size_bytes(size: str) -> int:
+    """Parse a Spark size conf string ('128m', '1g', '134217728', '64mb')."""
+    s = str(size).strip().lower().removesuffix("b")
+    if s and s[-1] in _SIZE_UNITS:
+        return int(float(s[:-1]) * _SIZE_UNITS[s[-1]])
+    return int(s)
+
+
+def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Set a runtime SQL conf only when it differs. DELIBERATE global
+    mutation: the driver harness hands us its own vanilla session, so the
+    engine's required confs (UTC instants, nanos-as-long) must be applied
+    at read time — there is no builder hook. Callers that need another
+    session timezone should use a separate SparkSession."""
+    try:
+        current = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 — unset key
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Folder-of-parquet → DataFrame (reference: per-query DataFolderUri)."""
     path = table_path(sf_dir, name)
     # timestamps must be interpreted as UTC instants regardless of which
     # session the caller (e.g. the driver harness) hands us
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     ts_col = _NANOS_TS.get(name)
     if ts_col is None:
         return spark.read.schema(SCHEMAS[name]).parquet(path)
-    # runtime-settable SQL conf; set here so any caller-provided session
-    # (e.g. the driver's) works without special builder flags
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.schema(_raw_read_schema(name)).parquet(path)
     return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
 
@@ -174,9 +197,14 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ]
     else:
         files = [path]
-    max_split = 128 * 1024 * 1024  # session default for files.maxPartitionBytes
-    total = sum(os.path.getsize(f) for f in files)
-    est_splits = max(len(files), -(-total // max_split))
+    # Mirror Spark's own split math from the session conf: partitions ≈
+    # ceil((bytes + openCost·files) / maxPartitionBytes). Small files PACK
+    # together (len(files) is an overcount, not a floor), and a session
+    # with a larger maxPartitionBytes yields fewer splits.
+    max_split = _size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _size_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4m"))
+    total = sum(os.path.getsize(f) for f in files) + open_cost * len(files)
+    est_splits = max(1, -(-total // max_split))
     if est_splits < want:
         df = df.repartition(want)
     return df

@@ -89,14 +89,6 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") <= F.col("click_ts"))
         & (F.col("view_ts") > F.col("click_ts") - F.expr(f"INTERVAL {INTERVAL_MIN} MINUTES")),
     ).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_interval_join_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table("stream_interval_join_out")
+    from .windows import _run_to_memory
+
+    return _run_to_memory(joined, "stream_interval_join_out", "append")

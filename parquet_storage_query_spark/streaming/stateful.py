@@ -68,17 +68,9 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        updates.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("stream_user_stats_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    all_updates = spark.table("stream_user_stats_out")
+    from .windows import _run_to_memory
+
+    all_updates = _run_to_memory(updates, "stream_user_stats_out", "update")
     final = all_updates.groupBy("user_id").agg(
         F.max_by(F.struct("n_events", "max_value", "last_ts"), "n_events").alias("s")
     )

@@ -7,10 +7,15 @@ Each window shape is registered as a *batch* builder (same `F.window` /
 plan runs incrementally. That pairing is the Spark idiom: one logical
 query, two execution modes.
 
-Watermarking: the streaming runners use `withWatermark("ts", ...)` so
-state for closed windows is dropped — the thing that keeps a 100 TB/day
-stream's state bounded. Local tests drive them with the file source +
-memory sink + processAllAvailable().
+Watermarking: state-dropping only takes effect in append/update output
+modes — the complete-mode runners below retain all window state BY
+DESIGN so they can be compared 1:1 against their batch twins (parity
+tests). The production contract (closed windows emitted once, day-late
+rows dropped, state bounded — what a 100 TB/day stream runs in append
+mode) is exercised explicitly by tests/test_streaming.py::
+test_watermark_drops_late_rows and by the append-mode stream-stream
+join runner (joins.py). Local tests drive everything with the file
+source + memory sink + processAllAvailable().
 """
 
 from __future__ import annotations
@@ -84,7 +89,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows",
     oracle="""
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
@@ -92,8 +97,11 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
+        -- cumulative sum ordered by the SAME (ts, event_id) key as the gap
+        -- window: with ts alone, tied timestamps at a session boundary
+        -- could be numbered into the previous session nondeterministically
         SELECT user_id, ts,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_no
         FROM gaps
