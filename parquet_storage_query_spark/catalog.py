@@ -163,6 +163,39 @@ def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
         spark.conf.set(key, value)
 
 
+_NANOS_PROBE_CACHE: dict[str, bool] = {}
+
+
+def _ts_is_nanos(path: str, ts_col: str) -> bool:
+    """True when the column is physically TIMESTAMP(NANOS) — decided from
+    one parquet footer (cheap, cached). Data REWRITTEN by this engine
+    (prep.convert / compact) carries micros and must take the plain read
+    path; only the driver-generated corpus needs the nanosAsLong fix."""
+    cached = _NANOS_PROBE_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        candidates = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        if not candidates:
+            return False
+        probe = os.path.join(path, candidates[0])
+    try:
+        schema = pq.ParquetFile(probe).schema
+        idx = next(i for i in range(len(schema)) if schema.column(i).name == ts_col)
+        col = schema.column(idx)
+        # physical INT64 + logical TIMESTAMP(nanos). NOT the arrow-level
+        # type: pyarrow maps Spark's INT96 timestamps to timestamp[ns]
+        # too, and those must take the plain read path.
+        result = col.physical_type == "INT64" and "nanoseconds" in str(col.logical_type)
+    except Exception:  # noqa: BLE001 — unreadable/missing → plain path
+        result = False
+    _NANOS_PROBE_CACHE[path] = result
+    return result
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Folder-of-parquet → DataFrame (reference: per-query DataFolderUri)."""
     path = table_path(sf_dir, name)
@@ -170,7 +203,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session the caller (e.g. the driver harness) hands us
     _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     ts_col = _NANOS_TS.get(name)
-    if ts_col is None:
+    if ts_col is None or not _ts_is_nanos(path, ts_col):
         return spark.read.schema(SCHEMAS[name]).parquet(path)
     _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.schema(_raw_read_schema(name)).parquet(path)
@@ -214,9 +247,11 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str, max_files_per_trigg
     """Structured Streaming file-source twin of `load` (same schema fixes)."""
     path = table_path(sf_dir, name)
     ts_col = _NANOS_TS.get(name)
+    if ts_col and not _ts_is_nanos(path, ts_col):
+        ts_col = None
     schema = _raw_read_schema(name) if ts_col else SCHEMAS[name]
     if ts_col:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )

@@ -51,16 +51,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", F.lit(1).alias("side")
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),  # carried only by views
+        F.lit(1).alias("side"),
     )
     views = ev.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts", "value", F.lit(0).alias("side")
     )
-    tagged = clicks.unionByName(views.drop("value"), allowMissingColumns=False).join(
-        views.select(F.col("event_id").alias("ve"), F.col("value")),
-        F.col("event_id") == F.col("ve"),
-        "left",
-    ).drop("ve")
+    tagged = clicks.unionByName(views)
     # view rows sort before click rows at equal ts (side 0 < 1) so a
     # same-instant view is visible to the click — matching ASOF's ts >= ts
     w = (
@@ -573,6 +573,7 @@ def agg_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "events")
         .select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())  # count(DISTINCT) skips NULLs
         .dropDuplicates()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))

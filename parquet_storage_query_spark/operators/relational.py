@@ -370,10 +370,13 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: orderBy+limit plans TakeOrderedAndProject — each task
     keeps its local top-10, driver merges; no full sort at any scale.
-    Tie-broken on o_orderkey so the result is deterministic."""
+    Tie-broken on o_orderkey so the result is deterministic. The sort key
+    is the ROUNDED price: DuckDB resolves the oracle's ORDER BY to the
+    SELECT alias (round(...,2)), so Spark must rank by the same value or
+    >2-decimal prices tie differently at the cut line."""
     return (
         load(spark, sf_dir, "orders")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .orderBy(F.round("o_totalprice", 2).desc(), F.col("o_orderkey"))
         .limit(10)
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )
@@ -478,10 +481,13 @@ def dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with explicit value list (explicit list avoids the extra
-    distinct-values job — required practice at scale)."""
+    distinct-values job — required practice at scale). Empty cells are
+    filled with 0 to match SQL's count(*) FILTER semantics (Spark's pivot
+    count yields NULL for combinations with no rows)."""
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
+        .na.fill(0, ["F", "O", "P"])
     )

@@ -181,11 +181,14 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     df = load(spark, sf_dir, "events")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # microsecond-exact gap: casting ts to long floors to whole seconds,
+    # which misses gaps in (1800s, 1801s) that the oracle's exact INTERVAL
+    # comparison catches
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
     return (
         df.withColumn(
             "new_session",
-            F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
         )
         .withColumn("session_id", F.sum("new_session").over(run))
         .groupBy("user_id", "session_id")

@@ -77,18 +77,26 @@ def plan_packing(
     groups: list[PathMapping] = []
     current: list[str] = []
     acc = 0
-    for p, size in files:
-        current.append(p)
-        acc += size
-        if acc >= target:
+
+    def flush() -> None:
+        nonlocal current, acc
+        if current:
             groups.append(
-                PathMapping(tuple(current), os.path.join(dest_folder, f"part-{len(groups):05d}.parquet"))
+                PathMapping(
+                    tuple(current),
+                    os.path.join(dest_folder, f"part-{len(groups):05d}.parquet"),
+                )
             )
             current, acc = [], 0
-    if current:
-        groups.append(
-            PathMapping(tuple(current), os.path.join(dest_folder, f"part-{len(groups):05d}.parquet"))
-        )
+
+    for p, size in files:
+        # flush BEFORE adding a file that would overflow (DP:119-132): groups
+        # stay ≤ target unless a single file alone exceeds it
+        if current and acc + size > target:
+            flush()
+        current.append(p)
+        acc += size
+    flush()
     return groups
 
 
@@ -134,8 +142,12 @@ def compact(
     df = spark.read.parquet(src_folder)
     n_parts = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
 
-    # bytes cap → rows cap: sample average encoded row width
-    n_rows = df.count()
+    # bytes cap → rows cap from parquet FOOTER metadata (num_rows is free in
+    # every footer) — not df.count(), which would scan the entire input a
+    # second time just to size output files
+    import pyarrow.parquet as pq
+
+    n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p, _s in files)
     avg_row = max(1, total_bytes // max(1, n_rows))
     max_records = max(1, max_file_bytes // avg_row)
 
@@ -161,16 +173,27 @@ def compact_grouped(
     (plan_packing ≙ DP:88-143), each group read and written as exactly one
     file via coalesce(1) (≙ one .export per mapping, DP:145-170).
     Driver-sequenced per group — use `compact` for large folders."""
+    import shutil
+
     files = list_data_files(src_folder, suffix=".parquet")
     mappings = plan_packing(files, dest_folder, target_mb)
+    os.makedirs(dest_folder, exist_ok=True)
     for m in mappings:
+        # Spark writes a DIRECTORY of part files; the reference's contract is
+        # one FILE per mapping (one .export blob, DP:145-170) — write to a
+        # staging dir, then move the single part file to destination_path
+        staging = m.destination_path + ".staging"
         (
             spark.read.parquet(*m.original_paths)
             .coalesce(1)
             .write.mode("overwrite")
             .option("compression", compression)
-            .parquet(m.destination_path)
+            .parquet(staging)
         )
+        parts = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"coalesce(1) produced {len(parts)} files"
+        os.replace(os.path.join(staging, parts[0]), m.destination_path)
+        shutil.rmtree(staging)
     return mappings
 
 
@@ -200,17 +223,34 @@ def read_ignoring_corrupt_files(spark: SparkSession, folder: str) -> DataFrame:
     return spark.read.option("ignoreCorruptFiles", "true").parquet(folder)
 
 
+def _default_permanent() -> tuple[type[BaseException], ...]:
+    """Exception types that fail identically on retry (the reference's
+    IsPermanent check, DP:185): plan/schema/config errors, not transients."""
+    from pyspark.errors import AnalysisException, IllegalArgumentException
+
+    return (AnalysisException, IllegalArgumentException, ValueError, KeyError, TypeError)
+
+
 def with_retry(
-    fn: Callable[[], None], max_attempts: int = 4, base_delay_s: float = 0.5
+    fn: Callable[[], None],
+    max_attempts: int = 4,
+    base_delay_s: float = 0.5,
+    permanent: tuple[type[BaseException], ...] | None = None,
 ) -> None:
     """Bounded exponential-backoff retry for job-level transients —
-    replaces the reference's unbounded recursion on !IsPermanent
-    (DP:172-195; SURVEY §7 risk register)."""
+    replaces the reference's unbounded recursion with a bounded loop
+    (DP:172-195; SURVEY §7 risk register) and keeps its permanent-vs-
+    transient distinction: deterministic failures re-raise immediately
+    instead of sleeping through pointless attempts."""
+    if permanent is None:
+        permanent = _default_permanent()
     for attempt in range(max_attempts):
         try:
             fn()
             return
-        except Exception:  # noqa: BLE001
+        except permanent:
+            raise
+        except Exception:  # noqa: BLE001 — transient by elimination
             if attempt == max_attempts - 1:
                 raise
             time.sleep(base_delay_s * (2**attempt))

@@ -37,8 +37,9 @@ def test_schema_evolution_merge(spark, tmp_path):
 def test_binpack_plan_properties(spark):
     """Property test (hypothesis): for arbitrary file-size lists, greedy
     packing (D2, DP:88-143) covers every file exactly once, preserves
-    listing order, and every group except possibly the last exceeds the
-    target only by its final member."""
+    listing order, keeps every multi-file group within the target (flush
+    happens BEFORE the overflowing file, DP:119-132), and never splits a
+    group that could have absorbed the next file."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -54,11 +55,14 @@ def test_binpack_plan_properties(spark):
         assert flat == [p for p, _ in files]  # complete, ordered, no dupes
         target = target_mb * 1024 * 1024
         by_path = dict(files)
-        for g in groups:
-            acc = sum(by_path[p] for p in g.original_paths)
-            # every proper prefix is under target (greedy closes the group
-            # at the first file that reaches it)
-            assert acc - by_path[g.original_paths[-1]] < target
+        totals = [sum(by_path[p] for p in g.original_paths) for g in groups]
+        for g, acc in zip(groups, totals):
+            # ≤ target unless a single oversized file forms its own group
+            assert acc <= target or len(g.original_paths) == 1
+        for i in range(1, len(groups)):
+            # greedy maximality: the next group's first file wouldn't fit
+            first_next = by_path[groups[i].original_paths[0]]
+            assert totals[i - 1] + first_next > target
 
     check()
 
@@ -118,8 +122,12 @@ def test_compact_grouped_reference_mode(spark, tmp_path):
 def test_plan_packing_greedy():
     files = [(f"f{i}", 40 * 1024 * 1024) for i in range(5)]  # 5 × 40 MiB
     groups = prep.plan_packing(files, "/dest", target_mb=100)
-    # greedy: accumulate until ≥100 MiB → [f0,f1,f2], [f3,f4]
-    assert [len(g.original_paths) for g in groups] == [3, 2]
+    # reference semantics (DP:119-132): flush BEFORE overflow, so groups
+    # stay ≤ 100 MiB → [f0,f1], [f2,f3], [f4]
+    assert [len(g.original_paths) for g in groups] == [2, 2, 1]
+    # a single file larger than the target still forms its own group
+    big = prep.plan_packing([("big", 300 * 1024 * 1024)], "/dest", target_mb=100)
+    assert [len(g.original_paths) for g in big] == [1]
     one_to_one = prep.plan_packing(files, "/dest", target_mb=None)
     assert len(one_to_one) == 5
 

@@ -46,6 +46,18 @@ def test_runner_loads_json_config_file(spark, tmp_path):
     assert report["queries"][0]["rows"] == 1
 
 
+def test_converted_events_round_trip_through_catalog(spark, tmp_path):
+    """Engine-rewritten events (micros timestamps) must load through the
+    same catalog path as the driver corpus (nanos): catalog.load probes the
+    parquet footer and applies the nanosAsLong fix only where needed."""
+    sf_dir = str(tmp_path)
+    load(spark, SF_SMOKE, "events").write.parquet(sf_dir + "/events.parquet")
+    out = load(spark, sf_dir, "events")
+    assert out.count() == load(spark, SF_SMOKE, "events").count()
+    want = load(spark, SF_SMOKE, "events").agg(F.max("ts")).collect()
+    assert out.agg(F.max("ts")).collect() == want
+
+
 def test_csv_error_channel_captures_malformed_rows(spark, tmp_path):
     """Malformed rows land in _corrupt_record; good rows parse (D5)."""
     p = tmp_path / "mixed.csv"
