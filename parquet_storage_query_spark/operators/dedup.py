@@ -62,13 +62,20 @@ def shingle_hashes(sh: Column) -> Column:
     return F.transform(sh, lambda s: F.xxhash64(s))
 
 
-def minhash_signature(hashed: Column, n_hashes: int = N_MINHASH) -> Column:
-    """MinHash signature over pre-hashed shingles: for seed j, min over
-    xxhash64(j, h). Re-hashing fixed-width int64s per seed instead of
+def minhash_signature(hashed_col: str, n_hashes: int = N_MINHASH) -> Column:
+    """MinHash signature over a pre-hashed shingle column: for seed j, min
+    over xxhash64(j, h). Re-hashing fixed-width int64s per seed instead of
     variable-length strings cuts the per-seed cost ~n_hashes× — all
-    Spark-native codegen, map-side."""
+    Spark-native codegen, map-side.
+
+    Built via F.expr, NOT a Python lambda: PySpark deduplicates
+    higher-order-function lambdas by their bytecode, so 32 lambdas that
+    differ only in a captured literal (`lambda h, j=j: xxhash64(lit(j),
+    h)`) all resolve to ONE expression — every "seed" silently produced
+    the same hash and the signature degenerated to 32 copies of a single
+    min-hash (caught by the planted moderate-similarity pair test)."""
     sigs = [
-        F.array_min(F.transform(hashed, lambda h, j=j: F.xxhash64(F.lit(j), h)))
+        F.array_min(F.expr(f"transform({hashed_col}, h -> xxhash64({j}L, h))"))
         for j in range(n_hashes)
     ]
     return F.array(*sigs)
@@ -146,7 +153,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_parallel(spark, sf_dir, "documents")
             .select("doc_id", shingles_col().alias("sh"))
             .select("doc_id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
-            .withColumn("sig", minhash_signature(F.col("hs")))
+            .withColumn("sig", minhash_signature("hs"))
             .persist()
         )
         _SIG_CACHE[cache_key] = docs

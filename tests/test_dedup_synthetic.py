@@ -27,8 +27,15 @@ def corpus(spark):
         "completely different content about spark query engines and "
         "columnar storage with predicate pushdown at massive scale"
     )
+    # moderate-similarity pair: last 6 tokens rewritten → 3-gram shingle
+    # Jaccard ≈ 0.556. The 16-band × 2-row LSH must still surface it (the
+    # old 4×4 banding caught only ~26% of pairs at this similarity).
+    moderate = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark wolf sleeps nearby tonight peacefully under"
+    )
     return spark.createDataFrame(
-        [(1, base), (2, near), (3, other), (4, base)],  # 4 = exact dup of 1
+        [(1, base), (2, near), (3, other), (4, base), (5, moderate)],
         "doc_id long, text string",
     )
 
@@ -36,11 +43,14 @@ def corpus(spark):
 def test_minhash_finds_planted_near_dups(corpus):
     docs = (
         corpus.select("doc_id", shingles_col().alias("sh"))
-        .withColumn("sh", F.array_distinct("sh"))
-        .withColumn("sig", minhash_signature(shingle_hashes(F.col("sh"))))
+        .withColumn("hs", F.array_distinct(shingle_hashes(F.col("sh"))))
+        .withColumn("sig", minhash_signature("hs"))
     )
     rows = {r["doc_id"]: r["sig"] for r in docs.collect()}
     assert len(rows[1]) == N_MINHASH
+    # the seeds must actually differ (regression: lambda-bytecode dedup
+    # once collapsed all 32 seeds into one hash function)
+    assert len(set(rows[1])) > N_MINHASH // 2
     # exact dup → identical signature
     assert rows[1] == rows[4]
     # near dup → mostly-matching signature
@@ -67,6 +77,9 @@ def test_lsh_pipeline_emits_planted_pair(spark, corpus, tmp_path, monkeypatch):
     }
     assert pairs.get((1, 4)) == 1.0
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.7
+    # moderate pair (shingle Jaccard ≈ 0.556): the banding must catch it,
+    # not just the near-identical pairs
+    assert (1, 5) in pairs and 0.5 <= pairs[(1, 5)] < 0.7
     assert all(3 not in p for p in pairs)
 
 
