@@ -46,7 +46,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(Path(sf_dir).name.replace("sf", "")) if "sf" in Path(sf_dir).name else -1.0
+    try:
+        sf = float(Path(sf_dir).name.removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
     spark = get_spark("bench")
     qs = all_queries()
 

@@ -189,8 +189,9 @@ def scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions over the embedding column: size / element_at /
     array_max / array_min / aggregate-fold — all JVM-side, no UDF."""
+    from .vectors import as_double
+
     df = load(spark, sf_dir, "embeddings")
-    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return df.select(
         "vec_id",
         F.size("embedding").alias("dim"),
@@ -198,7 +199,7 @@ def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("embedding").alias("max_val"),
         F.array_min("embedding").alias("min_val"),
         F.round(
-            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4
+            F.aggregate(as_double("embedding"), F.lit(0.0), lambda acc, x: acc + x), 4
         ).alias("sum_val"),
     )
 

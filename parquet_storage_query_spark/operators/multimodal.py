@@ -30,10 +30,18 @@ def decode_image(data: bytes) -> "object":
     raise NotImplementedError("image codecs not available in this environment")
 
 
+# fake_decode_meta's formula constants — single source for the scalar
+# reference, the vectorized pandas batch code, AND the SQL oracle (three
+# call sites that must agree bit-for-bit)
+META_BASE = 64
+META_W_MOD = 256
+META_H_DIV = 7
+
+
 def fake_decode_meta(n_bytes: int) -> tuple[int, int]:
     """Deterministic stand-in for decode: fake (width, height) derived from
     payload length. Replace with decode_image(...)'s real metadata."""
-    return 64 + n_bytes % 256, 64 + (n_bytes // 7) % 256
+    return META_BASE + n_bytes % META_W_MOD, META_BASE + (n_bytes // META_H_DIV) % META_W_MOD
 
 
 @query(
@@ -63,11 +71,12 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_feature_extract",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INTEGER)              AS n_bytes,
-           CAST(64 + octet_length(encode(text)) % 256 AS INTEGER)   AS width,
-           CAST(64 + (octet_length(encode(text)) // 7) % 256 AS INTEGER) AS height
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST({META_BASE} + octet_length(encode(text)) % {META_W_MOD} AS INTEGER) AS width,
+           CAST({META_BASE} + (octet_length(encode(text)) // {META_H_DIV}) % {META_W_MOD}
+                AS INTEGER) AS height
     FROM documents
     """,
 )
@@ -87,9 +96,9 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes.astype("int32"),
-                    # fake_decode_meta, vectorized per batch
-                    "width": (64 + n_bytes % 256).astype("int32"),
-                    "height": (64 + (n_bytes // 7) % 256).astype("int32"),
+                    # fake_decode_meta, vectorized per batch (same constants)
+                    "width": (META_BASE + n_bytes % META_W_MOD).astype("int32"),
+                    "height": (META_BASE + (n_bytes // META_H_DIV) % META_W_MOD).astype("int32"),
                 }
             )
 

@@ -25,13 +25,35 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside (), [] — In(col, [a,b]) is ONE
+    filter, not four fragments."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
 def pushed_filters(plan: str) -> list[str]:
-    """All PushedFilters entries across scans (flattened)."""
+    """All PushedFilters entries across scans (flattened). Greedy to the
+    line's last ']' so bracketed filter arguments (In(col, [a,b])) stay
+    intact."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+    for m in re.finditer(r"PushedFilters: \[(.*)\]", plan):
         entry = m.group(1).strip()
         if entry:
-            out.extend(p.strip() for p in entry.split(","))
+            out.extend(_split_top_level(entry))
     return out
 
 
@@ -55,20 +77,33 @@ def has_take_ordered(plan: str) -> bool:
 def has_partial_final_agg(plan: str) -> bool:
     """Two-phase aggregation: a partial HashAggregate below the exchange
     and a final one above — the plan shape that IS the reference's
-    per-blob-partial + client-merge (SURVEY §2.3)."""
-    return plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
+    per-blob-partial + client-merge (SURVEY §2.3). Counts NODES via their
+    '(n) HashAggregate' detail headers: raw substring counting sees every
+    node twice in formatted output (tree line + detail section), which
+    made a single-aggregate plan look two-phase."""
+    nodes = re.findall(r"\(\d+\) (?:HashAggregate|SortAggregate|ObjectHashAggregate)", plan)
+    return len(nodes) >= 2
+
+
+def _execute_row_free(df: DataFrame) -> None:
+    """Run the query without materializing rows in the driver: counting
+    the SAME QueryExecution's internal RDD JVM-side finalizes the AQE plan
+    exactly like collect(), but a plan audit on a wide result can't OOM
+    the driver. (A noop-format write does NOT work: it executes a separate
+    QueryExecution, leaving df's own AQE plan unfinalized.)"""
+    df._jdf.queryExecution().toRdd().count()
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (`*(N)` markers) in the executed
     plan. Under AQE the final plan only exists after execution, so this
-    runs the query (collect) first."""
-    df.collect()
+    runs the query (row-free) first."""
+    _execute_row_free(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
 def executed_plan(df: DataFrame) -> str:
-    """Final (post-AQE) physical plan string; executes the query."""
-    df.collect()
+    """Final (post-AQE) physical plan string; executes the query row-free."""
+    _execute_row_free(df)
     return df._jdf.queryExecution().executedPlan().toString()

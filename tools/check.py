@@ -28,6 +28,10 @@ def norm_cell(v) -> str:
     if v is None:
         return "∅"
     if isinstance(v, float):
+        import math
+
+        if not math.isfinite(v):  # int(v) would raise on nan/inf
+            return repr(v)
         # canonicalize -0.0 / int-valued floats
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
@@ -49,6 +53,11 @@ def result_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, tuple[s
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(all_queries())
+    if unknown:
+        # a typo'd name must not yield a green "0 ok, 0 failed" gate
+        print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+        return 2
     spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
