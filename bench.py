@@ -20,6 +20,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from parquet_storage_query_spark.registry import all_queries
 from parquet_storage_query_spark.session import get_spark
 
+
+def _force(df) -> int:
+    """Fully execute the plan without driver materialization. `.count()` is
+    NOT equivalent: Catalyst prunes projection expressions under a count, so
+    projection-only queries (text_*, scalar_*, window frames) would be timed
+    without computing their output columns. Counting the QueryExecution's own
+    internal RDD executes every expression and returns the row count."""
+    return df._jdf.queryExecution().toRdd().count()
+
 # Headline set: one per operator family (reference replay, OLAP agg, star
 # join, window, time-window, dedup, ANN, text, distinct).
 HEADLINE = [
@@ -58,13 +67,27 @@ def main() -> None:
     # harness separates cold/warm the same way, QO:425-439). One trivial
     # action + one tiny parquet read touch both code paths.
     spark.range(1).count()
-    qs["ref_total_count"].builder(spark, sf_dir).count()
+    _force(qs["ref_total_count"].builder(spark, sf_dir))
+
+    # Index-backed queries: the first run trains/persists the index (IVF
+    # centroid model, MinHash signature staging table) — an offline build
+    # step in a serving system, reported as its own *_build metric (the
+    # reference's cold/warm distinction, QO:425-439). The headline number
+    # is the steady-state serving run against the built index.
+    index_build = {
+        "sim_ivf_topk": "sim_ivf_index_build",
+        "dedup_minhash_lsh": "minhash_sig_build",
+    }
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = qs[name]
+        if name in index_build:
+            t0 = time.perf_counter()
+            _force(qd.builder(spark, sf_dir))
+            timings[index_build[name]] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
-        n = qd.builder(spark, sf_dir).count()  # count() forces full execution
+        n = _force(qd.builder(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

@@ -266,8 +266,22 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str, max_files_per_trigg
     return df
 
 
+_REGISTERED: tuple[str, str] | None = None  # (applicationId, sf_dir) of live views
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every corpus table as a temp view (S8: external-table DDL,
-    QueryOrchestration.cs:416-424 → createOrReplaceTempView)."""
+    QueryOrchestration.cs:416-424 → createOrReplaceTempView).
+
+    Single-slot memo: SQL builders call this per invocation, and recreating
+    9 views per query is pure catalog churn. Temp views are global to the
+    session, so the cache is "which (session, sf_dir) is currently
+    registered" — a different sf_dir (or a fresh session) re-registers,
+    the same one is a no-op."""
+    global _REGISTERED
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if _REGISTERED == key:
+        return
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED = key

@@ -597,7 +597,7 @@ def agg_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(floor(offset_chars / 32000.0) AS BIGINT) AS bin_id,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
     FROM sized GROUP BY 1

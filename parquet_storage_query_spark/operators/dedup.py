@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import session_memo
 from ..catalog import load, load_parallel
 from ..functions.vectors import as_double, cosine
 from ..registry import query
@@ -146,17 +147,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf_dir) so repeated invocations (driver re-runs, dedup_clusters,
     # bench loops) reuse ONE pinned copy instead of stacking a new
     # persisted DataFrame per call.
-    cache_key = (id(spark), sf_dir)
-    docs = _SIG_CACHE.get(cache_key)
-    if docs is None:
-        docs = (
+    docs = session_memo(
+        spark,
+        sf_dir,
+        "minhash_sigs",
+        lambda: (
             load_parallel(spark, sf_dir, "documents")
             .select("doc_id", shingles_col().alias("sh"))
             .select("doc_id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
             .withColumn("sig", minhash_signature("hs"))
             .persist()
-        )
-        _SIG_CACHE[cache_key] = docs
+        ),
+    )
     rows_per_band = N_MINHASH // N_BANDS
     # band keys only (doc_id, band, bhash) — no arrays ride the shuffle
     bands = docs.select(
@@ -203,9 +205,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
-
-
-_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:

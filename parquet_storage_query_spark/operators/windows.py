@@ -169,7 +169,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS session_id
         FROM gaps
     )
-    SELECT user_id, session_id, count(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end
     FROM sessions GROUP BY user_id, session_id
     """,

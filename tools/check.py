@@ -30,11 +30,15 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         import math
 
-        if not math.isfinite(v):  # int(v) would raise on nan/inf
+        if not math.isfinite(v):
             return repr(v)
-        # canonicalize -0.0 / int-valued floats
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # STRICT: do NOT canonicalize int-valued floats. The driver renders
+        # a float64 cell as "149174.0" while Spark's BIGINT renders "149174";
+        # canonicalizing here masked exactly that mismatch in round 1
+        # (prep_binpack_plan, CORRECTNESS_r01). An engine type divergence
+        # must fail locally so the oracle gets a CAST.
+        if v == 0.0:  # fold -0.0 into 0.0 (same value, both engines)
+            return "0.0"
         return repr(v)
     if isinstance(v, bool):
         return str(bool(v)).lower()
