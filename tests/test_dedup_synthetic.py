@@ -96,3 +96,31 @@ def test_simhash_close_for_near_dups(spark, corpus, tmp_path):
     assert ham(sims[1], sims[4]) == 0  # exact dup
     assert ham(sims[1], sims[2]) <= 8  # near dup: few bits differ
     assert ham(sims[1], sims[3]) >= 16  # unrelated: many bits differ
+
+
+def test_cosine_lsh_finds_planted_near_dup_vectors(spark):
+    """Banded hyperplane LSH must surface a planted high-cosine pair via
+    the band-bucket equi-join (dedup_embedding_cosine's candidate stage),
+    and must not emit the orthogonal distractor."""
+    import numpy as np
+
+    from parquet_storage_query_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_band_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(64)
+    near = base + 0.05 * rng.standard_normal(64)  # cos ≈ 0.999
+    other = rng.standard_normal(64)  # cos ≈ 0 vs base
+    cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))  # noqa: E731
+    assert cos(base, near) > 0.99 and abs(cos(base, other)) < 0.4
+
+    e = spark.createDataFrame(
+        [(1, [float(x) for x in base]), (2, [float(x) for x in near]),
+         (3, [float(x) for x in other])],
+        "vec_id long, v array<double>",
+    )
+    pairs = {(r["vec_a"], r["vec_b"]) for r in lsh_band_pairs(e, lsh_band_keys(e)).collect()}
+    assert (1, 2) in pairs  # P(miss) = (1-p^8)^16 ≈ 1e-9 at cos 0.999
+    assert (1, 3) not in pairs and (3, 1) not in pairs

@@ -154,3 +154,14 @@ def test_ivf_assignment_is_map_side(spark):
 
     plan = formatted_plan(sim_ivf_topk(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cosine_dedup_has_no_nested_loop(spark):
+    """dedup_embedding_cosine's candidate stage must be the band-bucket
+    equi-join — round 1's O(n²) BroadcastNestedLoopJoin is a scale-killer
+    (VERDICT r1 'What's wrong' #2)."""
+    from parquet_storage_query_spark.operators.dedup import dedup_embedding_cosine
+
+    plan = formatted_plan(dedup_embedding_cosine(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
