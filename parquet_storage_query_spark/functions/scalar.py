@@ -233,3 +233,48 @@ def scalar_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.map_keys("m"), ",").alias("keys"),
         F.size("m").alias("n_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension surface (SURVEY.md §2.10): scalar pandas_udf
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_pandas_udf_norm",
+    oracle=r"""
+    SELECT doc_id,
+           trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text,
+           CAST(length(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+                AS INTEGER) AS n_norm_chars
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def scalar_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar `pandas_udf` demonstration — the user extension contract from
+    SURVEY.md §2.10: an Arrow-batched vectorized Python column function in
+    a normal select, oracle-checked against the equivalent SQL expression.
+    The normalization itself (lower + whitespace collapse + trim) could be
+    pure built-ins — the point is proving the extension seam: batches cross
+    to Python as Arrow arrays, pandas vectorized string ops process them,
+    and the result column re-enters the JVM plan. Use this shape only for
+    logic built-ins can't express; it breaks whole-stage codegen at the
+    exchange boundary (the engine's hot paths stay UDF-free)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(s):
+        return s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+
+    # annotations set as objects (not strings): this module's
+    # `from __future__ import annotations` would stringify inline hints,
+    # which pandas_udf's signature inspection rejects
+    _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    normalize_text = pandas_udf(_norm, "string")
+
+    df = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return df.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("norm_text"),
+        F.length(normalize_text(F.col("text"))).alias("n_norm_chars"),
+    )

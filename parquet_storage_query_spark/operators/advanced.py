@@ -217,6 +217,29 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentiles", oracle=None)  # sketch estimates are engine-specific
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of `agg_percentiles`: approx_percentile aggregates a
+    fixed-memory quantile sketch per partition and merges the sketches —
+    the same partial/merge shape as the reference's per-blob partials
+    (QueryOrchestration.cs:258-265) — instead of buffering every group's
+    values for exact interpolation. Rows-only driver check (sketch
+    estimates are engine-specific); tests/test_correctness.py pins the
+    estimates to the exact percentiles within tolerance."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            *[
+                F.round(
+                    F.percentile_approx("o_totalprice", F.lit(q), F.lit(10000)), 2
+                ).alias(f"p{int(q * 100)}")
+                for q in (0.5, 0.9, 0.99)
+            ]
+        )
+    )
+
+
 @query(
     "agg_collect_sorted",
     oracle="""

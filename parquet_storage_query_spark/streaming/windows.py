@@ -86,6 +86,42 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_tumbling_append",
+    oracle="""
+    WITH w AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+               count(*) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT window_start, window_end, n FROM w
+    WHERE window_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
+def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling counts in APPEND mode over a real incremental stream: each
+    window is emitted exactly once, when the 10-minute watermark passes its
+    end, and its state is dropped — the production contract for unbounded
+    input (complete-mode runners above retain state by design for parity
+    checks). The oracle is the closed-window set: every window whose end
+    ≤ final watermark (global max ts − 10 min); the trailing open window
+    must NOT appear. Spark's no-data micro-batch finalizes the last
+    emission after the source drains, so the result is deterministic
+    regardless of how maxFilesPerTrigger batches the files."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+    return _run_to_memory(agg, "stream_tumbling_append_out", "append")
+
+
+@query(
     "stream_session_windows",
     oracle="""
     WITH gaps AS (
@@ -196,6 +232,30 @@ def streaming_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return _run_to_memory(agg, "stream_filter_count_out", "complete")
+
+
+def _time_filter_count_oracle() -> str:
+    from ..operators.reference import TS_CUTOFF
+
+    return f"SELECT count(*) AS cnt FROM events WHERE ts > TIMESTAMP '{TS_CUTOFF}'"
+
+
+@query("stream_time_filter_count", oracle=_time_filter_count_oracle())
+def streaming_time_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A2 TimeFilterCount (QO:325-346 analogue): the timestamp
+    range predicate is stateless and applied per micro-batch; only the
+    running count is state — the same single-scalar state shape as A1.
+    Registered with the batch oracle directly: after the source drains,
+    the complete-mode final state equals the batch count, so the
+    incremental execution itself is hash-checked."""
+    from ..operators.reference import TS_CUTOFF
+
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("ts") > F.to_timestamp(F.lit(TS_CUTOFF)))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return _run_to_memory(agg, "stream_time_filter_count_out", "complete")
 
 
 def streaming_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,3 +44,20 @@ def test_query_matches_oracle(name, spark, oracle_con):
     ocols = [d[0] for d in cur.description]
     orows = cur.fetchall()
     assert result_fingerprint(sdf.columns, srows) == result_fingerprint(ocols, orows)
+
+
+def test_approx_percentiles_within_tolerance(spark):
+    """The sketch estimates must track the exact interpolated percentiles
+    (accuracy=10000 → rank error ≤ n/10000, far under 2% of value on the
+    order-price distribution)."""
+    from parquet_storage_query_spark.operators.advanced import (
+        agg_approx_percentiles,
+        agg_percentiles,
+    )
+
+    exact = {r["o_orderstatus"]: r for r in agg_percentiles(spark, SF_SMOKE).collect()}
+    approx = {r["o_orderstatus"]: r for r in agg_approx_percentiles(spark, SF_SMOKE).collect()}
+    assert set(exact) == set(approx)
+    for status, er in exact.items():
+        for p in ("p50", "p90", "p99"):
+            assert abs(approx[status][p] - er[p]) <= 0.02 * abs(er[p]), (status, p)

@@ -40,6 +40,7 @@ import pytest
     "stream_fn,batch_query",
     [
         ("streaming_min_max", "ref_min_max"),
+        ("streaming_time_filter_count", "ref_time_filter_count"),
         ("streaming_filter_count", "ref_filter_count"),
         ("streaming_max_by", "ref_max_by"),
         ("streaming_distinct", "ref_distinct"),
@@ -118,3 +119,20 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 00:00 window closed with exactly the 2 on-time rows; the late row
     # neither re-emits the window nor creates a new one
     assert out.get(dt.datetime(2024, 1, 1, 0, 0)) == 2
+
+
+def test_append_mode_emits_only_closed_windows(spark):
+    """Append mode must withhold the trailing window still open at the
+    final watermark (max ts − 10 min) — emitting it would double-count
+    when real late data arrives."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+
+    got = sw.stream_tumbling_append(spark, SF_SMOKE)
+    max_ts = load(spark, SF_SMOKE, "events").agg(F.max("ts")).collect()[0][0]
+    ends = [r["window_end"] for r in got.collect()]
+    assert ends
+    assert all(e <= max_ts - datetime.timedelta(minutes=10) for e in ends)
