@@ -124,3 +124,171 @@ def test_cosine_lsh_finds_planted_near_dup_vectors(spark):
     pairs = {(r["vec_a"], r["vec_b"]) for r in lsh_band_pairs(e, lsh_band_keys(e)).collect()}
     assert (1, 2) in pairs  # P(miss) = (1-p^8)^16 ≈ 1e-9 at cos 0.999
     assert (1, 3) not in pairs and (3, 1) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# Implementation-independent oracles for the rows-only (hash-seeded) ops:
+# recompute signatures/partitions in pure Python from Spark's primitive
+# hashes and compare (VERDICT r1 "Next round" #8).
+# ---------------------------------------------------------------------------
+
+from .conftest import SF_SMOKE  # noqa: E402
+
+
+def test_minhash_signature_matches_pure_python_fold(spark):
+    """Recompute MinHash signatures in pure Python from per-(seed, shingle)
+    hashes fetched through a DIFFERENT Spark expression path (explode +
+    per-row xxhash64, not the pipeline's transform/array_min fold) and
+    compare on a 50-doc sample. Catches the r1 lambda-bytecode-dedup class
+    of regression (all seeds silently collapsing to one hash function) and
+    any silent change of seed encoding."""
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.operators.dedup import (
+        N_MINHASH,
+        minhash_signature,
+        shingle_hashes,
+        shingles_col,
+    )
+
+    docs = (
+        load(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", shingles_col().alias("sh"))
+        .select("doc_id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
+    )
+    got = {r["doc_id"]: list(r["sig"]) for r in docs.withColumn(
+        "sig", minhash_signature("hs")).select("doc_id", "sig").collect()}
+
+    prim = docs.select("doc_id", F.explode("hs").alias("h")).select(
+        "doc_id",
+        *[F.xxhash64(F.lit(j).cast("long"), "h").alias(f"s{j}") for j in range(N_MINHASH)],
+    ).collect()
+    expected: dict[int, list[int]] = {}
+    for r in prim:
+        sig = expected.setdefault(r["doc_id"], [None] * N_MINHASH)
+        for j in range(N_MINHASH):
+            v = r[f"s{j}"]
+            if sig[j] is None or v < sig[j]:
+                sig[j] = v
+    assert got == expected
+
+
+def test_simhash_matches_pure_python_votes(spark):
+    """Recompute 63-bit SimHash in pure Python (bit votes over per-token
+    hashes fetched from Spark once) and compare on a 50-doc sample — an
+    oracle for the vote/pack logic independent of the 63-column aggregate."""
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.operators.dedup import dedup_simhash
+    from parquet_storage_query_spark.operators.text import words_col
+
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup_simhash(spark, SF_SMOKE).filter(F.col("doc_id") < 50).collect()
+    }
+    toks = (
+        load(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.explode(words_col()).alias("w"))
+        .withColumn("h", F.xxhash64("w"))
+        .collect()
+    )
+    hashes: dict[int, list[int]] = {}
+    for r in toks:
+        hashes.setdefault(r["doc_id"], []).append(r["h"])
+    expected = {}
+    for doc, hs in hashes.items():
+        sim = 0
+        for j in range(63):
+            vote = sum(1 if (h >> j) & 1 else -1 for h in hs)
+            if vote > 0:
+                sim |= 1 << j
+        expected[doc] = sim
+    assert got == expected
+
+
+def test_minhash_lsh_recall_precision_against_exact_jaccard(spark):
+    """Exact-Jaccard oracle over ALL corpus pairs (python set math on the
+    hashed shingle sets): every emitted pair must truly clear the 0.5
+    threshold (precision = 1 by construction — this checks the verify
+    join), and every pair at J ≥ 0.7 must be emitted (the 16×2 banding
+    misses such a pair with P ≈ 1e-5; deterministic hashes make the
+    outcome stable)."""
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        shingle_hashes,
+        shingles_col,
+    )
+
+    sets = {
+        r["doc_id"]: frozenset(r["hs"])
+        for r in load(spark, SF_SMOKE, "documents")
+        .select("doc_id", shingles_col().alias("sh"))
+        .select("doc_id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
+        .collect()
+    }
+    emitted = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    ids = sorted(sets)
+    exact = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / len(sets[a] | sets[b])
+                if j >= 0.5:
+                    exact[(a, b)] = j
+    for pair, jac in emitted.items():
+        assert pair in exact, f"emitted pair {pair} below true threshold"
+        assert abs(exact[pair] - jac) < 5e-4
+    for pair, j in exact.items():
+        if j >= 0.7:
+            assert pair in emitted, f"high-similarity pair {pair} (J={j}) missed"
+
+
+def test_cluster_partition_matches_union_find(spark):
+    """dedup_clusters must equal the partition a pure-Python union-find
+    produces from the same candidate pairs: identical membership, min-label
+    cluster ids, keep flag exactly on the representative."""
+    from parquet_storage_query_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_minhash_lsh,
+    )
+
+    pairs = [(r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for n in parent:
+        root = find(n)
+        expected[n] = root
+    # canonicalize to min member per component
+    comp_min: dict[int, int] = {}
+    for n, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[r] for n, r in expected.items()}
+
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in dedup_clusters(spark, SF_SMOKE).collect()}
+    assert {n: c for n, (c, _k) in got.items()} == expected
+    for n, (c, keep) in got.items():
+        assert keep == (n == c)
