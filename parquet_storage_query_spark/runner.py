@@ -83,21 +83,7 @@ def _differential(name: str, sf_dir: str, spark_rows: list[tuple], spark_cols: l
     qd = all_queries()[name]
     if qd.oracle is None:
         return {"differential": "no-oracle"}
-    import hashlib
-
-    def norm(v: Any) -> str:
-        if v is None:
-            return "∅"
-        if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return repr(v)
-        return str(v)
-
-    def fp(cols: list[str], rows: list[tuple]) -> str:
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
-        lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
-        return hashlib.md5("\n".join(lines).encode()).hexdigest()
+    from .fingerprint import result_fingerprint as fp
 
     con = duckdb.connect()
     for t in TABLES:

@@ -10,7 +10,6 @@ Usage: python tools/check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import hashlib
 import sys
 import time
 from pathlib import Path
@@ -20,38 +19,12 @@ import duckdb
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from parquet_storage_query_spark.catalog import TABLES, table_path
+from parquet_storage_query_spark.fingerprint import (  # noqa: F401  (re-export)
+    norm_cell,
+    result_fingerprint,
+)
 from parquet_storage_query_spark.registry import all_queries
 from parquet_storage_query_spark.session import get_spark
-
-
-def norm_cell(v) -> str:
-    if v is None:
-        return "∅"
-    if isinstance(v, float):
-        import math
-
-        if not math.isfinite(v):
-            return repr(v)
-        # STRICT: do NOT canonicalize int-valued floats. The driver renders
-        # a float64 cell as "149174.0" while Spark's BIGINT renders "149174";
-        # canonicalizing here masked exactly that mismatch in round 1
-        # (prep_binpack_plan, CORRECTNESS_r01). An engine type divergence
-        # must fail locally so the oracle gets a CAST.
-        if v == 0.0:  # fold -0.0 into 0.0 (same value, both engines)
-            return "0.0"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(bool(v)).lower()
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
-
-
-def result_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, tuple[str, ...], str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
-    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
-    return len(rows), tuple(sorted(cols)), h
 
 
 def main() -> int:
