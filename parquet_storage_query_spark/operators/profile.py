@@ -1,0 +1,126 @@
+"""Dataset profiling operators: the "look at your data before training on
+it" sweep — numeric column statistics (moments, correlation), categorical
+frequency tables, and null/empty/degenerate-value rates.
+
+All single-pass partial-merge aggregates (the reference's per-blob partial
+shape, QueryOrchestration.cs:258-265, generalized): each profile is one
+scan, one shuffle of O(groups) partials, regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "profile_numeric_stats",
+    oracle="""
+    SELECT count(*)                                        AS n,
+           round(avg(l_quantity), 4)                       AS qty_mean,
+           round(stddev_samp(l_quantity), 4)               AS qty_std,
+           round(min(l_quantity), 2)                       AS qty_min,
+           round(max(l_quantity), 2)                       AS qty_max,
+           round(avg(l_extendedprice), 4)                  AS price_mean,
+           round(stddev_samp(l_extendedprice), 4)          AS price_std,
+           round(corr(l_quantity, l_extendedprice), 4)     AS qty_price_corr,
+           round(covar_pop(l_discount, l_tax), 6)          AS disc_tax_cov
+    FROM lineitem
+    """,
+)
+def profile_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column profile in ONE aggregate pass: moments, extremes,
+    cross-column correlation/covariance. corr/covar compute distributively
+    (co-moment partials merge like sums), so the 100 TB cost is the scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("qty_mean"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
+        F.round(F.min("l_quantity"), 2).alias("qty_min"),
+        F.round(F.max("l_quantity"), 2).alias("qty_max"),
+        F.round(F.avg("l_extendedprice"), 4).alias("price_mean"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("disc_tax_cov"),
+    )
+
+
+@query(
+    "profile_freq_values",
+    oracle="""
+    SELECT col, val, n, rk FROM (
+        SELECT col, val, n,
+               row_number() OVER (PARTITION BY col ORDER BY n DESC, val) AS rk
+        FROM (
+            SELECT 'lang' AS col, lang AS val, count(*) AS n FROM documents GROUP BY 2
+            UNION ALL
+            SELECT 'source' AS col, source AS val, count(*) AS n FROM documents GROUP BY 2
+            UNION ALL
+            SELECT 'event_type' AS col, event_type AS val, count(*) AS n
+            FROM events GROUP BY 2))
+    WHERE rk <= 3
+    """,
+)
+def profile_freq_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most frequent values per categorical column, across tables, in
+    one result — the exact frequency sweep (freqItems' deterministic twin).
+    Each arm is a partial-merged count; the rank window runs over O(distinct
+    values), not rows."""
+    docs = load(spark, sf_dir, "documents")
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        docs.groupBy(F.lit("lang").alias("col"), F.col("lang").alias("val"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .unionByName(
+            docs.groupBy(F.lit("source").alias("col"), F.col("source").alias("val")).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+        )
+        .unionByName(
+            ev.groupBy(F.lit("event_type").alias("col"), F.col("event_type").alias("val")).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+        )
+    )
+    w = W.partitionBy("col").orderBy(F.col("n").desc(), "val")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("col", "val", "n", "rk")
+    )
+
+
+@query(
+    "profile_data_quality",
+    oracle="""
+    SELECT count(*)                              AS n_rows,
+           count(*) FILTER (props IS NULL)       AS null_props,
+           count(*) FILTER (trim(props) = '')    AS empty_props,
+           count(*) FILTER (value <= 0)          AS nonpos_values,
+           count(DISTINCT user_id)               AS n_users,
+           count(DISTINCT event_type)            AS n_types,
+           CAST(floor(min(epoch(ts))) AS BIGINT) AS min_epoch_s,
+           CAST(floor(max(epoch(ts))) AS BIGINT) AS max_epoch_s
+    FROM events
+    """,
+)
+def profile_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-value audit in one pass: nulls, empty payloads,
+    non-positive measures, key cardinalities, time coverage — the
+    go/no-go checklist a pipeline runs before admitting a new drop of
+    data. Conditional counts fold into the same partial-merge aggregate."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("props").isNull(), 1)).alias("null_props"),
+        F.count(F.when(F.trim(F.col("props")) == "", 1)).alias("empty_props"),
+        F.count(F.when(F.col("value") <= 0, 1)).alias("nonpos_values"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min(F.unix_timestamp("ts")).alias("min_epoch_s"),
+        F.max(F.unix_timestamp("ts")).alias("max_epoch_s"),
+    )

@@ -1,0 +1,174 @@
+"""Training-data pipeline operators (north-star extension surface): the
+dataset-engineering steps between "deduplicated corpus" and "tokens on
+GPUs" — deterministic splits, class rebalancing, sequence packing, corpus
+interleaving, PII redaction.
+
+Everything is content-hash deterministic (md5 buckets, never rand()): the
+same rows land in the same split/sample/position on every engine, run, and
+partitioning — the property that makes backfills and re-runs reproducible,
+and what lets DuckDB hash-check every operator here. All map-side except
+where a sort/window is the operator's own semantics.
+
+The reference has no training surface (its pipeline ends at compacted
+parquet, DataPreparationOrchestration.cs:88-143); these extend the same
+"prepare blobs for consumption" contract to LLM-corpus consumption.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+from .text import words_col
+
+
+def _md5_bucket(col, n: int = 100):
+    """Deterministic [0, n) bucket from the md5 of a string column — the
+    engine-portable substitute for rand() (same idiom as
+    sample_hash_bucket; DuckDB twin: ('0x' || substr(md5(x),1,8))::BIGINT % n)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long") % n
+
+
+@query(
+    "train_split_hash",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+          FROM documents)
+    """,
+)
+def train_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by id-hash bucket.
+    Hashing the ID (not the content) keeps a document's split stable across
+    content revisions; map-side only — a full scan but zero shuffle at any
+    scale."""
+    b = _md5_bucket(F.col("doc_id").cast("string"))
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    return load(spark, sf_dir, "documents").select("doc_id", "lang", split.alias("split"))
+
+
+@query(
+    "train_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100
+          < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+    """,
+)
+def train_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (class rebalancing): the
+    over-represented stratum ('en' ≈ 40% of the corpus) keeps 10%, the rest
+    30% — same shape as sampleBy() but content-hash reproducible instead of
+    RNG-dependent. Map-side filter; rates are the tunables."""
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(30))
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(_md5_bucket(F.col("text")) < rate)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "train_seq_pack_plan",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents),
+    sized AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS offset_tokens
+        FROM toks)
+    SELECT lang,
+           CAST(floor(offset_tokens / 2048.0) AS BIGINT) AS seq_id,
+           count(*)                            AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)       AS total_tokens,
+           min(doc_id)                         AS first_doc,
+           max(doc_id)                         AS last_doc
+    FROM sized GROUP BY 1, 2
+    """,
+)
+def train_seq_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: pack documents into 2048-token training
+    sequences per language via cumulative-offset binning — prep_binpack_plan
+    (reference D2's greedy loop) re-targeted from bytes to tokens, and
+    PARTITIONED: the window runs per lang, so at 100 TB each partition's
+    cumulative sum is an independent task instead of one global window."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(words_col()).alias("n_tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sized = toks.withColumn("offset_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        sized.withColumn("seq_id", F.floor(F.col("offset_tokens") / F.lit(2048.0)).cast("long"))
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "train_interleave",
+    oracle="""
+    SELECT pos, doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)),
+                                  doc_id) AS pos
+        FROM documents)
+    WHERE pos <= 100
+    """,
+)
+def train_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus interleave: a global order by content hash mixes
+    the 20 sources uniformly (no run of same-source documents reaches the
+    trainer), reproducibly — the shuffle-once step before sharding. The
+    top-100 preview keeps the checked result small; the full order is the
+    same expression without the limit (a total sort = range exchange at
+    scale, the one shuffle this op owns)."""
+    h = F.md5(
+        F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    w = W.orderBy(h, "doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.row_number().over(w).alias("pos"))
+        .filter(F.col("pos") <= 100)
+        .select("pos", "doc_id", "source")
+    )
+
+
+@query(
+    "train_pii_redact",
+    oracle=r"""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]{3,}', '[NUM]', 'g') AS props_redacted,
+           CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+                AS INTEGER) AS n_digits_removed
+    FROM events WHERE event_id < 2000
+    """,
+)
+def train_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction: mask every ≥3-digit run in the payload (the
+    id/phone/account shape) and count removed digits for an audit column —
+    pure JVM regexp, map-side. Real deployments swap in the full pattern
+    set (emails, SSNs, cards); the plumbing and the audit-count contract
+    are what this query pins down."""
+    df = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return df.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]{3,}", "[NUM]").alias("props_redacted"),
+        (
+            F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+        ).alias("n_digits_removed"),
+    )

@@ -122,6 +122,25 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: dropDuplicates on a live stream emits
+    the FIRST occurrence of each key and suppresses the rest — the
+    streaming twin of dedup_exact_keep_first, and the ingest-time shape of
+    a training-pipeline dedup (filter at arrival, not in a nightly batch).
+    Unwatermarked state here is exact (state = one bit per distinct key,
+    checkable against DISTINCT); the bounded-state production variant is
+    dropDuplicatesWithinWatermark, which trades exactness past the
+    watermark horizon for O(window) state."""
+    flt = read_events_stream(spark, sf_dir).select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_to_memory(flt, "stream_dedup_out", "append")
+
+
+@query(
     "stream_session_windows",
     oracle="""
     WITH gaps AS (
