@@ -165,3 +165,41 @@ def test_cosine_dedup_has_no_nested_loop(spark):
     plan = formatted_plan(dedup_embedding_cosine(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_training_hash_ops_are_map_side(spark):
+    """Deterministic split/sample must be pure map work: zero exchanges —
+    at 100 TB these are full scans but never shuffles."""
+    import re
+
+    from parquet_storage_query_spark.operators.training import (
+        train_split_hash,
+        train_stratified_sample,
+    )
+
+    for fn in (train_split_hash, train_stratified_sample):
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        assert not re.findall(r"\bExchange\b", plan), plan
+
+
+def test_seq_pack_window_is_partitioned(spark):
+    """Sequence packing must window per language — a single-partition
+    global window (prep_binpack's documented metadata-only exception)
+    would serialize the whole corpus through one task."""
+    import re
+
+    from parquet_storage_query_spark.operators.training import train_seq_pack_plan
+
+    plan = formatted_plan(train_seq_pack_plan(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan, plan
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2, plan
+
+
+def test_profile_stats_aggregate_is_two_phase(spark):
+    """The one-pass profile must partial-aggregate map-side (shuffles O(1)
+    co-moment partials, not rows)."""
+    from parquet_storage_query_spark.operators.profile import profile_numeric_stats
+    from parquet_storage_query_spark.plans.explain import has_partial_final_agg
+
+    plan = formatted_plan(profile_numeric_stats(spark, SF_SMOKE))
+    assert has_partial_final_agg(plan), plan
