@@ -278,3 +278,36 @@ def scalar_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_text(F.col("text")).alias("norm_text"),
         F.length(normalize_text(F.col("text"))).alias("n_norm_chars"),
     )
+
+
+@query(
+    "grouped_pandas_udf_wavg",
+    oracle="""
+    SELECT event_type,
+           round(sum(value * user_id) / sum(user_id), 4) AS wavg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def grouped_pandas_udf_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG `pandas_udf` demonstration — the second half of the
+    SURVEY §2.10 extension contract (scalar_pandas_udf_norm is the scalar
+    half): a vectorized Python aggregate (numpy weighted mean) used inside
+    a normal groupBy().agg(), oracle-checked against the equivalent SQL.
+    Each group's columns arrive as pandas Series via Arrow; the aggregate
+    runs once per group per partition and Spark merges nothing further —
+    so unlike built-in aggs there is NO partial/merge decomposition, which
+    is the real cost of this seam at 100 TB (skewed groups serialize).
+    Use built-ins when they can express the math; this pins the seam."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _wavg(v, w):
+        return round(float((v * w).sum() / w.sum()), 4)
+
+    _wavg.__annotations__ = {"v": pd.Series, "w": pd.Series, "return": float}
+    wavg = pandas_udf(_wavg, "double")
+
+    df = load(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        wavg(F.col("value"), F.col("user_id").cast("double")).alias("wavg_value")
+    )

@@ -523,6 +523,53 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT CAST(s.hour_ts AS TIMESTAMP) AS hour_ts, t.event_type,
+           coalesce(a.n, 0) AS n
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN actual a ON a.hour_ts = s.hour_ts AND a.event_type = t.event_type
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series gap filling: hourly counts per event_type with
+    EXPLICIT zeros for empty hours — the densification step dashboards and
+    forecasting features need, which a plain groupBy can't produce (absent
+    groups don't exist). Shape: a generated hour spine (sequence + explode,
+    O(hours) rows) cross-joined with the distinct keys, LEFT JOIN the real
+    aggregate, coalesce to 0. The spine and key list are tiny at any data
+    scale (time range × key cardinality, independent of row count), so both
+    sides of the cross join broadcast; the only row-proportional work is
+    the aggregate itself."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(types)
+        .join(actual, ["hour_ts", "event_type"], "left")
+        .select("hour_ts", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Skew mitigation: salted join + two-phase distinct
 # ---------------------------------------------------------------------------

@@ -62,21 +62,21 @@ _PRIORITY = [
     "window_topk_per_group", "window_rank_dense_ntile", "window_lag_lead",
     "window_running_agg", "window_first_last", "window_sessionize",
     "window_percent_rank",
-    "scalar_datetime", "scalar_date_arith", "scalar_strings", "scalar_json",
-    "scalar_math_case",
+    "scalar_datetime", "scalar_date_arith", "scalar_strings", "scalar_math_case",
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_label_centroid", "sim_ivf_topk",
     "stream_tumbling_counts", "stream_sliding_counts", "stream_session_windows",
     "stream_interval_join", "stream_user_stats",
     # -- r1 red (hash fail) and vacuous (0-row) driver rows, fixed in r2 --
     "prep_binpack_plan", "dedup_embedding_cosine",
     # -- new in round 2 --
-    "agg_approx_percentiles", "scalar_pandas_udf_norm",
+    "agg_approx_percentiles", "scalar_pandas_udf_norm", "grouped_pandas_udf_wavg",
+    "timeseries_gapfill",
     "stream_time_filter_count", "stream_tumbling_append", "stream_dedup",
     "train_split_hash", "train_stratified_sample", "train_seq_pack_plan",
     "train_interleave", "train_pii_redact",
     "profile_numeric_stats", "profile_freq_values", "profile_data_quality",
     # -- same-family siblings demoted to keep the 50-slot window tight --
-    "scalar_arrays", "scalar_maps",
+    "scalar_arrays", "scalar_maps", "scalar_json",
     # -- one representative per already-green family --
     "ref_total_count", "q1_pricing_summary", "q3_shipping_priority",
     "text_token_stats", "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
