@@ -700,3 +700,179 @@ def prep_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert / merge (lakehouse ingest beyond the reference's append-only
+# compaction, DataPreparationOrchestration.cs:88-143)
+# ---------------------------------------------------------------------------
+
+_UPSERT_CUT = "2000-01-01"
+
+_UPSERT_ORACLE = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders WHERE o_orderdate < '{_UPSERT_CUT}'),
+    updates AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               round(o_totalprice * 1.05, 2) AS o_totalprice
+        FROM orders
+        WHERE o_orderdate < '{_UPSERT_CUT}' AND o_orderkey % 100 = 0),
+    inserts AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders WHERE o_orderdate >= '{_UPSERT_CUT}'),
+    delta AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'delta' AS src FROM delta
+    UNION ALL
+    SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, 'base' AS src
+    FROM base b ANTI JOIN delta d ON b.o_orderkey = d.o_orderkey
+"""
+
+
+@query("prep_upsert_snapshot", oracle=_UPSERT_ORACLE)
+def prep_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (MERGE INTO semantics as a dataflow): apply a delta batch —
+    updates to existing keys plus brand-new keys — onto a base snapshot,
+    delta winning per key. The batch is simulated deterministically from
+    `orders`: rows before the cutoff are the snapshot, every 100th key gets
+    a price-bumped update, rows after the cutoff are inserts.
+
+    merged = delta ∪ (base ⟕anti delta) — the standard copy-on-write merge
+    shape. At 100 TB the anti-join is the whole cost: it shuffles on the
+    merge key unless the delta is small enough to broadcast (the common
+    case — daily deltas are ≪ the snapshot; Catalyst broadcasts it here).
+    Bucketing both sides on the key removes even that shuffle, and a real
+    table format (the transactional layer above this engine) adds file-level
+    skipping so only files containing delta keys rewrite."""
+    cut = F.lit(_UPSERT_CUT).cast("timestamp")
+    orders = load_parallel(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    updates = (
+        orders.filter((F.col("o_orderdate") < cut) & (F.col("o_orderkey") % 100 == 0))
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.05, 2).alias("o_totalprice"),
+        )
+    )
+    inserts = orders.filter(F.col("o_orderdate") >= cut).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    delta = updates.unionByName(inserts)
+    return delta.select(*cols, F.lit("delta").alias("src")).unionByName(
+        base.join(delta, "o_orderkey", "left_anti").select(*cols, F.lit("base").alias("src"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (the 100 TB fan-in shape the reference's
+# client-side distinct-of-union, QueryOrchestration.cs:205-208, cannot reach)
+# ---------------------------------------------------------------------------
+
+
+@query("agg_hll_sketch", oracle=None)  # sketch estimates are engine-specific
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (Apache DataSketches, built into Spark):
+    one pass builds a fixed-size user sketch per event_type, then
+    `hll_union_agg` merges the PER-GROUP sketches into the global distinct
+    count — no second scan of the input, the property the reference's
+    distinct-of-union merge (QO:205-208) lacks (it re-ships every key).
+
+    This is the materialized-rollup contract at 100 TB: persist per-shard /
+    per-day sketches (bytes each), answer any distinct-count over any shard
+    union by merging sketches. Estimate accuracy is set by lgConfigK=12
+    (~2% rel. err). Rows-only check: sketch estimates are engine-specific
+    by construction; tests/test_correctness.py asserts the estimates land
+    within tolerance of the exact counts."""
+    per_type = (
+        load_parallel(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    merged = per_type.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_events").alias("n_events")
+    ).select(F.lit("ALL").alias("event_type"), "sk", "n_events")
+    return per_type.unionByName(merged).select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional data layout (z-order) — the clustering step a lakehouse
+# runs after compaction (reference D2) so multi-dim predicates prune files
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _z_value(x, y):
+    """Interleave the low 8 bits of x (odd positions) and y (even): the
+    Morton/z curve. Pure integer bit ops — JVM-side, no UDF."""
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftrightunsigned(y, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def _z_sql(x: str, y: str) -> str:
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i + 1}) + ((({y} >> {i}) & 1) << {2 * i})"
+        for i in range(_Z_BITS)
+    ]
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+    WITH dims AS (
+        SELECT user_id AS x,
+               CAST(floor(((dayofmonth(ts) - 1) * 24 + hour(ts)) / 3.0) AS BIGINT) AS y
+        FROM events),
+    z AS (SELECT x, y, ({_z_sql('x', 'y')}) >> 12 AS file_id FROM dims)
+    SELECT file_id, count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM z GROUP BY file_id
+"""
+
+
+@query("prep_zorder_layout", oracle=_ZORDER_ORACLE)
+def prep_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout plan: map each event to a Morton z-value over
+    (user_id, 3-hour time bucket) and split the curve into 16 target files
+    by z-prefix (z >> 12). The per-file min/max extents this query returns
+    ARE the point: every file covers a small rectangle in BOTH dimensions,
+    so a predicate on either column prunes most files via footer stats —
+    single-column sorting only achieves that for its leading column.
+
+    Scale shape: the z-value is a map-side expression; the prefix split
+    means NO global sort is needed to route rows to files (contrast the
+    bin-packing planner's ordered window) — the physical rewrite is
+    `repartitionByRange(z)` + `sortWithinPartitions(z)` + write, all
+    shuffle-local. Doubling file count = one more prefix bit."""
+    ev = load_parallel(spark, sf_dir, "events")
+    x = F.col("user_id")
+    y = F.floor(((F.dayofmonth("ts") - 1) * 24 + F.hour("ts")) / 3.0).cast("long")
+    z = _z_value(x, y)
+    return (
+        ev.select(x.alias("x"), y.alias("y"), F.shiftrightunsigned(z, 12).cast("long").alias("file_id"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, load_parallel
 from ..registry import query
 
 # Tiny per-language stopword lexicons for the n-gram/stopword-hit language
@@ -185,6 +185,57 @@ def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "text_ngram_lm_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+    vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    lp AS (SELECT tok,
+                  ln(CAST(cnt AS DOUBLE)
+                     / CAST((SELECT sum(cnt) FROM vocab) AS DOUBLE)) AS logp
+           FROM vocab)
+    SELECT t.doc_id,
+           count(*)                       AS n_tokens,
+           round(avg(lp.logp), 4)         AS avg_logprob,
+           round(exp(-avg(lp.logp)), 2)   AS perplexity
+    FROM tok t JOIN lp ON t.tok = lp.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train token log-probabilities
+    from the corpus itself (one explode + groupBy pass), then score every
+    document by mean token log-prob / perplexity — the classic
+    "how typical is this text" pretraining filter (low avg_logprob = rare
+    vocabulary = candidate for closer review).
+
+    Scale shape: the model IS a DataFrame (token → logp). Its size is the
+    vocabulary, not the corpus, so it broadcasts; the scoring join never
+    shuffles the document side. The corpus-total normalizer is a broadcast
+    single-row aggregate joined onto the vocabulary — no single-partition
+    window anywhere. Swapping in bigram counts changes only the explode
+    key; the dataflow is identical."""
+    tok = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(words_col()).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).withColumn(
+        "logp", F.log(F.col("cnt").cast("double") / F.col("total"))
+    )
+    avg_lp = F.avg("logp")
+    return (
+        tok.join(F.broadcast(lp.select("tok", "logp")), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(avg_lp, 4).alias("avg_logprob"),
+            F.round(F.exp(-avg_lp), 2).alias("perplexity"),
         )
     )
 

@@ -19,9 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, load_parallel
 from ..registry import query
-from .text import words_col
+from .text import LEXICONS, _hits, _sql_hits, words_col
 
 
 def _md5_bucket(col, n: int = 100):
@@ -171,4 +171,77 @@ def train_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
         ).alias("n_digits_removed"),
+    )
+
+
+_SHARD_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, source, text, n_chars,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               CAST({_sql_hits(LEXICONS['en'])} AS DOUBLE)
+                   / len(string_split(trim(text), ' ')) AS stop_ratio
+        FROM documents WHERE lang = 'en'),
+    kept AS (
+        SELECT * FROM scored
+        WHERE n_tokens BETWEEN 20 AND 1000 AND stop_ratio < 0.5),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rk
+            FROM kept) WHERE rk = 1),
+    split_assigned AS (
+        SELECT source, n_chars, n_tokens,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (SELECT *,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 AS b
+              FROM deduped))
+    SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)  AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM split_assigned GROUP BY split, source
+"""
+
+
+@query("pipeline_training_shard", oracle=_SHARD_ORACLE)
+def pipeline_training_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-prep pipeline in ONE declarative plan: language
+    filter → quality filter (length band + stopword ratio, the
+    text_quality_score gate) → exact near-dup removal (min doc_id per
+    content hash) → deterministic 80/10/10 split assignment → shard
+    manifest per (split, source). This is the composition contract: each
+    stage is an operator this engine already ships, and chaining them stays
+    a single Catalyst plan — filters push into the scan, the dedup window
+    is the only wide stage, and the final rollup partial-aggregates
+    map-side.
+
+    At 100 TB: the content-hash dedup window shuffles 16-byte digests with
+    doc metadata (never text payloads — Catalyst prunes the column after
+    the hash is computed), and everything before it is map-side, so the
+    pipeline's cost ≈ one scan + one digest-keyed shuffle + one tiny
+    rollup. The manifest (rows = splits × sources) feeds the shard writer."""
+    w = words_col()
+    n_tok = F.size(w)
+    stop_ratio = _hits(w, LEXICONS["en"]).cast("double") / n_tok
+    kept = (
+        load_parallel(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .withColumn("n_tokens", n_tok)
+        .filter(F.col("n_tokens").between(20, 1000) & (stop_ratio < 0.5))
+    )
+    dw = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    deduped = kept.withColumn("rk", F.row_number().over(dw)).filter(F.col("rk") == 1)
+    b = _md5_bucket(F.col("doc_id").cast("string"))
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
     )

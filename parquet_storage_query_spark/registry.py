@@ -72,10 +72,13 @@ _PRIORITY = [
     "agg_approx_percentiles", "scalar_pandas_udf_norm", "grouped_pandas_udf_wavg",
     "timeseries_gapfill",
     "stream_time_filter_count", "stream_tumbling_append", "stream_dedup",
-    "train_split_hash", "train_stratified_sample", "train_seq_pack_plan",
-    "train_interleave", "train_pii_redact",
-    "profile_numeric_stats", "profile_freq_values", "profile_data_quality",
+    "text_ngram_lm_score", "prep_upsert_snapshot", "agg_hll_sketch",
+    "prep_zorder_layout", "pipeline_training_shard",
+    "train_split_hash", "profile_numeric_stats",
     # -- same-family siblings demoted to keep the 50-slot window tight --
+    "train_stratified_sample", "train_seq_pack_plan",
+    "train_interleave", "train_pii_redact",
+    "profile_freq_values", "profile_data_quality",
     "scalar_arrays", "scalar_maps", "scalar_json",
     # -- one representative per already-green family --
     "ref_total_count", "q1_pricing_summary", "q3_shipping_priority",

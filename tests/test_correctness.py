@@ -61,3 +61,26 @@ def test_approx_percentiles_within_tolerance(spark):
     for status, er in exact.items():
         for p in ("p50", "p90", "p99"):
             assert abs(approx[status][p] - er[p]) <= 0.02 * abs(er[p]), (status, p)
+
+
+def test_hll_sketch_within_tolerance(spark):
+    """DataSketches HLL at lgConfigK=12 has ~1.6% relative standard error;
+    the per-type and merged-ALL estimates must land within 5% of the exact
+    distinct counts (and the union-merge must not degrade accuracy)."""
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.operators.advanced import agg_hll_sketch
+
+    ev = load(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    approx = {r["event_type"]: r["approx_users"] for r in agg_hll_sketch(spark, SF_SMOKE).collect()}
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])

@@ -203,3 +203,33 @@ def test_profile_stats_aggregate_is_two_phase(spark):
 
     plan = formatted_plan(profile_numeric_stats(spark, SF_SMOKE))
     assert has_partial_final_agg(plan), plan
+
+
+def test_zorder_layout_is_map_side(spark):
+    """The z-value is a pure projection: the layout plan must contain NO
+    window and NO join — one two-phase aggregate over a mapped scan is the
+    whole query, so it scales as a single scan + 16-group shuffle."""
+    from parquet_storage_query_spark.operators.advanced import prep_zorder_layout
+
+    plan = formatted_plan(prep_zorder_layout(spark, SF_SMOKE))
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert has_partial_final_agg(plan), plan
+
+
+def test_upsert_merge_broadcasts_delta(spark):
+    """CDC merge: the delta side (≪ snapshot) must broadcast into the
+    anti-join — the 100 TB snapshot never shuffles."""
+    from parquet_storage_query_spark.operators.advanced import prep_upsert_snapshot
+
+    plan = formatted_plan(prep_upsert_snapshot(spark, SF_SMOKE))
+    assert has_broadcast_join(plan), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_lm_score_model_is_broadcast(spark):
+    """Unigram LM scoring: the vocabulary model joins back onto the token
+    stream via broadcast — the document side must not shuffle for the join."""
+    from parquet_storage_query_spark.operators.text import text_ngram_lm_score
+
+    plan = formatted_plan(text_ngram_lm_score(spark, SF_SMOKE))
+    assert has_broadcast_join(plan), plan
