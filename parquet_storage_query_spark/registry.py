@@ -72,6 +72,7 @@ _PRIORITY = [
     "agg_approx_percentiles", "scalar_pandas_udf_norm", "grouped_pandas_udf_wavg",
     "timeseries_gapfill",
     "stream_time_filter_count", "stream_tumbling_append", "stream_dedup",
+    "stream_enrich_static",
     "text_ngram_lm_score", "prep_upsert_snapshot", "agg_hll_sketch",
     "prep_zorder_layout", "pipeline_training_shard",
     "train_split_hash", "profile_numeric_stats",

@@ -123,6 +123,15 @@ def convert(
     df.write.mode("overwrite").option("compression", compression).parquet(dest)
 
 
+def export_jsonl(df: DataFrame, dest: str, compression: str = "gzip") -> None:
+    """JSON-Lines egest — the LLM-corpus interchange format (one JSON object
+    per line, gzip-compressed per part file). The inverse of `convert`'s
+    json source: parquet-lake tables out to the format tokenizer/training
+    toolchains consume. Distributed write, one part per partition; pair
+    with `compact`-style repartition upstream to control part count."""
+    df.write.mode("overwrite").option("compression", compression).json(dest)
+
+
 def compact(
     spark: SparkSession,
     src_folder: str,

@@ -92,3 +92,65 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .windows import _run_to_memory
 
     return _run_to_memory(joined, "stream_interval_join_out", "append")
+
+
+_ENRICH_ORACLE = """
+    WITH profile AS (
+        SELECT user_id, count(*) AS lifetime_events,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, e.event_type,
+           round(e.value, 4) AS value,
+           p.lifetime_events, p.avg_value
+    FROM events e JOIN profile p ON e.user_id = p.user_id
+    WHERE e.event_id < 2000
+"""
+
+
+def _enrich(events: DataFrame, profile: DataFrame) -> DataFrame:
+    """Shared enrichment projection for the batch twin and the live stream."""
+    return (
+        events.filter(F.col("event_id") < 2000)
+        .join(F.broadcast(profile), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            "lifetime_events",
+            "avg_value",
+        )
+    )
+
+
+def _user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("lifetime_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query("stream_enrich_static", oracle=_ENRICH_ORACLE)
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join: every event joined
+    to its user's historical profile (the feature-serving shape — a live
+    stream enriched against a precomputed feature table). The profile side
+    is keyed and small relative to the stream, so it broadcasts; the
+    stream side never shuffles."""
+    return _enrich(load(spark, sf_dir, "events"), _user_profile(spark, sf_dir))
+
+
+def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same enrichment on a LIVE stream: stream-static joins need no
+    watermark (the static side is fixed per micro-batch and re-broadcast
+    on change), making this the cheapest streaming join — stateless, one
+    broadcast hash join per batch. At scale the static side is the
+    feature store snapshot; its refresh cadence is the only tunable."""
+    from .windows import _run_to_memory
+
+    out = _enrich(read_events_stream(spark, sf_dir), _user_profile(spark, sf_dir))
+    return _run_to_memory(out, "stream_enrich_static_out", "append")

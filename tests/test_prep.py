@@ -142,3 +142,23 @@ def test_with_retry_bounded():
     with pytest.raises(RuntimeError):
         prep.with_retry(flaky, max_attempts=3, base_delay_s=0.01)
     assert len(calls) == 3
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """documents → gzip JSONL → (convert) parquet must preserve every row:
+    the corpus-interchange egest/ingest pair is lossless."""
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.sources.prep import convert, export_jsonl
+
+    docs = load(spark, SF_SMOKE, "documents")
+    jl = str(tmp_path / "docs_jsonl")
+    pq = str(tmp_path / "docs_pq")
+    export_jsonl(docs, jl)
+    assert any(f.endswith(".json.gz") for f in os.listdir(jl)), os.listdir(jl)
+    convert(spark, jl, pq, docs.schema, src_format="json")
+    back = spark.read.parquet(pq)
+    orig = {tuple(r) for r in docs.collect()}
+    assert {tuple(r) for r in back.collect()} == orig
+    assert back.count() == len(orig)

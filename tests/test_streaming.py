@@ -158,3 +158,13 @@ def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
     # restart against the same checkpoint: nothing new to commit
     again = stream_events_to_parquet(spark, SF_SMOKE, dest, ckpt)
     assert again.count() == want.count()
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static broadcast join (feature-serving enrichment) converges
+    to the batch twin — stateless, so exact equality, not just closure."""
+    from parquet_storage_query_spark.streaming import joins as sj
+
+    got = sj.streaming_enrich_static(spark, SF_SMOKE)
+    want = sj.stream_enrich_static(spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)
