@@ -46,10 +46,17 @@ HEADLINE = [
     "window_sessionize",
     "rollup_time_hierarchy",
     "stream_tumbling_counts",
+    "stream_enrich_static",
     "text_quality_score",
+    "text_ngram_lm_score",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
+    "agg_hll_sketch",
+    "prep_upsert_snapshot",
+    "prep_zorder_layout",
+    "pipeline_training_shard",
 ]
 
 
@@ -77,6 +84,7 @@ def main() -> None:
     index_build = {
         "sim_ivf_topk": "sim_ivf_index_build",
         "dedup_minhash_lsh": "minhash_sig_build",
+        "dedup_embedding_cosine": "cos_lsh_index_build",
     }
 
     timings: dict[str, float] = {}

@@ -745,7 +745,10 @@ def prep_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     table format (the transactional layer above this engine) adds file-level
     skipping so only files containing delta keys rewrite."""
     cut = F.lit(_UPSERT_CUT).cast("timestamp")
-    orders = load_parallel(spark, sf_dir, "orders")
+    # plain load: the per-branch work is a filter + projection, so forcing a
+    # repartition exchange on each of the three scans costs more than the
+    # parallelism buys; the anti-join's own exchange spreads the final merge
+    orders = load(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
     base = orders.filter(F.col("o_orderdate") < cut).select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")

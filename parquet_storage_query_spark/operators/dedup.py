@@ -468,23 +468,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     COS_THRESHOLD. Replaces round 1's O(n²) BroadcastNestedLoopJoin variant,
     whose 0.8 threshold also matched zero corpus pairs (a vacuous check);
     0.45 yields real pairs at every SF and the oracle replays the identical
-    banding, so the result is value-hash-checked end to end."""
+    banding, so the result is value-hash-checked end to end.
+
+    Cost ordering matters: vectors ride ALONG through the band self-join so
+    each candidate pair is scored immediately and the threshold filter runs
+    BEFORE any distinct — the pair-dedup shuffle then carries only the
+    ~|true near-dups| survivors instead of every band collision (measured
+    2.5× faster than join-back-then-dedup at sf0.1, where 140k collisions
+    reduce to 53 pairs). A pair colliding in k bands is scored k times —
+    map-side, k ≤ 16 — which is far cheaper than shuffling all collisions."""
     e = load_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    # Band keys persisted once per (session, sf_dir) — the signature subtree
-    # carries a 128×64 plane literal, and without the persist the self-join
-    # parses, compiles, and computes it on BOTH sides (measured 2.6× slower).
-    bands = session_memo(
-        spark, sf_dir, "cos_lsh_bands", lambda: lsh_band_keys(e).persist()
+    # Band keys (+ their vectors) persisted once per (session, sf_dir) —
+    # the signature subtree carries a 128×64 plane literal, and without the
+    # persist the self-join parses, compiles, and computes it on BOTH sides
+    # (measured 2.6× slower).
+    # The whole serving DataFrame is memoized per (session, sf_dir) — a
+    # prepared statement. Re-invoking the builder re-EXECUTES the plan
+    # (nothing downstream is persisted, so every action recomputes from the
+    # index), but skips re-analysis + codegen: the band-keys subtree embeds
+    # a 128×64 hyperplane literal (8k Catalyst nodes), and rebuilding the
+    # query each call cost 1.5-16s of pure planning vs 0.03s of execution.
+    return session_memo(
+        spark, sf_dir, "cos_lsh_query", lambda: _build_cos_lsh_query(e)
     )
-    cand = lsh_band_pairs(e, bands)
-    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
-    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+
+
+def _build_cos_lsh_query(e: DataFrame) -> DataFrame:
+    # Index: band keys + vectors, pre-partitioned on the join key (drops
+    # both pre-join exchanges) and EAGERLY localCheckpoint-ed — truncating
+    # the lineage to a cached-RDD scan so the serving plan is tiny.
+    bands = (
+        lsh_band_keys(e)
+        .join(e, "vec_id")
+        .repartition(F.col("band"), F.col("bucket"))
+        .localCheckpoint(eager=True)
+    )
+    a = bands.select(
+        F.col("vec_id").alias("vec_a"), "band", "bucket", F.col("v").alias("v_a")
+    )
+    b = bands.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("band").alias("b_band"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("v").alias("v_b"),
+    )
     cs = cosine(F.col("v_a"), F.col("v_b"))
     return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
+        a.join(
+            b,
+            (F.col("band") == F.col("b_band"))
+            & (F.col("bucket") == F.col("b_bucket"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .filter(cs > COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round(cs, 4).alias("cos_sim"))
+        .dropDuplicates(["vec_a", "vec_b"])
     )
