@@ -140,24 +140,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cost is O(n·sig + pairs), not O(n²) — the standard web-scale
     near-dedup shape (Broder MinHash / LSH banding).
     """
-    # Signatures computed ONCE and persisted: the band self-join and the
-    # two verify joins below would otherwise each recompute the whole
-    # shingle+hash pipeline. At cluster scale this persist is the
-    # "write signatures to a staging table" step. Cached per (session,
-    # sf_dir) so repeated invocations (driver re-runs, dedup_clusters,
-    # bench loops) reuse ONE pinned copy instead of stacking a new
-    # persisted DataFrame per call.
-    docs = session_memo(
-        spark,
-        sf_dir,
-        "minhash_sigs",
-        lambda: (
-            load_parallel(spark, sf_dir, "documents")
-            .select("doc_id", shingles_col().alias("sh"))
-            .select("doc_id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
-            .withColumn("sig", minhash_signature("hs"))
-            .persist()
-        ),
+    # The serving DataFrame is memoized per (session, sf_dir) — a prepared
+    # statement, same rationale as dedup_embedding_cosine: the signature
+    # subtree (shingle + 32 minhash folds) cost ~1.1s of re-analysis +
+    # codegen per call vs ~0.1s of execution. Every action still re-executes
+    # the plan.
+    return session_memo(
+        spark, sf_dir, "minhash_query", lambda: _build_minhash_query(spark, sf_dir)
+    )
+
+
+def _build_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Signatures computed ONCE per (session, sf_dir): the band self-join and
+    # the two verify joins below would otherwise each recompute the whole
+    # shingle+hash pipeline. At cluster scale this is the "write signatures
+    # to a staging table" step; the eager localCheckpoint truncates the
+    # hash-pipeline lineage so the serving plan is a cached-RDD scan.
+    docs = (
+        load_parallel(spark, sf_dir, "documents")
+        .select("doc_id", shingles_col().alias("sh"))
+        .select("doc_id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
+        .withColumn("sig", minhash_signature("hs"))
+        .localCheckpoint(eager=True)
     )
     rows_per_band = N_MINHASH // N_BANDS
     # band keys only (doc_id, band, bhash) — no arrays ride the shuffle

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import session_memo
 from ..catalog import load, load_parallel
 from ..registry import query
 
@@ -223,14 +224,23 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = load_parallel(spark, sf_dir, "documents").select(
         "doc_id", F.explode(words_col()).alias("tok")
     )
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    lp = vocab.crossJoin(F.broadcast(total)).withColumn(
-        "logp", F.log(F.col("cnt").cast("double") / F.col("total"))
-    )
+
+    def _train_lm() -> DataFrame:
+        vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        total = vocab.agg(F.sum("cnt").alias("total"))
+        return (
+            vocab.crossJoin(F.broadcast(total))
+            .select("tok", F.log(F.col("cnt").cast("double") / F.col("total")).alias("logp"))
+            .localCheckpoint(eager=True)
+        )
+
+    # The trained model (vocabulary-sized) is memoized per (session,
+    # sf_dir); scoring re-executes per call. The eager localCheckpoint
+    # both materializes the training pass once and truncates its lineage.
+    lp = session_memo(spark, sf_dir, "unigram_lm", _train_lm)
     avg_lp = F.avg("logp")
     return (
-        tok.join(F.broadcast(lp.select("tok", "logp")), "tok")
+        tok.join(F.broadcast(lp), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
