@@ -220,22 +220,26 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
 
     This is the canonical Spark shape for iterative graph algorithms the
     SQL surface can't express: a driver loop over DataFrame ops, each
-    iteration one shuffle keyed on node id, with the previous iteration
-    persisted and the old cache released after the new one materializes.
+    iteration one shuffle keyed on node id. Each iteration's labels end in
+    an EAGER localCheckpoint rather than a bare persist: a persist-only
+    loop re-plans a lineage that grows by one join per iteration (planning
+    cost O(k) at iteration k — the classic iterative-Spark trap), while
+    checkpointing pins the result AND truncates the plan, keeping every
+    iteration's analysis cost constant. Superseded checkpoints are freed
+    by the ContextCleaner once unreferenced.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -248,7 +252,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -257,19 +261,16 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     else:
         # fail loudly: silently returning non-converged labels would mark
         # two "keep" representatives inside one duplicate cluster
-        edges.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} iterations "
             "(component diameter exceeds the cap); raise max_iters"
         )
-    edges.unpersist()
     return labels
 
 

@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..cache import session_memo
+from ..cache import prepared, session_memo
 from ..catalog import load, load_parallel
 from ..functions.vectors import as_double, cosine, dot, l2_norm
 from ..registry import query
@@ -81,6 +81,7 @@ def _bucket_sql() -> str:
     ) WHERE rk <= {TOP_K}
     """,
 )
+@prepared("sim_bruteforce_query")
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for the probe set: broadcast the probes, score
     every corpus vector, per-query window top-k. The broadcast means the
@@ -124,6 +125,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rk <= {TOP_K}
     """,
 )
+@prepared("sim_lsh_query")
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing: score only
     vectors sharing the probe's 8-bit bucket. The bucket equi-join is a
@@ -222,6 +224,7 @@ def _train_centroids(
 
 
 @query("sim_ivf_topk", oracle=_IVF_ORACLE)
+@prepared("sim_ivf_query")
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: train a coarse quantizer (10 cell centroids = rounded
     per-label means), assign every corpus vector to its nearest cell
