@@ -83,8 +83,10 @@ def main() -> None:
     # is the steady-state serving run against the built index.
     index_build = {
         "sim_ivf_topk": "sim_ivf_index_build",
+        "sim_bruteforce_topk": "sim_bruteforce_prepare",
         "dedup_minhash_lsh": "minhash_sig_build",
         "dedup_embedding_cosine": "cos_lsh_index_build",
+        "text_ngram_lm_score": "lm_model_build",
     }
 
     timings: dict[str, float] = {}

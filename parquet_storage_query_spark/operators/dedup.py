@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..cache import session_memo
 from ..catalog import load, load_parallel
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot
 from ..registry import query
 from .text import words_col
 
@@ -384,27 +384,35 @@ def _dlit(x: float) -> str:
 
 def lsh_band_keys(e: DataFrame) -> DataFrame:
     """(vec_id, band, bucket) LSH band keys for an input of
-    (vec_id, v: array<double>). The whole signature is ONE SQL-text HOF
-    (128 dot-product folds as a codegen loop); band keys explode to plain
-    ints."""
+    (vec_id, v: array<double>).
+
+    The hyperplanes are shipped as a broadcast 128-row DataFrame (band,
+    bit weight, plane vector), NOT inlined as literals: the literal form
+    put 8k Catalyst nodes in the plan and its ANALYSIS cost was both large
+    and wildly variable (5-35s observed under driver GC pressure). As
+    data, the plan is plane-count-independent: one broadcast cross join
+    (|e| × 128 rows), a dot-product sign bit, and a (vec_id, band) sum
+    rebuilds each band's bucket as Σ bit·2^(planes_per_band−1−r) — the
+    identical integer the old left-fold (a*2+x over the slice) produced,
+    so the DuckDB oracle's inlined-plane replay still hash-matches."""
+    spark = e.sparkSession
     planes = _cos_planes()
-    p_sql = "array(" + ", ".join(
-        "array(" + ", ".join(_dlit(x) for x in p) + ")" for p in planes
-    ) + ")"
-    sig = (
-        f"transform({p_sql}, p -> CASE WHEN "
-        "aggregate(zip_with(v, p, (x, y) -> x * y), 0D, (a, x) -> a + x) > 0 "
-        "THEN 1 ELSE 0 END)"
-    )
-    band_keys = (
-        f"transform(sequence(0, {N_COS_BANDS - 1}), b -> named_struct("
-        f"'band', b, 'bucket', aggregate(slice(sig, b * {COS_PLANES_PER_BAND} + 1, "
-        f"{COS_PLANES_PER_BAND}), 0, (a, x) -> a * 2 + x)))"
-    )
+    rows = [
+        (
+            b,
+            1 << (COS_PLANES_PER_BAND - 1 - r),
+            [float(x) for x in planes[b * COS_PLANES_PER_BAND + r]],
+        )
+        for b in range(N_COS_BANDS)
+        for r in range(COS_PLANES_PER_BAND)
+    ]
+    pdf = spark.createDataFrame(rows, "band int, weight int, p array<double>")
+    bit = (dot(F.col("v"), F.col("p")) > 0).cast("int")
     return (
-        e.withColumn("sig", F.expr(sig))
-        .select("vec_id", F.explode(F.expr(band_keys)).alias("bk"))
-        .select("vec_id", "bk.band", "bk.bucket")
+        e.crossJoin(F.broadcast(pdf))
+        .select("vec_id", "band", (bit * F.col("weight")).alias("term"))
+        .groupBy("vec_id", "band")
+        .agg(F.sum("term").cast("int").alias("bucket"))
     )
 
 
