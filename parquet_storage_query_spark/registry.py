@@ -61,7 +61,6 @@ _PRIORITY = [
     "pivot_status_by_priority",
     "window_topk_per_group", "window_rank_dense_ntile", "window_lag_lead",
     "window_running_agg", "window_first_last", "window_sessionize",
-    "window_percent_rank",
     "scalar_datetime", "scalar_date_arith", "scalar_strings", "scalar_math_case",
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_label_centroid", "sim_ivf_topk",
     "stream_tumbling_counts", "stream_sliding_counts", "stream_session_windows",
@@ -77,6 +76,7 @@ _PRIORITY = [
     "prep_zorder_layout", "pipeline_training_shard",
     "train_split_hash", "profile_numeric_stats",
     # -- same-family siblings demoted to keep the 50-slot window tight --
+    "window_percent_rank",
     "train_stratified_sample", "train_seq_pack_plan",
     "train_interleave", "train_pii_redact",
     "profile_freq_values", "profile_data_quality",

@@ -233,3 +233,20 @@ def test_lm_score_model_is_broadcast(spark):
 
     plan = formatted_plan(text_ngram_lm_score(spark, SF_SMOKE))
     assert has_broadcast_join(plan), plan
+
+
+def test_shard_pipeline_pushdown_and_bounded_shuffles(spark):
+    """The composed corpus-prep pipeline must stay ONE lean plan: the lang
+    equality reaches the parquet scan (PushedFilters), and only three
+    exchanges exist — the local-parallelism repartition, the content-hash
+    dedup window, and the final manifest aggregate. A fourth exchange
+    would mean a stage recomputes or re-shuffles the corpus."""
+    import re
+
+    from parquet_storage_query_spark.operators.training import pipeline_training_shard
+
+    plan = formatted_plan(pipeline_training_shard(spark, SF_SMOKE))
+    pf = " ".join(pushed_filters(plan))
+    assert "lang" in pf, plan
+    n_exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert n_exchanges <= 3, plan
