@@ -786,17 +786,29 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the materialized-rollup contract at 100 TB: persist per-shard /
     per-day sketches (bytes each), answer any distinct-count over any shard
-    union by merging sketches. Estimate accuracy is set by lgConfigK=12
-    (~2% rel. err). Rows-only check: sketch estimates are engine-specific
-    by construction; tests/test_correctness.py asserts the estimates land
-    within tolerance of the exact counts."""
-    per_type = (
-        load_parallel(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    union by merging sketches. The per-type sketch table IS materialized
+    here (eager localCheckpoint, memoized per session): without it the
+    per-group branch and the merged-ALL branch each re-scanned the input —
+    2× the scan cost at any scale; with it the input is scanned once and
+    both branches read a groups-sized table. Estimate accuracy is set by
+    lgConfigK=12 (~2% rel. err). Rows-only check: sketch estimates are
+    engine-specific by construction; tests/test_correctness.py asserts the
+    estimates land within tolerance of the exact counts."""
+    from ..cache import session_memo
+
+    per_type = session_memo(
+        spark,
+        sf_dir,
+        "hll_type_sketches",
+        lambda: (
+            load_parallel(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .localCheckpoint(eager=True)
+        ),
     )
     merged = per_type.agg(
         F.hll_union_agg("sk").alias("sk"), F.sum("n_events").alias("n_events")
