@@ -311,7 +311,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Blocking key = 8-token prefix hash (text_fingerprint's prefix_md5), so
     only same-prefix docs are compared — a deliberate cheap blocker that
-    demonstrates the block→verify shape with a SQL-checkable oracle."""
+    demonstrates the block→verify shape with a SQL-checkable oracle.
+
+    The blocked table is materialized once (eager localCheckpoint) so the
+    self-join's two sides read it instead of each re-scanning documents
+    and re-tokenizing (the plan audit showed the doubled scan)."""
     d = (
         load_parallel(spark, sf_dir, "documents")
         .select(
@@ -319,6 +323,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(words_col()).alias("ws"),
             F.md5(F.concat_ws(" ", F.slice(words_col(), 1, 8)).cast("binary")).alias("blk"),
         )
+        .localCheckpoint(eager=True)
     )
     a, b = d.alias("a"), d.alias("b")
     jac = F.size(F.array_intersect("a.ws", "b.ws")).cast("double") / F.size(

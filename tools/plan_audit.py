@@ -1,0 +1,80 @@
+"""Sweep every registered query's physical plan for scale smells.
+
+For each query: number of parquet scans per table (re-scans multiply cost
+at 100 TB), exchange count (each is a shuffle), BroadcastNestedLoopJoin /
+CartesianProduct occurrences (quadratic unless one side is tiny by
+design), and whole-table windows (single-partition sorts).
+
+Some hits are BY DESIGN and documented in the operator's docstring
+(join_cross / join_range broadcast a tiny side; prep_binpack_plan /
+train_interleave window over planning metadata). The audit prints, it
+does not fail: the pytest plan audits (tests/test_plans.py) pin the
+specific properties that must hold.
+
+Usage: python tools/plan_audit.py [sf_dir] [only...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from parquet_storage_query_spark.registry import all_queries
+from parquet_storage_query_spark.session import get_spark
+
+
+def audit_plan(plan: str) -> dict[str, object]:
+    scans: dict[str, int] = {}
+    for m in re.finditer(r"FileScan parquet[^\[]*\[([^\]]*)\]", plan):
+        cols = m.group(1)
+        key = cols.split(",")[0].split("#")[0].strip() or "?"
+        scans[key] = scans.get(key, 0) + 1
+    return {
+        "scans": sum(scans.values()),
+        "rescans": {k: v for k, v in scans.items() if v > 1},
+        "exchanges": len(set(re.findall(r"Exchange (?:hash|range|Round|Single)\S*", plan))),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        # a SinglePartition exchange is normal for a global aggregate's
+        # final step (32 partial rows); it is a smell only when a Window
+        # or full Sort runs on that single partition
+        "global_window": "SinglePartition" in plan and "Window" in plan,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("plan_audit")
+    flagged = 0
+    for name, qd in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            df = qd.builder(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # streaming twins that need a runner, etc.
+            print(f"{name:35s} SKIP ({str(ex).splitlines()[0][:60]})")
+            continue
+        a = audit_plan(plan)
+        smells = []
+        if a["rescans"]:
+            smells.append(f"rescans={a['rescans']}")
+        if a["bnlj"]:
+            smells.append(f"bnlj={a['bnlj']}")
+        if a["cartesian"]:
+            smells.append(f"cartesian={a['cartesian']}")
+        if a["global_window"]:
+            smells.append("single-partition-stage")
+        tag = "  ⚠ " + ", ".join(smells) if smells else ""
+        print(f"{name:35s} scans={a['scans']} exch={a['exchanges']}{tag}")
+        flagged += bool(smells)
+    print(f"\n{flagged} queries with smells (see docstrings for by-design cases)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
