@@ -108,10 +108,14 @@ def convert(
     src_format: str = "csv",
     compression: str = "snappy",
     header: bool = False,
+    dest_format: str = "parquet",
 ) -> None:
-    """Format conversion (D3, DP:145-170): CSV[.gz] or parquet in →
-    Snappy parquet out, schema enforced (never inferred — the reference
-    declares all 7 columns in externaldata, DP:165)."""
+    """Format conversion (D3, DP:145-170): CSV[.gz] / JSON / parquet in →
+    Snappy parquet out (default), schema enforced (never inferred — the
+    reference declares all 7 columns in externaldata, DP:165).
+    `dest_format` extends the reference's parquet-only sink to the other
+    Spark-native columnar/row formats (orc / csv / json) for egest paths;
+    compression falls back per-format where snappy is unsupported."""
     if src_format == "csv":
         df = spark.read.schema(schema).option("header", str(header).lower()).csv(src)
     elif src_format == "json":
@@ -120,7 +124,17 @@ def convert(
         df = spark.read.schema(schema).parquet(*src if isinstance(src, list) else [src])
     else:
         raise ValueError(f"unsupported source format: {src_format}")
-    df.write.mode("overwrite").option("compression", compression).parquet(dest)
+    w = df.write.mode("overwrite")
+    if dest_format == "parquet":
+        w.option("compression", compression).parquet(dest)
+    elif dest_format == "orc":
+        w.option("compression", compression).orc(dest)
+    elif dest_format == "csv":
+        w.option("compression", "gzip").option("header", "true").csv(dest)
+    elif dest_format == "json":
+        w.option("compression", "gzip").json(dest)
+    else:
+        raise ValueError(f"unsupported destination format: {dest_format}")
 
 
 def export_jsonl(df: DataFrame, dest: str, compression: str = "gzip") -> None:
@@ -263,3 +277,47 @@ def with_retry(
             if attempt == max_attempts - 1:
                 raise
             time.sleep(base_delay_s * (2**attempt))
+
+
+def rewrite_zorder(
+    spark: SparkSession,
+    src: str | DataFrame,
+    dest_folder: str,
+    z_col,
+    n_files: int = 16,
+    compression: str = "snappy",
+) -> dict[str, int]:
+    """Physical z-order rewrite: cluster the table on a Morton z-value so a
+    predicate on ANY interleaved dimension prunes most output files via
+    parquet footer stats (single-column sorting only clusters its leading
+    column). `z_col` is the z-value expression — e.g.
+    `operators.advanced._z_value(x, y)` — kept a parameter so callers pick
+    the dimensions.
+
+    Shape: repartitionByRange(z) routes rows to files by z-range (a
+    sampled range exchange — ONE shuffle, no global sort barrier), then
+    sortWithinPartitions(z) orders rows inside each file so row-group
+    stats are tight too. This executes the plan that
+    `prep_zorder_layout` (the queryable planner) reports.
+
+    `src` may be a folder path or an already-loaded DataFrame — pass
+    `catalog.load(...)` output for tables needing read-time fixes (e.g.
+    the events table's TIMESTAMP(NANOS) handling).
+
+    Dimension scaling matters: interleaving only balances dimensions whose
+    VALUE RANGES fill comparable bit widths. A dim spanning 0-15 zipped
+    with one spanning 0-255 leaves its high bits constant and the curve
+    degenerates to ordering by the wider dim — scale each dim (min-max or
+    rank) to the interleave width before passing `z_col`."""
+    base = src if isinstance(src, DataFrame) else spark.read.parquet(src)
+    df = base.withColumn("_z", z_col)
+    (
+        df.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(dest_folder)
+    )
+    out = list_data_files(dest_folder, suffix=".parquet")
+    return {"out_files": len(out)}
