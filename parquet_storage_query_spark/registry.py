@@ -61,7 +61,7 @@ _PRIORITY = [
     "pivot_status_by_priority",
     "window_topk_per_group", "window_rank_dense_ntile", "window_lag_lead",
     "window_running_agg", "window_first_last", "window_sessionize",
-    "scalar_datetime", "scalar_date_arith", "scalar_strings", "scalar_math_case",
+    "scalar_datetime", "scalar_date_arith", "scalar_strings",
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_label_centroid", "sim_ivf_topk",
     "stream_tumbling_counts", "stream_sliding_counts", "stream_session_windows",
     "stream_interval_join", "stream_user_stats",
@@ -71,12 +71,12 @@ _PRIORITY = [
     "agg_approx_percentiles", "scalar_pandas_udf_norm", "grouped_pandas_udf_wavg",
     "timeseries_gapfill",
     "stream_time_filter_count", "stream_tumbling_append", "stream_dedup",
-    "stream_enrich_static",
+    "stream_enrich_static", "stream_windowed_topk",
     "text_ngram_lm_score", "prep_upsert_snapshot", "agg_hll_sketch",
     "prep_zorder_layout", "pipeline_training_shard",
     "train_split_hash", "profile_numeric_stats",
     # -- same-family siblings demoted to keep the 50-slot window tight --
-    "window_percent_rank",
+    "window_percent_rank", "scalar_math_case",
     "train_stratified_sample", "train_seq_pack_plan",
     "train_interleave", "train_pii_redact",
     "profile_freq_values", "profile_data_quality",

@@ -322,3 +322,77 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "stream_session_out", "complete")
+
+
+@query(
+    "stream_windowed_topk",
+    oracle="""
+    SELECT window_start, event_type, n, rk FROM (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type, count(*) AS n,
+               row_number() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+                                  ORDER BY count(*) DESC, event_type) AS rk
+        FROM events GROUP BY 1, 2
+    ) WHERE rk <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k keys (the "trending items" query): hourly counts
+    per event_type, ranked inside each window, top-3 kept. Batch twin of
+    the foreachBatch streaming runner below — ranking is not allowed
+    directly on a streaming aggregate, so the incremental form applies the
+    window rank per micro-batch emission (the standard pattern).
+
+    Scale shape: the count aggregate partial-merges map-side; the rank
+    window partitions by window_start (thousands of partitions per day,
+    each holding |key-cardinality| rows — never the raw stream)."""
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    )
+    return counts.withColumn("rk", rk).filter(F.col("rk") <= 3)
+
+
+def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same trending-items query on a LIVE stream via foreachBatch:
+    Spark forbids rank windows on a streaming aggregate (the rank of a
+    still-open window could regress), so each micro-batch snapshot of the
+    complete-mode counts is ranked as a BATCH inside foreachBatch and
+    overwrites the serving table — exactly how dashboards consume it."""
+    import threading
+
+    results: dict[str, list] = {}
+    lock = threading.Lock()
+
+    counts = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+    from pyspark.sql import Window as W
+
+    def rank_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        rk = F.row_number().over(
+            W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+        )
+        ranked = batch_df.withColumn("rk", rk).filter(F.col("rk") <= 3).collect()
+        with lock:
+            results["latest"] = ranked
+
+    q = counts.writeStream.outputMode("complete").foreachBatch(rank_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = results.get("latest", [])
+    return spark.createDataFrame(rows, "window_start timestamp, event_type string, n bigint, rk int")

@@ -168,3 +168,51 @@ def test_stream_static_enrichment_matches_batch(spark):
     got = sj.streaming_enrich_static(spark, SF_SMOKE)
     want = sj.stream_enrich_static(spark, SF_SMOKE)
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_windowed_topk_matches_batch(spark):
+    """foreachBatch-ranked trending items converge to the batch twin once
+    the stream drains (complete-mode counts = batch counts)."""
+    got = sw.streaming_windowed_topk(spark, SF_SMOKE)
+    want = sw.stream_windowed_topk(spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)
+
+
+def test_streaming_upsert_keeps_latest_per_key(spark, tmp_path):
+    """The foreachBatch CDC apply must converge to exactly one row per key:
+    the key's LATEST event by (ts, event_id) — identical to the batch
+    window answer over the full table, regardless of how many micro-batches
+    the stream was cut into."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.streaming.sinks import stream_upsert_to_parquet
+
+    # split events into 4 files and feed them one per micro-batch, so the
+    # merge loop exercises REPEATED delta-onto-snapshot application, not
+    # just the first-batch bootstrap
+    ev = load(spark, SF_SMOKE, "events")
+    src_dir = str(tmp_path / "ev4")
+    ev.repartition(4).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    snap = stream_upsert_to_parquet(
+        spark, SF_SMOKE, str(tmp_path / "snap"), str(tmp_path / "ckpt"), stream=stream
+    )
+    got = {
+        (r["user_id"], r["event_id"]) for r in snap.select("user_id", "event_id").collect()
+    }
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    want = {
+        (r["user_id"], r["event_id"])
+        for r in load(spark, SF_SMOKE, "events")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert got == want
