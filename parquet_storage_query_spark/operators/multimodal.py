@@ -187,3 +187,49 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(resized).alias("resized_len"),
         F.md5(resized.cast("binary")).alias("resized_md5"),
     )
+
+
+EMBED_DIM = 8  # fake embedder output width
+
+
+@query(
+    "mm_embed_batch",
+    oracle=f"""
+    SELECT doc_id,
+           list_transform(range(0, {EMBED_DIM}),
+                          i -> (CAST(('0x' || substr(md5(text), CAST(i * 4 + 1 AS INTEGER), 4))
+                                     AS BIGINT) % 1000) / 1000.0) AS embedding
+    FROM documents
+    """,
+)
+def mm_embed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference plumbing — the workhorse multimodal pipeline
+    op (embed every image/doc with a model): Arrow-batched `mapInPandas`
+    emitting an `array<double>` embedding per row. The "model" is a
+    deterministic digest-derived fake (dim {EMBED_DIM}: 4 hex chars of the
+    payload md5 per coordinate, scaled to [0, 1)), so the result is
+    hash-checked against a DuckDB replay — a real encoder swaps the digest
+    for `model.encode(batch)` with identical schema, batching, and
+    partitioning.
+
+    At scale this is GPU-batch shaped: each Arrow batch (bounded by
+    `spark.sql.execution.arrow.maxRecordsPerBatch`) is one inference
+    batch; partition count should match the accelerator pool, and the
+    output column feeds sim_*/dedup_embedding_* directly."""
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            embs = []
+            for payload in pdf["payload"]:
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                embs.append(
+                    [(int(h[4 * i : 4 * i + 4], 16) % 1000) / 1000.0 for i in range(EMBED_DIM)]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
+
+    return df.mapInPandas(embed, schema="doc_id long, embedding array<double>")

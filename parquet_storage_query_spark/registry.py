@@ -73,11 +73,13 @@ _PRIORITY = [
     "stream_time_filter_count", "stream_tumbling_append", "stream_dedup",
     "stream_enrich_static", "stream_windowed_topk",
     "text_ngram_lm_score", "prep_upsert_snapshot", "agg_hll_sketch",
-    "prep_zorder_layout", "pipeline_training_shard",
-    "train_split_hash", "profile_numeric_stats",
+    "prep_zorder_layout", "pipeline_training_shard", "mm_embed_batch",
+    "profile_numeric_stats",
     # -- same-family siblings demoted to keep the 50-slot window tight --
+    # (training family's driver rep is pipeline_training_shard, which
+    # composes the split/quality/dedup stages)
     "window_percent_rank", "scalar_math_case",
-    "train_stratified_sample", "train_seq_pack_plan",
+    "train_split_hash", "train_stratified_sample", "train_seq_pack_plan",
     "train_interleave", "train_pii_redact",
     "profile_freq_values", "profile_data_quality",
     "scalar_arrays", "scalar_maps", "scalar_json",
