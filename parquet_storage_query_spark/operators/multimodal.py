@@ -233,3 +233,49 @@ def mm_embed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
 
     return df.mapInPandas(embed, schema="doc_id long, embedding array<double>")
+
+
+@query("prep_table_stats", oracle=None)  # file paths are env-shaped; DuckDB twin in pytest
+def prep_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed manifest/statistics collection: read every table file's
+    parquet FOOTER on executors (mapInPandas over a DataFrame of paths —
+    the driver never opens a file) and emit per-file row counts, row-group
+    counts, sizes, and column counts. This is the table-format manifest
+    primitive: file skipping, compaction planning (prep_binpack_plan), and
+    cost-based sizing all start from exactly this relation.
+
+    At 100 TB with ~10^5 files, footer reads are a trivially parallel
+    metadata job (KBs per file); collecting them through a DataFrame keeps
+    the output joinable/queryable instead of a driver-side list.
+    tests/test_prep.py checks it against DuckDB's parquet_file_metadata."""
+    from ..catalog import TABLES, table_path
+
+    paths = [(t, table_path(sf_dir, t)) for t in TABLES]
+    pdf_paths = spark.createDataFrame(paths, "table_name string, path string").repartition(
+        len(paths)
+    )
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for table_name, path in zip(pdf["table_name"], pdf["path"]):
+                md = pq.ParquetFile(path).metadata
+                rows.append(
+                    {
+                        "table_name": table_name,
+                        "n_rows": md.num_rows,
+                        "n_row_groups": md.num_row_groups,
+                        "n_columns": md.num_columns,
+                        "size_bytes": os.path.getsize(path),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return pdf_paths.mapInPandas(
+        read_footers,
+        schema="table_name string, n_rows long, n_row_groups long, n_columns long, size_bytes long",
+    )

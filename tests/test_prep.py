@@ -255,3 +255,23 @@ def test_z_value_matches_python_morton(spark):
             assert z == py_morton(x, y), (x, y, z)
 
     check()
+
+
+def test_table_stats_match_duckdb_footers(spark):
+    """The distributed footer scan must agree with DuckDB's
+    parquet_file_metadata on every table's row and row-group counts."""
+    import duckdb
+
+    from parquet_storage_query_spark.catalog import TABLES, table_path
+    from parquet_storage_query_spark.operators.multimodal import prep_table_stats
+
+    got = {
+        r["table_name"]: (r["n_rows"], r["n_row_groups"])
+        for r in prep_table_stats(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    for t in TABLES:
+        n_rows, n_rgs = con.execute(
+            f"SELECT num_rows, num_row_groups FROM parquet_file_metadata('{table_path(SF_SMOKE, t)}')"
+        ).fetchone()
+        assert got[t] == (n_rows, n_rgs), (t, got[t], (n_rows, n_rgs))
