@@ -125,3 +125,10 @@ def run(config: str | dict[str, Any], spark: SparkSession | None = None) -> dict
             entry.update(_differential(name, sf_dir, [tuple(r) for r in rows], df.columns))
         report["queries"].append(entry)
     return report
+
+
+if __name__ == "__main__":  # python -m parquet_storage_query_spark.runner cfg.json
+    import sys
+
+    out = run(sys.argv[1])
+    print(json.dumps(out, default=str))
