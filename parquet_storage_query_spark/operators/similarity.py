@@ -323,3 +323,86 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.element_at("v", 2)), 4).alias("centroid_d2"),
         F.round(F.avg(F.sqrt(dot(F.col("v"), F.col("v")))), 4).alias("avg_norm"),
     )
+
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 5
+
+
+@query("sim_kmeans_train", oracle=None)  # float fixpoint; invariants in pytest
+@prepared("sim_kmeans_query")
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means on the embedding corpus — the canonical ITERATIVE
+    dataflow the SQL surface can't express, complementing the one-shot
+    label-seeded IVF trainer: deterministic init (the first K_CLUSTERS
+    vec_ids), then a fixed {KMEANS_ITERS}-iteration driver loop of
+    (assign map-side against broadcast-inlined centroids) → (per-cluster
+    per-dimension mean). Output: per-cluster sizes + first-2 centroid
+    coordinates + mean distance — the training report.
+
+    Scale shape, per iteration: assignment is ONE map pass (centroids are
+    a k×dim literal, same inlined-model trick as sim_ivf_topk — no join,
+    no shuffle); the centroid update is one partial-merged groupBy of
+    posexploded coordinates (k·dim rows out). The model collect is k·dim
+    doubles. Deterministic end-to-end: fixed seeds, fixed iterations, and
+    4-decimal centroid rounding each iteration (the same cross-engine
+    trick the IVF oracle uses), so repeated runs agree bit-for-bit —
+    pytest asserts the fixpoint invariants instead of a SQL oracle."""
+    import math
+
+    e = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    seeds = e.filter(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
+    cents: list[list[float]] = [[float(x) for x in r["v"]] for r in seeds]
+
+    def dlit(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    def assign_expr(cs: list[list[float]]) -> str:
+        # argmin squared-distance as an array_min over (dist, idx) structs
+        structs = ", ".join(
+            "named_struct('d', aggregate(zip_with(v, array(%s), (x, y) -> (x - y) * (x - y)), "
+            "0D, (a, x) -> a + x), 'c', %d)" % (", ".join(dlit(x) for x in c), i)
+            for i, c in enumerate(cs)
+        )
+        return f"array_min(array({structs}))"
+
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        assigned = e.withColumn("a", F.expr(assign_expr(cents))).select(
+            "vec_id", "v", F.col("a.c").alias("cluster"), F.col("a.d").alias("dist2")
+        )
+        rows = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 4).alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_c.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(r["m"])
+        # empty clusters keep their previous centroid (deterministic)
+        cents = [
+            [by_c[i][d] for d in range(DIM)] if i in by_c else cents[i]
+            for i in range(K_CLUSTERS)
+        ]
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.sqrt(F.col("dist2"))), 4).alias("mean_dist"),
+        )
+        .withColumn(
+            "centroid_d1",
+            F.element_at(
+                F.array(*[F.lit(float(c[0])) for c in cents]), F.col("cluster") + 1
+            ),
+        )
+        .withColumn(
+            "centroid_d2",
+            F.element_at(
+                F.array(*[F.lit(float(c[1])) for c in cents]), F.col("cluster") + 1
+            ),
+        )
+    )

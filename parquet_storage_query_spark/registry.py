@@ -82,6 +82,7 @@ _PRIORITY = [
     "train_split_hash", "train_stratified_sample", "train_seq_pack_plan",
     "train_interleave", "train_pii_redact",
     "profile_freq_values", "profile_data_quality", "prep_table_stats",
+    "sim_kmeans_train",
     "scalar_arrays", "scalar_maps", "scalar_json",
     # -- one representative per already-green family --
     "ref_total_count", "q1_pricing_summary", "q3_shipping_priority",

