@@ -245,3 +245,48 @@ def pipeline_training_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+def write_training_shards(spark: SparkSession, sf_dir: str, dest: str) -> DataFrame:
+    """Execute the shard pipeline end-to-end: run the same lang → quality →
+    dedup → split dataflow as `pipeline_training_shard`, but write the
+    surviving DOCUMENTS to `dest` partitioned by split (the layout a
+    trainer consumes: `dest/split=train/...`), and return the per-
+    (split, source) manifest read back FROM the written files — so the
+    returned counts prove what landed on disk, not what the plan promised.
+
+    At 100 TB the partitionBy write is one distributed job; each split
+    directory is independently listable, and the manifest doubles as the
+    dataset card. Tested in tests/test_prep.py against the queryable
+    manifest."""
+    w = words_col()
+    n_tok = F.size(w)
+    stop_ratio = _hits(w, LEXICONS["en"]).cast("double") / n_tok
+    kept = (
+        load_parallel(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .withColumn("n_tokens", n_tok)
+        .filter(F.col("n_tokens").between(20, 1000) & (stop_ratio < 0.5))
+    )
+    dw = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    deduped = kept.withColumn("rk", F.row_number().over(dw)).filter(F.col("rk") == 1)
+    b = _md5_bucket(F.col("doc_id").cast("string"))
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    (
+        deduped.withColumn("split", split)
+        .select("split", "doc_id", "source", "text", "n_chars", "n_tokens")
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(dest)
+    )
+    return (
+        spark.read.parquet(dest)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )

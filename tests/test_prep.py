@@ -275,3 +275,20 @@ def test_table_stats_match_duckdb_footers(spark):
             f"SELECT num_rows, num_row_groups FROM parquet_file_metadata('{table_path(SF_SMOKE, t)}')"
         ).fetchone()
         assert got[t] == (n_rows, n_rgs), (t, got[t], (n_rows, n_rgs))
+
+
+def test_training_shard_writer_matches_manifest(spark, tmp_path):
+    """The executable shard writer's on-disk manifest must equal the
+    queryable planner's manifest exactly — what lands in
+    dest/split=*/... is what pipeline_training_shard promised."""
+    from parquet_storage_query_spark.operators.training import (
+        pipeline_training_shard,
+        write_training_shards,
+    )
+
+    dest = str(tmp_path / "shards")
+    written = write_training_shards(spark, SF_SMOKE, dest)
+    got = sorted(map(tuple, written.collect()))
+    want = sorted(map(tuple, pipeline_training_shard(spark, SF_SMOKE).collect()))
+    assert got == want
+    assert any(d.startswith("split=") for d in os.listdir(dest)), os.listdir(dest)
