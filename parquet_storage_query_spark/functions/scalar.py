@@ -311,3 +311,51 @@ def grouped_pandas_udf_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("event_type").agg(
         wavg(F.col("value"), F.col("user_id").cast("double")).alias("wavg_value")
     )
+
+
+@query(
+    "scalar_null_semantics",
+    oracle="""
+    WITH withnulls AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS status,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE round(o_totalprice, 2) END AS price
+        FROM orders WHERE o_orderkey < 5000)
+    SELECT o_orderkey,
+           coalesce(status, 'UNKNOWN')                 AS status_filled,
+           nullif(status, 'F')                          AS status_not_f,
+           (status IS NOT DISTINCT FROM 'O')            AS is_open_nullsafe,
+           (price IS NULL)                              AS price_missing,
+           coalesce(price, 0.0)                         AS price_filled,
+           CASE WHEN price IS NULL THEN 'missing'
+                WHEN price > 150000 THEN 'high' ELSE 'normal' END AS price_band
+    FROM withnulls
+    """,
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: coalesce / nullif / null-safe equality
+    (Spark's `<=>` ≙ ANSI IS NOT DISTINCT FROM) / IS NULL predicates /
+    CASE with a NULL branch — the three-valued-logic corners every SQL
+    migration trips on, exercised over deterministically injected nulls
+    so both engines see identical missingness."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    status = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    price = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+        F.round("o_totalprice", 2)
+    )
+    w = o.select("o_orderkey", status.alias("status"), price.alias("price"))
+    return w.select(
+        "o_orderkey",
+        F.coalesce("status", F.lit("UNKNOWN")).alias("status_filled"),
+        F.nullif("status", F.lit("F")).alias("status_not_f"),
+        F.col("status").eqNullSafe("O").alias("is_open_nullsafe"),
+        F.col("price").isNull().alias("price_missing"),
+        F.coalesce("price", F.lit(0.0)).alias("price_filled"),
+        F.when(F.col("price").isNull(), "missing")
+        .when(F.col("price") > 150000, "high")
+        .otherwise("normal")
+        .alias("price_band"),
+    )
