@@ -315,3 +315,24 @@ def test_kmeans_fixpoint_invariants(spark):
     assert sum(r[1] for r in out1) == n_corpus
     assert {r[0] for r in out1} <= set(range(K_CLUSTERS))
     assert all(r[2] >= 0 for r in out1)  # mean_dist non-negative
+
+
+def test_prepared_memos_isolate_sf_dirs(spark):
+    """Prepared/memoized serving plans are keyed per (session, sf_dir): the
+    same session querying two scale factors must get each directory's own
+    answer, not a stale index built for the other."""
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.operators.dedup import (
+        dedup_exact,
+        dedup_minhash_lsh,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        n_distinct = load(spark, sf_dir, "documents").select("text").distinct().count()
+        assert dedup_exact(spark, sf_dir).count() == n_distinct, sf_dir
+        max_doc = load(spark, sf_dir, "documents").agg({"doc_id": "max"}).collect()[0][0]
+        pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+        # every served pair must reference doc_ids from THIS corpus
+        assert all(r["doc_a"] <= max_doc and r["doc_b"] <= max_doc for r in pairs), sf_dir
+        # re-serving from the prepared plan is stable
+        assert len(pairs) == dedup_minhash_lsh(spark, sf_dir).count(), sf_dir
