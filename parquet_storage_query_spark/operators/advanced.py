@@ -902,3 +902,26 @@ def prep_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("y_max"),
         )
     )
+
+
+@query("agg_windowed_hll", oracle=None)  # sketch estimates are engine-specific
+def agg_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed mergeable sketches: distinct users per 6-hour window
+    via hll_sketch_agg — agg_hll_sketch's rollup twin and the materialized
+    continuous-aggregate shape at 100 TB: persist one sketch per (window,
+    shard), answer distinct-users over ANY time range by hll_union_agg of
+    the covered windows instead of rescanning events. Rows-only check
+    (estimates are engine-specific); the tolerance contract is pinned by
+    tests/test_correctness.py::test_hll_sketch_within_tolerance on the
+    global variant."""
+    return (
+        load_parallel(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+                "approx_users"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "approx_users", "n_events")
+    )

@@ -124,3 +124,49 @@ def profile_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_timestamp("ts")).alias("min_epoch_s"),
         F.max(F.unix_timestamp("ts")).alias("max_epoch_s"),
     )
+
+
+N_HIST_BUCKETS = 10
+HIST_LO, HIST_HI = 0.0, 1000.0  # events.value domain (clamped)
+
+
+@query(
+    "profile_histogram",
+    oracle=f"""
+    SELECT bucket,
+           round({HIST_LO} + (bucket - 1) * ({HIST_HI} - {HIST_LO}) / {N_HIST_BUCKETS}, 2)
+               AS bucket_lo,
+           round({HIST_LO} + bucket * ({HIST_HI} - {HIST_LO}) / {N_HIST_BUCKETS}, 2)
+               AS bucket_hi,
+           count(*) AS n
+    FROM (SELECT CASE WHEN value < {HIST_LO} THEN 0
+                      WHEN value >= {HIST_HI} THEN {N_HIST_BUCKETS + 1}
+                      ELSE CAST(floor((value - {HIST_LO})
+                                      / (({HIST_HI} - {HIST_LO}) / {N_HIST_BUCKETS}))
+                                AS BIGINT) + 1 END AS bucket
+          FROM events)
+    GROUP BY bucket
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a numeric column via `width_bucket` — the
+    data-profiling primitive behind distribution cards and drift checks.
+    One partial-merged aggregate over a map-side bucket expression
+    (out-of-range values land in the 0 / n+1 overflow buckets, ANSI
+    semantics); bucket bounds are recomputed arithmetically so the result
+    is self-describing. The oracle replays width_bucket's arithmetic
+    explicitly — this DuckDB build lacks the function itself."""
+    b = F.width_bucket("value", F.lit(HIST_LO), F.lit(HIST_HI), F.lit(N_HIST_BUCKETS))
+    span = (HIST_HI - HIST_LO) / N_HIST_BUCKETS
+    return (
+        load(spark, sf_dir, "events")
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(HIST_LO + (F.col("bucket") - 1) * span, 2).alias("bucket_lo"),
+            F.round(HIST_LO + F.col("bucket") * span, 2).alias("bucket_hi"),
+            "n",
+        )
+    )
