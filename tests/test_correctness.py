@@ -84,3 +84,15 @@ def test_hll_sketch_within_tolerance(spark):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_generative_differential_fuzz(spark):
+    """Generative dual-engine check (tools/fuzz_differential.py): 25 random
+    scan→filter→group→aggregate specs compiled to both a Spark plan and
+    DuckDB SQL must fingerprint-match. Covers the cross-engine typing trap
+    space (HUGEINT widening, round() type preservation, NULL keys)
+    systematically rather than one hand-written oracle at a time."""
+    from tools.fuzz_differential import run_fuzz
+
+    mismatches = run_fuzz(spark, SF_SMOKE, n_specs=25, seed=7)
+    assert not mismatches, [s.describe() for s in mismatches]
