@@ -48,17 +48,26 @@ TABLE_COLS = {
 OPS = ["<", "<=", ">", ">=", "=", "<>"]
 
 
+# optional equi-join per fact table: (dim table, fact key, dim key, dim attr)
+JOINS = {
+    "orders": ("customer", "o_custkey", "c_custkey", "c_mktsegment"),
+    "lineitem": ("orders", "l_orderkey", "o_orderkey", "o_orderstatus"),
+}
+
+
 @dataclass(frozen=True)
 class Spec:
     table: str
     filters: tuple[tuple[str, str, float], ...]  # (col, op, literal)
     keys: tuple[str, ...]
     aggs: tuple[tuple[str, str], ...]  # (fn, col)
+    join: bool = False  # equi-join the table's dim and group on its attr too
 
     def describe(self) -> str:
         f = " AND ".join(f"{c} {o} {v}" for c, o, v in self.filters) or "TRUE"
         a = ", ".join(f"{fn}({c})" for fn, c in self.aggs)
-        return f"{self.table} WHERE {f} GROUP BY {list(self.keys)} AGG {a}"
+        j = f" JOIN {JOINS[self.table][0]}" if self.join else ""
+        return f"{self.table}{j} WHERE {f} GROUP BY {list(self.keys)} AGG {a}"
 
 
 def gen_spec(rng: random.Random) -> Spec:
@@ -75,13 +84,19 @@ def gen_spec(rng: random.Random) -> Spec:
         fn = rng.choice(["count", "sum_int", "sum_num", "min_num", "max_num", "avg_num"])
         col = rng.choice(cols["ints"] if fn == "sum_int" else cols["nums"])
         aggs.append((fn, col))
-    return Spec(table, filters, keys, tuple(dict.fromkeys(aggs)))
+    join = table in JOINS and rng.random() < 0.4
+    if join:
+        keys = keys + (JOINS[table][3],)
+    return Spec(table, filters, keys, tuple(dict.fromkeys(aggs)), join)
 
 
 def build_spark(spec: Spec, spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_storage_query_spark.catalog import load
 
     df = load(spark, sf_dir, spec.table)
+    if spec.join:
+        dim, fk, dk, _attr = JOINS[spec.table]
+        df = df.join(F.broadcast(load(spark, sf_dir, dim)), F.col(fk) == F.col(dk))
     for c, op, v in spec.filters:
         col = F.col(c)
         cond = {
@@ -133,6 +148,9 @@ def build_sql(spec: Spec) -> str:
         aggs.append(f"{sql} AS {alias}")
     select = ", ".join(list(spec.keys) + aggs)
     q = f"SELECT {select} FROM {spec.table}"
+    if spec.join:
+        dim, fk, dk, _attr = JOINS[spec.table]
+        q += f" JOIN {dim} ON {fk} = {dk}"
     if where:
         q += f" WHERE {where}"
     if spec.keys:
@@ -147,7 +165,7 @@ def run_fuzz(spark: SparkSession, sf_dir: str, n_specs: int, seed: int) -> list[
     from parquet_storage_query_spark.fingerprint import result_fingerprint
 
     con = duckdb.connect()
-    for t in TABLE_COLS:
+    for t in set(TABLE_COLS) | {j[0] for j in JOINS.values()}:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )
