@@ -32,16 +32,24 @@ TABLE_COLS = {
         "keys": ["o_orderstatus", "o_orderpriority"],
         "nums": ["o_totalprice", "o_custkey"],
         "ints": ["o_orderkey", "o_custkey"],
+        "uid": ("o_orderkey",),
     },
     "events": {
         "keys": ["event_type"],
         "nums": ["value", "user_id"],
         "ints": ["event_id", "user_id"],
+        "uid": ("event_id",),
     },
     "lineitem": {
         "keys": ["l_returnflag", "l_linestatus"],
         "nums": ["l_quantity", "l_extendedprice", "l_discount"],
         "ints": ["l_orderkey", "l_linenumber"],
+        # the synthetic lineitem has NO unique key — (l_orderkey,
+        # l_linenumber) repeats (verified: 60k rows, 45.8k distinct pairs),
+        # so no total window order exists and lineitem is excluded from
+        # window specs (uid None); the fuzzer found this itself via a
+        # cross-engine rank divergence
+        "uid": None,
     },
 }
 
@@ -68,6 +76,91 @@ class Spec:
         a = ", ".join(f"{fn}({c})" for fn, c in self.aggs)
         j = f" JOIN {JOINS[self.table][0]}" if self.join else ""
         return f"{self.table}{j} WHERE {f} GROUP BY {list(self.keys)} AGG {a}"
+
+
+@dataclass(frozen=True)
+class WindowSpec:
+    """scan → filter → window (row_number + lag + running sum) → top-N rows
+    per partition. Order is tie-broken on the unique id column so ranks are
+    deterministic on both engines."""
+
+    table: str
+    filters: tuple[tuple[str, str, float], ...]
+    part_key: str
+    order_col: tuple[str, ...]  # unique key — total order
+    measure: str
+    top_n: int
+
+    def describe(self) -> str:
+        f = " AND ".join(f"{c} {o} {v}" for c, o, v in self.filters) or "TRUE"
+        return (
+            f"{self.table} WHERE {f} WINDOW part={self.part_key} "
+            f"order={self.order_col} measure={self.measure} top{self.top_n}"
+        )
+
+
+def gen_window_spec(rng: random.Random) -> WindowSpec:
+    table = rng.choice([t for t in TABLE_COLS if TABLE_COLS[t]["uid"]])
+    cols = TABLE_COLS[table]
+    filters = tuple(
+        (rng.choice(cols["nums"] + cols["ints"]), rng.choice(OPS), rng.choice([1, 10, 100, 1000]))
+        for _ in range(rng.randint(0, 1))
+    )
+    return WindowSpec(
+        table,
+        filters,
+        part_key=rng.choice(cols["keys"]),
+        order_col=cols["uid"],
+        measure=rng.choice(cols["nums"]),
+        top_n=rng.choice([1, 3, 7]),
+    )
+
+
+def build_window_spark(spec: WindowSpec, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from parquet_storage_query_spark.catalog import load
+
+    df = load(spark, sf_dir, spec.table)
+    for c, op, v in spec.filters:
+        col = F.col(c)
+        cond = {
+            "<": col < v, "<=": col <= v, ">": col > v,
+            ">=": col >= v, "=": col == v, "<>": col != v,
+        }[op]
+        df = df.filter(cond)
+    w = W.partitionBy(spec.part_key).orderBy(*spec.order_col)
+    d = F.col(spec.measure).cast("double")
+    return (
+        df.select(
+            spec.part_key,
+            F.col(spec.order_col[0]).alias("oid"),
+            F.row_number().over(w).alias("rn"),
+            F.round(F.lag(d).over(w), 4).alias("prev_m"),
+            F.round(
+                F.sum(d).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+            ).alias("running_m"),
+        )
+        .filter(F.col("rn") <= spec.top_n)
+    )
+
+
+def build_window_sql(spec: WindowSpec) -> str:
+    where = " AND ".join(f"{c} {op} {v}" for c, op, v in spec.filters)
+    d = f"CAST({spec.measure} AS DOUBLE)"
+    order = ", ".join(spec.order_col)
+    inner = (
+        f"SELECT {spec.part_key}, {spec.order_col[0]} AS oid, "
+        f"row_number() OVER w AS rn, "
+        f"round(lag({d}) OVER w, 4) AS prev_m, "
+        f"round(sum({d}) OVER (PARTITION BY {spec.part_key} ORDER BY {order} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_m "
+        f"FROM {spec.table}"
+    )
+    if where:
+        inner += f" WHERE {where}"
+    inner += f" WINDOW w AS (PARTITION BY {spec.part_key} ORDER BY {order})"
+    return f"SELECT * FROM ({inner}) WHERE rn <= {spec.top_n}"
 
 
 def gen_spec(rng: random.Random) -> Spec:
@@ -170,18 +263,24 @@ def run_fuzz(spark: SparkSession, sf_dir: str, n_specs: int, seed: int) -> list[
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )
     rng = random.Random(seed)
-    mismatches: list[Spec] = []
+    mismatches: list[Spec | WindowSpec] = []
     for i in range(n_specs):
-        spec = gen_spec(rng)
-        sdf = build_spark(spec, spark, sf_dir)
+        if rng.random() < 0.25:
+            spec: Spec | WindowSpec = gen_window_spec(rng)
+            sdf = build_window_spark(spec, spark, sf_dir)
+            sql = build_window_sql(spec)
+        else:
+            spec = gen_spec(rng)
+            sdf = build_spark(spec, spark, sf_dir)
+            sql = build_sql(spec)
         srows = [tuple(r) for r in sdf.collect()]
-        cur = con.execute(build_sql(spec))
+        cur = con.execute(sql)
         ocols = [d[0] for d in cur.description]
         orows = cur.fetchall()
         ok = result_fingerprint(sdf.columns, srows) == result_fingerprint(ocols, orows)
         if not ok:
             mismatches.append(spec)
-            print(f"MISMATCH [{i}]: {spec.describe()}\n  sql: {build_sql(spec)}")
+            print(f"MISMATCH [{i}]: {spec.describe()}\n  sql: {sql}")
     return mismatches
 
 
