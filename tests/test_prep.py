@@ -174,8 +174,6 @@ def test_orc_roundtrip(spark, tmp_path):
     # parquet → orc → read back
     orc2 = str(tmp_path / "ev_orc2")
     df = spark.read.parquet(orc)
-    from pyspark.sql import types as T
-
     prep.convert(spark, orc, orc2, df.schema, src_format="parquet", dest_format="orc")
     back = spark.read.schema(df.schema).orc(orc2)
     assert back.count() == ev.count()
