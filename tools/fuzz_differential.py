@@ -70,12 +70,14 @@ class Spec:
     keys: tuple[str, ...]
     aggs: tuple[tuple[str, str], ...]  # (fn, col)
     join: bool = False  # equi-join the table's dim and group on its attr too
+    having: int | None = None  # post-agg filter: count(*) > having
 
     def describe(self) -> str:
         f = " AND ".join(f"{c} {o} {v}" for c, o, v in self.filters) or "TRUE"
         a = ", ".join(f"{fn}({c})" for fn, c in self.aggs)
         j = f" JOIN {JOINS[self.table][0]}" if self.join else ""
-        return f"{self.table}{j} WHERE {f} GROUP BY {list(self.keys)} AGG {a}"
+        h = f" HAVING n>{self.having}" if self.having is not None else ""
+        return f"{self.table}{j} WHERE {f} GROUP BY {list(self.keys)} AGG {a}{h}"
 
 
 @dataclass(frozen=True)
@@ -163,6 +165,58 @@ def build_window_sql(spec: WindowSpec) -> str:
     return f"SELECT * FROM ({inner}) WHERE rn <= {spec.top_n}"
 
 
+@dataclass(frozen=True)
+class SetOpSpec:
+    """(filtered key set) UNION/INTERSECT/EXCEPT (filtered key set) over the
+    same table — distinct set semantics on both engines."""
+
+    table: str
+    key: str
+    op: str  # union | intersect | except
+    lit_a: float
+    lit_b: float
+    filter_col: str
+
+    def describe(self) -> str:
+        return (
+            f"{self.table}.{self.key}: ({self.filter_col} > {self.lit_a}) "
+            f"{self.op} ({self.filter_col} < {self.lit_b})"
+        )
+
+
+def gen_setop_spec(rng: random.Random) -> SetOpSpec:
+    table = rng.choice(list(TABLE_COLS))
+    cols = TABLE_COLS[table]
+    return SetOpSpec(
+        table,
+        key=rng.choice(cols["keys"] + cols["ints"]),
+        op=rng.choice(["union", "intersect", "except"]),
+        lit_a=rng.choice([1, 10, 100, 1000]),
+        lit_b=rng.choice([50, 500, 5000, 100000]),
+        filter_col=rng.choice(cols["nums"]),
+    )
+
+
+def build_setop_spark(spec: SetOpSpec, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_storage_query_spark.catalog import load
+
+    df = load(spark, sf_dir, spec.table)
+    a = df.filter(F.col(spec.filter_col) > spec.lit_a).select(spec.key)
+    b = df.filter(F.col(spec.filter_col) < spec.lit_b).select(spec.key)
+    if spec.op == "union":
+        return a.union(b).distinct()
+    if spec.op == "intersect":
+        return a.intersect(b)
+    return a.subtract(b)  # EXCEPT DISTINCT, matching SQL EXCEPT
+
+
+def build_setop_sql(spec: SetOpSpec) -> str:
+    a = f"SELECT {spec.key} FROM {spec.table} WHERE {spec.filter_col} > {spec.lit_a}"
+    b = f"SELECT {spec.key} FROM {spec.table} WHERE {spec.filter_col} < {spec.lit_b}"
+    op = {"union": "UNION", "intersect": "INTERSECT", "except": "EXCEPT"}[spec.op]
+    return f"({a}) {op} ({b})"
+
+
 def gen_spec(rng: random.Random) -> Spec:
     table = rng.choice(list(TABLE_COLS))
     cols = TABLE_COLS[table]
@@ -180,7 +234,8 @@ def gen_spec(rng: random.Random) -> Spec:
     join = table in JOINS and rng.random() < 0.4
     if join:
         keys = keys + (JOINS[table][3],)
-    return Spec(table, filters, keys, tuple(dict.fromkeys(aggs)), join)
+    having = rng.randint(0, 50) if (keys and rng.random() < 0.3) else None
+    return Spec(table, filters, keys, tuple(dict.fromkeys(aggs)), join, having)
 
 
 def build_spark(spec: Spec, spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,7 +274,10 @@ def build_spark(spec: Spec, spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             exprs.append(F.round(F.avg(d), 4).alias(alias))
     grouped = df.groupBy(*spec.keys) if spec.keys else df.groupBy()
-    return grouped.agg(*exprs)
+    out = grouped.agg(*exprs, F.count(F.lit(1)).alias("_n")) if spec.having is not None else grouped.agg(*exprs)
+    if spec.having is not None:
+        out = out.filter(F.col("_n") > spec.having).drop("_n")
+    return out
 
 
 def build_sql(spec: Spec) -> str:
@@ -248,6 +306,8 @@ def build_sql(spec: Spec) -> str:
         q += f" WHERE {where}"
     if spec.keys:
         q += " GROUP BY " + ", ".join(spec.keys)
+        if spec.having is not None:
+            q += f" HAVING count(*) > {spec.having}"
     return q
 
 
@@ -265,10 +325,15 @@ def run_fuzz(spark: SparkSession, sf_dir: str, n_specs: int, seed: int) -> list[
     rng = random.Random(seed)
     mismatches: list[Spec | WindowSpec] = []
     for i in range(n_specs):
-        if rng.random() < 0.25:
-            spec: Spec | WindowSpec = gen_window_spec(rng)
+        roll = rng.random()
+        if roll < 0.2:
+            spec: Spec | WindowSpec | SetOpSpec = gen_window_spec(rng)
             sdf = build_window_spark(spec, spark, sf_dir)
             sql = build_window_sql(spec)
+        elif roll < 0.35:
+            spec = gen_setop_spec(rng)
+            sdf = build_setop_spark(spec, spark, sf_dir)
+            sql = build_setop_sql(spec)
         else:
             spec = gen_spec(rng)
             sdf = build_spark(spec, spark, sf_dir)
