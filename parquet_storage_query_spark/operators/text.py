@@ -274,3 +274,85 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_subtokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
     )
+
+
+# Deliberately innocuous stand-in blocklist: the real deployment loads its
+# term lists from config; the dataflow (multi-term scan, per-term counts,
+# verdict) is what this operator pins down.
+BLOCKLIST: tuple[str, ...] = ("slow", "broken", "error")
+
+
+@query(
+    "text_content_filter",
+    oracle=f"""
+    SELECT doc_id,
+           {" + ".join(f"len(list_filter(string_split(trim(text), ' '), w -> w = '{t}'))"
+                       for t in BLOCKLIST)} AS n_blocked_terms,
+           {" + ".join(f"CAST(len(list_filter(string_split(trim(text), ' '), w -> w = '{t}')) > 0 AS INTEGER)"
+                       for t in BLOCKLIST)} AS n_distinct_terms,
+           ({" + ".join(f"len(list_filter(string_split(trim(text), ' '), w -> w = '{t}'))"
+                        for t in BLOCKLIST)}) * 1.0
+               / len(string_split(trim(text), ' ')) < 0.05 AS passes_filter
+    FROM documents
+    """,
+)
+def text_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist content filter — the safety/quality gate every pretraining
+    corpus passes through: count blocklisted-term hits per document (total
+    and distinct terms) and emit a keep/drop verdict on the hit ratio.
+    Pure JVM array expressions, map-side, embarrassingly parallel; the
+    production version swaps the inline list for a broadcast term table
+    (the text_ngram_lm_score model-join shape) when the list is large."""
+    df = load(spark, sf_dir, "documents")
+    w = words_col()
+
+    # helper scope per term: a `lambda t, term=term:` default-arg closure
+    # has ARITY 2, which pyspark interprets as an (element, index) lambda —
+    # the "term" parameter silently binds to the index column
+    def term_hits(term: str) -> Column:
+        return F.size(F.filter(w, lambda t: t == term))
+
+    hits = [term_hits(term) for term in BLOCKLIST]
+    total = sum(hits[1:], hits[0])
+    distinct = sum(((h > 0).cast("int") for h in hits[1:]), (hits[0] > 0).cast("int"))
+    return df.select(
+        "doc_id",
+        total.alias("n_blocked_terms"),
+        distinct.alias("n_distinct_terms"),
+        (total * F.lit(1.0) / F.size(w) < 0.05).alias("passes_filter"),
+    )
+
+
+@query(
+    "text_dataset_card",
+    oracle="""
+    SELECT count(*)                                        AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT)        AS n_unique_docs,
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT)                     AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT)             AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT)           AS n_sources,
+           round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 4)
+               AS dup_rate
+    FROM documents
+    """,
+)
+def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: corpus size, exact-duplicate rate, token and
+    char volume, language and source cardinality — the summary block of a
+    dataset datasheet, in ONE pass (single partial/final aggregate; the
+    distinct counts ride the same shuffle). At 100 TB swap the exact
+    distinct-of-md5 for approx_count_distinct / hll_sketch_agg
+    (agg_hll_sketch) and the number is a sketch merge instead."""
+    df = load(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text").cast("binary"))
+    n_unique = F.count_distinct(digest)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_unique.alias("n_unique_docs"),
+        F.sum(F.size(words_col())).cast("long").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.round(1.0 - n_unique.cast("double") / F.count(F.lit(1)), 4).alias("dup_rate"),
+    )

@@ -84,7 +84,7 @@ _PRIORITY = [
     "profile_freq_values", "profile_data_quality", "prep_table_stats",
     "sim_kmeans_train",
     "scalar_arrays", "scalar_maps", "scalar_json", "scalar_null_semantics",
-    "profile_histogram", "agg_windowed_hll",
+    "profile_histogram", "agg_windowed_hll", "text_content_filter", "text_dataset_card",
     # -- one representative per already-green family --
     "ref_total_count", "q1_pricing_summary", "q3_shipping_priority",
     "text_token_stats", "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
