@@ -302,7 +302,6 @@ def test_kmeans_fixpoint_invariants(spark):
     mean-distance ordering (each point's own cluster centroid is its
     nearest — checked on a sample driver-side)."""
     from parquet_storage_query_spark.catalog import load
-    from parquet_storage_query_spark.functions.vectors import as_double
     from parquet_storage_query_spark.operators.similarity import (
         K_CLUSTERS,
         sim_kmeans_train,
