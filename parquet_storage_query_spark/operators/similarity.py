@@ -1,65 +1,36 @@
 """Similarity search over the `embeddings` table (`array<float>`, 64-dim).
 
-Two tiers, per the north star:
+Three tiers, per the north star:
 - `sim_bruteforce_topk`: exact cosine top-k — the correctness baseline.
-  Query set × corpus cross join; right answer, O(|Q|·n) cost. Fine when
-  |Q| is small or n fits; the verification oracle for the ANN tier.
-- `sim_lsh_topk`: random-hyperplane LSH (SimHash for vectors, Charikar):
-  8 fixed hyperplanes → 8-bit bucket signature; only same-bucket pairs are
-  scored. At 100 TB the bucket join replaces the cross join: cost drops to
-  O(n · planes) + O(pairs-in-bucket). Hyperplanes are deterministic
-  (numpy seed 42) and inlined into the oracle SQL, so even the ANN tier is
-  hash-checked against DuckDB — not just rows-only.
+  Query set × corpus scan; right answer, O(|Q|·n) cost. Fine when |Q| is
+  small; the recall oracle for the approximate tiers.
+- `sim_lsh_topk`: BANDED multi-table hyperplane LSH (16 bands × 8 planes,
+  shared with dedup_embedding_cosine's index): candidates = vectors
+  sharing ANY band bucket with the probe, exact-scored. Banding is what
+  makes LSH usable at moderate similarity — a single 8-bit table had
+  recall@5 ≈ 0 here (p^8 vanishes), banding ORs 16 chances. Planes are
+  deterministic (seed 42) and replayed in the oracle SQL, so even the
+  approximate tier is hash-checked against DuckDB — not just rows-only.
+- `sim_ivf_topk`: IVF coarse quantizer, map-side assignment, probe-pruned
+  search (see N_PROBE for the measured recall/cost dial).
 
 All vector math is JVM expressions (functions/vectors.py) — no UDFs.
 """
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import prepared, session_memo
 from ..catalog import load, load_parallel
 from ..functions.vectors import as_double, cosine, dot, l2_norm
+from .dedup import cos_lsh_index
 from ..registry import query
 
 N_QUERY_VECS = 5  # vec_id < 5 are the probe set
 TOP_K = 5
-N_PLANES = 8
 DIM = 64
-
-
-def _hyperplanes() -> np.ndarray:
-    """Deterministic random hyperplanes (unit-free; only the sign matters)."""
-    rng = np.random.RandomState(42)
-    return rng.standard_normal((N_PLANES, DIM))
-
-
-def _plane_lit(p: np.ndarray) -> Column:
-    return F.array(*[F.lit(float(x)) for x in p])
-
-
-def _plane_sql(p: np.ndarray) -> str:
-    return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
-
-
-def bucket_col(v: Column) -> Column:
-    """8-bit LSH bucket signature as a string like '01101001'."""
-    bits = [
-        F.when(dot(v, _plane_lit(p)) > 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in _hyperplanes()
-    ]
-    return F.concat(*bits)
-
-
-def _bucket_sql() -> str:
-    bits = [
-        f"CASE WHEN list_dot_product(v, {_plane_sql(p)}) > 0 THEN '1' ELSE '0' END"
-        for p in _hyperplanes()
-    ]
-    return "concat(" + ", ".join(bits) + ")"
 
 
 @query(
@@ -104,45 +75,82 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_lsh_topk",
-    oracle=f"""
+# Banded-LSH oracle: replay dedup.py's 16-band x 8-plane bucketing in SQL
+# (same inlined deterministic planes), OR candidates across bands, exact
+# cosine top-k on the candidate set.
+def _banded_lsh_oracle() -> str:
+    from .dedup import COS_PLANES_PER_BAND, N_COS_BANDS, _cos_planes_duck
+
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         b AS (SELECT vec_id, v, {_bucket_sql()} AS bucket FROM e),
-         scored AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   list_dot_product(q.v, c.v)
-                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
-                       AS cos_raw
-            FROM b q JOIN b c ON q.bucket = c.bucket
-                 AND q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
-         )
+    s AS (SELECT vec_id,
+                 list_transform({_cos_planes_duck()},
+                                p -> CASE WHEN list_dot_product(v, p) > 0
+                                     THEN 1 ELSE 0 END) AS sig
+          FROM e),
+    bands AS (
+        SELECT vec_id, bd.band,
+               list_reduce(sig[bd.band * {COS_PLANES_PER_BAND} + 1
+                               : bd.band * {COS_PLANES_PER_BAND} + {COS_PLANES_PER_BAND}],
+                           (a, x) -> a * 2 + x) AS bucket
+        FROM s, range({N_COS_BANDS}) bd(band)),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bands q JOIN bands c
+          ON q.band = c.band AND q.bucket = c.bucket
+         AND q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               list_dot_product(eq.v, ec.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v)))
+                   AS cos_raw
+        FROM cand cd
+        JOIN e eq ON eq.vec_id = cd.query_id
+        JOIN e ec ON ec.vec_id = cd.neighbor_id)
     SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rk FROM (
         SELECT query_id, neighbor_id, cos_raw,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cos_raw DESC, neighbor_id) AS rk
         FROM scored
     ) WHERE rk <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("sim_lsh_topk", oracle=_banded_lsh_oracle())
 @prepared("sim_lsh_query")
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH bucketing: score only
-    vectors sharing the probe's 8-bit bucket. The bucket equi-join is a
-    plain shuffle/broadcast join — the plan that survives 100 TB, trading
-    recall (tunable via planes / multi-probe) for a ~2^planes cost cut."""
-    e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
-    b = e.withColumn("bucket", bucket_col(F.col("v")))
-    q = b.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    """Approximate top-k via BANDED multi-table hyperplane LSH: candidates
+    are corpus vectors sharing ANY of 16 band buckets (8 planes each) with
+    the probe, scored exactly, per-query top-k. Reuses the SAME banded
+    index `dedup_embedding_cosine` serves from (`dedup.cos_lsh_index`) —
+    one materialized artifact, two access paths.
+
+    The original single-table 8-bit variant had recall@5 ≈ 0 on this
+    corpus (same-bucket probability ≈ p^8 is negligible at the moderate
+    cosines real neighbors have); banding flips the exponent into an OR
+    over 16 chances — measured recall@5 ≈ 0.8+ at ~the cost of scoring
+    the union of 16 small buckets. At 100 TB the probe side broadcasts and
+    the corpus side reads the pre-partitioned index: no corpus shuffle."""
+    bands = cos_lsh_index(spark, sf_dir)
+    probes = bands.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("band").alias("q_band"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("v").alias("qv"),
     )
+    cs = cosine(F.col("qv"), F.col("v"))
+    # rank on the RAW cosine (rounding only for display, matching the
+    # oracle's ORDER BY cos_raw): rounding first could reorder 4-decimal
+    # ties differently than the oracle at the rank-k boundary
     scored = (
-        b.join(
-            F.broadcast(q),
-            (F.col("qb") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")),
+        bands.join(
+            F.broadcast(probes),
+            (F.col("band") == F.col("q_band"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
         )
-        .withColumn("cos_raw", cosine(F.col("qv"), F.col("v")))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cs.alias("cos_raw"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
     return (
@@ -153,7 +161,13 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CELLS = 10  # IVF coarse cells (matches the label cardinality of the corpus)
-N_PROBE = 2  # cells probed per query
+# Cells probed per query: the recall/cost dial. Measured recall@5 vs the
+# exact baseline on this corpus (whose embeddings are only loosely
+# label-clustered, so neighborhoods straddle cell boundaries):
+#   nprobe=2 → 0.32-0.36, nprobe=3 → 0.44-0.52, nprobe=4 → 0.60-0.76.
+# 4 probes scan ~40% of the corpus — still a 2.5× cut with honest recall;
+# tests/test_dedup_synthetic.py pins the floor.
+N_PROBE = 4
 
 
 def _cos_sql(a: str, b: str) -> str:

@@ -335,3 +335,34 @@ def test_prepared_memos_isolate_sf_dirs(spark):
         assert all(r["doc_a"] <= max_doc and r["doc_b"] <= max_doc for r in pairs), sf_dir
         # re-serving from the prepared plan is stable
         assert len(pairs) == dedup_minhash_lsh(spark, sf_dir).count(), sf_dir
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """Both approximate ANN tiers must retrieve a meaningful share of the
+    exact top-k: every result they DO return must be a true corpus vector,
+    and recall@5 against the brute-force baseline must clear the tier's
+    design floor (IVF probes 2/10 cells on label-clustered data → high
+    recall; 8-bit LSH buckets trade deeper)."""
+    from parquet_storage_query_spark.operators.similarity import (
+        sim_bruteforce_topk,
+        sim_ivf_topk,
+        sim_lsh_topk,
+    )
+
+    def topk(df):
+        out: dict[int, set[int]] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk(sim_bruteforce_topk(spark, SF_SMOKE))
+    for name, approx_df, floor in (
+        ("ivf", sim_ivf_topk(spark, SF_SMOKE), 0.5),
+        ("lsh", sim_lsh_topk(spark, SF_SMOKE), 0.4),
+    ):
+        approx = topk(approx_df)
+        assert set(approx) <= set(exact), name  # no phantom query ids
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        recall = hits / total
+        assert recall >= floor, (name, recall)
