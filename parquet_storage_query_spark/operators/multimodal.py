@@ -194,13 +194,12 @@ EMBED_DIM = 8  # fake embedder output width
 
 @query(
     "mm_embed_batch",
-    oracle=f"""
-    SELECT doc_id,
-           list_transform(range(0, {EMBED_DIM}),
-                          i -> (CAST(('0x' || substr(md5(text), CAST(i * 4 + 1 AS INTEGER), 4))
-                                     AS BIGINT) % 1000) / 1000.0) AS embedding
-    FROM documents
-    """,
+    oracle="SELECT doc_id, "
+    + ", ".join(
+        f"(CAST(('0x' || substr(md5(text), {4 * i + 1}, 4)) AS BIGINT) % 1000) / 1000.0 AS e{i}"
+        for i in range(EMBED_DIM)
+    )
+    + " FROM documents",
 )
 def mm_embed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch model inference plumbing — the workhorse multimodal pipeline
@@ -215,7 +214,13 @@ def mm_embed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is GPU-batch shaped: each Arrow batch (bounded by
     `spark.sql.execution.arrow.maxRecordsPerBatch`) is one inference
     batch; partition count should match the accelerator pool, and the
-    output column feeds sim_*/dedup_embedding_* directly."""
+    output column feeds sim_*/dedup_embedding_* directly.
+
+    The mapInPandas stage emits the real `array<double>` column (what a
+    downstream consumer joins on); the registered query then projects the
+    coordinates to scalar columns e0..e{EMBED_DIM-1} because the driver's
+    differential gate canonicalizes results through pandas sort/hash,
+    which cannot order list cells."""
     df = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -232,7 +237,11 @@ def mm_embed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
 
-    return df.mapInPandas(embed, schema="doc_id long, embedding array<double>")
+    embedded = df.mapInPandas(embed, schema="doc_id long, embedding array<double>")
+    return embedded.select(
+        "doc_id",
+        *[F.col("embedding")[i].alias(f"e{i}") for i in range(EMBED_DIM)],
+    )
 
 
 @query("prep_table_stats", oracle=None)  # file paths are env-shaped; DuckDB twin in pytest
