@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import prepared
 from ..catalog import load, load_parallel
 from ..registry import query
 from .text import LEXICONS, _hits, _sql_hits, words_col
@@ -129,20 +130,48 @@ def train_seq_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE pos <= 100
     """,
 )
+@prepared("train_interleave_query")
 def train_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus interleave: a global order by content hash mixes
     the 20 sources uniformly (no run of same-source documents reaches the
     trainer), reproducibly — the shuffle-once step before sharding. The
-    top-100 preview keeps the checked result small; the full order is the
-    same expression without the limit (a total sort = range exchange at
-    scale, the one shuffle this op owns)."""
+    top-100 preview keeps the checked result small.
+
+    Global position WITHOUT a global window (rounds 1-3 planned an
+    unpartitioned row_number() — a single-partition WindowExec that drags
+    the whole corpus through ONE task; Spark itself warns `WindowExec: No
+    Partition Defined`): range-partition the slim (doc_id, source, hash)
+    projection on the interleave key, pin the partition assignment with an
+    eager checkpoint, collect the per-partition COUNTS (one row per
+    partition — model-sized at any corpus size), and compute
+    pos = partition_offset + row_number() over a window PARTITIONED by the
+    pinned partition id. Every stage is distributed; the only driver-side
+    data is the partition-count vector. RangePartitioner guarantees
+    partition i's key range precedes partition i+1's, so offset+local-rank
+    reproduces the exact global rank the oracle's row_number() computes."""
     h = F.md5(
         F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string")).cast("binary")
     )
-    w = W.orderBy(h, "doc_id")
+    slim = load(spark, sf_dir, "documents").select("doc_id", "source", h.alias("h"))
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    ranged = (
+        slim.repartitionByRange(n_parts, "h", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(*[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])])
+    wl = W.partitionBy("_pid").orderBy("h", "doc_id")
+    pos = (off[F.col("_pid")] + F.row_number().over(wl)).cast("int")
     return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "source", F.row_number().over(w).alias("pos"))
+        ranged.withColumn("pos", pos)
         .filter(F.col("pos") <= 100)
         .select("pos", "doc_id", "source")
     )
