@@ -44,16 +44,55 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Driver-facing iteration order. Round 1's driver sampled exactly the FIRST
-# 50 registry entries (CORRECTNESS_r01 = registration order, cut at 50), so
-# iteration order decides which queries get a hard driver-side row. Priority:
-# (1) every family the r1 driver never sampled — joins, sorts, setops,
-# windows, scalars, sim_*, streaming; (2) r1's one red row and one vacuous
-# row, re-checked; (3) queries new in r2; (4) representatives of every
-# already-green family; (5) everything else. Names not yet registered are
-# skipped, so entries can be listed ahead of their implementation landing.
+# Driver-facing iteration order. The driver samples the FIRST ~50 registry
+# entries each round, so iteration order decides which queries get a hard
+# driver-side CORRECTNESS row. ROTATED each round: least-recently-driver-
+# checked first (VERDICT r3 'Next round' #2 — 67 of 117 queries had no row
+# newer than r01). Round 4 order: (1) the whole ref_* family (the
+# reference's own A1-A7 surface, unsampled since r01); (2) queries new in
+# round 4; (3) every other query with no r03 row, family-grouped; (4) the
+# 50 queries CORRECTNESS_r03 already covers, demoted to the tail. Names
+# not yet registered are skipped, so entries can be listed ahead of their
+# implementation landing.
 _PRIORITY = [
-    # -- families with no r1 driver row --
+    # -- the reference's own surface (A1-A7 + per-file partials), no driver
+    #    row since r01 --
+    "ref_total_count", "ref_time_filter_count", "ref_filter_count",
+    "ref_min_max", "ref_max_by", "ref_point_filter", "ref_distinct",
+    "ref_per_file_counts",
+    # -- new in round 4 --
+    "text_contamination_check", "dedup_substring_runs", "dedup_incremental",
+    # -- unsampled in r03: dedup family --
+    "dedup_exact", "dedup_exact_keep_first", "dedup_minhash_lsh",
+    "dedup_clusters", "dedup_ngram_jaccard", "dedup_simhash",
+    # -- unsampled: multimodal --
+    "mm_binary_meta", "mm_feature_extract", "mm_frame_sample", "mm_resize",
+    # -- unsampled: training prep --
+    "train_split_hash", "train_stratified_sample", "train_seq_pack_plan",
+    "train_interleave", "train_pii_redact",
+    # -- unsampled: text analysis --
+    "text_token_stats", "text_quality_score", "text_lang_id",
+    "text_fingerprint", "text_corpus_rollup", "text_bpe_tokens",
+    "text_content_filter", "text_dataset_card",
+    # -- unsampled: TPC-H-shaped headliners + joins + windows --
+    "q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
+    "join_asof", "join_salted_skew",
+    "window_percent_rank", "window_range_frame",
+    # -- unsampled: scalar families --
+    "scalar_math_case", "scalar_arrays", "scalar_maps", "scalar_json",
+    "scalar_null_semantics",
+    # -- unsampled: aggregate families --
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_count_distinct",
+    "agg_percentiles", "agg_arg_max", "agg_collect_sorted", "agg_having",
+    "agg_multi_key_stats", "agg_skew_distinct", "agg_approx_distinct",
+    "agg_windowed_hll",
+    # -- unsampled: subqueries / reshaping / profiling / models --
+    "subq_scalar", "subq_in", "subq_correlated",
+    "explode_top_tokens", "unpivot_price_metrics", "sample_hash_bucket",
+    "rollup_time_hierarchy",
+    "profile_freq_values", "profile_data_quality", "profile_histogram",
+    "prep_table_stats", "sim_kmeans_train",
+    # -- r03-sampled (all green there), demoted to the tail this round --
     "join_star_revenue", "join_left_outer", "join_full_outer", "join_semi",
     "join_anti", "join_cross", "join_range",
     "topk_orders", "sort_multi_col",
@@ -65,9 +104,7 @@ _PRIORITY = [
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_label_centroid", "sim_ivf_topk",
     "stream_tumbling_counts", "stream_sliding_counts", "stream_session_windows",
     "stream_interval_join", "stream_user_stats",
-    # -- r1 red (hash fail) and vacuous (0-row) driver rows, fixed in r2 --
     "prep_binpack_plan", "dedup_embedding_cosine",
-    # -- new in round 2 --
     "agg_approx_percentiles", "scalar_pandas_udf_norm", "grouped_pandas_udf_wavg",
     "timeseries_gapfill",
     "stream_time_filter_count", "stream_tumbling_append", "stream_dedup",
@@ -75,21 +112,6 @@ _PRIORITY = [
     "text_ngram_lm_score", "prep_upsert_snapshot", "agg_hll_sketch",
     "prep_zorder_layout", "pipeline_training_shard", "mm_embed_batch",
     "profile_numeric_stats",
-    # -- same-family siblings demoted to keep the 50-slot window tight --
-    # (training family's driver rep is pipeline_training_shard, which
-    # composes the split/quality/dedup stages)
-    "window_percent_rank", "scalar_math_case",
-    "train_split_hash", "train_stratified_sample", "train_seq_pack_plan",
-    "train_interleave", "train_pii_redact",
-    "profile_freq_values", "profile_data_quality", "prep_table_stats",
-    "sim_kmeans_train",
-    "scalar_arrays", "scalar_maps", "scalar_json", "scalar_null_semantics",
-    "profile_histogram", "agg_windowed_hll", "text_content_filter", "text_dataset_card",
-    # -- one representative per already-green family --
-    "ref_total_count", "q1_pricing_summary", "q3_shipping_priority",
-    "text_token_stats", "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
-    "mm_binary_meta", "subq_correlated", "agg_rollup", "join_asof",
-    "agg_percentiles",
 ]
 
 
