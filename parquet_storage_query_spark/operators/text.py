@@ -356,3 +356,94 @@ def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("source").alias("n_sources"),
         F.round(1.0 - n_unique.cast("double") / F.count(F.lit(1)), 4).alias("dup_rate"),
     )
+
+
+# --- benchmark contamination ---
+# Eval-set n-gram overlap (the check every training-data team runs before a
+# model ships: did benchmark passages leak into the training corpus?). The
+# canonical method — flag any training document sharing a ≥13-token n-gram
+# with the eval set (GPT-3 / PaLM / Llama decontamination reports all use
+# 8-13-gram overlap) — maps to the blocked-join shape dedup_ngram_jaccard
+# already uses: explode each side's distinct 13-grams, equi-join on the
+# gram. The eval side is SMALL by construction (benchmarks are thousands of
+# passages, the corpus is billions of docs), so it broadcasts and the
+# corpus side never shuffles for the join; the per-doc rollup shuffles
+# (doc_id, count) partials only.
+CONTAM_K = 13  # n-gram width
+CONTAM_EVAL_MOD = 7  # stand-in eval split: doc_id % 7 == 0 (deterministic,
+# SQL-replayable; a real deployment passes an actual benchmark table)
+
+
+def contamination_check(docs: DataFrame, eval_docs: DataFrame, k: int = CONTAM_K) -> DataFrame:
+    """Core contamination join over any (doc_id, text) pair of frames:
+    returns one row per CONTAMINATED training doc — (doc_id, n_grams,
+    n_overlap, overlap_frac, verdict) where verdict quarantines docs with
+    ≥50% of their distinct k-grams found in the eval set ('drop') and
+    flags the rest for human review ('review').
+
+    Scale shape: eval grams are distinct-ed then BROADCAST (benchmark
+    tables are tiny next to a 100 TB corpus); the corpus side is a
+    map-side explode of per-doc distinct k-grams followed by a broadcast
+    hash join and one (doc_id)-keyed partial-aggregated rollup. The corpus
+    text never shuffles — only (doc_id, gram-hit) pairs that actually
+    matched, which is bounded by |eval grams| × collision rate."""
+    from .dedup import shingles_col  # local import: dedup imports text at module level
+
+    base = docs.select(
+        "doc_id", F.array_distinct(shingles_col("text", k)).alias("gs")
+    )
+    eval_grams = (
+        eval_docs.select(F.explode(F.array_distinct(shingles_col("text", k))).alias("g"))
+        .distinct()
+    )
+    dg = base.select("doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("g"))
+    hits = (
+        dg.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.col("n_overlap").cast("double") / F.col("n_grams")
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_overlap",
+        F.round(frac, 4).alias("overlap_frac"),
+        F.when(frac >= 0.5, F.lit("drop")).otherwise(F.lit("review")).alias("verdict"),
+    )
+
+
+@query(
+    "text_contamination_check",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w
+                FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(w) >= {CONTAM_K}
+                      THEN list_distinct(list_transform(range(1, len(w) - {CONTAM_K - 2}),
+                                         i -> array_to_string(w[i:i+{CONTAM_K - 1}], ' ')))
+                      ELSE [t] END AS grams
+          FROM ws),
+    eg AS (SELECT DISTINCT unnest(grams) AS g FROM g
+           WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+    dg AS (SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams, unnest(grams) AS g
+           FROM g WHERE doc_id % {CONTAM_EVAL_MOD} <> 0)
+    SELECT doc_id, n_grams, count(*) AS n_overlap,
+           round(CAST(count(*) AS DOUBLE) / n_grams, 4) AS overlap_frac,
+           CASE WHEN CAST(count(*) AS DOUBLE) / n_grams >= 0.5
+                THEN 'drop' ELSE 'review' END AS verdict
+    FROM dg JOIN eg USING (g)
+    GROUP BY doc_id, n_grams
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check against a held-out eval split: every
+    corpus document sharing a 13-token n-gram with the eval set is
+    surfaced with its overlap count and a quarantine verdict. The eval
+    split here is the deterministic doc_id % 7 == 0 slice (so DuckDB
+    replays it exactly); production swaps in a real benchmark table — the
+    plan is identical because contamination_check() takes the eval frame
+    as an argument."""
+    docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    ev = docs.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+    return contamination_check(train, ev)

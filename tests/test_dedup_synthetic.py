@@ -366,3 +366,51 @@ def test_ann_recall_vs_bruteforce(spark):
         total = sum(len(v) for v in exact.values())
         recall = hits / total
         assert recall >= floor, (name, recall)
+
+
+# --- benchmark contamination (planted) ---
+
+
+def test_contamination_check_flags_planted_doc(spark):
+    """Plant a training doc that copies a 13-token run from an eval
+    passage; contamination_check must flag it (and only it)."""
+    from parquet_storage_query_spark.operators.text import contamination_check
+
+    eval_passage = (
+        "what is the capital of france the capital of france is paris "
+        "which has been the capital since the tenth century"
+    )
+    leaked = (
+        "some scraped web page text follows here "
+        "what is the capital of france the capital of france is paris which "
+        "and then the page continues with unrelated navigation links"
+    )  # copies a 13-token run ("what ... paris which") from the eval passage
+    clean = (
+        "an entirely unrelated training document about distributed query "
+        "engines partitioning strategies and columnar storage formats for "
+        "large scale analytical workloads"
+    )
+    eval_docs = spark.createDataFrame([(100, eval_passage)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, leaked), (2, clean)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in contamination_check(train, eval_docs).collect()}
+    assert 1 in out, "leaked doc not flagged"
+    assert 2 not in out, "clean doc falsely flagged"
+    assert out[1]["n_overlap"] >= 1
+    assert out[1]["verdict"] in ("drop", "review")
+
+
+def test_contamination_check_short_doc_exact_match(spark):
+    """Docs under 13 tokens fall back to whole-text grams: an exact copy
+    of a short eval passage must still be caught."""
+    from parquet_storage_query_spark.operators.text import contamination_check
+
+    short = "tiny eval passage of nine tokens exactly here now"
+    eval_docs = spark.createDataFrame([(200, short)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(10, short), (11, "a different short document entirely")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["overlap_frac"] for r in contamination_check(train, eval_docs).collect()}
+    assert got == {10: 1.0}
