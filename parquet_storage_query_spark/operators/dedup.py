@@ -565,3 +565,83 @@ def _build_cos_lsh_query(spark: SparkSession, sf_dir: str, e: DataFrame) -> Data
         .select("vec_a", "vec_b", F.round(cs, 4).alias("cos_sim"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
+
+
+# --- substring-level dedup (repeated-span removal) ---
+# Document-granular dedup misses the other half of real pretraining dedup:
+# boilerplate RUNS repeated across different documents (license headers,
+# navigation chrome, templated intros — the Lee et al. "Deduplicating
+# Training Data" finding that ~50-token repeated substrings dominate).
+SUBSTR_K = 13  # shingle width: a run must repeat >= this many tokens
+
+
+@query(
+    "dedup_substring_runs",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                  md5(array_to_string(w[i:i+{SUBSTR_K - 1}], ' ')) AS h
+           FROM ws, unnest(range(1, len(w) - {SUBSTR_K} + 2)) t(i)
+           WHERE len(w) >= {SUBSTR_K}),
+    rep AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+    hits AS (SELECT doc_id, pos FROM sh JOIN rep USING (h)),
+    runs AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             FROM hits)
+    SELECT doc_id,
+           min(pos)                              AS start_pos,
+           max(pos) + {SUBSTR_K} - 1             AS end_pos,
+           max(pos) - min(pos) + {SUBSTR_K}      AS run_tokens
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated substring spans: every maximal run of >=
+    SUBSTR_K consecutive tokens that also appears in at least one OTHER
+    document, reported per doc as (start_pos, end_pos, run_tokens) in
+    1-based token coordinates — the deletion list for boilerplate removal.
+
+    Shape (the posting-list idiom, never O(n²)):
+    1. map-side: posexplode each doc's 13-token shingles; digest each
+       shingle to md5 so the shuffle ships 32-byte keys, not 13-token
+       strings (same rule as dedup_exact);
+    2. posting list: groupBy digest, keep digests spanning >1 distinct
+       doc — partial-aggregated, cost O(total shingles);
+    3. join shingle occurrences back to the repeated set (digest-keyed
+       equi-join) — only repeated positions survive;
+    4. gaps-and-islands per doc: consecutive repeated shingle positions
+       collapse into maximal runs via a doc_id-PARTITIONED window (a
+       run of shingle positions [i..j] = token span [i..j+K-1]).
+    Every shuffle is keyed (digest or doc_id); nothing is global. At
+    100 TB swap md5 for xxhash64 (cheaper, loses the DuckDB replay)."""
+    return substring_runs(load_parallel(spark, sf_dir, "documents"))
+
+
+def substring_runs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Core repeated-span pipeline over any (doc_id, text) frame — see
+    dedup_substring_runs for the four-stage shape and scale notes."""
+    from pyspark.sql import Window as W
+
+    sh = (
+        docs.filter(F.size(words_col()) >= k)
+        .select("doc_id", F.posexplode(shingles_col("text", k)).alias("pos0", "g"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5(F.col("g").cast("binary")).alias("h"),
+        )
+    )
+    rep = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    hits = sh.join(rep, "h").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return runs.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("start_pos"),
+        (F.max("pos") + k - 1).alias("end_pos"),
+        (F.max("pos") - F.min("pos") + k).alias("run_tokens"),
+    ).drop("grp")

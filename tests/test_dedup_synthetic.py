@@ -414,3 +414,53 @@ def test_contamination_check_short_doc_exact_match(spark):
     )
     got = {r["doc_id"]: r["overlap_frac"] for r in contamination_check(train, eval_docs).collect()}
     assert got == {10: 1.0}
+
+
+# --- substring-level dedup (planted boilerplate) ---
+
+
+def test_substring_runs_finds_planted_boilerplate(spark):
+    """Plant a 15-token license header across 3 documents with different
+    surrounding text: substring_runs must report the shared span in each
+    doc at the right token coordinates, and must NOT flag the doc without
+    the boilerplate."""
+    from parquet_storage_query_spark.operators.dedup import substring_runs
+
+    license_hdr = (
+        "this file is licensed under the apache license version two "
+        "point zero see notice file"  # 15 tokens
+    )
+    d1 = license_hdr + " first document body about spark engines and storage layers"
+    d2 = "intro line here " + license_hdr + " second document body follows now"
+    d3 = license_hdr + " third body text entirely different from the others again"
+    clean = (
+        "completely original content with no shared boilerplate at all "
+        "spanning enough tokens to form shingles of width thirteen easily done"
+    )
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, clean)], "doc_id long, text string"
+    )
+    runs = {r["doc_id"]: r.asDict() for r in substring_runs(docs).collect()}
+    assert set(runs) == {1, 2, 3}, runs
+    # doc 1: header at tokens 1-15
+    assert runs[1]["start_pos"] == 1 and runs[1]["end_pos"] == 15
+    assert runs[1]["run_tokens"] == 15
+    # doc 2: header shifted by the 3-token intro -> tokens 4-18
+    assert runs[2]["start_pos"] == 4 and runs[2]["end_pos"] == 18
+    # doc 3: header at tokens 1-15
+    assert runs[3]["start_pos"] == 1 and runs[3]["end_pos"] == 15
+
+
+def test_substring_runs_within_doc_repeat_not_flagged(spark):
+    """A shingle repeated twice WITHIN one doc but in no other doc is not
+    cross-document boilerplate — the posting list counts distinct docs."""
+    from parquet_storage_query_spark.operators.dedup import substring_runs
+
+    chorus = "row row row your boat gently down the stream merrily merrily merrily merrily"
+    doubled = chorus + " " + chorus
+    other = (
+        "some other document about completely unrelated matters with "
+        "plenty of tokens to clear the thirteen token shingle minimum width"
+    )
+    docs = spark.createDataFrame([(1, doubled), (2, other)], "doc_id long, text string")
+    assert substring_runs(docs).count() == 0
