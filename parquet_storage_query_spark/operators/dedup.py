@@ -150,22 +150,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Signatures computed ONCE per (session, sf_dir): the band self-join and
-    # the two verify joins below would otherwise each recompute the whole
-    # shingle+hash pipeline. At cluster scale this is the "write signatures
-    # to a staging table" step; the eager localCheckpoint truncates the
-    # hash-pipeline lineage so the serving plan is a cached-RDD scan.
-    docs = (
-        load_parallel(spark, sf_dir, "documents")
-        .select("doc_id", shingles_col().alias("sh"))
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs, sig) for any (doc_id, text) frame: distinct hashed
+    shingles plus the 32-fold MinHash signature — the unit the persisted
+    signature index stores and every MinHash consumer computes from."""
+    return (
+        docs.select("doc_id", shingles_col().alias("sh"))
         .select("doc_id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
         .withColumn("sig", minhash_signature("hs"))
-        .localCheckpoint(eager=True)
     )
+
+
+def minhash_band_keys(sigs: DataFrame) -> DataFrame:
+    """Explode (doc_id, sig) into LSH band keys (doc_id, band, bhash) —
+    band keys only, so no signature arrays ride any downstream shuffle."""
     rows_per_band = N_MINHASH // N_BANDS
-    # band keys only (doc_id, band, bhash) — no arrays ride the shuffle
-    bands = docs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -182,6 +182,31 @@ def _build_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bhash")
 
+
+def _jaccard_verified(cand: DataFrame, hs_a: DataFrame, hs_b: DataFrame) -> DataFrame:
+    """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs against the
+    hashed shingle sets: int64 sets carry the same value as string sets
+    modulo negligible hash collisions, far cheaper to ship. Threshold on
+    the RAW value (rounding is display-only), same boundary semantics as
+    dedup_ngram_jaccard / dedup_embedding_cosine."""
+    pairs = cand.join(hs_a, "doc_a").join(hs_b, "doc_b")
+    jac = F.size(F.array_intersect("hs_a", "hs_b")).cast("double") / F.size(
+        F.array_union("hs_a", "hs_b")
+    )
+    return pairs.filter(jac >= 0.5).select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+
+
+def _build_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Signatures computed ONCE per (session, sf_dir): the band self-join and
+    # the two verify joins below would otherwise each recompute the whole
+    # shingle+hash pipeline. At cluster scale this is the "write signatures
+    # to a staging table" step; the eager localCheckpoint truncates the
+    # hash-pipeline lineage so the serving plan is a cached-RDD scan.
+    docs = minhash_signatures(load_parallel(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+    bands = minhash_band_keys(docs)
+
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -194,20 +219,10 @@ def _build_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # exact Jaccard verify over hashed shingle sets (int64s — same value as
-    # string sets modulo negligible hash collisions, far cheaper to ship)
-    pairs = (
-        cand.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a")
-        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b")
-    )
-    jac = F.size(F.array_intersect("hs_a", "hs_b")).cast("double") / F.size(
-        F.array_union("hs_a", "hs_b")
-    )
-    # threshold on the RAW value (rounding is display-only), same boundary
-    # semantics as dedup_ngram_jaccard / dedup_embedding_cosine
-    return (
-        pairs.filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    return _jaccard_verified(
+        cand,
+        docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+        docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
     )
 
 
@@ -645,3 +660,95 @@ def substring_runs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         (F.max("pos") + k - 1).alias("end_pos"),
         (F.max("pos") - F.min("pos") + k).alias("run_tokens"),
     ).drop("grp")
+
+
+# --- incremental cross-shard dedup (standing signature index) ---
+# Production dedup is INCREMENTAL: every new crawl shard is deduped against
+# the signature index of everything ingested so far, without recomputing
+# the historical signatures. The persisted parquet index IS the artifact
+# the in-memory checkpointed tables above stand in for.
+INCR_BATCH_MOD = 4  # stand-in arrival split: doc_id % 4 == 0 is the "new shard"
+
+
+def write_signature_index(docs: DataFrame, dest: str) -> None:
+    """Persist the MinHash signature/band index for a corpus as parquet:
+    `dest/signatures` = (doc_id, hs, sig), `dest/bands` = (doc_id, band,
+    bhash). Band keys are derived FROM the written signatures (one read
+    back) so the shingle+32-fold pipeline runs exactly once per corpus.
+    At 100 TB this is an append-only lakehouse table partitioned by
+    ingestion run; each shard's signatures are written once, ever."""
+    spark = docs.sparkSession
+    minhash_signatures(docs).write.mode("overwrite").parquet(f"{dest}/signatures")
+    sigs = spark.read.parquet(f"{dest}/signatures")
+    minhash_band_keys(sigs).write.mode("overwrite").parquet(f"{dest}/bands")
+
+
+def incremental_pairs(spark: SparkSession, new_docs: DataFrame, index_dir: str) -> DataFrame:
+    """Near-dup pairs for an incoming batch against a persisted signature
+    index, plus within-batch pairs — the full verdict an ingest step needs.
+    Returns (doc_a, doc_b, jaccard, origin) with origin 'index' (new doc
+    collides with an already-ingested doc) or 'batch' (two new docs).
+
+    Only the NEW batch is shingled; the historical side is two parquet
+    scans (bands for the candidate equi-join, signatures for the Jaccard
+    verify). Both joins are keyed on (band, bhash) / doc_id — the same
+    bounded-fan-in shape as the one-shot LSH, so incremental cost is
+    O(batch · sig + collisions), independent of index size."""
+    idx_sigs = spark.read.parquet(f"{index_dir}/signatures")
+    idx_bands = spark.read.parquet(f"{index_dir}/bands")
+    new_sigs = minhash_signatures(new_docs).localCheckpoint(eager=True)
+    new_bands = minhash_band_keys(new_sigs)
+
+    o, n = idx_bands.alias("o"), new_bands.alias("n")
+    cand_idx = (
+        o.join(
+            n,
+            (F.col("o.band") == F.col("n.band")) & (F.col("o.bhash") == F.col("n.bhash")),
+        )
+        .select(F.col("o.doc_id").alias("doc_a"), F.col("n.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    via_index = _jaccard_verified(
+        cand_idx,
+        idx_sigs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+        new_sigs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+    ).withColumn("origin", F.lit("index"))
+
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    cand_new = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    in_batch = _jaccard_verified(
+        cand_new,
+        new_sigs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+        new_sigs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+    ).withColumn("origin", F.lit("batch"))
+    return via_index.unionByName(in_batch)
+
+
+@query("dedup_incremental", oracle=None)  # xxhash64 not reproducible in DuckDB
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup demo over the corpus: docs with doc_id % 4 != 0
+    play the already-ingested corpus (their signature index is WRITTEN to
+    parquet once per session), docs with doc_id % 4 == 0 arrive as the new
+    shard and are deduped against the on-disk index + themselves. Rows-only
+    check (xxhash64-seeded); the no-recompute property is pinned by
+    tests/test_dedup_synthetic.py (the serving plan scans the index
+    parquet, never the historical documents)."""
+    def build() -> DataFrame:
+        import tempfile
+
+        dest = tempfile.mkdtemp(prefix="spark_sig_index_")
+        docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+        write_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), dest)
+        new = docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+        return incremental_pairs(spark, new, dest)
+
+    return session_memo(spark, sf_dir, "incremental_dedup_query", build)

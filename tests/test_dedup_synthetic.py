@@ -464,3 +464,66 @@ def test_substring_runs_within_doc_repeat_not_flagged(spark):
     )
     docs = spark.createDataFrame([(1, doubled), (2, other)], "doc_id long, text string")
     assert substring_runs(docs).count() == 0
+
+
+# --- incremental cross-shard dedup ---
+
+
+def test_incremental_dedup_pairs_and_no_recompute(spark, corpus, tmp_path):
+    """Batch 1 (docs 1, 3) is indexed to parquet; batch 2 (docs 2, 4, 5)
+    arrives later. incremental_pairs must surface the cross-batch planted
+    pairs from the ON-DISK index (origin 'index'), the within-batch pair
+    (origin 'batch'), and its plan must scan the index parquet rather than
+    recomputing batch-1 signatures — batch-1 texts aren't even reachable
+    from the serving plan."""
+    from parquet_storage_query_spark.operators.dedup import (
+        incremental_pairs,
+        write_signature_index,
+    )
+
+    idx = str(tmp_path / "sig_index")
+    batch1 = corpus.filter(F.col("doc_id").isin(1, 3))
+    batch2 = corpus.filter(F.col("doc_id").isin(2, 4, 5))
+    write_signature_index(batch1, idx)
+
+    out = incremental_pairs(spark, batch2, idx)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly two parquet scans — the index's bands + signatures tables
+    # (paths are truncated in toString, so count scans instead of matching
+    # the directory name)
+    assert plan.count("FileScan parquet") == 2, plan
+
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out.collect()}
+    # cross-batch: doc 4 is an exact copy of indexed doc 1; doc 2 near, 5 moderate
+    assert pairs[(1, 4)]["jaccard"] == 1.0 and pairs[(1, 4)]["origin"] == "index"
+    assert pairs[(1, 2)]["origin"] == "index" and pairs[(1, 2)]["jaccard"] > 0.7
+    assert pairs[(1, 5)]["origin"] == "index"
+    # within-batch: docs 2 (near) and 4 (exact copy of base) are near-dups
+    assert pairs[(2, 4)]["origin"] == "batch" and pairs[(2, 4)]["jaccard"] > 0.7
+    # the unrelated indexed doc 3 pairs with nothing
+    assert all(3 not in p for p in pairs)
+
+
+def test_incremental_index_reuse_without_batch1_source(spark, tmp_path):
+    """The standing-index property: after the index is written, dedup of a
+    later batch must work even if batch-1 SOURCE rows are gone (only the
+    index parquet remains) — proving signatures are not recomputed."""
+    from parquet_storage_query_spark.operators.dedup import (
+        incremental_pairs,
+        write_signature_index,
+    )
+
+    text = (
+        "shared boilerplate sentence that is long enough to shingle into "
+        "many overlapping three gram windows for the minhash signature"
+    )
+    idx = str(tmp_path / "standing_index")
+    batch1 = spark.createDataFrame([(10, text)], "doc_id long, text string")
+    write_signature_index(batch1, idx)
+    del batch1  # source gone; only the parquet index remains
+
+    batch2 = spark.createDataFrame([(20, text)], "doc_id long, text string")
+    got = incremental_pairs(spark, batch2, idx).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"], r["origin"]) for r in got] == [
+        (10, 20, 1.0, "index")
+    ]
