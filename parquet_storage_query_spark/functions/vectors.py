@@ -18,7 +18,12 @@ def as_double(arr: Column | str) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢbᵢ — left-to-right fold, same order DuckDB's list_dot_product uses."""
+    """Σ aᵢbᵢ — left-to-right fold, same order DuckDB's list_dot_product uses.
+
+    Kept as a zip_with/aggregate HOF deliberately: an unrolled 64-term
+    element_at chain (bit-identical math) was benchmarked on the LSH hot
+    paths and was 2-6× SLOWER — the deep Add tree falls out of
+    whole-stage codegen and the per-term array extraction dominates."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 

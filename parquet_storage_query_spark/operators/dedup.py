@@ -399,6 +399,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_COS_BANDS = 16
 COS_PLANES_PER_BAND = 6
 COS_THRESHOLD = 0.45  # corpus max pair cosine is ~0.51; 0.8 matches nothing
+EMB_DIM = 64  # embeddings table vector width (schema constant — lets the
+# hot-path dot products unroll into codegen instead of interpreted folds)
 
 
 def _cos_planes():
@@ -412,38 +414,59 @@ def _dlit(x: float) -> str:
     return repr(float(x)) + "D"
 
 
-def lsh_band_keys(e: DataFrame) -> DataFrame:
-    """(vec_id, band, bucket) LSH band keys for an input of
-    (vec_id, v: array<double>).
+def lsh_band_keys_v(e: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket, v) LSH band keys for an input of
+    (vec_id, v: array<double>) — ONE map pass, zero shuffles.
 
-    The hyperplanes are shipped as a broadcast 128-row DataFrame (band,
-    bit weight, plane vector), NOT inlined as literals: the literal form
-    put 8k Catalyst nodes in the plan and its ANALYSIS cost was both large
-    and wildly variable (5-35s observed under driver GC pressure). As
-    data, the plan is plane-count-independent: one broadcast cross join
-    (|e| × 128 rows), a dot-product sign bit, and a (vec_id, band) sum
-    rebuilds each band's bucket as Σ bit·2^(planes_per_band−1−r) — the
-    identical integer the old left-fold (a*2+x over the slice) produced,
-    so the DuckDB oracle's inlined-plane replay still hash-matches."""
+    The hyperplanes are shipped as a broadcast 16-row DataFrame (band,
+    nested 6×64 plane matrix, bit weights), NOT inlined as literals: the
+    literal form put 8k Catalyst nodes in the plan and its ANALYSIS cost
+    was both large and wildly variable (5-35s observed under driver GC
+    pressure). Each band's bucket is computed INLINE on its (vector,
+    band) row as Σ (dot(v, pᵣ) > 0)·2^(planes_per_band−1−r) — a nested
+    zip_with/aggregate fold, so the old 128-rows-per-vector explosion +
+    (vec_id, band) groupBy SHUFFLE is gone (round 3's profile put the
+    doubled execution of that subtree at ~10s of the 13.5s index build).
+    The fold is the identical left-to-right integer sum the grouped
+    variant produced, so the DuckDB oracle's inlined-plane replay still
+    hash-matches."""
     spark = e.sparkSession
     planes = _cos_planes()
     rows = [
         (
             b,
-            1 << (COS_PLANES_PER_BAND - 1 - r),
-            [float(x) for x in planes[b * COS_PLANES_PER_BAND + r]],
+            [
+                [float(x) for x in planes[b * COS_PLANES_PER_BAND + r]]
+                for r in range(COS_PLANES_PER_BAND)
+            ],
         )
         for b in range(N_COS_BANDS)
-        for r in range(COS_PLANES_PER_BAND)
     ]
-    pdf = spark.createDataFrame(rows, "band int, weight int, p array<double>")
-    bit = (dot(F.col("v"), F.col("p")) > 0).cast("int")
-    return (
-        e.crossJoin(F.broadcast(pdf))
-        .select("vec_id", "band", (bit * F.col("weight")).alias("term"))
-        .groupBy("vec_id", "band")
-        .agg(F.sum("term").cast("int").alias("bucket"))
+    pdf = spark.createDataFrame(rows, "band int, ps array<array<double>>")
+    # per-band bucket as a nested fold: Σ_r (dot(v, pᵣ) > 0)·2^(5−r).
+    # Kept as zip_with/aggregate HOFs — an unrolled 6×64-term variant was
+    # tried and was 6× SLOWER (the ~1600-node expression falls out of
+    # whole-stage codegen); the fold stays compact and the integer sum is
+    # order-exact either way.
+    weights = F.array(
+        *[F.lit(1 << (COS_PLANES_PER_BAND - 1 - r)) for r in range(COS_PLANES_PER_BAND)]
     )
+    bucket = F.aggregate(
+        F.zip_with(
+            F.col("ps"), weights, lambda p, w: F.when(dot(F.col("v"), p) > 0, w).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    passthrough = [c for c in e.columns if c not in ("vec_id", "v")]
+    return e.crossJoin(F.broadcast(pdf)).select(
+        "vec_id", "band", bucket.alias("bucket"), "v", *passthrough
+    )
+
+
+def lsh_band_keys(e: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) — lsh_band_keys_v without the vector payload."""
+    return lsh_band_keys_v(e).select("vec_id", "band", "bucket")
 
 
 def lsh_band_pairs(e: DataFrame, bands: DataFrame | None = None) -> DataFrame:
@@ -513,22 +536,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.45 yields real pairs at every SF and the oracle replays the identical
     banding, so the result is value-hash-checked end to end.
 
-    Cost ordering matters: vectors ride ALONG through the band self-join so
-    each candidate pair is scored immediately and the threshold filter runs
-    BEFORE any distinct — the pair-dedup shuffle then carries only the
-    ~|true near-dups| survivors instead of every band collision (measured
-    2.5× faster than join-back-then-dedup at sf0.1, where 140k collisions
-    reduce to 53 pairs). A pair colliding in k bands is scored k times —
-    map-side, k ≤ 16 — which is far cheaper than shuffling all collisions."""
+    Cost ordering matters: vectors (and their precomputed norms) ride ALONG
+    through the band self-join so each candidate pair is scored immediately
+    and the threshold filter runs BEFORE any distinct — the pair-dedup
+    shuffle then carries only the ~|true near-dups| survivors (115 at
+    sf0.1) instead of every band collision. A pair colliding in k bands is
+    scored k times — map-side, k ≤ 16, and measured duplication is only
+    1.16× (549k collisions vs 472k unique pairs at sf0.1: this corpus has
+    no high-cosine clusters, so the 16×6 banding admits ~22% of all pairs,
+    exactly the s-curve's value at cos≈0) — far cheaper than a
+    dedup-then-join-back round trip."""
     e = load_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
     # The whole serving DataFrame is memoized per (session, sf_dir) — a
     # prepared statement. Re-invoking the builder re-EXECUTES the plan
     # (nothing downstream is persisted, so every action recomputes from the
-    # index), but skips re-analysis + codegen: the band-keys subtree embeds
-    # a 128×64 hyperplane literal (8k Catalyst nodes), and rebuilding the
-    # query each call cost 1.5-16s of pure planning vs 0.03s of execution.
+    # index), but skips re-analysis + codegen: rebuilding the query each
+    # call cost ~0.3s of planning vs 0.04s of execution.
     return session_memo(
         spark, sf_dir, "cos_lsh_query", lambda: _build_cos_lsh_query(spark, sf_dir, e)
     )
@@ -536,12 +561,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cos_lsh_index(spark: SparkSession, sf_dir: str, e: DataFrame | None = None) -> DataFrame:
     """The banded hyperplane index as a shared per-session artifact:
-    (vec_id, band, bucket, v), pre-partitioned on the (band, bucket) join
-    key (drops both pre-join exchanges) and EAGERLY localCheckpoint-ed —
-    truncating the lineage to a cached-RDD scan so serving plans are tiny.
-    ONE index serves both the near-dup self-join (dedup_embedding_cosine)
-    and the top-k probe join (sim_lsh_topk) — the multi-consumer payoff of
+    (vec_id, band, bucket, v, n) — n is the PRECOMPUTED L2 norm, so the
+    per-collision verify in both consumers is one dot-product fold instead
+    of three (the norms folds were ~2/3 of the first serving execution's
+    cost at sf0.1). n = sqrt(dot(v, v)) with the identical fold the inline
+    cosine used, so cos = dot/(n_a·n_b) is bit-identical to the oracle's
+    replay. Pre-partitioned on the (band, bucket) join key (drops both
+    pre-join exchanges) and EAGERLY localCheckpoint-ed — truncating the
+    lineage to a cached-RDD scan so serving plans are tiny. ONE index
+    serves both the near-dup self-join (dedup_embedding_cosine) and the
+    top-k probe join (sim_lsh_topk) — the multi-consumer payoff of
     materializing the banding."""
+    from ..functions.vectors import l2_norm
+
     if e is None:
         e = load_parallel(spark, sf_dir, "embeddings").select(
             "vec_id", as_double("embedding").alias("v")
@@ -550,8 +582,11 @@ def cos_lsh_index(spark: SparkSession, sf_dir: str, e: DataFrame | None = None) 
         spark,
         sf_dir,
         "cos_lsh_bands_v",
-        lambda: lsh_band_keys(e)
-        .join(e, "vec_id")
+        # lsh_band_keys_v carries v (and the norm) through the one-pass
+        # banding, so the old join-back-on-vec_id (which re-executed the
+        # whole band-keys subtree under the checkpoint) is gone: one scan,
+        # one repartition on the join key, one materialization.
+        lambda: lsh_band_keys_v(e.withColumn("n", l2_norm(F.col("v"))))
         .repartition(F.col("band"), F.col("bucket"))
         .localCheckpoint(eager=True),
     )
@@ -560,15 +595,22 @@ def cos_lsh_index(spark: SparkSession, sf_dir: str, e: DataFrame | None = None) 
 def _build_cos_lsh_query(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
     bands = cos_lsh_index(spark, sf_dir, e)
     a = bands.select(
-        F.col("vec_id").alias("vec_a"), "band", "bucket", F.col("v").alias("v_a")
+        F.col("vec_id").alias("vec_a"),
+        "band",
+        "bucket",
+        F.col("v").alias("v_a"),
+        F.col("n").alias("n_a"),
     )
     b = bands.select(
         F.col("vec_id").alias("vec_b"),
         F.col("band").alias("b_band"),
         F.col("bucket").alias("b_bucket"),
         F.col("v").alias("v_b"),
+        F.col("n").alias("n_b"),
     )
-    cs = cosine(F.col("v_a"), F.col("v_b"))
+    # cos = dot/(n_a·n_b) with the index's precomputed norms — the same
+    # float ops in the same order as cosine(), one dot fold per pair
+    cs = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         a.join(
             b,

@@ -137,8 +137,11 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").alias("q_band"),
         F.col("bucket").alias("q_bucket"),
         F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
     )
-    cs = cosine(F.col("qv"), F.col("v"))
+    # index-precomputed norms: one dot fold per candidate instead of
+    # cosine()'s three (same float ops in the same order — hash-identical)
+    cs = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))
     # rank on the RAW cosine (rounding only for display, matching the
     # oracle's ORDER BY cos_raw): rounding first could reorder 4-decimal
     # ties differently than the oracle at the rank-k boundary
