@@ -216,3 +216,77 @@ def test_streaming_upsert_keeps_latest_per_key(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_upsert_recovers_from_checkpoint(spark, tmp_path):
+    """Kill/restart recovery for the CDC-apply sink (VERDICT r3 'What's
+    missing' #5): run two micro-batches, stop the query, then restart a
+    NEW query from the SAME checkpoint with one late out-of-order file.
+
+    Exactly-once is proven from the checkpoint's own commit log: the
+    restarted query must process exactly ONE new micro-batch (the new
+    file) — a fresh checkpoint would replay all three files at
+    maxFilesPerTrigger=1. Correctness: the final snapshot equals the
+    batch latest-per-key oracle over everything ever fed, including a
+    late event OLDER than its key's current winner (must not displace)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.streaming.sinks import stream_upsert_to_parquet
+
+    schema = "user_id LONG, event_id LONG, ts TIMESTAMP, v DOUBLE"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_one(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+
+    def mk_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+
+    t = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    all_rows = []
+
+    def feed(name, rows):
+        all_rows.extend(rows)
+        write_one(name, rows)
+
+    snap_dir, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    feed("f1", [(1, 10, t + 5 * m, 1.0), (2, 20, t + 3 * m, 1.0)])
+    feed("f2", [(1, 11, t + 9 * m, 1.0), (3, 30, t + 1 * m, 1.0)])
+    snap1 = stream_upsert_to_parquet(spark, SF_SMOKE, snap_dir, ckpt, stream=mk_stream())
+    assert {(r["user_id"], r["event_id"]) for r in snap1.collect()} == {
+        (1, 11), (2, 20), (3, 30)
+    }
+    def commits():
+        return {f for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()}
+
+    committed = commits()
+    assert len(committed) == 2  # one commit per source file
+
+    # the query is stopped; deliver late data and restart from the SAME
+    # checkpoint: (1, 9) is OLDER than key 1's winner — must not displace;
+    # (2, 21) is newer — must displace; (4, 40) is a new key
+    feed("f3", [(1, 9, t + 2 * m, 9.9), (2, 21, t + 8 * m, 2.0), (4, 40, t + 1 * m, 1.0)])
+    snap2 = stream_upsert_to_parquet(spark, SF_SMOKE, snap_dir, ckpt, stream=mk_stream())
+
+    new_commits = commits() - committed
+    assert len(new_commits) == 1, "restart must process only the new file"
+
+    got = {(r["user_id"], r["event_id"]) for r in snap2.collect()}
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    oracle = (
+        spark.createDataFrame(all_rows, schema)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    assert got == {(r["user_id"], r["event_id"]) for r in oracle.collect()}
+    assert got == {(1, 11), (2, 21), (3, 30), (4, 40)}
