@@ -137,18 +137,31 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         for pdf in batches:
-            ids: list[int] = []
-            idxs: list[int] = []
-            digests: list[str] = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
-                for k in range(0, len(data) // FRAME_BYTES, FRAME_STRIDE):
-                    ids.append(doc_id)
-                    idxs.append(k)
-                    digests.append(
-                        hashlib.md5(data[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]).hexdigest()
-                    )
+            # vectorized per batch (mm_feature_extract's pattern): all the
+            # explode bookkeeping — sampled-frame counts, doc_id fan-out,
+            # frame indices, byte offsets into ONE concatenated buffer —
+            # is numpy; only the digest call itself (the per-frame codec
+            # stand-in) runs per sampled frame.
+            datas = pdf["payload"].map(bytes)
+            lens = datas.map(len).to_numpy(dtype=np.int64)
+            n_frames = lens // FRAME_BYTES
+            n_samp = -(-n_frames // FRAME_STRIDE)  # ceil-div: frames sampled per doc
+            ids = np.repeat(pdf["doc_id"].to_numpy(), n_samp)
+            if len(ids):
+                idxs = np.concatenate(
+                    [np.arange(0, n, FRAME_STRIDE, dtype=np.int64) for n in n_frames]
+                )
+                doc_starts = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), n_samp)
+                starts = doc_starts + idxs * FRAME_BYTES
+                mv = memoryview(b"".join(datas))
+                digests = [
+                    hashlib.md5(mv[s : s + FRAME_BYTES]).hexdigest() for s in starts
+                ]
+            else:
+                idxs, digests = np.array([], dtype=np.int64), []
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": digests})
 
     return df.mapInPandas(sample, schema="doc_id long, frame_idx long, frame_md5 string")
