@@ -447,3 +447,52 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
     ev = docs.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
     return contamination_check(train, ev)
+
+
+REP_FLAG_THRESHOLD = 0.2  # Gopher-style cutoff: >20% repeated 3-grams
+
+
+@query(
+    "text_repetition_score",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    g AS (SELECT doc_id,
+                 CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 1 END AS INTEGER)
+                     AS n_grams,
+                 CAST(CASE WHEN len(w) >= 3
+                      THEN len(list_distinct(list_transform(range(1, len(w) - 1),
+                                             i -> array_to_string(w[i:i+2], ' '))))
+                      ELSE 1 END AS INTEGER) AS n_distinct
+          FROM ws)
+    SELECT doc_id, n_grams, n_distinct,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) AS rep_frac,
+           (1.0 - CAST(n_distinct AS DOUBLE) / n_grams) > {REP_FLAG_THRESHOLD}
+               AS flagged
+    FROM g
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (the Gopher/MassiveText quality
+    rule the length/stopword gates don't cover): fraction of a doc's
+    3-gram occurrences that are repeats of an earlier 3-gram in the SAME
+    doc — high values mean boilerplate loops, keyword stuffing, or
+    degenerate generation, the classic pretraining-corpus rejects.
+
+    Complementary to dedup_substring_runs (CROSS-doc repeated spans):
+    this is the within-doc signal. Pure map-side JVM expressions (shingle
+    + array_distinct per row, no explode, no shuffle) — at 100 TB this is
+    a full scan and nothing else. Flag threshold {REP_FLAG_THRESHOLD}
+    compares the RAW fraction (rounding is display-only)."""
+    from .dedup import shingles_col
+
+    grams = shingles_col("text", 3)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    rep = 1.0 - n_distinct.cast("double") / n_grams
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.round(rep, 4).alias("rep_frac"),
+        (rep > REP_FLAG_THRESHOLD).alias("flagged"),
+    )

@@ -527,3 +527,27 @@ def test_incremental_index_reuse_without_batch1_source(spark, tmp_path):
     assert [(r["doc_a"], r["doc_b"], r["jaccard"], r["origin"]) for r in got] == [
         (10, 20, 1.0, "index")
     ]
+
+
+def test_repetition_score_flags_degenerate_doc(spark, tmp_path):
+    """A looping chorus (high repeated-3-gram fraction) must be flagged;
+    normal prose must not."""
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.operators.text import text_repetition_score
+
+    chorus = " ".join(["la la la la"] * 10)  # 40 tokens, ~3 distinct 3-grams
+    prose = (
+        "a perfectly ordinary sentence with mostly unique words that "
+        "should produce almost no repeated three gram windows at all"
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, chorus), (2, prose)], "doc_id long, text string"
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r["doc_id"]: r.asDict() for r in text_repetition_score(spark, sf).collect()}
+    assert got[1]["flagged"] and got[1]["rep_frac"] > 0.9
+    assert not got[2]["flagged"] and got[2]["rep_frac"] < 0.05
