@@ -688,13 +688,21 @@ def substring_runs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
             F.md5(F.col("g").cast("binary")).alias("h"),
         )
     )
-    rep = (
-        sh.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h")
+    # "shared by >1 distinct doc" as a min/max WINDOW over the digest —
+    # min(doc_id) != max(doc_id) over each h-partition — instead of a
+    # groupBy posting list joined back to a SECOND scan: the plan audit
+    # showed the join-back form re-scanned and re-shingled the corpus
+    # (two FileScans); the window form is one scan, one shingle pass, and
+    # the same digest-keyed shuffle the groupBy needed anyway. No per-hash
+    # set materialization either (a collect_set would blow up on a shingle
+    # shared by millions of docs; min/max are constant-size).
+    wh = W.partitionBy("h")
+    hits = (
+        sh.withColumn("min_doc", F.min("doc_id").over(wh))
+        .withColumn("max_doc", F.max("doc_id").over(wh))
+        .filter(F.col("min_doc") != F.col("max_doc"))
+        .select("doc_id", "pos")
     )
-    hits = sh.join(rep, "h").select("doc_id", "pos")
     w = W.partitionBy("doc_id").orderBy("pos")
     runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
     return runs.groupBy("doc_id", "grp").agg(
