@@ -351,15 +351,39 @@ _Q18_SQL = """
 
 @query("q18_large_orders", oracle=_Q18_SQL)
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: aggregate IN-subquery (orders whose total quantity
-    exceeds a threshold) semi-reduces the join, then re-aggregate + top-k.
-    Catalyst plans the subquery as an aggregate feeding a left-semi join on
-    orderkey; the lineitem scan happens twice by design (once aggregated
-    for the filter, once for the detail) — at scale the subquery side
-    shuffles only |orderkey| grouped rows and AQE broadcasts its (tiny)
-    qualifying-key output into the semi join."""
-    register_all(spark, sf_dir)
-    return spark.sql(_Q18_SQL)
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, with customer detail, top-100 by price.
+
+    Planned with ONE lineitem scan: the IN-subquery's per-order quantity
+    aggregate IS the query's own total_qty output (o_orderkey determines
+    the other group columns), so instead of replaying the SQL (whose plan
+    scanned lineitem for the subquery AND re-scanned it for the detail
+    re-aggregate — 3 FileScans in the audit), aggregate once, filter the
+    qualifying orders (a tiny set at the 250 threshold), and BROADCAST
+    them into orders ⋈ customer. At 100 TB: one lineitem scan + one
+    partial-aggregated shuffle of |orderkey| rows; the fact table is
+    never scanned twice and never shuffled for the joins."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 250)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
 
 
 # ---------------------------------------------------------------------------
