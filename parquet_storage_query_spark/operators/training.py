@@ -319,3 +319,55 @@ def write_training_shards(spark: SparkSession, sf_dir: str, dest: str) -> DataFr
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "train_seq_pack_execute",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, text,
+               len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents),
+    sized AS (
+        SELECT doc_id, lang, text, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS off
+        FROM toks)
+    SELECT lang,
+           CAST(floor(off / 2048.0) AS BIGINT) AS seq_id,
+           string_agg(text, ' ' ORDER BY doc_id) AS packed_text,
+           CAST(sum(n_tokens) AS BIGINT)        AS total_tokens
+    FROM sized GROUP BY 1, 2
+    """,
+)
+def train_seq_pack_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing EXECUTED (train_seq_pack_plan materialized): each
+    (lang, seq_id) bin's documents concatenated in doc_id order into the
+    packed training sequence a dataloader consumes. The in-sequence order
+    is made deterministic with sort_array over (doc_id, text) structs —
+    collect_list alone has no ordering guarantee across retries or
+    partitionings, which would silently produce run-dependent sequences
+    (and break the hash check). Same two shuffles as the plan variant:
+    the per-lang cumulative window and the (lang, seq_id) rollup; text
+    rides each exactly once."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", F.size(words_col()).alias("n_tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sized = toks.withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    packed = (
+        sized.withColumn("seq_id", F.floor(F.col("off") / F.lit(2048.0)).cast("long"))
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("packed_text"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    return packed

@@ -62,7 +62,7 @@ _PRIORITY = [
     "ref_per_file_counts",
     # -- new in round 4 --
     "text_contamination_check", "dedup_substring_runs", "dedup_incremental",
-    "text_repetition_score",
+    "text_repetition_score", "train_seq_pack_execute",
     # -- unsampled in r03: dedup family --
     "dedup_exact", "dedup_exact_keep_first", "dedup_minhash_lsh",
     "dedup_clusters", "dedup_ngram_jaccard", "dedup_simhash",
