@@ -720,7 +720,7 @@ def substring_runs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
 INCR_BATCH_MOD = 4  # stand-in arrival split: doc_id % 4 == 0 is the "new shard"
 
 
-def write_signature_index(docs: DataFrame, dest: str) -> None:
+def write_signature_index(docs: DataFrame, dest: str, mode: str = "overwrite") -> None:
     """Persist the MinHash signature/band index for a corpus as parquet:
     `dest/signatures` = (doc_id, hs, sig), `dest/bands` = (doc_id, band,
     bhash). Band keys are derived FROM the written signatures (one read
@@ -728,9 +728,25 @@ def write_signature_index(docs: DataFrame, dest: str) -> None:
     At 100 TB this is an append-only lakehouse table partitioned by
     ingestion run; each shard's signatures are written once, ever."""
     spark = docs.sparkSession
-    minhash_signatures(docs).write.mode("overwrite").parquet(f"{dest}/signatures")
+    sig_df = minhash_signatures(docs)
+    if mode == "append":
+        # compute once, append both tables from the materialized batch —
+        # re-reading the signatures dir would re-band EVERY prior shard
+        sig_df = sig_df.localCheckpoint(eager=True)
+        sig_df.write.mode("append").parquet(f"{dest}/signatures")
+        minhash_band_keys(sig_df).write.mode("append").parquet(f"{dest}/bands")
+        return
+    sig_df.write.mode("overwrite").parquet(f"{dest}/signatures")
     sigs = spark.read.parquet(f"{dest}/signatures")
     minhash_band_keys(sigs).write.mode("overwrite").parquet(f"{dest}/bands")
+
+
+def append_signature_index(new_docs: DataFrame, dest: str) -> None:
+    """The ingest-loop step after `incremental_pairs`: append the new
+    batch's signatures/band keys to the standing index so the NEXT batch
+    dedupes against everything ingested so far. Only the new batch is
+    shingled; prior shards' files are untouched (append-only)."""
+    write_signature_index(new_docs, dest, mode="append")
 
 
 def incremental_pairs(spark: SparkSession, new_docs: DataFrame, index_dir: str) -> DataFrame:

@@ -551,3 +551,41 @@ def test_repetition_score_flags_degenerate_doc(spark, tmp_path):
     got = {r["doc_id"]: r.asDict() for r in text_repetition_score(spark, sf).collect()}
     assert got[1]["flagged"] and got[1]["rep_frac"] > 0.9
     assert not got[2]["flagged"] and got[2]["rep_frac"] < 0.05
+
+
+def test_incremental_ingest_loop_appends_index(spark, tmp_path):
+    """The full production loop: index batch 1 → dedupe batch 2 and APPEND
+    its signatures → batch 3 must pair against BOTH prior batches from
+    the on-disk index alone."""
+    from parquet_storage_query_spark.operators.dedup import (
+        append_signature_index,
+        incremental_pairs,
+        write_signature_index,
+    )
+
+    t1 = (
+        "first unique document with plenty of tokens to shingle into many "
+        "overlapping windows for a stable minhash signature to index"
+    )
+    t2 = (
+        "second distinct document also long enough to produce a healthy "
+        "set of three gram shingles for its own minhash signature"
+    )
+    idx = str(tmp_path / "loop_index")
+    write_signature_index(
+        spark.createDataFrame([(1, t1)], "doc_id long, text string"), idx
+    )
+    batch2 = spark.createDataFrame([(2, t2)], "doc_id long, text string")
+    assert incremental_pairs(spark, batch2, idx).count() == 0  # no dup yet
+    append_signature_index(batch2, idx)
+
+    # batch 3 duplicates BOTH t1 (indexed in the initial write) and t2
+    # (indexed only via the append)
+    batch3 = spark.createDataFrame(
+        [(31, t1), (32, t2)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["origin"]
+        for r in incremental_pairs(spark, batch3, idx).collect()
+    }
+    assert got == {(1, 31): "index", (2, 32): "index"}

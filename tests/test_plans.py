@@ -266,3 +266,26 @@ def test_shard_pipeline_pushdown_and_bounded_shuffles(spark):
     assert "lang" in pf, plan
     n_exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
     assert n_exchanges <= 3, plan
+
+
+def test_contamination_eval_grams_are_broadcast(spark):
+    """The eval side of the contamination join must broadcast — the corpus
+    side never shuffles for the join (eval sets are tiny next to 100 TB)."""
+    from parquet_storage_query_spark.operators.text import text_contamination_check
+
+    plan = formatted_plan(text_contamination_check(spark, SF_SMOKE))
+    assert has_broadcast_join(plan), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_substring_runs_single_scan(spark):
+    """Repeated-span detection must scan documents ONCE: the min/max
+    digest-window form (round 4) replaced a posting-list join-back that
+    re-scanned and re-shingled the corpus."""
+    import re
+
+    from parquet_storage_query_spark.operators.dedup import dedup_substring_runs
+
+    plan = formatted_plan(dedup_substring_runs(spark, SF_SMOKE))
+    # one scan NODE: the formatted detail section headers each scan once
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
