@@ -62,6 +62,10 @@ JOINS = {
     "lineitem": ("orders", "l_orderkey", "o_orderkey", "o_orderstatus"),
 }
 
+# numeric dim column used to filter the dim side BEFORE an outer join, so
+# some fact rows null-extend — the outer-join trap surface
+DIM_FILTER = {"customer": "c_acctbal", "orders": "o_totalprice"}
+
 
 @dataclass(frozen=True)
 class Spec:
@@ -217,6 +221,62 @@ def build_setop_sql(spec: SetOpSpec) -> str:
     return f"({a}) {op} ({b})"
 
 
+@dataclass(frozen=True)
+class OuterJoinSpec:
+    """fact LEFT JOIN (dim WHERE dimcol > lit): null-extended rows, a
+    NULLABLE dim attr as a group key, and the count(*) vs count(join_key)
+    distinction — the three-valued-logic surface inner-join specs miss."""
+
+    table: str
+    dim_lit: float
+    fact_key: str
+    measure: str
+
+    def describe(self) -> str:
+        dim, _fk, _dk, attr = JOINS[self.table]
+        return (
+            f"{self.table} LEFT JOIN ({dim} WHERE {DIM_FILTER[dim]} > {self.dim_lit}) "
+            f"GROUP BY {self.fact_key}, {attr}"
+        )
+
+
+def gen_outer_spec(rng: random.Random) -> OuterJoinSpec:
+    table = rng.choice(list(JOINS))
+    cols = TABLE_COLS[table]
+    return OuterJoinSpec(
+        table,
+        dim_lit=rng.choice([0, 10, 1000, 5000, 100000, 500000]),
+        fact_key=rng.choice(cols["keys"]),
+        measure=rng.choice(cols["nums"]),
+    )
+
+
+def build_outer_spark(spec: OuterJoinSpec, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_storage_query_spark.catalog import load
+
+    dim, fk, dk, attr = JOINS[spec.table]
+    d = load(spark, sf_dir, dim).filter(F.col(DIM_FILTER[dim]) > spec.dim_lit)
+    fact = load(spark, sf_dir, spec.table)
+    joined = fact.join(F.broadcast(d), F.col(fk) == F.col(dk), "left")
+    return joined.groupBy(spec.fact_key, attr).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col(dk)).alias("n_matched"),  # NULLs don't count
+        F.round(F.sum(F.col(spec.measure).cast("double")), 2).alias("m_sum"),
+    )
+
+
+def build_outer_sql(spec: OuterJoinSpec) -> str:
+    dim, fk, dk, attr = JOINS[spec.table]
+    return (
+        f"SELECT {spec.fact_key}, {attr}, count(*) AS n_rows, "
+        f"count({dk}) AS n_matched, "
+        f"round(sum(CAST({spec.measure} AS DOUBLE)), 2) AS m_sum "
+        f"FROM {spec.table} LEFT JOIN "
+        f"(SELECT * FROM {dim} WHERE {DIM_FILTER[dim]} > {spec.dim_lit}) d "
+        f"ON {fk} = {dk} GROUP BY 1, 2"
+    )
+
+
 def gen_spec(rng: random.Random) -> Spec:
     table = rng.choice(list(TABLE_COLS))
     cols = TABLE_COLS[table]
@@ -334,6 +394,10 @@ def run_fuzz(spark: SparkSession, sf_dir: str, n_specs: int, seed: int) -> list[
             spec = gen_setop_spec(rng)
             sdf = build_setop_spark(spec, spark, sf_dir)
             sql = build_setop_sql(spec)
+        elif roll < 0.5:
+            spec = gen_outer_spec(rng)
+            sdf = build_outer_spark(spec, spark, sf_dir)
+            sql = build_outer_sql(spec)
         else:
             spec = gen_spec(rng)
             sdf = build_spark(spec, spark, sf_dir)
