@@ -114,14 +114,22 @@ def ref_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ref_per_file_counts",
-    oracle=None,  # input_file_name() has no DuckDB view equivalent → rows-only
+    oracle="""
+    SELECT regexp_extract(filename, '[^/]+$') AS file, count(*) AS cnt
+    FROM read_parquet('{sf_dir}/events.parquet', filename=true)
+    GROUP BY 1
+    """,
 )
 def ref_per_file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-blob partial visibility (QO:468 prints per-blob counts): group by
-    source file. Rows-only check — file paths aren't SQL-oracle material."""
+    source file. Hash-checked: DuckDB's `read_parquet(..., filename=true)`
+    exposes the same provenance; both sides project the path down to its
+    basename so Spark's `file:` URI scheme doesn't leak into the compare."""
     df = load(spark, sf_dir, "events")
     return (
-        df.groupBy(F.input_file_name().alias("file"))
+        df.groupBy(
+            F.regexp_extract(F.input_file_name(), "[^/]+$", 0).alias("file")
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("file", "cnt")
     )

@@ -47,53 +47,34 @@ def query(name: str, oracle: str | None = None):
 # Driver-facing iteration order. The driver samples the FIRST ~50 registry
 # entries each round, so iteration order decides which queries get a hard
 # driver-side CORRECTNESS row. ROTATED each round: least-recently-driver-
-# checked first (VERDICT r3 'Next round' #2 — 67 of 117 queries had no row
-# newer than r01). Round 4 order: (1) the whole ref_* family (the
-# reference's own A1-A7 surface, unsampled since r01); (2) queries new in
-# round 4; (3) every other query with no r03 row, family-grouped; (4) the
-# 50 queries CORRECTNESS_r03 already covers, demoted to the tail. Names
-# not yet registered are skipped, so entries can be listed ahead of their
+# checked first. Round 5 order (VERDICT r4 'Next round' #2): (1) the six
+# queries that have NEVER had a driver row (the r4 sample cut off just
+# before them); (2) queries whose behavior changed in round 5 (md5-seeded
+# MinHash family, cos-LSH guard, new per-file oracle, schema evolution) —
+# these need fresh hard rows because their hashes/row sets changed; (3) the
+# r01-only aggregate/subquery/reshape tail; (4) r03-sampled; (5) the
+# queries CORRECTNESS_r04 just covered, demoted to the tail. Names not yet
+# registered are skipped, so entries can be listed ahead of their
 # implementation landing.
 _PRIORITY = [
-    # -- the reference's own surface (A1-A7 + per-file partials), no driver
-    #    row since r01 --
-    "ref_total_count", "ref_time_filter_count", "ref_filter_count",
-    "ref_min_max", "ref_max_by", "ref_point_filter", "ref_distinct",
-    "ref_per_file_counts",
-    # -- new in round 4 --
-    "text_contamination_check", "dedup_substring_runs", "dedup_incremental",
-    "text_repetition_score", "train_seq_pack_execute",
-    # -- unsampled in r03: dedup family --
-    "dedup_exact", "dedup_exact_keep_first", "dedup_minhash_lsh",
-    "dedup_clusters", "dedup_ngram_jaccard", "dedup_simhash",
-    # -- unsampled: multimodal --
-    "mm_binary_meta", "mm_feature_extract", "mm_frame_sample", "mm_resize",
-    # -- unsampled: training prep --
-    "train_split_hash", "train_stratified_sample", "train_seq_pack_plan",
-    "train_interleave", "train_pii_redact",
-    # -- unsampled: text analysis --
-    "text_token_stats", "text_quality_score", "text_lang_id",
-    "text_fingerprint", "text_corpus_rollup", "text_bpe_tokens",
-    "text_content_filter", "text_dataset_card",
-    # -- unsampled: TPC-H-shaped headliners + joins + windows --
-    "q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
-    "join_asof", "join_salted_skew",
-    "window_percent_rank", "window_range_frame",
-    # -- unsampled: scalar families --
-    "scalar_math_case", "scalar_arrays", "scalar_maps", "scalar_json",
-    "scalar_null_semantics",
-    # -- unsampled: aggregate families --
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_count_distinct",
+    # -- never driver-checked in any round (r4 sample cut off before them) --
+    "profile_freq_values", "profile_data_quality", "profile_histogram",
+    "prep_table_stats", "sim_kmeans_train", "agg_windowed_hll",
+    # -- changed or new in round 5: md5-seeded signatures (hashes changed,
+    #    now oracle-checked), cos-LSH bucket budget, per-file oracle,
+    #    schema-evolution ingest --
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_incremental",
+    "dedup_clusters", "dedup_embedding_cosine", "sim_lsh_topk",
+    "ref_per_file_counts", "prep_schema_evolution",
+    # -- no driver row since r01: aggregate families --
+    "agg_cube", "agg_grouping_sets", "agg_count_distinct",
     "agg_percentiles", "agg_arg_max", "agg_collect_sorted", "agg_having",
     "agg_multi_key_stats", "agg_skew_distinct", "agg_approx_distinct",
-    "agg_windowed_hll",
-    # -- unsampled: subqueries / reshaping / profiling / models --
+    # -- no driver row since r01: subqueries / reshaping --
     "subq_scalar", "subq_in", "subq_correlated",
     "explode_top_tokens", "unpivot_price_metrics", "sample_hash_bucket",
-    "rollup_time_hierarchy",
-    "profile_freq_values", "profile_data_quality", "profile_histogram",
-    "prep_table_stats", "sim_kmeans_train",
-    # -- r03-sampled (all green there), demoted to the tail this round --
+    "rollup_time_hierarchy", "agg_rollup",
+    # -- r03-sampled (older than r04's rows) --
     "join_star_revenue", "join_left_outer", "join_full_outer", "join_semi",
     "join_anti", "join_cross", "join_range",
     "topk_orders", "sort_multi_col",
@@ -102,10 +83,10 @@ _PRIORITY = [
     "window_topk_per_group", "window_rank_dense_ntile", "window_lag_lead",
     "window_running_agg", "window_first_last", "window_sessionize",
     "scalar_datetime", "scalar_date_arith", "scalar_strings",
-    "sim_bruteforce_topk", "sim_lsh_topk", "sim_label_centroid", "sim_ivf_topk",
+    "sim_bruteforce_topk", "sim_label_centroid", "sim_ivf_topk",
     "stream_tumbling_counts", "stream_sliding_counts", "stream_session_windows",
     "stream_interval_join", "stream_user_stats",
-    "prep_binpack_plan", "dedup_embedding_cosine",
+    "prep_binpack_plan",
     "agg_approx_percentiles", "scalar_pandas_udf_norm", "grouped_pandas_udf_wavg",
     "timeseries_gapfill",
     "stream_time_filter_count", "stream_tumbling_append", "stream_dedup",
@@ -113,6 +94,23 @@ _PRIORITY = [
     "text_ngram_lm_score", "prep_upsert_snapshot", "agg_hll_sketch",
     "prep_zorder_layout", "pipeline_training_shard", "mm_embed_batch",
     "profile_numeric_stats",
+    # -- r04-sampled (all green there), demoted to the tail this round --
+    "ref_total_count", "ref_time_filter_count", "ref_filter_count",
+    "ref_min_max", "ref_max_by", "ref_point_filter", "ref_distinct",
+    "text_contamination_check", "dedup_substring_runs",
+    "text_repetition_score", "train_seq_pack_execute",
+    "dedup_exact", "dedup_exact_keep_first", "dedup_ngram_jaccard",
+    "mm_binary_meta", "mm_feature_extract", "mm_frame_sample", "mm_resize",
+    "train_split_hash", "train_stratified_sample", "train_seq_pack_plan",
+    "train_interleave", "train_pii_redact",
+    "text_token_stats", "text_quality_score", "text_lang_id",
+    "text_fingerprint", "text_corpus_rollup", "text_bpe_tokens",
+    "text_content_filter", "text_dataset_card",
+    "q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
+    "join_asof", "join_salted_skew",
+    "window_percent_rank", "window_range_frame",
+    "scalar_math_case", "scalar_arrays", "scalar_maps", "scalar_json",
+    "scalar_null_semantics",
 ]
 
 
@@ -127,8 +125,24 @@ def builders() -> dict[str, Builder]:
     return {n: d.builder for n, d in all_queries().items()}
 
 
-def oracles() -> dict[str, str]:
-    return {n: d.oracle for n, d in all_queries().items() if d.oracle is not None}
+# The driver's correctness gate runs oracle SQL at sf=0.01 — the dir every
+# `{sf_dir}` oracle placeholder resolves to when the consumer doesn't say
+# otherwise (tools/check.py and tests substitute their actual sf_dir).
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def resolve_oracle(oracle: str, sf_dir: str = DRIVER_SF_DIR) -> str:
+    """Substitute the `{sf_dir}` placeholder. Plain replace, not .format():
+    oracle SQL may legitimately contain braces (struct literals, regexes)."""
+    return oracle.replace("{sf_dir}", sf_dir)
+
+
+def oracles(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
+    return {
+        n: resolve_oracle(d.oracle, sf_dir)
+        for n, d in all_queries().items()
+        if d.oracle is not None
+    }
 
 
 _loaded = False

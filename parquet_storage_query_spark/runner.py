@@ -38,7 +38,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from .catalog import TABLES, SCHEMAS, table_path
-from .registry import all_queries
+from .registry import all_queries, resolve_oracle
 from .session import get_spark
 from .sources import prep
 
@@ -88,7 +88,7 @@ def _differential(name: str, sf_dir: str, spark_rows: list[tuple], spark_cols: l
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
-    cur = con.execute(qd.oracle)
+    cur = con.execute(resolve_oracle(qd.oracle, sf_dir))
     ocols = [d[0] for d in cur.description]
     orows = cur.fetchall()
     match = len(orows) == len(spark_rows) and fp(spark_cols, spark_rows) == fp(ocols, orows)

@@ -12,7 +12,7 @@ import duckdb
 import pytest
 
 from parquet_storage_query_spark.catalog import TABLES, table_path
-from parquet_storage_query_spark.registry import all_queries
+from parquet_storage_query_spark.registry import all_queries, resolve_oracle
 from tools.check import result_fingerprint
 
 from .conftest import SF_SMOKE
@@ -40,7 +40,7 @@ def test_query_matches_oracle(name, spark, oracle_con):
         again = [tuple(r) for r in qd.builder(spark, SF_SMOKE).collect()]
         assert len(srows) == len(again)
         return
-    cur = oracle_con.execute(qd.oracle)
+    cur = oracle_con.execute(resolve_oracle(qd.oracle, SF_SMOKE))
     ocols = [d[0] for d in cur.description]
     orows = cur.fetchall()
     assert result_fingerprint(sdf.columns, srows) == result_fingerprint(ocols, orows)

@@ -23,7 +23,7 @@ from parquet_storage_query_spark.fingerprint import (  # noqa: F401  (re-export)
     norm_cell,
     result_fingerprint,
 )
-from parquet_storage_query_spark.registry import all_queries
+from parquet_storage_query_spark.registry import all_queries, resolve_oracle
 from parquet_storage_query_spark.session import get_spark
 
 
@@ -59,7 +59,7 @@ def main() -> int:
             print(f"rows  {name}: {len(srows)} rows ({time.perf_counter()-t0:.1f}s) [no oracle]")
             continue
         try:
-            cur = con.execute(qd.oracle)
+            cur = con.execute(resolve_oracle(qd.oracle, sf_dir))
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
