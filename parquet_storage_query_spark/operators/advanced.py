@@ -362,7 +362,13 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying orders (a tiny set at the 250 threshold), and BROADCAST
     them into orders ⋈ customer. At 100 TB: one lineitem scan + one
     partial-aggregated shuffle of |orderkey| rows; the fact table is
-    never scanned twice and never shuffled for the joins."""
+    never scanned twice and never shuffled for the joins.
+
+    Only the qualifying-orders side carries a broadcast HINT — it is
+    selectivity-bounded (orders over the quantity threshold), not
+    data-bounded. customer grows linearly with the corpus, so it gets no
+    hint: AQE/size thresholds broadcast it at bench scale and degrade to
+    a shuffle join at 100 TB instead of OOMing the executors."""
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -373,7 +379,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     return (
         orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "o_orderkey",

@@ -720,25 +720,58 @@ def substring_runs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
 INCR_BATCH_MOD = 4  # stand-in arrival split: doc_id % 4 == 0 is the "new shard"
 
 
+def _committed_batches(dest: str) -> list[str]:
+    import os
+
+    d = f"{dest}/_committed"
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
 def write_signature_index(docs: DataFrame, dest: str, mode: str = "overwrite") -> None:
     """Persist the MinHash signature/band index for a corpus as parquet:
-    `dest/signatures` = (doc_id, hs, sig), `dest/bands` = (doc_id, band,
-    bhash). Band keys are derived FROM the written signatures (one read
-    back) so the shingle+32-fold pipeline runs exactly once per corpus.
-    At 100 TB this is an append-only lakehouse table partitioned by
-    ingestion run; each shard's signatures are written once, ever."""
-    spark = docs.sparkSession
-    sig_df = minhash_signatures(docs)
-    if mode == "append":
-        # compute once, append both tables from the materialized batch —
-        # re-reading the signatures dir would re-band EVERY prior shard
-        sig_df = sig_df.localCheckpoint(eager=True)
-        sig_df.write.mode("append").parquet(f"{dest}/signatures")
-        minhash_band_keys(sig_df).write.mode("append").parquet(f"{dest}/bands")
-        return
-    sig_df.write.mode("overwrite").parquet(f"{dest}/signatures")
-    sigs = spark.read.parquet(f"{dest}/signatures")
-    minhash_band_keys(sigs).write.mode("overwrite").parquet(f"{dest}/bands")
+    `dest/signatures/batch=<id>` = (doc_id, hs, sig),
+    `dest/bands/batch=<id>` = (doc_id, band, bhash). The shingle+32-fold
+    pipeline runs exactly once per batch (eager checkpoint, both tables
+    written from it). At 100 TB this is an append-only lakehouse table
+    partitioned by ingestion run; each shard's signatures are written
+    once, ever.
+
+    Commit protocol (an append of two tables is not atomic — a failure
+    between them would leave docs with signatures but no band keys, which
+    are silently never candidates): each ingest writes BOTH tables under a
+    fresh `batch=<id>` partition, then drops a `_committed/<id>` marker
+    LAST — the same one-small-file commit point as Spark's `_SUCCESS`.
+    Readers (`read_signature_index`) only see committed batches, so a torn
+    write degrades to "batch not ingested yet" and a retry (fresh id)
+    cannot duplicate rows; orphaned uncommitted dirs are invisible and
+    vacuumable."""
+    import os
+    import shutil
+    import uuid
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode: {mode}")
+    if mode == "overwrite":
+        shutil.rmtree(dest, ignore_errors=True)
+    batch = uuid.uuid4().hex[:12]
+    sig_df = minhash_signatures(docs).localCheckpoint(eager=True)
+    sig_df.write.parquet(f"{dest}/signatures/batch={batch}")
+    minhash_band_keys(sig_df).write.parquet(f"{dest}/bands/batch={batch}")
+    os.makedirs(f"{dest}/_committed", exist_ok=True)
+    with open(f"{dest}/_committed/{batch}", "w", encoding="utf-8"):
+        pass
+
+
+def read_signature_index(spark: SparkSession, dest: str) -> tuple[DataFrame, DataFrame]:
+    """(signatures, bands) of every COMMITTED batch in a standing index —
+    the only sanctioned read path (see write_signature_index's commit
+    protocol). Batch-partition pruning keeps the scan to committed dirs."""
+    ids = _committed_batches(dest)
+    if not ids:
+        raise ValueError(f"signature index at {dest} has no committed batches")
+    sigs = spark.read.parquet(f"{dest}/signatures").filter(F.col("batch").isin(ids)).drop("batch")
+    bands = spark.read.parquet(f"{dest}/bands").filter(F.col("batch").isin(ids)).drop("batch")
+    return sigs, bands
 
 
 def append_signature_index(new_docs: DataFrame, dest: str) -> None:
@@ -759,9 +792,12 @@ def incremental_pairs(spark: SparkSession, new_docs: DataFrame, index_dir: str) 
     scans (bands for the candidate equi-join, signatures for the Jaccard
     verify). Both joins are keyed on (band, bhash) / doc_id — the same
     bounded-fan-in shape as the one-shot LSH, so incremental cost is
-    O(batch · sig + collisions), independent of index size."""
-    idx_sigs = spark.read.parquet(f"{index_dir}/signatures")
-    idx_bands = spark.read.parquet(f"{index_dir}/bands")
+    O(batch · sig + collisions), independent of index size.
+
+    A doc_id may legitimately appear on both sides (an ingest retry
+    re-submitting an already-indexed doc): the candidate join excludes
+    self-pairs so a resubmission never emits (X, X, 1.0, 'index')."""
+    idx_sigs, idx_bands = read_signature_index(spark, index_dir)
     new_sigs = minhash_signatures(new_docs).localCheckpoint(eager=True)
     new_bands = minhash_band_keys(new_sigs)
 
@@ -769,7 +805,9 @@ def incremental_pairs(spark: SparkSession, new_docs: DataFrame, index_dir: str) 
     cand_idx = (
         o.join(
             n,
-            (F.col("o.band") == F.col("n.band")) & (F.col("o.bhash") == F.col("n.bhash")),
+            (F.col("o.band") == F.col("n.band"))
+            & (F.col("o.bhash") == F.col("n.bhash"))
+            & (F.col("o.doc_id") != F.col("n.doc_id")),
         )
         .select(F.col("o.doc_id").alias("doc_a"), F.col("n.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
@@ -807,11 +845,24 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard and are deduped against the on-disk index + themselves. Rows-only
     check (xxhash64-seeded); the no-recompute property is pinned by
     tests/test_dedup_synthetic.py (the serving plan scans the index
-    parquet, never the historical documents)."""
+    parquet, never the historical documents).
+
+    Index location: $SPARK_GRAFT_INDEX_DIR (else the system temp dir),
+    keyed by a digest of sf_dir and OVERWRITTEN per build — re-sessions
+    reuse the same path instead of leaking one mkdtemp per session. On a
+    real cluster this would be a shared filesystem/object-store prefix;
+    the env var is that knob."""
     def build() -> DataFrame:
+        import hashlib
+        import os
         import tempfile
 
-        dest = tempfile.mkdtemp(prefix="spark_sig_index_")
+        base = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
+            tempfile.gettempdir(), "spark_graft_indexes"
+        )
+        dest = os.path.join(
+            base, "sig_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        )
         docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
         write_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), dest)
         new = docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)

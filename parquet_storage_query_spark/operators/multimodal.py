@@ -154,11 +154,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 idxs = np.concatenate(
                     [np.arange(0, n, FRAME_STRIDE, dtype=np.int64) for n in n_frames]
                 )
-                doc_starts = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), n_samp)
-                starts = doc_starts + idxs * FRAME_BYTES
-                mv = memoryview(b"".join(datas))
+                # zero-copy memoryview per payload — concatenating the
+                # batch into one buffer doubled peak per-batch memory
+                mvs = [memoryview(d) for d in datas]
+                doc_of = np.repeat(np.arange(len(lens)), n_samp)
+                starts = idxs * FRAME_BYTES
                 digests = [
-                    hashlib.md5(mv[s : s + FRAME_BYTES]).hexdigest() for s in starts
+                    hashlib.md5(mvs[d][s : s + FRAME_BYTES]).hexdigest()
+                    for d, s in zip(doc_of, starts)
                 ]
             else:
                 idxs, digests = np.array([], dtype=np.int64), []

@@ -167,9 +167,18 @@ def train_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off = F.create_map(*[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])])
+    # offsets as LONG literals: the int32 form wrapped negative past 2^31
+    # rows and wrapped values sailed through the pos <= 100 filter — the
+    # oracle's row_number() is BIGINT, so the Spark side is too
+    off = F.create_map(
+        *[
+            x
+            for pid in sorted(offsets)
+            for x in (F.lit(pid), F.lit(offsets[pid]).cast("long"))
+        ]
+    )
     wl = W.partitionBy("_pid").orderBy("h", "doc_id")
-    pos = (off[F.col("_pid")] + F.row_number().over(wl)).cast("int")
+    pos = off[F.col("_pid")] + F.row_number().over(wl)
     return (
         ranged.withColumn("pos", pos)
         .filter(F.col("pos") <= 100)
