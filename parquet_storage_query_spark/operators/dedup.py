@@ -5,9 +5,10 @@ MinHash+LSH near-dedup, SimHash, n-gram Jaccard, embedding-cosine near-dup.
 Scale design:
 - Exact dedup = hash-groupBy: shuffles 16-byte digests, not documents.
 - MinHash-LSH: signature computation is map-side JVM expressions
-  (xxhash64 folds — no Python); the only shuffle is the band-bucket
-  self-join, whose fan-in is bounded by band collision rate. This is the
-  100 TB path: cost is O(n · sig) + O(candidate pairs), never O(n²).
+  (md5-seeded affine folds — no Python, DuckDB-replayable); the only
+  shuffle is the band-bucket self-join, whose fan-in is bounded by band
+  collision rate. This is the 100 TB path: cost is O(n · sig) +
+  O(candidate pairs), never O(n²).
 - n-gram Jaccard uses a cheap blocking key (8-token prefix hash) so the
   pairwise verify also avoids O(n²).
 - Embedding-cosine pairwise is the *small-corpus / verification* variant;
@@ -34,6 +35,49 @@ from .text import words_col
 N_MINHASH = 32  # signature length
 N_BANDS = 16  # LSH bands (2 rows each)
 
+# --- cross-engine hash seeding -------------------------------------------
+# Every hash in the MinHash/SimHash family derives from md5, which BOTH
+# engines compute identically, so the whole pipeline is DuckDB-replayable
+# and the driver gets a hard value-hash check instead of rows-only
+# (VERDICT r4 'Next round' #3; the dedup_substring_runs md5 pattern).
+#
+#   base hash  h  = first 60 bits of md5(s) as a nonnegative int64
+#   seed j     hⱼ = (Aⱼ·(h mod P) + Bⱼ) mod P           (affine universal)
+#   band key      = row₁·P + row₂                        (injective combine)
+#
+# P = 2³¹−1 (Mersenne): (h mod P) < 2³¹ and Aⱼ < 2³¹, so the affine
+# product stays < 2⁶² — exact in int64 on both engines (DuckDB RAISES on
+# BIGINT overflow, so this bound is load-bearing, not cosmetic). The
+# xxhash64 seeding this replaces was benchmarked against this scheme at
+# sf0.1 (see ROUND5_NOTES): one md5 per shingle + 32 arithmetic folds is
+# on par with one xxhash64 per shingle + 32 xxhash64 folds — the string
+# hash runs once either way and the per-seed work got cheaper.
+MH_PRIME = (1 << 31) - 1
+SIMHASH_BITS = 60  # the md5-derived base hash carries 60 usable bits
+
+
+def _mh_coeffs() -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(1, MH_PRIME, N_MINHASH)
+    b = rng.randint(0, MH_PRIME, N_MINHASH)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+MH_COEFFS = _mh_coeffs()
+
+
+def md5_i64(c: Column) -> Column:
+    """First 15 hex chars (60 bits) of md5 parsed as a nonnegative int64 —
+    the cross-engine base hash (DuckDB twin: md5_i64_duck)."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def md5_i64_duck(expr: str) -> str:
+    """DuckDB SQL for md5_i64 over an arbitrary expression."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
 
 def shingles_col(text: Column | str = "text", k: int = 3) -> Column:
     """Word k-shingles as an array column (JVM-side, no UDF). Documents
@@ -57,27 +101,33 @@ def shingles_col(text: Column | str = "text", k: int = 3) -> Column:
 
 
 def shingle_hashes(sh: Column) -> Column:
-    """Each shingle hashed once to int64 — materialize this as a column
-    BEFORE computing signatures so the string hashing isn't repeated per
-    seed."""
-    return F.transform(sh, lambda s: F.xxhash64(s))
+    """Each shingle hashed once to int64 (md5_i64) — materialize this as a
+    column BEFORE computing signatures so the string hashing isn't
+    repeated per seed."""
+    return F.transform(sh, md5_i64)
 
 
 def minhash_signature(hashed_col: str, n_hashes: int = N_MINHASH) -> Column:
     """MinHash signature over a pre-hashed shingle column: for seed j, min
-    over xxhash64(j, h). Re-hashing fixed-width int64s per seed instead of
+    over the affine fold (Aⱼ·(h mod P) + Bⱼ) mod P (see MH_COEFFS notes).
+    Seeding arithmetic over fixed-width int64s instead of re-hashing
     variable-length strings cuts the per-seed cost ~n_hashes× — all
     Spark-native codegen, map-side.
 
     Built via F.expr, NOT a Python lambda: PySpark deduplicates
     higher-order-function lambdas by their bytecode, so 32 lambdas that
-    differ only in a captured literal (`lambda h, j=j: xxhash64(lit(j),
-    h)`) all resolve to ONE expression — every "seed" silently produced
-    the same hash and the signature degenerated to 32 copies of a single
-    min-hash (caught by the planted moderate-similarity pair test)."""
+    differ only in a captured literal all resolve to ONE expression —
+    every "seed" silently produced the same hash and the signature
+    degenerated to 32 copies of a single min-hash (caught by the planted
+    moderate-similarity pair test)."""
     sigs = [
-        F.array_min(F.expr(f"transform({hashed_col}, h -> xxhash64({j}L, h))"))
-        for j in range(n_hashes)
+        F.array_min(
+            F.expr(
+                f"transform({hashed_col}, "
+                f"h -> ({a}L * (h % {MH_PRIME}L) + {b}L) % {MH_PRIME}L)"
+            )
+        )
+        for a, b in MH_COEFFS[:n_hashes]
     ]
     return F.array(*sigs)
 
@@ -129,7 +179,57 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", oracle=None)  # xxhash64 not reproducible in DuckDB
+def _mh_duck_ctes() -> str:
+    """Shared DuckDB CTE prefix replaying the exact MinHash pipeline:
+    3-gram shingles (whole trimmed text when <3 tokens), md5-60-bit
+    distinct shingle hashes, the 32 affine folds, and the positional
+    band keys. The same constants (MH_COEFFS, MH_PRIME) are inlined into
+    both engines' plans, so the approximate operator is hash-checked, not
+    merely row-counted — the _COS_LSH_ORACLE pattern applied to MinHash."""
+    sig_terms = ",\n             ".join(
+        f"list_min(list_transform(hs, h -> ({a} * (h % {MH_PRIME}) + {b}) % {MH_PRIME}))"
+        for a, b in MH_COEFFS
+    )
+    return f"""
+    ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w, trim(text) AS t
+           FROM documents),
+    gr AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3
+                       THEN list_transform(range(1, len(w) - 1),
+                                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       ELSE [t] END AS grams
+           FROM ws),
+    hx AS (SELECT doc_id,
+                  list_distinct(list_transform(grams, g -> {md5_i64_duck('g')})) AS hs
+           FROM gr),
+    sg AS (SELECT doc_id, hs,
+                  [{sig_terms}] AS sig
+           FROM hx),
+    bnd AS (SELECT doc_id, b.band,
+                   sig[2 * b.band + 1] * {MH_PRIME} + sig[2 * b.band + 2] AS bhash
+            FROM sg, range({N_BANDS}) b(band))"""
+
+
+_MH_JACCARD_TAIL = """
+    j AS (SELECT c.*,
+                 CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ha.hs, hb.hs))) AS jac
+          FROM cand c
+          JOIN hx ha ON ha.doc_id = c.doc_a
+          JOIN hx hb ON hb.doc_id = c.doc_b)"""
+
+
+_MINHASH_ORACLE = f"""
+    WITH {_mh_duck_ctes()},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bnd a JOIN bnd b
+               ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+    {_MH_JACCARD_TAIL}
+    SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs, verified with exact
     shingle-set Jaccard.
@@ -138,7 +238,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode band keys → self-join on (band, band_hash) → exact Jaccard on
     the survivors. Only banding collisions are ever compared pairwise, so
     the cost is O(n·sig + pairs), not O(n²) — the standard web-scale
-    near-dedup shape (Broder MinHash / LSH banding).
+    near-dedup shape (Broder MinHash / LSH banding). md5-seeded hashes
+    (see MH_COEFFS notes) let DuckDB replay the identical banding, so the
+    check is a full value-hash match.
     """
     # The serving DataFrame is memoized per (session, sf_dir) — a prepared
     # statement, same rationale as dedup_embedding_cosine: the signature
@@ -163,19 +265,27 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 def minhash_band_keys(sigs: DataFrame) -> DataFrame:
     """Explode (doc_id, sig) into LSH band keys (doc_id, band, bhash) —
-    band keys only, so no signature arrays ride any downstream shuffle."""
+    band keys only, so no signature arrays ride any downstream shuffle.
+
+    bhash = row₁·P + row₂ — injective over the band's rows (each < P) and
+    exact in int64 (P² < 2⁶²), so equal keys ⟺ equal band rows, same as
+    the hash combine it replaces, but replayable in DuckDB."""
     rows_per_band = N_MINHASH // N_BANDS
+
+    def bhash(b: int) -> Column:
+        acc = F.element_at("sig", b * rows_per_band + 1)
+        for r in range(1, rows_per_band):
+            acc = acc * F.lit(MH_PRIME).cast("long") + F.element_at(
+                "sig", b * rows_per_band + r + 1
+            )
+        return acc
+
     return sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("bhash"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bhash(b).alias("bhash"))
                     for b in range(N_BANDS)
                 ]
             )
@@ -289,7 +399,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     return labels
 
 
-@query("dedup_clusters", oracle=None)  # iterative; pairs are xxhash64-seeded
+@query("dedup_clusters", oracle=None)  # iterative fixpoint — not SQL-expressible
 @prepared("dedup_clusters_query")
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH candidate pairs → connected
@@ -361,25 +471,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)  # xxhash64 not reproducible in DuckDB
+_SIMHASH_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {md5_i64_duck('u.w')} AS h
+               FROM documents, unnest(string_split(trim(text), ' ')) AS u(w)),
+    v AS (SELECT doc_id, r.j,
+                 sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM t, range({SIMHASH_BITS}) r(j)
+          GROUP BY doc_id, r.j)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM v GROUP BY doc_id
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """63-bit SimHash per document (Charikar): per-token xxhash64, signed
-    bit votes, majority sign per bit. Explode + groupBy keeps it fully
-    distributed; the 63 conditional sums are one partial-aggregated
-    shuffle keyed on doc_id."""
+    """60-bit SimHash per document (Charikar): per-token md5-derived hash,
+    signed bit votes, majority sign per bit. Explode + groupBy keeps it
+    fully distributed; the 60 conditional sums are one partial-aggregated
+    shuffle keyed on doc_id. md5 seeding (60 usable bits) makes the full
+    bit-vote pipeline DuckDB-replayable — a value-hash check, not
+    rows-only."""
     docs = load_parallel(spark, sf_dir, "documents")
     tokens = docs.select("doc_id", F.explode(words_col()).alias("w")).withColumn(
-        "h", F.xxhash64("w")
+        "h", md5_i64(F.col("w"))
     )
     bit_votes = [
         F.sum(
             F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{j}")
-        for j in range(63)
+        for j in range(SIMHASH_BITS)
     ]
     voted = tokens.groupBy("doc_id").agg(*bit_votes)
     sim = None
-    for j in range(63):
+    for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return voted.select("doc_id", sim.alias("simhash"))
@@ -837,13 +963,32 @@ def incremental_pairs(spark: SparkSession, new_docs: DataFrame, index_dir: str) 
     return via_index.unionByName(in_batch)
 
 
-@query("dedup_incremental", oracle=None)  # xxhash64 not reproducible in DuckDB
+_INCREMENTAL_ORACLE = f"""
+    WITH {_mh_duck_ctes()},
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'index' AS origin
+        FROM bnd a JOIN bnd b ON a.band = b.band AND a.bhash = b.bhash
+        WHERE a.doc_id % {INCR_BATCH_MOD} != 0 AND b.doc_id % {INCR_BATCH_MOD} = 0
+        UNION
+        SELECT a.doc_id, b.doc_id, 'batch'
+        FROM bnd a JOIN bnd b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        WHERE a.doc_id % {INCR_BATCH_MOD} = 0 AND b.doc_id % {INCR_BATCH_MOD} = 0),
+    {_MH_JACCARD_TAIL}
+    SELECT doc_a, doc_b, round(jac, 4) AS jaccard, origin
+    FROM j WHERE jac >= 0.5
+"""
+
+
+@query("dedup_incremental", oracle=_INCREMENTAL_ORACLE)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup demo over the corpus: docs with doc_id % 4 != 0
     play the already-ingested corpus (their signature index is WRITTEN to
     parquet once per session), docs with doc_id % 4 == 0 arrive as the new
-    shard and are deduped against the on-disk index + themselves. Rows-only
-    check (xxhash64-seeded); the no-recompute property is pinned by
+    shard and are deduped against the on-disk index + themselves. The
+    DuckDB oracle replays the identical md5-seeded banding with the same
+    index/batch split, so even the standing-index path is value-hash
+    checked; the no-recompute property is pinned by
     tests/test_dedup_synthetic.py (the serving plan scans the index
     parquet, never the historical documents).
 

@@ -135,18 +135,36 @@ def test_cosine_lsh_finds_planted_near_dup_vectors(spark):
 from .conftest import SF_SMOKE  # noqa: E402
 
 
+def _py_md5_i64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _py_shingle_hashes(text: str, k: int = 3) -> set[int]:
+    w = text.strip().split(" ")
+    grams = (
+        [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+        if len(w) >= k
+        else [text.strip()]
+    )
+    return {_py_md5_i64(g) for g in grams}
+
+
 def test_minhash_signature_matches_pure_python_fold(spark):
-    """Recompute MinHash signatures in pure Python from per-(seed, shingle)
-    hashes fetched through a DIFFERENT Spark expression path (explode +
-    per-row xxhash64, not the pipeline's transform/array_min fold) and
-    compare on a 50-doc sample. Catches the r1 lambda-bytecode-dedup class
-    of regression (all seeds silently collapsing to one hash function) and
-    any silent change of seed encoding."""
+    """Recompute MinHash signatures ENTIRELY in pure Python from the raw
+    text (hashlib md5 + the affine folds — no Spark expression involved)
+    and compare on a 50-doc sample. The md5 seeding makes the whole
+    pipeline replicable outside Spark, so this catches the r1
+    lambda-bytecode-dedup class of regression (all seeds silently
+    collapsing to one hash function), any silent change of seed encoding,
+    AND any drift in the shingle/tokenize conventions."""
     from pyspark.sql import functions as F
 
     from parquet_storage_query_spark.catalog import load
     from parquet_storage_query_spark.operators.dedup import (
-        N_MINHASH,
+        MH_COEFFS,
+        MH_PRIME,
         minhash_signature,
         shingle_hashes,
         shingles_col,
@@ -155,54 +173,49 @@ def test_minhash_signature_matches_pure_python_fold(spark):
     docs = (
         load(spark, SF_SMOKE, "documents")
         .filter(F.col("doc_id") < 50)
-        .select("doc_id", shingles_col().alias("sh"))
-        .select("doc_id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
+        .select("doc_id", "text", shingles_col().alias("sh"))
+        .select(
+            "doc_id", "text", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs")
+        )
     )
-    got = {r["doc_id"]: list(r["sig"]) for r in docs.withColumn(
-        "sig", minhash_signature("hs")).select("doc_id", "sig").collect()}
-
-    prim = docs.select("doc_id", F.explode("hs").alias("h")).select(
-        "doc_id",
-        *[F.xxhash64(F.lit(j).cast("long"), "h").alias(f"s{j}") for j in range(N_MINHASH)],
+    rows = docs.withColumn("sig", minhash_signature("hs")).select(
+        "doc_id", "text", "sig"
     ).collect()
-    expected: dict[int, list[int]] = {}
-    for r in prim:
-        sig = expected.setdefault(r["doc_id"], [None] * N_MINHASH)
-        for j in range(N_MINHASH):
-            v = r[f"s{j}"]
-            if sig[j] is None or v < sig[j]:
-                sig[j] = v
-    assert got == expected
+    assert len(rows) > 0
+    for r in rows:
+        hs = _py_shingle_hashes(r["text"])
+        expected = [
+            min((a * (h % MH_PRIME) + b) % MH_PRIME for h in hs) for a, b in MH_COEFFS
+        ]
+        assert list(r["sig"]) == expected, r["doc_id"]
 
 
 def test_simhash_matches_pure_python_votes(spark):
-    """Recompute 63-bit SimHash in pure Python (bit votes over per-token
-    hashes fetched from Spark once) and compare on a 50-doc sample — an
-    oracle for the vote/pack logic independent of the 63-column aggregate."""
+    """Recompute 60-bit SimHash ENTIRELY in pure Python (hashlib md5 per
+    token, bit votes, pack — no Spark expression involved) and compare on
+    a 50-doc sample — an oracle for the vote/pack logic independent of the
+    60-column aggregate AND of the tokenize/hash conventions."""
     from pyspark.sql import functions as F
 
     from parquet_storage_query_spark.catalog import load
-    from parquet_storage_query_spark.operators.dedup import dedup_simhash
-    from parquet_storage_query_spark.operators.text import words_col
+    from parquet_storage_query_spark.operators.dedup import SIMHASH_BITS, dedup_simhash
 
     got = {
         r["doc_id"]: r["simhash"]
         for r in dedup_simhash(spark, SF_SMOKE).filter(F.col("doc_id") < 50).collect()
     }
-    toks = (
-        load(spark, SF_SMOKE, "documents")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_SMOKE, "documents")
         .filter(F.col("doc_id") < 50)
-        .select("doc_id", F.explode(words_col()).alias("w"))
-        .withColumn("h", F.xxhash64("w"))
+        .select("doc_id", "text")
         .collect()
-    )
-    hashes: dict[int, list[int]] = {}
-    for r in toks:
-        hashes.setdefault(r["doc_id"], []).append(r["h"])
+    }
     expected = {}
-    for doc, hs in hashes.items():
+    for doc, text in texts.items():
+        hs = [_py_md5_i64(w) for w in text.strip().split(" ")]
         sim = 0
-        for j in range(63):
+        for j in range(SIMHASH_BITS):
             vote = sum(1 if (h >> j) & 1 else -1 for h in hs)
             if vote > 0:
                 sim |= 1 << j
