@@ -51,6 +51,8 @@ HEADLINE = [
     "text_ngram_lm_score",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_clusters",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "agg_hll_sketch",
@@ -86,6 +88,8 @@ def main() -> None:
         "sim_bruteforce_topk": "sim_bruteforce_prepare",
         "dedup_minhash_lsh": "minhash_sig_build",
         "dedup_embedding_cosine": "cos_lsh_index_build",
+        "dedup_incremental": "incremental_index_build",
+        "dedup_clusters": "dedup_clusters_build",
         "text_ngram_lm_score": "lm_model_build",
     }
 
@@ -100,6 +104,14 @@ def main() -> None:
         n = _force(qd.builder(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    # iterative-op convergence: label-propagation rounds must track
+    # log(component diameter), not corpus size — recorded so the headroom
+    # sweep can flag silent growth
+    from parquet_storage_query_spark.operators.dedup import LAST_CC_ITERS
+
+    if LAST_CC_ITERS is not None:
+        timings["dedup_clusters_iterations"] = LAST_CC_ITERS
 
     # cold/warm pair on the flagship (QO:425-439 analogue)
     flagship = qs["q1_pricing_summary"].builder(spark, sf_dir).cache()

@@ -738,6 +738,72 @@ def prep_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "prep_schema_evolution",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(CASE WHEN doc_id % 2 = 0 THEN n_chars END) AS n_with_chars,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars END) AS BIGINT)
+               AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def prep_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest round trip: shard 1 (odd doc_ids) is written
+    under the ORIGINAL schema (doc_id, lang, source); shard 2 (even
+    doc_ids) arrives after the corpus evolved and carries an added
+    `n_chars` column. `read_evolving` (mergeSchema) reconciles the two
+    file schemas — shard-1 rows surface n_chars as NULL — and the
+    per-lang rollup proves both null-fill and the evolved column's values
+    survive the round trip. The reference pins a fixed ingest schema
+    (DataPreparationOrchestration.cs:165); this is that contract relaxed
+    the way real lakehouse ingest needs: nothing rewritten, evolution is
+    footer metadata. The DuckDB oracle replays the split arithmetically
+    (even doc_ids have n_chars, odd don't) without any file I/O.
+
+    The write-once round trip is memoized per (session, sf_dir) under
+    $SPARK_GRAFT_INDEX_DIR like dedup_incremental's standing index."""
+    from ..cache import session_memo
+    from ..sources.prep import append_evolving, read_evolving
+
+    def build() -> DataFrame:
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        base = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
+            tempfile.gettempdir(), "spark_graft_indexes"
+        )
+        dest = os.path.join(
+            base, "evolving_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        )
+        shutil.rmtree(dest, ignore_errors=True)
+        docs = load(spark, sf_dir, "documents")
+        append_evolving(
+            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source"),
+            dest,
+        )
+        append_evolving(
+            docs.filter(F.col("doc_id") % 2 == 0).select(
+                "doc_id", "lang", "source", "n_chars"
+            ),
+            dest,
+        )
+        return (
+            read_evolving(spark, dest)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count("n_chars").alias("n_with_chars"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        )
+
+    return session_memo(spark, sf_dir, "schema_evolution_query", build)
+
+
 # ---------------------------------------------------------------------------
 # CDC upsert / merge (lakehouse ingest beyond the reference's append-only
 # compaction, DataPreparationOrchestration.cs:88-143)

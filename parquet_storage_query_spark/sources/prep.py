@@ -137,6 +137,27 @@ def convert(
         raise ValueError(f"unsupported destination format: {dest_format}")
 
 
+def append_evolving(df: DataFrame, dest: str) -> None:
+    """Append a batch whose schema may differ from earlier batches (added
+    or missing columns) to a parquet table dir. The reference declares a
+    FIXED 7-column schema at ingest (DP:165); real lakehouse corpora add
+    columns mid-stream (a crawler starts emitting `n_chars`, an old shard
+    lacks it). Parquet handles this natively: each file carries its own
+    schema and `read_evolving` reconciles them, null-filling the columns a
+    file doesn't have. Nothing is rewritten — schema evolution is a
+    metadata property of the read, O(footers), not O(data)."""
+    df.write.mode("append").parquet(dest)
+
+
+def read_evolving(spark: SparkSession, folder: str) -> DataFrame:
+    """Read a parquet dir whose files were written under different schemas:
+    `mergeSchema=true` unions the per-file schemas (footer-only work) and
+    rows from files missing a column surface it as NULL. Scoped via the
+    reader option, not the session-wide spark.sql.parquet.mergeSchema —
+    same policy as read_ignoring_corrupt_files."""
+    return spark.read.option("mergeSchema", "true").parquet(folder)
+
+
 def export_jsonl(df: DataFrame, dest: str, compression: str = "gzip") -> None:
     """JSON-Lines egest — the LLM-corpus interchange format (one JSON object
     per line, gzip-compressed per part file). The inverse of `convert`'s

@@ -127,6 +127,94 @@ def test_cosine_lsh_finds_planted_near_dup_vectors(spark):
 
 
 # ---------------------------------------------------------------------------
+# cos-LSH scale guard: threshold-vs-random-bulk assertion + bucket budget
+# ---------------------------------------------------------------------------
+
+
+def test_cos_scale_guard_engages_inside_the_bulk(spark, monkeypatch):
+    """On this corpus the 16×6 banding admits ~22% of RANDOM pairs (its
+    looseness is deliberate — sim_lsh_topk recall shares the index), so
+    the guard must engage the bucket budget — but at bench SFs every
+    bucket is under B=128, so nothing may be dropped (this is what keeps
+    the oracle hash unchanged). A linear-regime estimate (tight banding,
+    threshold above the bulk) must pass the bands through untouched."""
+    from parquet_storage_query_spark.catalog import load_parallel
+    from parquet_storage_query_spark.functions.vectors import as_double
+    from parquet_storage_query_spark.operators.dedup import (
+        COS_ADMIT_EPS,
+        LAST_COS_GUARD,
+        cos_lsh_index,
+        cos_scale_guard,
+        estimate_cos_scale_stats,
+    )
+
+    e = load_parallel(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    stats = estimate_cos_scale_stats(e)
+    # the documented scale hazard is real on this corpus: the banding
+    # admits a large constant fraction of RANDOM pairs (~22% measured)
+    assert stats["admit_frac"] > 100 * COS_ADMIT_EPS
+    assert 0.3 < stats["quantile"] < 0.6  # 0.45 sits in/near the bulk
+
+    bands = cos_lsh_index(spark, SF_SMOKE, e)
+    n_before = bands.count()
+    guarded = cos_scale_guard(bands, e)
+    assert LAST_COS_GUARD["engaged"] is True
+    assert LAST_COS_GUARD["dropped_rows"] == 0  # B clears every bench bucket
+    assert guarded.count() == n_before
+
+    # linear regime (a tight-banding/high-threshold deployment): guard
+    # must be a no-op — the SAME DataFrame passes through, no cap window
+    from parquet_storage_query_spark.operators import dedup as dedup_mod
+
+    monkeypatch.setattr(
+        dedup_mod,
+        "estimate_cos_scale_stats",
+        lambda _e, n_sample=1024: {"quantile": 0.2, "admit_frac": 0.0, "n_sampled": 512.0},
+    )
+    assert cos_scale_guard(bands, e) is bands
+    assert LAST_COS_GUARD["engaged"] is False
+
+
+def test_bucket_budget_bounds_pair_generation(spark):
+    """A degenerate corpus where EVERY vector lands in the same buckets
+    (identical direction → identical hyperplane signs): pair generation
+    must be capped at C(B, 2) per (band, bucket) instead of C(n, 2) — the
+    by-construction bound that replaces the Θ(n²) verify. Each band keeps
+    a DIFFERENT hash-ranked subset (the rank key includes the band — by
+    design: per-band diversification preserves more recall than one fixed
+    global subset), so the total is bounded by bands · C(B, 2). The kept
+    subset must be deterministic across invocations."""
+    from parquet_storage_query_spark.operators.dedup import (
+        _bucket_capped,
+        lsh_band_keys,
+        lsh_band_pairs,
+    )
+
+    n, budget = 40, 8
+    # all vectors are positive multiples of one direction → same bucket in
+    # every band, i.e. the worst-case bucket the budget exists for
+    base = [float((i % 7) + 1) for i in range(64)]
+    e = spark.createDataFrame(
+        [(i, [x * (1.0 + 0.001 * i) for x in base]) for i in range(n)],
+        "vec_id long, v array<double>",
+    )
+    bands = lsh_band_keys(e)
+    capped = _bucket_capped(bands, budget)
+    per_bucket = capped.groupBy("band", "bucket").count().collect()
+    assert all(r["count"] <= budget for r in per_bucket)
+    from parquet_storage_query_spark.operators.dedup import N_COS_BANDS
+
+    pairs = lsh_band_pairs(e, capped)
+    assert pairs.count() <= N_COS_BANDS * (budget * (budget - 1) // 2)
+    assert pairs.count() < n * (n - 1) // 2  # strictly below all-pairs
+    # deterministic: the same call keeps the same members
+    again = _bucket_capped(bands, budget)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, again.collect()))
+
+
+# ---------------------------------------------------------------------------
 # Implementation-independent oracles for the rows-only (hash-seeded) ops:
 # recompute signatures/partitions in pure Python from Spark's primitive
 # hashes and compare (VERDICT r1 "Next round" #8).

@@ -290,3 +290,32 @@ def test_training_shard_writer_matches_manifest(spark, tmp_path):
     want = sorted(map(tuple, pipeline_training_shard(spark, SF_SMOKE).collect()))
     assert got == want
     assert any(d.startswith("split=") for d in os.listdir(dest)), os.listdir(dest)
+
+
+def test_schema_evolution_roundtrip_null_fills_both_directions(spark, tmp_path):
+    """Two-schema ingest (VERDICT r4 'Next round' #6): a column ADDED
+    mid-corpus must null-fill older rows on the merged read, and a late
+    shard MISSING a column must null-fill its own rows — evolution in
+    either direction, nothing rewritten."""
+    from parquet_storage_query_spark.sources.prep import append_evolving, read_evolving
+
+    dest = str(tmp_path / "evolving")
+    old = spark.createDataFrame([(1, "en"), (2, "fr")], "doc_id long, lang string")
+    new = spark.createDataFrame(
+        [(3, "en", 120), (4, "de", 80)], "doc_id long, lang string, n_chars long"
+    )
+    short = spark.createDataFrame([(5,)], "doc_id long")  # missing lang AND n_chars
+    append_evolving(old, dest)
+    append_evolving(new, dest)
+    append_evolving(short, dest)
+
+    merged = read_evolving(spark, dest)
+    assert set(merged.columns) == {"doc_id", "lang", "n_chars"}
+    rows = {r["doc_id"]: (r["lang"], r["n_chars"]) for r in merged.collect()}
+    assert rows == {
+        1: ("en", None),
+        2: ("fr", None),
+        3: ("en", 120),
+        4: ("de", 80),
+        5: (None, None),
+    }
