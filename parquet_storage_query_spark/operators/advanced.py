@@ -739,6 +739,73 @@ def prep_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "prep_snapshot_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, md5(text) AS digest FROM documents
+                WHERE doc_id % 7 != 6),
+    v2 AS (SELECT doc_id,
+                  md5(CASE WHEN doc_id % 11 = 3 THEN text || ' [rev2]'
+                           ELSE text END) AS digest
+           FROM documents),
+    d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                 v1.digest AS old_digest, v2.digest AS new_digest,
+                 CASE WHEN v1.doc_id IS NULL THEN 'added'
+                      WHEN v2.doc_id IS NULL THEN 'removed'
+                      WHEN v1.digest != v2.digest THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+    SELECT doc_id, status, old_digest, new_digest
+    FROM d WHERE status != 'unchanged'
+    """,
+)
+def prep_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff by content digest: which documents were added,
+    removed, or changed between two corpus snapshots — the audit a
+    training-data pipeline runs before re-training on a refreshed crawl
+    (and the input to incremental re-tokenization: only 'added'/'changed'
+    docs need reprocessing). Deterministic synthetic versioning: v1 drops
+    doc_id % 7 == 6 (later additions), v2 revises doc_id % 11 == 3.
+
+    Shape: both sides reduce to (doc_id, 16-byte digest) map-side —
+    documents never ride the shuffle (dedup_exact's rule) — then ONE
+    full outer join keyed on doc_id classifies every doc. At 100 TB both
+    snapshots are digest projections of parquet scans; the join is the
+    only shuffle and 'unchanged' rows (the overwhelming majority) are
+    filtered before any collection."""
+    docs = load(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text").cast("binary"))
+    v1 = docs.filter(F.col("doc_id") % 7 != 6).select(
+        F.col("doc_id").alias("id1"), digest.alias("old_digest")
+    )
+    v2 = docs.select(
+        F.col("doc_id").alias("id2"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 3, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("new_digest"),
+    )
+    joined = v1.join(v2, v1.id1 == v2.id2, "full_outer")
+    status = (
+        F.when(F.col("id1").isNull(), F.lit("added"))
+        .when(F.col("id2").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce("id1", "id2").alias("doc_id"),
+            status.alias("status"),
+            "old_digest",
+            "new_digest",
+        )
+        .filter(F.col("status") != "unchanged")
+    )
+
+
+@query(
     "prep_schema_evolution",
     oracle="""
     SELECT lang,

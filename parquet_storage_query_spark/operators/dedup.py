@@ -263,6 +263,24 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus signature table (doc_id, hs, sig) as a SHARED
+    per-(session, sf_dir) artifact: computed once, eagerly
+    localCheckpoint-ed (the serving plans scan a cached RDD instead of
+    re-running the shingle+32-fold pipeline per consumer branch — the
+    containment query alone has five subtrees that would each recompute
+    it). At cluster scale this is the signature staging table both the
+    LSH dedup and the containment dedup read."""
+    return session_memo(
+        spark,
+        sf_dir,
+        "minhash_docs",
+        lambda: minhash_signatures(
+            load_parallel(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True),
+    )
+
+
 def minhash_band_keys(sigs: DataFrame) -> DataFrame:
     """Explode (doc_id, sig) into LSH band keys (doc_id, band, bhash) —
     band keys only, so no signature arrays ride any downstream shuffle.
@@ -307,14 +325,12 @@ def _jaccard_verified(cand: DataFrame, hs_a: DataFrame, hs_b: DataFrame) -> Data
 
 
 def _build_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Signatures computed ONCE per (session, sf_dir): the band self-join and
-    # the two verify joins below would otherwise each recompute the whole
-    # shingle+hash pipeline. At cluster scale this is the "write signatures
-    # to a staging table" step; the eager localCheckpoint truncates the
-    # hash-pipeline lineage so the serving plan is a cached-RDD scan.
-    docs = minhash_signatures(load_parallel(spark, sf_dir, "documents")).localCheckpoint(
-        eager=True
-    )
+    # Signatures computed ONCE per (session, sf_dir) via the shared
+    # minhash_docs artifact: the band self-join and the two verify joins
+    # below would otherwise each recompute the whole shingle+hash
+    # pipeline, and the checkpoint truncates the lineage so the serving
+    # plan is a cached-RDD scan.
+    docs = minhash_docs(spark, sf_dir)
     bands = minhash_band_keys(docs)
 
     a = bands.alias("a")
@@ -924,6 +940,97 @@ def _build_cos_lsh_query(spark: SparkSession, sf_dir: str, e: DataFrame) -> Data
         .filter(cs > COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round(cs, 4).alias("cos_sim"))
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+# --- containment dedup (near-superset / excerpt detection) ---
+# MinHash-LSH targets symmetric Jaccard and BY DESIGN misses asymmetric
+# overlap: an excerpt contained in a much larger page has high
+# containment |A∩B|/|A| but low Jaccard, so its bands rarely collide.
+# Candidate generation here is the other classic shape: a posting-list
+# self-join over RARE shingles (shared by 2..CONTAIN_MAX_POSTING docs).
+# Frequency pruning is what bounds the join at scale — a boilerplate
+# shingle shared by millions of docs would otherwise create a quadratic
+# posting-list blow-up; dropping frequent shingles costs nothing because
+# any pair with meaningful containment shares many RARE shingles too.
+CONTAIN_MAX_POSTING = 20  # posting-list cap: shingles in >20 docs are "stop"
+CONTAIN_THRESHOLD = 0.6  # max(containment_a, containment_b) cutoff
+
+_CONTAINMENT_ORACLE = f"""
+    WITH {_mh_duck_ctes()},
+    occ AS (SELECT doc_id, h.h AS h FROM hx, unnest(hs) AS h(h)),
+    rare AS (SELECT h FROM occ GROUP BY h
+             HAVING count(*) BETWEEN 2 AND {CONTAIN_MAX_POSTING}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM occ a JOIN rare USING (h) JOIN occ b USING (h)
+             WHERE a.doc_id < b.doc_id),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(ha.hs, hb.hs)) AS n_shared,
+               len(ha.hs) AS n_a, len(hb.hs) AS n_b
+        FROM cand c
+        JOIN hx ha ON ha.doc_id = c.doc_a
+        JOIN hx hb ON hb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b,
+           round(CAST(n_shared AS DOUBLE) / n_a, 4) AS contain_a,
+           round(CAST(n_shared AS DOUBLE) / n_b, 4) AS contain_b
+    FROM scored
+    WHERE greatest(CAST(n_shared AS DOUBLE) / n_a,
+                   CAST(n_shared AS DOUBLE) / n_b) >= {CONTAIN_THRESHOLD}
+"""
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+@prepared("containment_query")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate (containment) pairs: |A∩B|/|A| ≥ 0.6 on
+    either side over the md5-hashed shingle sets — the excerpt/quote/
+    near-superset cases symmetric Jaccard dedup misses (Broder's
+    containment, the shape behind suffix-array excerpt dedup).
+
+    Shape: explode distinct shingle hashes into occurrences; keep RARE
+    shingles (posting list of 2..{CONTAIN_MAX_POSTING} docs — frequency
+    pruning bounds the self-join fan-in by construction, the same reason
+    dedup_substring_runs never goes O(n²)); pair docs sharing ≥1 rare
+    shingle; verify exact containment from the full hashed sets. Every
+    shuffle is keyed (shingle digest or doc_id); the DuckDB oracle
+    replays the identical pipeline, so the check is a value-hash match.
+    Signatures come from the shared minhash_docs artifact — one shingle
+    pass per session serves LSH, containment, and the cluster map."""
+    docs = minhash_docs(spark, sf_dir).select("doc_id", "hs")
+    occ = docs.select("doc_id", F.explode("hs").alias("h"))
+    from pyspark.sql import Window as W
+
+    wh = W.partitionBy("h")
+    rare_occ = (
+        occ.withColumn("n_docs", F.count(F.lit(1)).over(wh))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= CONTAIN_MAX_POSTING))
+        .select("doc_id", "h")
+    )
+    a, b = rare_occ.alias("a"), rare_occ.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    scored = (
+        cand.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a")
+        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("double").alias("n_shared"),
+            F.size("hs_a").alias("n_a"),
+            F.size("hs_b").alias("n_b"),
+        )
+    )
+    ca = F.col("n_shared") / F.col("n_a")
+    cb = F.col("n_shared") / F.col("n_b")
+    return scored.filter(F.greatest(ca, cb) >= CONTAIN_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        F.round(ca, 4).alias("contain_a"),
+        F.round(cb, 4).alias("contain_b"),
     )
 
 

@@ -693,3 +693,44 @@ def test_incremental_ingest_loop_appends_index(spark, tmp_path):
         for r in incremental_pairs(spark, batch3, idx).collect()
     }
     assert got == {(1, 31): "index", (2, 32): "index"}
+
+
+def test_containment_finds_excerpt_that_lsh_misses(spark, tmp_path):
+    """An excerpt fully contained in a 4×-larger page has high containment
+    but LOW Jaccard (|A|/|B| ≈ 0.25), so MinHash-LSH misses it by design —
+    dedup_containment must surface exactly this asymmetric case and report
+    the direction (contain_a ≈ 1 for the excerpt side)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.operators.dedup import (
+        dedup_containment,
+        dedup_minhash_lsh,
+    )
+
+    body = " ".join(f"tok{i}" for i in range(120))
+    excerpt = " ".join(f"tok{i}" for i in range(28, 58))  # 30 tokens ⊂ body
+    other = " ".join(f"zzz{i}" for i in range(40))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, body), (2, excerpt), (3, other)], "doc_id long, text string"
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["contain_a"], r["contain_b"])
+        for r in dedup_containment(spark, sf).collect()
+    }
+    assert (1, 2) in got
+    ca, cb = got[(1, 2)]
+    # doc 2 (the excerpt) is ~fully contained in doc 1; not vice versa
+    assert cb == _pytest.approx(1.0, abs=0.05)
+    assert ca < 0.5
+    assert all(3 not in p for p in got)
+
+    # the symmetric pipeline misses it — the reason containment exists
+    lsh = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, sf).collect()
+    }
+    assert (1, 2) not in lsh

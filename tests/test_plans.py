@@ -167,6 +167,32 @@ def test_cosine_dedup_has_no_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_cosine_bucket_cap_is_partitioned_and_rank_limited(spark):
+    """The scale guard's per-(band,bucket) cap must be a PARTITIONED
+    window (never SinglePartition — an unpartitioned rank would drag the
+    whole index through one task) and must plan as WindowGroupLimit so
+    rows beyond the budget are dropped before the full sort. Exchanges
+    stay bounded: one per window side (band-key rows only — ~131k at 10×,
+    trivial vs the ~44M-pair verify they prevent) plus the final
+    pair-dedup shuffle."""
+    import re
+
+    from parquet_storage_query_spark.cache import _MEMO
+    from parquet_storage_query_spark.operators.dedup import dedup_embedding_cosine
+
+    # audit the PRE-execution plan: once another test has executed the
+    # memoized query, formatted_plan returns the adaptive output (Final +
+    # Initial sections) and every node is listed twice more
+    for k in [k for k in _MEMO if k[2] == "cos_lsh_query"]:
+        _MEMO.pop(k)
+    plan = formatted_plan(dedup_embedding_cosine(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    # formatted plans list every node twice (tree + detail): 3 physical
+    # exchanges (2 window sides + 1 pair-dedup) = 6 matches
+    assert len(re.findall(r"\bExchange\b", plan)) <= 6, plan
+
+
 def test_training_hash_ops_are_map_side(spark):
     """Deterministic split/sample must be pure map work: zero exchanges —
     at 100 TB these are full scans but never shuffles."""
