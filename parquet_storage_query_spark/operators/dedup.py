@@ -281,9 +281,13 @@ def minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_band_keys(sigs: DataFrame) -> DataFrame:
+def minhash_band_keys(sigs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Explode (doc_id, sig) into LSH band keys (doc_id, band, bhash) —
-    band keys only, so no signature arrays ride any downstream shuffle.
+    band keys only by default, so no signature arrays ride any downstream
+    shuffle. `keep` carries extra columns through the explode for
+    consumers that must stay single-scan (the STREAMING dedup carries
+    `hs` along because a stream may appear only once in its plan — a
+    join-back for verification would be a stream-stream self-join).
 
     bhash = row₁·P + row₂ — injective over the band's rows (each < P) and
     exact in int64 (P² < 2⁶²), so equal keys ⟺ equal band rows, same as
@@ -300,6 +304,7 @@ def minhash_band_keys(sigs: DataFrame) -> DataFrame:
 
     return sigs.select(
         "doc_id",
+        *keep,
         F.explode(
             F.array(
                 *[
@@ -308,7 +313,7 @@ def minhash_band_keys(sigs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bhash")
+    ).select("doc_id", *keep, "bk.band", "bk.bhash")
 
 
 def _jaccard_verified(cand: DataFrame, hs_a: DataFrame, hs_b: DataFrame) -> DataFrame:
@@ -1282,6 +1287,24 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     real cluster this would be a shared filesystem/object-store prefix;
     the env var is that knob."""
     def build() -> DataFrame:
+        dest = ensure_demo_index(spark, sf_dir)
+        new = (
+            load_parallel(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+        )
+        return incremental_pairs(spark, new, dest)
+
+    return session_memo(spark, sf_dir, "incremental_dedup_query", build)
+
+
+def ensure_demo_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session) the demo standing index — signatures of
+    the already-ingested docs (doc_id % 4 != 0) — under
+    $SPARK_GRAFT_INDEX_DIR, and return its path. Shared by the batch
+    incremental dedup and its streaming twin."""
+
+    def build() -> str:
         import hashlib
         import os
         import tempfile
@@ -1294,7 +1317,34 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
         write_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), dest)
-        new = docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
-        return incremental_pairs(spark, new, dest)
+        return dest
 
-    return session_memo(spark, sf_dir, "incremental_dedup_query", build)
+    return session_memo(spark, sf_dir, "demo_sig_index_dir", build)
+
+
+_STREAM_INCR_ORACLE = f"""
+    WITH {_mh_duck_ctes()},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bnd a JOIN bnd b ON a.band = b.band AND a.bhash = b.bhash
+             WHERE a.doc_id % {INCR_BATCH_MOD} != 0
+               AND b.doc_id % {INCR_BATCH_MOD} = 0),
+    {_MH_JACCARD_TAIL}
+    SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5
+"""
+
+
+@query("stream_incremental_dedup", oracle=_STREAM_INCR_ORACLE)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the CONTINUOUS ingest-dedup loop: near-dup pairs of
+    arriving documents against the persisted standing index (the 'index'
+    arm of dedup_incremental — within-batch pairs belong to the batch
+    path; a live stream dedupes each micro-batch against history).
+    streaming/joins.streaming_incremental_dedup runs the identical
+    pipeline on a real file-source stream, micro-batch by micro-batch,
+    as a stream-static join; tests/test_streaming.py proves the live
+    run emits exactly these rows."""
+    return (
+        dedup_incremental(spark, sf_dir)
+        .filter(F.col("origin") == "index")
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -154,3 +154,99 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _enrich(read_events_stream(spark, sf_dir), _user_profile(spark, sf_dir))
     return _run_to_memory(out, "stream_enrich_static_out", "append")
+
+
+# ---------------------------------------------------------------------------
+# Continuous ingest-dedup: stream of new documents vs the standing index
+# ---------------------------------------------------------------------------
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ingest-dedup LOOP as a live pipeline: a file-source
+    stream of arriving documents is MinHash-signed per micro-batch
+    (map-side JVM expressions — the md5 affine folds run unchanged under
+    Structured Streaming) and joined against the PERSISTED signature
+    index as two stream-static equi-joins (bands for candidates,
+    signatures for the exact-Jaccard verify). Matches the batch twin
+    `stream_incremental_dedup` row for row.
+
+    Plan constraints a cluster deployment inherits:
+    - the stream appears ONCE in the plan: band keys carry `hs` through
+      the explode (minhash_band_keys(keep=("hs",))) because verification
+      via a join back to the stream would be a stream-stream self-join;
+    - both joins are stateless per micro-batch (static side re-read per
+      batch — the standing-index refresh cadence is the only tunable);
+    - the final dropDuplicates bounds duplicate band collisions; its
+      state is one (doc_a, doc_b) pair per emitted duplicate — the
+      output's own size, the floor for exactly-once emission.
+
+    The arriving shard is staged as MULTIPLE parquet files so
+    maxFilesPerTrigger=1 yields a real multi-micro-batch run."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..cache import session_memo
+    from ..catalog import load_parallel
+    from ..operators.dedup import (
+        INCR_BATCH_MOD,
+        ensure_demo_index,
+        minhash_band_keys,
+        minhash_signatures,
+        read_signature_index,
+    )
+    from .windows import _run_to_memory
+
+    index_dir = ensure_demo_index(spark, sf_dir)
+
+    def stage_stream_dir() -> str:
+        base = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
+            tempfile.gettempdir(), "spark_graft_indexes"
+        )
+        dest = os.path.join(
+            base, "incr_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        )
+        (
+            load_parallel(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+        return dest
+
+    stream_dir = session_memo(spark, sf_dir, "incr_stream_dir", stage_stream_dir)
+    idx_sigs, idx_bands = read_signature_index(spark, index_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    new_bands = minhash_band_keys(minhash_signatures(stream), keep=("hs",))
+
+    o, n = idx_bands.alias("o"), new_bands.alias("n")
+    jac = F.size(F.array_intersect("hs_a", "n.hs")).cast("double") / F.size(
+        F.array_union("hs_a", "n.hs")
+    )
+    pairs = (
+        o.join(
+            n,
+            (F.col("o.band") == F.col("n.band"))
+            & (F.col("o.bhash") == F.col("n.bhash"))
+            & (F.col("o.doc_id") != F.col("n.doc_id")),
+        )
+        .join(
+            idx_sigs.select(F.col("doc_id").alias("sig_doc"), F.col("hs").alias("hs_a")),
+            F.col("o.doc_id") == F.col("sig_doc"),
+        )
+        .filter(jac >= 0.5)
+        .select(
+            F.col("o.doc_id").alias("doc_a"),
+            F.col("n.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _run_to_memory(pairs, "stream_incremental_dedup_out", "append")

@@ -290,3 +290,26 @@ def test_streaming_upsert_recovers_from_checkpoint(spark, tmp_path):
     )
     assert got == {(r["user_id"], r["event_id"]) for r in oracle.collect()}
     assert got == {(1, 11), (2, 21), (3, 30), (4, 40)}
+
+
+def test_streaming_incremental_dedup_matches_batch(spark):
+    """The live ingest-dedup loop (file-source stream of new docs,
+    MinHash-signed per micro-batch, stream-static joined against the
+    persisted signature index) emits exactly the batch twin's pairs —
+    stateless joins, so exact equality. The staged shard is 4 files at
+    maxFilesPerTrigger=1, so this is a real multi-micro-batch run, and
+    every emitted pair references an index doc never present in the
+    stream."""
+    from parquet_storage_query_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        stream_incremental_dedup,
+    )
+    from parquet_storage_query_spark.streaming import joins as sj
+
+    got = sj.streaming_incremental_dedup(spark, SF_SMOKE)
+    want = stream_incremental_dedup(spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)
+    rows = got.collect()
+    assert len(rows) > 0  # the check must not be vacuous
+    assert all(r["doc_a"] % INCR_BATCH_MOD != 0 for r in rows)  # index side
+    assert all(r["doc_b"] % INCR_BATCH_MOD == 0 for r in rows)  # stream side
