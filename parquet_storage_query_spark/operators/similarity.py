@@ -240,6 +240,28 @@ def _train_centroids(
     return labels, cents, cent_norms
 
 
+def _negcs_sql(labels: list[int], cents: list[list[float]], cent_norms: list[float]) -> str:
+    """(−cosine, label) struct array vs every inlined centroid — ONE SQL
+    text so the whole k-way scoring is a single F.expr parse and a
+    loop-shaped codegen body (the py4j-built tree cost ~1.8s to construct
+    and ~2s to janino-compile per call). Shared by the IVF probe and the
+    semantic-dedup cell assignment; requires columns `v` and `nv`."""
+
+    def dlit(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    cents_sql = ", ".join(
+        f"named_struct('lbl', {lab}, 'nrm', {dlit(n)}, "
+        f"'c', array({', '.join(dlit(x) for x in c)}))"
+        for lab, c, n in zip(labels, cents, cent_norms)
+    )
+    return (
+        f"transform(array({cents_sql}), s -> named_struct("
+        "'negcs', -(aggregate(zip_with(v, s.c, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        " / (nv * s.nrm)), 'lbl', s.lbl))"
+    )
+
+
 @query("sim_ivf_topk", oracle=_IVF_ORACLE)
 @prepared("sim_ivf_query")
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,19 +297,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # janino-compile per call; one F.expr parse + a loop-shaped codegen
     # body eliminates both. Same float semantics: aggregate(zip_with(*))
     # is the identical left-to-right fold functions/vectors.dot uses.
-    def dlit(x: float) -> str:
-        return repr(float(x)) + "D"
-
-    cents_sql = ", ".join(
-        f"named_struct('lbl', {lab}, 'nrm', {dlit(n)}, "
-        f"'c', array({', '.join(dlit(x) for x in c)}))"
-        for lab, c, n in zip(labels, cents, cent_norms)
-    )
-    negcs_sql = (
-        f"transform(array({cents_sql}), s -> named_struct("
-        "'negcs', -(aggregate(zip_with(v, s.c, (x, y) -> x * y), 0D, (a, x) -> a + x)"
-        " / (nv * s.nrm)), 'lbl', s.lbl))"
-    )
+    negcs_sql = _negcs_sql(labels, cents, cent_norms)
     # argmax cell: min (negcs, lbl) struct = highest cosine, lowest label
     # on ties — the same ordering as the oracle's ORDER BY cos DESC, clabel
     assigned = e.withColumn("cell", F.expr(f"array_min({negcs_sql}).lbl"))
@@ -421,5 +431,79 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(
                 F.array(*[F.lit(float(c[1])) for c in cents]), F.col("cluster") + 1
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster-then-prune over the embedding space
+# ---------------------------------------------------------------------------
+
+SEM_THRESHOLD = 0.45  # within-cell cosine above which two docs are "the same
+# content" — corpus-calibrated like COS_THRESHOLD (real embedding corpora
+# use ~0.9+; this corpus' max pair cosine is ~0.51)
+
+_SEMANTIC_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT label AS clabel, [{_IVF_CENT_SQL}]::DOUBLE[] AS c
+             FROM e GROUP BY label),
+    assigned AS (
+        SELECT e.vec_id, e.v,
+               first(clabel ORDER BY {_cos_sql('e.v', 'c')} DESC, clabel) AS cell
+        FROM e CROSS JOIN cent GROUP BY e.vec_id, e.v),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_cos_sql('a.v', 'b.v')} >= {SEM_THRESHOLD}),
+    drops AS (SELECT DISTINCT vb FROM pairs)
+    SELECT a.vec_id, a.cell, (d.vb IS NULL) AS keep
+    FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vb
+"""
+
+
+@query("dedup_semantic", oracle=_SEMANTIC_ORACLE)
+@prepared("dedup_semantic_query")
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every embedding to a coarse cluster cell, compare pairs only WITHIN a
+    cell, and drop the higher vec_id of any pair above SEM_THRESHOLD —
+    one representative survives per semantic group. Output is the full
+    per-document verdict table (vec_id, cell, keep): the deletion list a
+    curation pipeline applies before tokenization.
+
+    Scale shape — the whole point of cluster-then-prune: the quadratic
+    comparison is confined to cells, so cost is Σ|cell|² instead of n².
+    k is chosen so cells stay bounded (~n/k constant; here the 10
+    label-seeded IVF centroids stand in for the sampled k-means a 100 TB
+    run would train) — growing the corpus grows k, not the cells. The
+    cell self-join is keyed on the cell id; assignment is one map pass
+    against the broadcast-inlined centroid model (no shuffle, the
+    sim_ivf_topk trick); the verdict anti-join is digest-sized. The
+    centroid model is the session-memoized IVF model — train once,
+    serve every consumer."""
+    e = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    labels, cents, cent_norms = session_memo(
+        spark, sf_dir, "ivf_centroids", lambda: _train_centroids(spark, sf_dir)
+    )
+    e = e.withColumn("nv", l2_norm(F.col("v")))
+    assigned = e.withColumn(
+        "cell", F.expr(f"array_min({_negcs_sql(labels, cents, cent_norms)}).lbl")
+    ).select("vec_id", "v", "cell")
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).filter(cosine(F.col("a.v"), F.col("b.v")) >= SEM_THRESHOLD)
+    drops = pairs.select(F.col("b.vec_id").alias("drop_id")).distinct()
+    return (
+        assigned.join(drops, assigned.vec_id == drops.drop_id, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("drop_id").isNull().alias("keep"),
         )
     )

@@ -67,6 +67,7 @@ _PRIORITY = [
     "dedup_clusters", "dedup_embedding_cosine", "sim_lsh_topk",
     "ref_per_file_counts", "prep_schema_evolution",
     "dedup_containment", "prep_snapshot_diff", "stream_incremental_dedup",
+    "dedup_semantic",
     # -- no driver row since r01: aggregate families --
     "agg_cube", "agg_grouping_sets", "agg_count_distinct",
     "agg_percentiles", "agg_arg_max", "agg_collect_sorted", "agg_having",

@@ -734,3 +734,36 @@ def test_containment_finds_excerpt_that_lsh_misses(spark, tmp_path):
         (r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, sf).collect()
     }
     assert (1, 2) not in lsh
+
+
+def test_semantic_dedup_drops_planted_same_direction_vectors(spark, tmp_path):
+    """SemDeDup verdicts: two near-parallel vectors (cos ≈ 1, same cell by
+    construction) must resolve to one keep + one drop (lowest vec_id
+    survives); an orthogonal vector keeps regardless of cell. Labels seed
+    the centroids, so planting per-label directions pins cell assignment
+    deterministically."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.operators.similarity import dedup_semantic
+
+    rng = np.random.RandomState(11)
+    d0 = rng.standard_normal(64)
+    d1 = rng.standard_normal(64)
+    rows = [
+        (1, [float(x) for x in d0], 0),
+        (2, [float(x) for x in d0 * 1.01 + 0.001 * d1], 0),  # cos ≈ 1 vs 1
+        (3, [float(x) for x in d1], 1),  # orthogonal-ish, own label/cell
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).withColumn("embedding", F.col("embedding").cast("array<float>")).write.parquet(
+        f"{sf}/embeddings.parquet"
+    )
+
+    got = {r["vec_id"]: (r["cell"], r["keep"]) for r in dedup_semantic(spark, sf).collect()}
+    assert got[1][1] is True  # lowest id of the semantic group survives
+    assert got[2][1] is False  # its near-duplicate is dropped
+    assert got[3][1] is True
+    assert got[1][0] == got[2][0]  # same semantic cell
