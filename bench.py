@@ -50,9 +50,12 @@ HEADLINE = [
     "text_quality_score",
     "text_ngram_lm_score",
     "dedup_minhash_lsh",
+    "dedup_containment",
     "dedup_embedding_cosine",
+    "dedup_semantic",
     "dedup_incremental",
     "dedup_clusters",
+    "prep_snapshot_diff",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "agg_hll_sketch",
@@ -87,7 +90,9 @@ def main() -> None:
         "sim_ivf_topk": "sim_ivf_index_build",
         "sim_bruteforce_topk": "sim_bruteforce_prepare",
         "dedup_minhash_lsh": "minhash_sig_build",
+        "dedup_containment": "containment_posting_build",
         "dedup_embedding_cosine": "cos_lsh_index_build",
+        "dedup_semantic": "semantic_cells_build",
         "dedup_incremental": "incremental_index_build",
         "dedup_clusters": "dedup_clusters_build",
         "text_ngram_lm_score": "lm_model_build",

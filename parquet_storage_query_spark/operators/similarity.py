@@ -489,9 +489,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "ivf_centroids", lambda: _train_centroids(spark, sf_dir)
     )
     e = e.withColumn("nv", l2_norm(F.col("v")))
-    assigned = e.withColumn(
-        "cell", F.expr(f"array_min({_negcs_sql(labels, cents, cent_norms)}).lbl")
-    ).select("vec_id", "v", "cell")
+    # materialize the assignment ONCE (eager checkpoint): it feeds three
+    # plan branches (both self-join sides + the verdict table), which
+    # would otherwise each re-scan the corpus and re-fold the k cosines
+    assigned = (
+        e.withColumn(
+            "cell", F.expr(f"array_min({_negcs_sql(labels, cents, cent_norms)}).lbl")
+        )
+        .select("vec_id", "v", "cell")
+        .localCheckpoint(eager=True)
+    )
 
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(

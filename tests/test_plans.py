@@ -315,3 +315,34 @@ def test_substring_runs_single_scan(spark):
     plan = formatted_plan(dedup_substring_runs(spark, SF_SMOKE))
     # one scan NODE: the formatted detail section headers each scan once
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+def test_snapshot_diff_single_keyed_shuffle(spark):
+    """prep_snapshot_diff must reduce both snapshots to digest projections
+    map-side and classify via ONE keyed full-outer join — documents never
+    ride the shuffle, and nothing else exchanges."""
+    import re
+
+    from parquet_storage_query_spark.operators.advanced import prep_snapshot_diff
+
+    plan = formatted_plan(prep_snapshot_diff(spark, SF_SMOKE))
+    assert "FullOuter" in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"\bExchange\b", tree)) <= 2, plan  # one per side
+
+
+def test_semantic_dedup_assignment_materialized_once(spark):
+    """dedup_semantic's serving plan must read the checkpointed assignment
+    artifact (RDD scans), not re-scan the corpus per branch — the k-cosine
+    assignment fold runs once per corpus, and the cell self-join
+    broadcasts one side (cells are model-bounded)."""
+    from parquet_storage_query_spark.cache import _MEMO
+
+    for k in [k for k in _MEMO if k[2] == "dedup_semantic_query"]:
+        _MEMO.pop(k)
+    from parquet_storage_query_spark.operators.similarity import dedup_semantic
+
+    plan = formatted_plan(dedup_semantic(spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    assert "Scan parquet" not in tree and "FileScan" not in tree, plan
+    assert "ExistingRDD" in tree, plan
