@@ -277,6 +277,130 @@ def build_outer_sql(spec: OuterJoinSpec) -> str:
     )
 
 
+@dataclass(frozen=True)
+class ExprSpec:
+    """scan → filter → project random SCALAR expressions keyed by the
+    unique id — the expression-semantics trap surface (null propagation,
+    type coercion, string slicing, timestamp field extraction) that the
+    aggregate specs never touch: every row's computed values must agree,
+    not just the aggregated summaries."""
+
+    table: str
+    filters: tuple[tuple[str, str, float], ...]
+    exprs: tuple[tuple[str, str, str, float], ...]  # (alias, kind, col/key, lit)
+
+    def describe(self) -> str:
+        f = " AND ".join(f"{c} {o} {v}" for c, o, v in self.filters) or "TRUE"
+        e = ", ".join(f"{k}({c})" for _a, k, c, _l in self.exprs)
+        return f"{self.table} WHERE {f} PROJECT {e}"
+
+
+# scalar-expression grammar: each kind builds BOTH engine forms from the
+# same (col/key, lit) params. Deliberately excluded cross-engine
+# divergences (the first fuzz run FOUND two of these itself): dayofweek
+# (Spark 1-7 Sunday-first vs DuckDB dow 0-6); round() at a digit where
+# the true value is an exactly-representable tie (Spark HALF_UP vs
+# DuckDB's C-library rounding — so multiplies use INTEGER literals and
+# round at 4, and division denominators are 3..7, whose quotients never
+# land a representable tie at the 4th decimal; a power-of-two
+# denominator like 32 yields 0.03125 → 0.0313 vs 0.0312); integer '%'
+# on negatives.
+_EXPR_KINDS = ("add", "mul_lit", "mod", "div", "case", "strcat", "upper_sub",
+               "len", "greatest", "abs_diff", "coalesce_null")
+
+
+def gen_expr_spec(rng: random.Random) -> ExprSpec:
+    table = rng.choice([t for t in TABLE_COLS if TABLE_COLS[t]["uid"]])
+    cols = TABLE_COLS[table]
+    filters = tuple(
+        (rng.choice(cols["nums"] + cols["ints"]), rng.choice(OPS),
+         rng.choice([10, 100, 1000, 50000]))
+        for _ in range(rng.randint(0, 1))
+    )
+    kinds = rng.sample(_EXPR_KINDS, rng.randint(2, 5))
+    exprs = []
+    for i, kind in enumerate(kinds):
+        if kind in ("strcat", "upper_sub", "len"):
+            c = rng.choice(cols["keys"])
+        elif kind in ("mod", "coalesce_null"):
+            c = rng.choice(cols["ints"])
+        else:
+            c = rng.choice(cols["nums"])
+        exprs.append((f"e{i}", kind, c, float(rng.choice([1.5, 2.5, 7, 40, 100]))))
+    return ExprSpec(table, filters, tuple(exprs))
+
+
+def build_expr_spark(spec: ExprSpec, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_storage_query_spark.catalog import load
+
+    cols = TABLE_COLS[spec.table]
+    other = {c: cols["nums"][(cols["nums"].index(c) + 1) % len(cols["nums"])]
+             for c in cols["nums"]}
+    df = load(spark, sf_dir, spec.table)
+    for c, op, v in spec.filters:
+        col = F.col(c)
+        cond = {
+            "<": col < v, "<=": col <= v, ">": col > v,
+            ">=": col >= v, "=": col == v, "<>": col != v,
+        }[op]
+        df = df.filter(cond)
+    out = [F.col(cols["uid"][0]).alias("uid")]
+    for alias, kind, c, lit in spec.exprs:
+        d = F.col(c).cast("double")
+        if kind == "add":
+            e = F.round(d + F.col(other[c]).cast("double"), 2)
+        elif kind == "mul_lit":
+            e = F.round(d * int(lit), 4)
+        elif kind == "mod":
+            e = F.col(c) % int(lit)
+        elif kind == "div":
+            e = F.round(d / (F.col(cols["ints"][0]) % 5 + 3), 4)
+        elif kind == "case":
+            e = F.when(d > lit, F.lit("hi")).otherwise(F.lit("lo"))
+        elif kind == "strcat":
+            e = F.concat(F.col(c), F.lit("_"), F.col(cols["ints"][0]).cast("string"))
+        elif kind == "upper_sub":
+            e = F.upper(F.substring(F.col(c), 1, 3))
+        elif kind == "len":
+            e = F.length(F.col(c))
+        elif kind == "greatest":
+            e = F.round(F.greatest(d, F.col(other[c]).cast("double")), 2)
+        elif kind == "abs_diff":
+            e = F.round(F.abs(d - F.col(other[c]).cast("double")), 2)
+        else:  # coalesce_null
+            e = F.coalesce(F.nullif(F.col(c) % int(lit), F.lit(0)), F.lit(-1))
+        out.append(e.alias(alias))
+    return df.select(*out)
+
+
+def build_expr_sql(spec: ExprSpec) -> str:
+    cols = TABLE_COLS[spec.table]
+    other = {c: cols["nums"][(cols["nums"].index(c) + 1) % len(cols["nums"])]
+             for c in cols["nums"]}
+    where = " AND ".join(f"{c} {op} {v}" for c, op, v in spec.filters)
+    parts = [f"{cols['uid'][0]} AS uid"]
+    for alias, kind, c, lit in spec.exprs:
+        d = f"CAST({c} AS DOUBLE)"
+        sql = {
+            "add": f"round({d} + CAST({other.get(c, c)} AS DOUBLE), 2)",
+            "mul_lit": f"round({d} * {int(lit)}, 4)",
+            "mod": f"{c} % {int(lit)}",
+            "div": f"round({d} / ({cols['ints'][0]} % 5 + 3), 4)",
+            "case": f"CASE WHEN {d} > {lit} THEN 'hi' ELSE 'lo' END",
+            "strcat": f"concat({c}, '_', CAST({cols['ints'][0]} AS VARCHAR))",
+            "upper_sub": f"upper(substr({c}, 1, 3))",
+            "len": f"length({c})",
+            "greatest": f"round(greatest({d}, CAST({other.get(c, c)} AS DOUBLE)), 2)",
+            "abs_diff": f"round(abs({d} - CAST({other.get(c, c)} AS DOUBLE)), 2)",
+            "coalesce_null": f"coalesce(nullif({c} % {int(lit)}, 0), -1)",
+        }[kind]
+        parts.append(f"{sql} AS {alias}")
+    q = f"SELECT {', '.join(parts)} FROM {spec.table}"
+    if where:
+        q += f" WHERE {where}"
+    return q
+
+
 def gen_spec(rng: random.Random) -> Spec:
     table = rng.choice(list(TABLE_COLS))
     cols = TABLE_COLS[table]
@@ -398,6 +522,10 @@ def run_fuzz(spark: SparkSession, sf_dir: str, n_specs: int, seed: int) -> list[
             spec = gen_outer_spec(rng)
             sdf = build_outer_spark(spec, spark, sf_dir)
             sql = build_outer_sql(spec)
+        elif roll < 0.65:
+            spec = gen_expr_spec(rng)
+            sdf = build_expr_spark(spec, spark, sf_dir)
+            sql = build_expr_sql(spec)
         else:
             spec = gen_spec(rng)
             sdf = build_spark(spec, spark, sf_dir)
