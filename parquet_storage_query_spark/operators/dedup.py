@@ -428,13 +428,41 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     return labels
 
 
-@query("dedup_clusters", oracle=None)  # iterative fixpoint — not SQL-expressible
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_mh_duck_ctes()},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bnd a JOIN bnd b
+               ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+    {_MH_JACCARD_TAIL},
+    pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS v FROM edges),
+    reach(v, u) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src)
+    SELECT v AS doc_id, min(u) AS cluster_id, (v = min(u)) AS keep
+    FROM reach GROUP BY v
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 @prepared("dedup_clusters_query")
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH candidate pairs → connected
     components → per-document (cluster_id, keep) verdict, keeping the
     lowest doc_id of each cluster — the actual deletion list a training
-    pipeline consumes. Rows-only check (pairs derive from xxhash64).
+    pipeline consumes.
+
+    Now a full value-hash check: the md5-seeded pairs are deterministic,
+    so DuckDB replays the banding AND closes the components with a
+    recursive reachability CTE (min reachable node = the same min-label
+    fixpoint the Spark loop converges to). The Spark side stays the
+    iterative driver loop — O(diameter) keyed shuffles, the only shape
+    that survives 100 TB where the SQL closure's transitive blow-up
+    cannot — but its result is now oracle-verified, not just pinned by
+    the union-find pytest twin.
 
     Prepared per (session, sf_dir): the label propagation loop runs once
     and its checkpointed fixpoint is the index artifact (the cluster map);
