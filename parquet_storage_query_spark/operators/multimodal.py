@@ -260,7 +260,28 @@ def mm_embed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("prep_table_stats", oracle=None)  # file paths are env-shaped; DuckDB twin in pytest
+def _table_stats_oracle() -> str:
+    """Replay every footer read in DuckDB: parquet_file_metadata (rows /
+    row groups), parquet_schema leaf count (pyarrow's num_columns counts
+    LEAF columns), read_blob length (file size) — per table via the
+    `{sf_dir}` oracle placeholder."""
+    from ..catalog import TABLES
+
+    arms = []
+    for t in TABLES:
+        p = f"{{sf_dir}}/{t}.parquet"
+        arms.append(
+            f"SELECT '{t}' AS table_name, m.num_rows AS n_rows, "
+            f"CAST(m.num_row_groups AS BIGINT) AS n_row_groups, "
+            f"(SELECT count(*) FROM parquet_schema('{p}') "
+            f" WHERE num_children IS NULL OR num_children = 0) AS n_columns, "
+            f"(SELECT octet_length(content) FROM read_blob('{p}')) AS size_bytes "
+            f"FROM parquet_file_metadata('{p}') m"
+        )
+    return " UNION ALL ".join(arms)
+
+
+@query("prep_table_stats", oracle=_table_stats_oracle())
 def prep_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed manifest/statistics collection: read every table file's
     parquet FOOTER on executors (mapInPandas over a DataFrame of paths —
