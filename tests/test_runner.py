@@ -81,3 +81,14 @@ def test_ignore_corrupt_files_skips_bad_blob(spark, tmp_path):
     (folder / "part-junk.parquet").write_bytes(b"this is not parquet")
     out = prep.read_ignoring_corrupt_files(spark, str(folder))
     assert out.count() == 5
+
+
+def test_example_curation_pipeline_config_all_match(spark):
+    """The shipped examples/curation_pipeline.json — the LLM-data-curation
+    flow (exact/fuzzy/containment/semantic dedup, snapshot diff, schema
+    evolution, contamination, sharding) as one D8 config — must run end
+    to end with every differential check matching."""
+    report = runner.run("examples/curation_pipeline.json", spark=spark)
+    assert len(report["queries"]) == 9
+    for q in report["queries"]:
+        assert q["differential"] == "match", q
