@@ -443,6 +443,18 @@ SEM_THRESHOLD = 0.45  # within-cell cosine above which two docs are "the same
 # content" — corpus-calibrated like COS_THRESHOLD (real embedding corpora
 # use ~0.9+; this corpus' max pair cosine is ~0.51)
 
+# Per-cell comparison budget — the dedup.COS_BUCKET_BUDGET design applied
+# to cells: SemDeDup's cost contract is Σ|cell|², held bounded by growing
+# k with the corpus; the DEMO quantizer has FIXED k=10 (the label
+# cardinality), so without a cap the within-cell compare re-opens the
+# quadratic cliff the cos-LSH guard closed (measured cells: avg 200 / max
+# 231 at sf0.1 → ~2000 at 10×). B=256 clears every bench-SF cell (oracle
+# hashes unchanged) and caps pair generation at cells·C(B,2) beyond;
+# members past the budget keep their verdict row but are exempt from
+# comparison (logged) — the same explicit recall trade, and moot on a
+# real deployment where k scales.
+SEM_CELL_BUDGET = 256
+
 _SEMANTIC_ORACLE = f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     cent AS (SELECT label AS clabel, [{_IVF_CENT_SQL}]::DOUBLE[] AS c
@@ -500,7 +512,26 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # cap comparison membership per cell (see SEM_CELL_BUDGET): rank by a
+    # cell-salted hash so the kept subset is deterministic and unbiased
+    rank_key = F.md5(F.concat_ws("|", F.col("cell"), F.col("vec_id")).cast("binary"))
+    wc = W.partitionBy("cell").orderBy(rank_key, "vec_id")
+    capped = (
+        assigned.withColumn("_slot", F.row_number().over(wc))
+        .filter(F.col("_slot") <= SEM_CELL_BUDGET)
+        .drop("_slot")
+    )
+    over = assigned.count() - capped.count()
+    if over:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_semantic cell budget B=%d engaged: %d members exempt "
+            "from comparison (fixed-k demo quantizer; scale k instead on "
+            "a real corpus)", SEM_CELL_BUDGET, over,
+        )
+
+    a, b = capped.alias("a"), capped.alias("b")
     pairs = a.join(
         b,
         (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
