@@ -1205,6 +1205,29 @@ def write_signature_index(docs: DataFrame, dest: str, mode: str = "overwrite") -
         pass
 
 
+def vacuum_signature_index(dest: str) -> dict[str, int]:
+    """Remove orphaned UNCOMMITTED batch dirs from a standing index — the
+    retention pass that completes the commit protocol (a torn write
+    leaves invisible `batch=<id>` dirs under signatures/ and bands/;
+    readers never see them, but the bytes linger). Returns counts per
+    table. Committed batches are never touched; driver-side directory
+    ops only (a metadata job, like the writers' marker commit)."""
+    import os
+    import shutil
+
+    committed = set(_committed_batches(dest))
+    removed = {"signatures": 0, "bands": 0}
+    for table in removed:
+        root = f"{dest}/{table}"
+        if not os.path.isdir(root):
+            continue
+        for d in os.listdir(root):
+            if d.startswith("batch=") and d.split("=", 1)[1] not in committed:
+                shutil.rmtree(os.path.join(root, d))
+                removed[table] += 1
+    return removed
+
+
 def read_signature_index(spark: SparkSession, dest: str) -> tuple[DataFrame, DataFrame]:
     """(signatures, bands) of every COMMITTED batch in a standing index —
     the only sanctioned read path (see write_signature_index's commit

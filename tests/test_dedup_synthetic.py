@@ -767,3 +767,51 @@ def test_semantic_dedup_drops_planted_same_direction_vectors(spark, tmp_path):
     assert got[2][1] is False  # its near-duplicate is dropped
     assert got[3][1] is True
     assert got[1][0] == got[2][0]  # same semantic cell
+
+
+def test_torn_index_append_is_invisible_until_committed_and_vacuumable(
+    spark, tmp_path
+):
+    """The commit protocol end to end: a TORN append (batch dirs written,
+    marker never dropped) must be invisible to readers — the retried
+    batch under a fresh id must yield exactly-once pairs, no duplicates —
+    and vacuum must remove only the orphaned dirs."""
+    import os
+
+    from parquet_storage_query_spark.operators.dedup import (
+        incremental_pairs,
+        minhash_band_keys,
+        minhash_signatures,
+        read_signature_index,
+        vacuum_signature_index,
+        write_signature_index,
+    )
+
+    text = (
+        "shared boilerplate sentence that is long enough to shingle into "
+        "many overlapping three gram windows for the minhash signature"
+    )
+    idx = str(tmp_path / "idx")
+    batch1 = spark.createDataFrame([(10, text)], "doc_id long, text string")
+    write_signature_index(batch1, idx)
+
+    # simulate a torn RETRY of the same doc: both tables written under a
+    # new batch id, crash before the marker
+    torn = minhash_signatures(batch1).localCheckpoint(eager=True)
+    torn.write.parquet(f"{idx}/signatures/batch=deadbeef0000")
+    minhash_band_keys(torn).write.parquet(f"{idx}/bands/batch=deadbeef0000")
+
+    sigs, bands = read_signature_index(spark, idx)
+    assert sigs.count() == 1 and bands.count() > 0  # torn rows invisible
+
+    # dedup against the index sees doc 10 exactly ONCE (no duplicate pair)
+    batch2 = spark.createDataFrame([(20, text)], "doc_id long, text string")
+    got = incremental_pairs(spark, batch2, idx).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [(10, 20, 1.0)]
+
+    removed = vacuum_signature_index(idx)
+    assert removed == {"signatures": 1, "bands": 1}
+    assert not os.path.isdir(f"{idx}/signatures/batch=deadbeef0000")
+    # committed data intact, reads unchanged
+    sigs2, _ = read_signature_index(spark, idx)
+    assert sigs2.count() == 1
