@@ -1035,10 +1035,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     wh = W.partitionBy("h")
+    # rare-occurrence table materialized once (eager checkpoint): it
+    # feeds BOTH self-join sides, and the posting window over all
+    # occurrences is the build's dominant term — without the checkpoint
+    # every serve re-ran it (measured 3.7s/serve at 10×). Its size is
+    # bounded by construction: ≤ CONTAIN_MAX_POSTING rows per repeated
+    # shingle.
     rare_occ = (
         occ.withColumn("n_docs", F.count(F.lit(1)).over(wh))
         .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= CONTAIN_MAX_POSTING))
         .select("doc_id", "h")
+        .localCheckpoint(eager=True)
     )
     a, b = rare_occ.alias("a"), rare_occ.alias("b")
     cand = (
