@@ -37,6 +37,36 @@ def session_memo(spark: SparkSession, sf_dir: str, tag: str, build: Callable[[],
     return _MEMO[key]
 
 
+def scratch_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """A per-(application, sf_dir) scratch path for demo artifacts
+    (standing indexes, staged stream shards) under $SPARK_GRAFT_INDEX_DIR
+    or the system temp dir: `{prefix}_{md5(sf_dir)[:8]}_{applicationId}`.
+
+    The applicationId suffix is the isolation: two concurrent sessions
+    over the same sf_dir never overwrite each other (a shared fixed path
+    raced — one session's overwrite rmtree'd a directory the other was
+    serving from). Stale sibling app dirs (same prefix+digest, mtime
+    older than a day) are pruned on the way in, so repeated sessions
+    don't accumulate one dir each forever."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
+        tempfile.gettempdir(), "spark_graft_indexes"
+    )
+    stem = f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    os.makedirs(base, exist_ok=True)
+    cutoff = time.time() - 24 * 3600
+    for d in os.listdir(base):
+        p = os.path.join(base, d)
+        if d.startswith(stem + "_") and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+            shutil.rmtree(p, ignore_errors=True)
+    return os.path.join(base, f"{stem}_{spark.sparkContext.applicationId}")
+
+
 def prepared(tag: str):
     """Decorator for (spark, sf_dir) -> DataFrame builders whose PLAN is
     expensive to construct (inlined model literals, long hash pipelines):

@@ -831,21 +831,13 @@ def prep_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The write-once round trip is memoized per (session, sf_dir) under
     $SPARK_GRAFT_INDEX_DIR like dedup_incremental's standing index."""
-    from ..cache import session_memo
+    from ..cache import scratch_dir, session_memo
     from ..sources.prep import append_evolving, read_evolving
 
     def build() -> DataFrame:
-        import hashlib
-        import os
         import shutil
-        import tempfile
 
-        base = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
-            tempfile.gettempdir(), "spark_graft_indexes"
-        )
-        dest = os.path.join(
-            base, "evolving_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        )
+        dest = scratch_dir(spark, sf_dir, "evolving")
         shutil.rmtree(dest, ignore_errors=True)
         docs = load(spark, sf_dir, "documents")
         append_evolving(

@@ -654,11 +654,6 @@ def estimate_cos_scale_stats(e: DataFrame, n_sample: int = 1024) -> dict[str, fl
     return {"quantile": quantile, "admit_frac": admit_frac, "n_sampled": float(len(x))}
 
 
-def estimate_random_cosine_quantile(e: DataFrame, n_sample: int = 1024) -> float:
-    """The q99.9 random-pair cosine (see estimate_cos_scale_stats)."""
-    return estimate_cos_scale_stats(e, n_sample)["quantile"]
-
-
 def _bucket_capped(bands: DataFrame, budget: int) -> DataFrame:
     """Keep at most `budget` members per (band, bucket) for pair
     generation: deterministic hash-ranked selection (md5 of the full key,
@@ -1212,25 +1207,39 @@ def write_signature_index(docs: DataFrame, dest: str, mode: str = "overwrite") -
         pass
 
 
-def vacuum_signature_index(dest: str) -> dict[str, int]:
+def vacuum_signature_index(dest: str, min_age_s: float = 3600.0) -> dict[str, int]:
     """Remove orphaned UNCOMMITTED batch dirs from a standing index — the
     retention pass that completes the commit protocol (a torn write
     leaves invisible `batch=<id>` dirs under signatures/ and bands/;
     readers never see them, but the bytes linger). Returns counts per
     table. Committed batches are never touched; driver-side directory
-    ops only (a metadata job, like the writers' marker commit)."""
+    ops only (a metadata job, like the writers' marker commit).
+
+    `min_age_s` is the in-flight grace period: a writer that has laid
+    down signatures but not yet bands LOOKS uncommitted — vacuuming it
+    mid-append would recreate the exact torn state the protocol exists
+    to prevent (committed marker over half-deleted data). Only batches
+    whose dirs are older than the longest plausible append are eligible;
+    pass 0 only when no writer can be live."""
     import os
     import shutil
+    import time
 
     committed = set(_committed_batches(dest))
+    cutoff = time.time() - min_age_s
     removed = {"signatures": 0, "bands": 0}
     for table in removed:
         root = f"{dest}/{table}"
         if not os.path.isdir(root):
             continue
         for d in os.listdir(root):
-            if d.startswith("batch=") and d.split("=", 1)[1] not in committed:
-                shutil.rmtree(os.path.join(root, d))
+            p = os.path.join(root, d)
+            if (
+                d.startswith("batch=")
+                and d.split("=", 1)[1] not in committed
+                and os.path.getmtime(p) < cutoff
+            ):
+                shutil.rmtree(p)
                 removed[table] += 1
     return removed
 
@@ -1238,11 +1247,25 @@ def vacuum_signature_index(dest: str) -> dict[str, int]:
 def read_signature_index(spark: SparkSession, dest: str) -> tuple[DataFrame, DataFrame]:
     """(signatures, bands) of every COMMITTED batch in a standing index —
     the only sanctioned read path (see write_signature_index's commit
-    protocol). Batch-partition pruning keeps the scan to committed dirs."""
+    protocol). Batch-partition pruning keeps the scan to committed dirs.
+
+    Signatures are deduplicated per doc_id at read: the marker protocol
+    makes a TORN retry invisible, but a retry after a successful append
+    whose ACK was lost legitimately commits the same doc twice (two
+    batches, identical deterministic rows). Without the dedup, the
+    Jaccard-verify join would fan each candidate out once per sig copy
+    and emit duplicate pairs. Band duplicates only produce duplicate
+    CANDIDATES, which the pair-level dropDuplicates already absorbs —
+    no shuffle spent on them."""
     ids = _committed_batches(dest)
     if not ids:
         raise ValueError(f"signature index at {dest} has no committed batches")
-    sigs = spark.read.parquet(f"{dest}/signatures").filter(F.col("batch").isin(ids)).drop("batch")
+    sigs = (
+        spark.read.parquet(f"{dest}/signatures")
+        .filter(F.col("batch").isin(ids))
+        .drop("batch")
+        .dropDuplicates(["doc_id"])
+    )
     bands = spark.read.parquet(f"{dest}/bands").filter(F.col("batch").isin(ids)).drop("batch")
     return sigs, bands
 
@@ -1339,11 +1362,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_synthetic.py (the serving plan scans the index
     parquet, never the historical documents).
 
-    Index location: $SPARK_GRAFT_INDEX_DIR (else the system temp dir),
-    keyed by a digest of sf_dir and OVERWRITTEN per build — re-sessions
-    reuse the same path instead of leaking one mkdtemp per session. On a
-    real cluster this would be a shared filesystem/object-store prefix;
-    the env var is that knob."""
+    Index location: cache.scratch_dir — $SPARK_GRAFT_INDEX_DIR (else the
+    system temp dir), keyed by sf_dir digest + applicationId (concurrent
+    sessions never race on one path) with day-old sibling dirs pruned.
+    On a real cluster this would be a shared filesystem/object-store
+    prefix; the env var is that knob."""
     def build() -> DataFrame:
         dest = ensure_demo_index(spark, sf_dir)
         new = (
@@ -1363,16 +1386,9 @@ def ensure_demo_index(spark: SparkSession, sf_dir: str) -> str:
     incremental dedup and its streaming twin."""
 
     def build() -> str:
-        import hashlib
-        import os
-        import tempfile
+        from ..cache import scratch_dir
 
-        base = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
-            tempfile.gettempdir(), "spark_graft_indexes"
-        )
-        dest = os.path.join(
-            base, "sig_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        )
+        dest = scratch_dir(spark, sf_dir, "sig_index")
         docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
         write_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), dest)
         return dest

@@ -182,11 +182,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The arriving shard is staged as MULTIPLE parquet files so
     maxFilesPerTrigger=1 yields a real multi-micro-batch run."""
-    import hashlib
-    import os
-    import tempfile
-
-    from ..cache import session_memo
+    from ..cache import scratch_dir, session_memo
     from ..catalog import load_parallel
     from ..operators.dedup import (
         INCR_BATCH_MOD,
@@ -200,12 +196,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = ensure_demo_index(spark, sf_dir)
 
     def stage_stream_dir() -> str:
-        base = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
-            tempfile.gettempdir(), "spark_graft_indexes"
-        )
-        dest = os.path.join(
-            base, "incr_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        )
+        dest = scratch_dir(spark, sf_dir, "incr_stream")
         (
             load_parallel(spark, sf_dir, "documents")
             .select("doc_id", "text")

@@ -809,9 +809,41 @@ def test_torn_index_append_is_invisible_until_committed_and_vacuumable(
     got = incremental_pairs(spark, batch2, idx).collect()
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [(10, 20, 1.0)]
 
-    removed = vacuum_signature_index(idx)
+    # default grace period protects a possibly-live writer; 0 = force
+    assert vacuum_signature_index(idx) == {"signatures": 0, "bands": 0}
+    removed = vacuum_signature_index(idx, min_age_s=0)
     assert removed == {"signatures": 1, "bands": 1}
     assert not os.path.isdir(f"{idx}/signatures/batch=deadbeef0000")
     # committed data intact, reads unchanged
     sigs2, _ = read_signature_index(spark, idx)
     assert sigs2.count() == 1
+
+
+def test_double_committed_doc_yields_exactly_once_pairs(spark, tmp_path):
+    """A retry AFTER a successful append whose ack was lost legitimately
+    commits the same doc in two batches. The read path must deduplicate
+    signatures per doc_id so downstream pairs stay exactly-once."""
+    from parquet_storage_query_spark.operators.dedup import (
+        append_signature_index,
+        incremental_pairs,
+        read_signature_index,
+        write_signature_index,
+    )
+
+    text = (
+        "shared boilerplate sentence that is long enough to shingle into "
+        "many overlapping three gram windows for the minhash signature"
+    )
+    idx = str(tmp_path / "idx")
+    batch1 = spark.createDataFrame([(10, text)], "doc_id long, text string")
+    write_signature_index(batch1, idx)
+    append_signature_index(batch1, idx)  # the acked-but-lost retry
+
+    sigs, _bands = read_signature_index(spark, idx)
+    assert sigs.count() == 1  # doc 10 committed twice, read once
+
+    batch2 = spark.createDataFrame([(20, text)], "doc_id long, text string")
+    got = incremental_pairs(spark, batch2, idx).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"], r["origin"]) for r in got] == [
+        (10, 20, 1.0, "index")
+    ]
