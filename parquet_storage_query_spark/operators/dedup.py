@@ -1030,23 +1030,27 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     wh = W.partitionBy("h")
-    # rare-occurrence table materialized once (eager checkpoint): it
-    # feeds BOTH self-join sides, and the posting window over all
-    # occurrences is the build's dominant term — without the checkpoint
-    # every serve re-ran it (measured 3.7s/serve at 10×). Its size is
-    # bounded by construction: ≤ CONTAIN_MAX_POSTING rows per repeated
+    # rare-occurrence table: the posting window over all occurrences,
+    # bounded by construction to ≤ CONTAIN_MAX_POSTING rows per repeated
     # shingle.
     rare_occ = (
         occ.withColumn("n_docs", F.count(F.lit(1)).over(wh))
         .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= CONTAIN_MAX_POSTING))
         .select("doc_id", "h")
-        .localCheckpoint(eager=True)
     )
     a, b = rare_occ.alias("a"), rare_occ.alias("b")
+    # candidate-pair table materialized once (eager checkpoint): the
+    # posting self-join + pair dedup is the dominant serving term (1.12M
+    # raw pairs at sf0.1, ~3s/serve re-run without the checkpoint —
+    # checkpointing only rare_occ still re-joined per serve). This IS the
+    # "posting index" a serving system stores: O(n · C(cap, 2)) rows —
+    # linear in corpus size because the posting cap bounds each shingle's
+    # pair fan-out — and serving reduces to the verify join against it.
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=True)
     )
     scored = (
         cand.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a")
