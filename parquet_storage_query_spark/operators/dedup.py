@@ -1426,3 +1426,79 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("origin") == "index")
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# --- paragraph-granular exact dedup --------------------------------------
+# The C4/RefinedWeb "remove duplicated paragraphs corpus-wide" step sits
+# between document dedup (dedup_exact) and span dedup (dedup_substring_runs):
+# exact-match at the paragraph grain, keep the first occurrence, report how
+# much of each document survives. This corpus has no newline paragraph
+# boundaries, so fixed PARA_W-token blocks stand in for paragraphs — the
+# block/digest/keep-first machinery is the real pipeline shape either way.
+PARA_W = 25  # tokens per block
+
+_PARA_ORACLE = f"""
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    blk AS (
+        SELECT doc_id, t.i AS bidx,
+               len(ws[t.i*{PARA_W}+1 : t.i*{PARA_W}+{PARA_W}]) AS blen,
+               md5(array_to_string(ws[t.i*{PARA_W}+1 : t.i*{PARA_W}+{PARA_W}], ' ')) AS dig
+        FROM w, unnest(range(CAST(ceil(len(ws) / {PARA_W}.0) AS BIGINT))) AS t(i)),
+    ranked AS (
+        SELECT doc_id, blen,
+               row_number() OVER (PARTITION BY dig ORDER BY doc_id, bidx) AS rn
+        FROM blk)
+    SELECT doc_id,
+           count(*)                                   AS n_blocks,
+           count(*) FILTER (rn > 1)                   AS n_dup_blocks,
+           CAST(sum(blen) AS BIGINT)                  AS n_tokens,
+           CAST(coalesce(sum(blen) FILTER (rn = 1), 0) AS BIGINT) AS n_tokens_kept,
+           round(CAST(coalesce(sum(blen) FILTER (rn = 1), 0) AS DOUBLE)
+                 / sum(blen), 4)                      AS kept_ratio
+    FROM ranked GROUP BY doc_id
+"""
+
+
+@query("dedup_paragraphs", oracle=_PARA_ORACLE)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup: documents split into
+    PARA_W-token blocks, each block md5-digested, the FIRST occurrence
+    (lowest doc_id, then block index) kept and every later identical block
+    marked duplicate; per-document retention stats come back out. The
+    paragraph grain is what document-level dedup misses (pages sharing
+    boilerplate paragraphs) and span-level run detection over-segments.
+
+    Scale shape: documents never shuffle — only (digest, doc_id, bidx,
+    blen) rows ride the one digest-keyed window shuffle, and the per-doc
+    rollup shuffles O(blocks) count partials keyed by doc_id. At 100 TB
+    the cost is the scan plus two bounded keyed exchanges; identical
+    blocks concentrate on one key only as much as they are actually
+    duplicated (a pathological corpus-wide boilerplate block is exactly
+    the skew AQE's skew-join handling splits)."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    ws = words_col()
+    nblk = F.ceil(F.size(ws) / F.lit(float(PARA_W))).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), nblk - 1),
+        lambda i: F.slice(ws, i * PARA_W + 1, PARA_W),
+    )
+    blk = docs.select(
+        "doc_id", F.posexplode(blocks).alias("bidx", "blk")
+    ).select(
+        "doc_id",
+        "bidx",
+        F.size("blk").alias("blen"),
+        F.md5(F.concat_ws(" ", F.col("blk")).cast("binary")).alias("dig"),
+    )
+    rn = F.row_number().over(W.partitionBy("dig").orderBy("doc_id", "bidx"))
+    ranked = blk.withColumn("rn", rn)
+    kept = F.sum(F.when(F.col("rn") == 1, F.col("blen")).otherwise(0))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_dup_blocks"),
+        F.sum("blen").cast("long").alias("n_tokens"),
+        kept.cast("long").alias("n_tokens_kept"),
+        F.round(kept.cast("double") / F.sum("blen"), 4).alias("kept_ratio"),
+    )

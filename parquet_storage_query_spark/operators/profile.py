@@ -126,6 +126,82 @@ def profile_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "profile_column_entropy",
+    oracle="""
+    SELECT col,
+           n_total,
+           n_distinct,
+           round(log2(n_total) - s_nlog2n / n_total, 4)  AS entropy_bits,
+           round(CASE WHEN n_distinct = 1 THEN 0.0
+                      ELSE (log2(n_total) - s_nlog2n / n_total) / log2(n_distinct)
+                 END, 4)                                 AS norm_entropy,
+           round(1.0 - s_n2 / (n_total * n_total), 4)    AS gini_impurity
+    FROM (
+        SELECT col,
+               CAST(sum(n) AS DOUBLE)          AS n_total,
+               count(*)                        AS n_distinct,
+               sum(CAST(n AS DOUBLE) * log2(n)) AS s_nlog2n,
+               sum(CAST(n AS DOUBLE) * n)       AS s_n2
+        FROM (
+            SELECT 'lang' AS col, lang AS val, count(*) AS n FROM documents GROUP BY 2
+            UNION ALL
+            SELECT 'source', source, count(*) FROM documents GROUP BY 2
+            UNION ALL
+            SELECT 'event_type', event_type, count(*) FROM events GROUP BY 2)
+        GROUP BY col)
+    """,
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information profile of categorical columns: Shannon entropy (bits),
+    entropy normalized by log2(cardinality), and Gini impurity — the
+    skew/balance card behind mixture weighting and stratification choices
+    (a source column with norm_entropy 0.2 is one domain pretending to be
+    many). Entropy folds distributively from value counts via
+    H = log2(N) − Σ n·log2(n)/N, so the whole profile is two partial-merge
+    aggregates: one shuffle of O(distinct values) count partials, then one
+    of O(columns) moment partials — corpus size only pays the scan."""
+    docs = load(spark, sf_dir, "documents")
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        docs.groupBy(F.lit("lang").alias("col"), F.col("lang").alias("val"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .unionByName(
+            docs.groupBy(F.lit("source").alias("col"), F.col("source").alias("val")).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+        )
+        .unionByName(
+            ev.groupBy(F.lit("event_type").alias("col"), F.col("event_type").alias("val")).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+        )
+    )
+    nd = F.col("n").cast("double")
+    moments = counts.groupBy("col").agg(
+        F.sum("n").cast("double").alias("n_total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(nd * F.log2("n")).alias("s_nlog2n"),
+        F.sum(nd * nd).alias("s_n2"),
+    )
+    h = F.log2("n_total") - F.col("s_nlog2n") / F.col("n_total")
+    return moments.select(
+        "col",
+        "n_total",
+        "n_distinct",
+        F.round(h, 4).alias("entropy_bits"),
+        F.round(
+            F.when(F.col("n_distinct") == 1, F.lit(0.0)).otherwise(
+                h / F.log2("n_distinct")
+            ),
+            4,
+        ).alias("norm_entropy"),
+        F.round(1.0 - F.col("s_n2") / (F.col("n_total") * F.col("n_total")), 4).alias(
+            "gini_impurity"
+        ),
+    )
+
+
 N_HIST_BUCKETS = 10
 HIST_LO, HIST_HI = 0.0, 1000.0  # events.value domain (clamped)
 

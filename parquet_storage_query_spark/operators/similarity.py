@@ -565,3 +565,79 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("drop_id").isNull().alias("keep"),
         )
     )
+
+
+# --- radius (range) search -----------------------------------------------
+RANGE_R = 0.35  # cosine radius: above the corpus' random-pair bulk
+# (q99.9 ≈ 0.346 at sf0.1), so the result set is genuine neighborhood,
+# not noise — and the candidate count the banding admits stays bounded.
+
+
+def _range_oracle() -> str:
+    from .dedup import COS_PLANES_PER_BAND, N_COS_BANDS, _cos_planes_duck
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id,
+                 list_transform({_cos_planes_duck()},
+                                p -> CASE WHEN list_dot_product(v, p) > 0
+                                     THEN 1 ELSE 0 END) AS sig
+          FROM e),
+    bands AS (
+        SELECT vec_id, bd.band,
+               list_reduce(sig[bd.band * {COS_PLANES_PER_BAND} + 1
+                               : bd.band * {COS_PLANES_PER_BAND} + {COS_PLANES_PER_BAND}],
+                           (a, x) -> a * 2 + x) AS bucket
+        FROM s, range({N_COS_BANDS}) bd(band)),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bands q JOIN bands c
+          ON q.band = c.band AND q.bucket = c.bucket
+         AND q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               list_dot_product(eq.v, ec.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v)))
+                   AS cos_raw
+        FROM cand cd
+        JOIN e eq ON eq.vec_id = cd.query_id
+        JOIN e ec ON ec.vec_id = cd.neighbor_id)
+    WHERE cos_raw >= {RANGE_R}
+    """
+
+
+@query("sim_range_search", oracle=_range_oracle())
+@prepared("sim_range_query")
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: every corpus vector within cosine ≥ RANGE_R of a
+    probe — the "find everything this similar" complement to top-k (the
+    shape behind near-duplicate blocklists and retrieval cutoffs, where
+    the neighbor COUNT is the signal, not a fixed k). Candidates come from
+    the same banded hyperplane index `sim_lsh_topk` and
+    `dedup_embedding_cosine` serve from — one session artifact, three
+    access paths — then exact-scored with the index's precomputed norms.
+
+    Scale shape: probes broadcast against the pre-partitioned band index;
+    no corpus shuffle, no window (unlike top-k there is no rank step —
+    the threshold filter is map-side after the candidate join)."""
+    bands = cos_lsh_index(spark, sf_dir)
+    probes = bands.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("band").alias("q_band"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    cs = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))
+    return (
+        bands.join(
+            F.broadcast(probes),
+            (F.col("band") == F.col("q_band"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cs.alias("cos_raw"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("cos_raw") >= RANGE_R)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )

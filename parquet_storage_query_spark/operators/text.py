@@ -496,3 +496,89 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rep, 4).alias("rep_frac"),
         (rep > REP_FLAG_THRESHOLD).alias("flagged"),
     )
+
+
+# --- hashed linear quality classifier ------------------------------------
+# The fastText-shaped scoring stage of a pretraining pipeline: tokens →
+# hashing-trick feature buckets → dot with a fixed-size weight table →
+# sigmoid → keep/drop. The weight table here is a deterministic stand-in
+# (seeded, 4-decimal literals) because no trained artifact ships with the
+# corpus; a real deployment swaps in learned weights — every other part
+# (bucket hashing, broadcast model, fold, decision gate) is the production
+# shape.
+CLS_DIM = 256  # weight-table size (hashing-trick buckets)
+CLS_BIAS = -0.05
+CLS_KEEP_P = 0.5
+
+
+def _cls_weights() -> list[float]:
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    return [round(float(x), 4) for x in rng.uniform(-1.0, 1.0, CLS_DIM)]
+
+
+CLS_WEIGHTS = _cls_weights()
+
+
+def _cls_oracle() -> str:
+    warr = "[" + ", ".join(repr(w) for w in CLS_WEIGHTS) + "]"
+    tok_w = (
+        f"({warr}::DOUBLE[])[1 + CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {CLS_DIM}]"
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(ws) AS n_tokens,
+               list_reduce(list_transform(ws, w -> {tok_w}), (a, x) -> a + x)
+                   / len(ws) + {CLS_BIAS} AS s
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents))
+    SELECT doc_id, n_tokens,
+           round(s, 4)                  AS score,
+           round(1.0 / (1.0 + exp(-s)), 4) AS prob,
+           (1.0 / (1.0 + exp(-s))) >= {CLS_KEEP_P} AS keep
+    FROM scored
+    """
+
+
+@query("text_quality_classifier", oracle=_cls_oracle())
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier over tokens (the fastText quality-
+    filter shape): each token hashes into one of CLS_DIM weight buckets,
+    the document score is the mean bucket weight + bias, squashed by a
+    sigmoid into a keep probability gated at CLS_KEEP_P.
+
+    Scale shape: the model is CLS_DIM literals inlined into the plan (the
+    same broadcast-model trick as sim_ivf_topk's centroids), the per-token
+    lookup and the left-fold sum are JVM codegen — one map-side scan, zero
+    shuffles, zero Python, at any corpus size. The fold is a left fold in
+    BOTH engines, so float summation order is pinned and the 4-decimal
+    rounding is stable."""
+    docs = load(spark, sf_dir, "documents")
+    warr = F.array(*[F.lit(w) for w in CLS_WEIGHTS])
+    ws = words_col()
+    tok_w = F.transform(
+        ws,
+        lambda w: F.element_at(
+            warr,
+            (
+                F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast("long")
+                % CLS_DIM
+            ).cast("int")
+            + 1,
+        ),
+    )
+    s = (
+        F.aggregate(tok_w, F.lit(0.0), lambda a, x: a + x) / F.size(ws) + F.lit(CLS_BIAS)
+    )
+    prob = 1.0 / (1.0 + F.exp(-F.col("s")))
+    return (
+        docs.select("doc_id", F.size(ws).alias("n_tokens"), s.alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("s", 4).alias("score"),
+            F.round(prob, 4).alias("prob"),
+            (prob >= F.lit(CLS_KEEP_P)).alias("keep"),
+        )
+    )

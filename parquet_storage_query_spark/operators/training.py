@@ -380,3 +380,67 @@ def train_seq_pack_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return packed
+
+
+# --- temperature-based domain mixing -------------------------------------
+# UniMax / multilingual-LM style: target mixture weight per source is
+# count^ALPHA renormalized — ALPHA < 1 upsamples small domains relative to
+# their natural share, ALPHA = 1 is proportional, ALPHA = 0 uniform. The
+# realized sample keeps min(1, budget·w_s/n_s) of each source via the
+# deterministic md5 per-mille gate (never rand()).
+MIX_ALPHA = 0.5
+MIX_BUDGET_FRAC = 0.3  # sample target: 30% of the corpus
+
+_MIXTURE_ORACLE = f"""
+    WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_s
+               FROM documents GROUP BY source),
+    z AS (SELECT sum(pow(n_s, {MIX_ALPHA})) AS z, sum(n_s) AS n_tot FROM c),
+    rates AS (
+        SELECT source, n_s,
+               CAST(round(least(1.0,
+                        {MIX_BUDGET_FRAC} * n_tot * (pow(n_s, {MIX_ALPHA}) / z) / n_s)
+                    * 10000, 0) AS BIGINT) AS permille
+        FROM c, z)
+    SELECT d.doc_id, d.source, r.permille
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) % 10000 < r.permille
+"""
+
+
+@query("train_domain_mixture", oracle=_MIXTURE_ORACLE)
+def train_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (the multilingual/multi-domain
+    sampling step): per-source target weight ∝ count^{MIX_ALPHA}
+    (α = {MIX_ALPHA} upsamples tail domains), realized by keeping
+    min(1, budget·w_s/n_s) of each source through the md5 per-mille gate —
+    content-hash deterministic, so the same corpus always yields the same
+    mixture (train_stratified_sample's idiom with computed, not hand-set,
+    rates).
+
+    Scale shape: the rate table is one O(sources) aggregate; it joins back
+    broadcast, so the corpus pays one map-side scan + filter — no shuffle
+    of documents at any corpus size. The per-mille threshold is rounded to
+    an integer before the comparison so the float arithmetic (pow/div)
+    never sits on the keep/drop boundary."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n_s"))
+    z = c.agg(
+        F.sum(F.pow("n_s", F.lit(MIX_ALPHA))).alias("z"), F.sum("n_s").alias("n_tot")
+    )
+    w_s = F.pow("n_s", F.lit(MIX_ALPHA)) / F.col("z")
+    rates = c.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_s",
+        F.round(
+            F.least(F.lit(1.0), F.lit(MIX_BUDGET_FRAC) * F.col("n_tot") * w_s / F.col("n_s"))
+            * 10000,
+            0,
+        )
+        .cast("long")
+        .alias("permille"),
+    )
+    return (
+        docs.join(F.broadcast(rates.select("source", "permille")), "source")
+        .filter(_md5_bucket(F.col("text"), 10000) < F.col("permille"))
+        .select("doc_id", "source", "permille")
+    )
