@@ -356,7 +356,54 @@ K_CLUSTERS = 8
 KMEANS_ITERS = 5
 
 
-@query("sim_kmeans_train", oracle=None)  # float fixpoint; invariants in pytest
+def _kmeans_oracle() -> str:
+    """Replay the ENTIRE Lloyd's loop in DuckDB SQL — the iterations
+    unrolled as chained CTEs (not a recursive CTE: the keep-previous-
+    centroid branch for empty clusters needs TWO references to the prior
+    state, which recursion forbids). Cross-engine float safety is the same
+    contract the Spark builder pins: per-iteration centroids round to 4
+    decimals (so both engines re-enter each iteration from identical
+    doubles) and the distance fold is a left fold in index order on both
+    sides (list_reduce ≙ F.aggregate), making argmin ties bitwise-stable."""
+    d2 = (
+        f"list_reduce(list_transform(range({DIM}), "
+        "i -> (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1])), (a, x) -> a + x)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS c FROM e WHERE vec_id < {K_CLUSTERS})",
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        ctes.append(f"""
+    assign{i} AS (
+        SELECT e.vec_id, e.v,
+               first(c.cluster ORDER BY {d2} ASC, c.cluster) AS cluster,
+               min({d2}) AS dist2
+        FROM e CROSS JOIN cent{i - 1} c
+        GROUP BY e.vec_id, e.v)""")
+        ctes.append(f"""
+    cent{i} AS (
+        SELECT p.cluster, coalesce(n.c, p.c) AS c
+        FROM cent{i - 1} p LEFT JOIN (
+            SELECT cluster, list(m ORDER BY pos) AS c FROM (
+                SELECT cluster, t.i AS pos, round(avg(v[t.i + 1]), 4) AS m
+                FROM assign{i}, range({DIM}) t(i)
+                GROUP BY cluster, t.i)
+            GROUP BY cluster) n ON n.cluster = p.cluster)""")
+    last = KMEANS_ITERS
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT a.cluster,
+           count(*)                        AS n_vecs,
+           round(avg(sqrt(a.dist2)), 4)    AS mean_dist,
+           any_value(c.c[1])               AS centroid_d1,
+           any_value(c.c[2])               AS centroid_d2
+    FROM assign{last} a JOIN cent{last} c USING (cluster)
+    GROUP BY a.cluster
+    """
+
+
+@query("sim_kmeans_train", oracle=_kmeans_oracle())
 @prepared("sim_kmeans_query")
 def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means on the embedding corpus — the canonical ITERATIVE
