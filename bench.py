@@ -48,15 +48,19 @@ HEADLINE = [
     "stream_tumbling_counts",
     "stream_enrich_static",
     "text_quality_score",
+    "text_quality_classifier",
     "text_ngram_lm_score",
     "dedup_minhash_lsh",
+    "dedup_paragraphs",
     "dedup_containment",
     "dedup_embedding_cosine",
+    "sim_range_search",
     "dedup_incremental",
     "dedup_clusters",
     "prep_snapshot_diff",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
+    "sim_kmeans_train",
     # after sim_ivf_topk: the shared centroid model trains there (its
     # index_build metric, same attribution as r4), so semantic shows its
     # marginal cell/compare cost
@@ -65,6 +69,7 @@ HEADLINE = [
     "prep_upsert_snapshot",
     "prep_zorder_layout",
     "pipeline_training_shard",
+    "train_domain_mixture",
 ]
 
 

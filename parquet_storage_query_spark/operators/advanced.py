@@ -986,6 +986,105 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-Min sketch: the frequency twin of the HLL distinct sketch. Unlike
+# HLL (engine-specific estimator internals → rows-only check), CMS is pure
+# counting over deterministic hash cells, so the WHOLE sketch — build,
+# merge, and point query — replays exactly in DuckDB and gets a hard
+# value-hash check: the first fully oracle-checked member of the sketch
+# family.
+CMS_D = 4  # hash rows (error probability ~ e^-D)
+CMS_W = 256  # counters per row (overcount ~ 2n/W per row, min over rows)
+
+
+def _cms_col(r, key):
+    """Counter column for hash row r: md5-bucket of 'r:key' into [0, CMS_W)."""
+    s = F.concat_ws(":", F.lit(r).cast("string"), key.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long") % CMS_W
+    )
+
+
+_CMS_COL_SQL = (
+    "CAST(('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8)) "
+    f"AS BIGINT) % {CMS_W}"
+)
+
+_CMS_ORACLE = f"""
+    WITH cells AS (
+        SELECT t.r AS r, {_CMS_COL_SQL.format(r='t.r')} AS c, count(*) AS n
+        FROM events, range({CMS_D}) t(r)
+        GROUP BY 1, 2),
+    true_top AS (
+        SELECT user_id, count(*) AS true_n
+        FROM events GROUP BY user_id
+        ORDER BY true_n DESC, user_id LIMIT 10),
+    probe AS (
+        SELECT user_id, true_n, t.r AS r, {_CMS_COL_SQL.format(r='t.r')} AS c
+        FROM true_top, range({CMS_D}) t(r))
+    SELECT p.user_id, p.true_n,
+           min(cells.n)              AS est_n,
+           min(cells.n) - p.true_n   AS overcount
+    FROM probe p JOIN cells ON cells.r = p.r AND cells.c = p.c
+    GROUP BY p.user_id, p.true_n
+"""
+
+
+@query("agg_countmin_heavy_hitters", oracle=_CMS_ORACLE)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, end to end: one pass folds
+    every event into a fixed {CMS_D}×{CMS_W} counter matrix (the sketch),
+    then the heavy-hitter probe set is answered from the SKETCH ALONE —
+    est(u) = min over hash rows of the cell count, the classic
+    conservative overestimate. The output pairs each true top-10 user's
+    exact count with the sketch's answer, so the overcount column IS the
+    measured sketch error.
+
+    Scale shape: the sketch is {CMS_D * CMS_W} cells REGARDLESS of corpus
+    size — per-partition partial counts merge by cell addition (the same
+    mergeable-rollup contract as the HLL table: persist per-shard CMS,
+    answer any shard-union frequency by summing matrices, no rescan). The
+    probe join broadcasts ~{CMS_D}0 rows against the cell table. Every
+    count is deterministic md5 arithmetic, so DuckDB replays build + query
+    bit-for-bit — a hard hash check where HLL can only be rows-only."""
+    ev = load_parallel(spark, sf_dir, "events").select("user_id")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"), _cms_col(r, F.col("user_id")).alias("c")
+                )
+                for r in range(CMS_D)
+            ]
+        )
+    ).alias("rc")
+    cells = (
+        ev.select(rows)
+        .select("rc.r", "rc.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    true_top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "user_id")
+        .limit(10)
+    )
+    probe = true_top.select("user_id", "true_n", rows).select(
+        "user_id", "true_n", "rc.r", "rc.c"
+    )
+    return (
+        cells.join(F.broadcast(probe), ["r", "c"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("n").alias("est_n"))
+        .select(
+            "user_id",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("overcount"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-dimensional data layout (z-order) — the clustering step a lakehouse
 # runs after compaction (reference D2) so multi-dim predicates prune files

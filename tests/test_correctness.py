@@ -96,3 +96,27 @@ def test_generative_differential_fuzz(spark):
 
     mismatches = run_fuzz(spark, SF_SMOKE, n_specs=25, seed=7)
     assert not mismatches, [s.describe() for s in mismatches]
+
+
+def test_countmin_is_conservative_and_bounded(spark):
+    """CMS point estimates must NEVER undercount (min over rows of cells
+    that each contain the key's full count), and the expected overcount is
+    ~2·n_events/CMS_W per row — assert the top-10 errors stay within a
+    loose multiple of that bound so a hashing bug (undercount or gross
+    collision pile-up) fails loudly."""
+    from parquet_storage_query_spark.operators.advanced import (
+        CMS_W,
+        agg_countmin_heavy_hitters,
+    )
+    from parquet_storage_query_spark.catalog import load
+
+    from .conftest import SF_SMOKE
+
+    rows = agg_countmin_heavy_hitters(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    n_events = load(spark, SF_SMOKE, "events").count()
+    bound = 10 * 2 * n_events / CMS_W  # 10× the per-row expectation
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["est_n"] >= r["true_n"], r
+        assert r["overcount"] <= bound, (r, bound)

@@ -346,3 +346,66 @@ def test_semantic_dedup_assignment_materialized_once(spark):
     tree = plan.split("\n\n")[0]
     assert "Scan parquet" not in tree and "FileScan" not in tree, plan
     assert "ExistingRDD" in tree, plan
+
+
+def test_quality_classifier_is_map_side(spark):
+    """The hashed linear classifier is model-inlined scoring: a full scan
+    but ZERO exchanges at any corpus size (the fastText-filter shape)."""
+    import re
+
+    from parquet_storage_query_spark.operators.text import text_quality_classifier
+
+    plan = formatted_plan(text_quality_classifier(spark, SF_SMOKE))
+    assert not re.findall(r"\bExchange\b", plan), plan
+
+
+def test_domain_mixture_broadcasts_rate_table(spark):
+    """train_domain_mixture's per-source rate table is O(sources) — it must
+    broadcast back onto the corpus (no sort-merge join, no corpus
+    shuffle), leaving only the tiny count/renormalize aggregates as keyed
+    exchanges."""
+    from parquet_storage_query_spark.operators.training import train_domain_mixture
+    from parquet_storage_query_spark.plans.explain import has_sort_merge_or_shuffle_join
+
+    plan = formatted_plan(train_domain_mixture(spark, SF_SMOKE))
+    assert has_broadcast_join(plan), plan
+    assert not has_sort_merge_or_shuffle_join(plan), plan
+
+
+def test_paragraph_dedup_shuffles_digests_not_documents(spark):
+    """dedup_paragraphs must ride its two keyed exchanges (block-digest
+    window, per-doc rollup) WITHOUT the document text: only digest/count
+    columns shuffle, and nothing plans a single-partition window."""
+    import re
+
+    from parquet_storage_query_spark.operators.dedup import dedup_paragraphs
+
+    plan = formatted_plan(dedup_paragraphs(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"\bExchange\b", tree)) <= 2, plan
+    # the text column is consumed by the map-side block/digest projection
+    # and must not appear in any exchange's output schema
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", tree):
+        assert "text" not in m.group(1), plan
+
+
+def test_range_search_broadcasts_probes(spark):
+    """sim_range_search: probes broadcast against the band index; no
+    nested-loop join, no window/rank step (threshold filter is map-side)."""
+    from parquet_storage_query_spark.operators.similarity import sim_range_search
+
+    plan = formatted_plan(sim_range_search(spark, SF_SMOKE))
+    assert has_broadcast_join(plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan.split("\n\n")[0], plan
+
+
+def test_entropy_profile_aggregate_is_two_phase(spark):
+    """profile_column_entropy folds from value counts: both aggregate
+    levels must be partial/final splits (the reference's per-blob-partial
+    shape), never a single-node pass."""
+    from parquet_storage_query_spark.operators.profile import profile_column_entropy
+
+    plan = formatted_plan(profile_column_entropy(spark, SF_SMOKE))
+    assert has_partial_final_agg(plan), plan
