@@ -401,6 +401,110 @@ def build_expr_sql(spec: ExprSpec) -> str:
     return q
 
 
+@dataclass(frozen=True)
+class ArraySpec:
+    """scan → split → array-pipeline → scalar terminals over `documents` —
+    the higher-order-function surface (split/slice/filter/transform/
+    distinct/fold) every text/dedup operator is built from. Stages run in
+    a canonical order; each stage is independently included. Known
+    cross-engine traps encoded by construction: element access is F.get
+    (NULL out-of-bounds, matching DuckDB's l[i]) not ANSI element_at;
+    distinct is always paired with sort (list_distinct does not preserve
+    first-occurrence order); the md5 fold guards the empty list (DuckDB
+    list_reduce raises on [], Spark aggregate returns the init)."""
+
+    slice_: tuple[int, int] | None  # (pos from 1, length)
+    filter_len: int | None
+    map_kind: str | None  # 'upper' | 'sub'
+    distinct_sort: bool
+    hash_mod: int | None  # final stage: tokens → md5 buckets
+
+    def describe(self) -> str:
+        stages = []
+        if self.slice_:
+            stages.append(f"slice{self.slice_}")
+        if self.filter_len:
+            stages.append(f"len>={self.filter_len}")
+        if self.map_kind:
+            stages.append(f"map_{self.map_kind}")
+        if self.distinct_sort:
+            stages.append("distinct_sort")
+        if self.hash_mod:
+            stages.append(f"md5%{self.hash_mod}")
+        return "documents split -> " + " -> ".join(stages or ["id"])
+
+
+def gen_array_spec(rng: random.Random) -> ArraySpec:
+    return ArraySpec(
+        slice_=(rng.randint(1, 3), rng.randint(2, 30)) if rng.random() < 0.6 else None,
+        filter_len=rng.randint(2, 5) if rng.random() < 0.6 else None,
+        map_kind=rng.choice(["upper", "sub", None]),
+        distinct_sort=rng.random() < 0.5,
+        hash_mod=rng.choice([7, 16, 63]) if rng.random() < 0.5 else None,
+    )
+
+
+def build_array_spark(spec: ArraySpec, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_storage_query_spark.catalog import load
+
+    a = F.split(F.trim(F.col("text")), " ")
+    if spec.slice_:
+        a = F.slice(a, spec.slice_[0], spec.slice_[1])
+    if spec.filter_len:
+        a = F.filter(a, lambda w: F.length(w) >= spec.filter_len)
+    if spec.map_kind == "upper":
+        a = F.transform(a, F.upper)
+    elif spec.map_kind == "sub":
+        a = F.transform(a, lambda w: F.substring(w, 1, 3))
+    if spec.distinct_sort:
+        a = F.array_sort(F.array_distinct(a))
+    out = [F.col("doc_id").alias("uid"), F.size(a).alias("n")]
+    if spec.hash_mod:
+        h = F.transform(
+            a,
+            lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % spec.hash_mod,
+        )
+        out.append(F.aggregate(h, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("hsum"))
+    else:
+        out.append(F.get(a, 0).alias("first_tok"))
+        out.append(F.array_join(F.slice(a, 1, 5), "|").alias("joined"))
+    return load(spark, sf_dir, "documents").select(*out)
+
+
+def build_array_sql(spec: ArraySpec) -> str:
+    a = "string_split(trim(text), ' ')"
+    if spec.slice_:
+        pos, ln = spec.slice_
+        a = f"({a})[{pos} : {pos + ln - 1}]"
+    if spec.filter_len:
+        a = f"list_filter({a}, w -> length(w) >= {spec.filter_len})"
+    if spec.map_kind == "upper":
+        a = f"list_transform({a}, w -> upper(w))"
+    elif spec.map_kind == "sub":
+        a = f"list_transform({a}, w -> substr(w, 1, 3))"
+    if spec.distinct_sort:
+        a = f"list_sort(list_distinct({a}))"
+    parts = [
+        "doc_id AS uid",
+        f"CAST(len({a}) AS INTEGER) AS n",
+    ]
+    if spec.hash_mod:
+        h = (
+            f"list_transform({a}, w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)"
+            f" % {spec.hash_mod})"
+        )
+        parts.append(
+            f"CASE WHEN len({a}) = 0 THEN 0 ELSE list_reduce({h}, (acc, x) -> acc + x) END"
+            " AS hsum"
+        )
+    else:
+        parts.append(f"({a})[1] AS first_tok")
+        parts.append(f"array_to_string(({a})[1 : 5], '|') AS joined")
+    return f"SELECT {', '.join(parts)} FROM documents"
+
+
 def gen_spec(rng: random.Random) -> Spec:
     table = rng.choice(list(TABLE_COLS))
     cols = TABLE_COLS[table]
@@ -502,7 +606,7 @@ def run_fuzz(spark: SparkSession, sf_dir: str, n_specs: int, seed: int) -> list[
     from parquet_storage_query_spark.fingerprint import result_fingerprint
 
     con = duckdb.connect()
-    for t in set(TABLE_COLS) | {j[0] for j in JOINS.values()}:
+    for t in set(TABLE_COLS) | {j[0] for j in JOINS.values()} | {"documents"}:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )
@@ -522,10 +626,14 @@ def run_fuzz(spark: SparkSession, sf_dir: str, n_specs: int, seed: int) -> list[
             spec = gen_outer_spec(rng)
             sdf = build_outer_spark(spec, spark, sf_dir)
             sql = build_outer_sql(spec)
-        elif roll < 0.65:
+        elif roll < 0.6:
             spec = gen_expr_spec(rng)
             sdf = build_expr_spark(spec, spark, sf_dir)
             sql = build_expr_sql(spec)
+        elif roll < 0.72:
+            spec = gen_array_spec(rng)
+            sdf = build_array_spark(spec, spark, sf_dir)
+            sql = build_array_sql(spec)
         else:
             spec = gen_spec(rng)
             sdf = build_spark(spec, spark, sf_dir)
