@@ -411,7 +411,10 @@ class ArraySpec:
     (NULL out-of-bounds, matching DuckDB's l[i]) not ANSI element_at;
     distinct is always paired with sort (list_distinct does not preserve
     first-occurrence order); the md5 fold guards the empty list (DuckDB
-    list_reduce raises on [], Spark aggregate returns the init)."""
+    list_reduce raises on [], Spark aggregate returns the init; DuckDB
+    array_to_string([]) is NULL — string_agg semantics — where Spark
+    array_join([]) is '', so the SQL side coalesces. The last one was
+    FOUND by this grammar's first pytest run, not anticipated)."""
 
     slice_: tuple[int, int] | None  # (pos from 1, length)
     filter_len: int | None
@@ -501,7 +504,7 @@ def build_array_sql(spec: ArraySpec) -> str:
         )
     else:
         parts.append(f"({a})[1] AS first_tok")
-        parts.append(f"array_to_string(({a})[1 : 5], '|') AS joined")
+        parts.append(f"coalesce(array_to_string(({a})[1 : 5], '|'), '') AS joined")
     return f"SELECT {', '.join(parts)} FROM documents"
 
 
