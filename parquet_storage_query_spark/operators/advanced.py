@@ -1085,6 +1085,81 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KMV (k-minimum-values / bottom-k) distinct sketch: the third sketch
+# family member. Like CMS — and unlike HLL — the estimator is a pure
+# function of deterministic hash values (est = (k−1)·2⁶⁰/h_k), so the
+# whole thing replays in DuckDB and gets a hard hash check. The bottom-k
+# set is also the classic MERGEABLE distinct sample: bottom-k of a union
+# is the bottom-k of the per-shard bottom-k sets.
+KMV_K = 64
+_KMV_C = float((KMV_K - 1) * (1 << 60))  # (k−1)·2⁶⁰ as an exact double
+
+_KMV_ORACLE = f"""
+    WITH dh AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events),
+    both_lv AS (
+        SELECT event_type, h FROM dh
+        UNION ALL
+        SELECT 'ALL', h FROM (SELECT DISTINCT h FROM dh)),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_exact
+        FROM both_lv)
+    SELECT event_type,
+           CAST(any_value(n_exact) AS BIGINT) AS n_exact,
+           round(CASE WHEN any_value(n_exact) < {KMV_K}
+                      THEN CAST(any_value(n_exact) AS DOUBLE)
+                      ELSE {_KMV_C!r} / CAST(max(h) AS DOUBLE) END, 4) AS kmv_est
+    FROM ranked WHERE rn <= {KMV_K}
+    GROUP BY event_type
+"""
+
+
+@query("agg_kmv_distinct", oracle=_KMV_ORACLE)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch, built and queried: per event_type keep
+    the {KMV_K} smallest 60-bit md5 values of the user ids; the estimate
+    is (k−1)·2⁶⁰/h_k (the classic KMV estimator — the k-th smallest hash's
+    position measures the distinct density). The ALL row is the merge
+    proof: the global sketch is computed FROM the per-group hash sets the
+    same way a shard union would be — bottom-k sets merge by union +
+    re-truncate, no rescan of the input.
+
+    Scale shape: the distinct-hash reduction is one partial-merged
+    groupBy; the per-group window ranks O(distinct) hash rows and only k
+    survive per group — the persisted artifact is k·groups longs no
+    matter the corpus size. Deterministic md5 hashing makes this sketch
+    hash-checkable against DuckDB (like CMS, unlike HLL's engine-specific
+    registers), while tests pin the estimator's relative-error envelope."""
+    from pyspark.sql import Window as W
+
+    from .dedup import md5_i64
+
+    ev = load_parallel(spark, sf_dir, "events")
+    dh = ev.select("event_type", md5_i64(F.col("user_id").cast("string")).alias("h")).distinct()
+    both = dh.unionByName(
+        dh.select("h").distinct().select(F.lit("ALL").alias("event_type"), "h")
+    )
+    wsort = W.partitionBy("event_type").orderBy("h")
+    wall = W.partitionBy("event_type")
+    ranked = both.select(
+        "event_type",
+        "h",
+        F.row_number().over(wsort).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_exact"),
+    ).filter(F.col("rn") <= KMV_K)
+    est = F.when(
+        F.any_value("n_exact") < KMV_K, F.any_value("n_exact").cast("double")
+    ).otherwise(F.lit(_KMV_C) / F.max("h").cast("double"))
+    return ranked.groupBy("event_type").agg(
+        F.any_value("n_exact").cast("long").alias("n_exact"),
+        F.round(est, 4).alias("kmv_est"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-dimensional data layout (z-order) — the clustering step a lakehouse
 # runs after compaction (reference D2) so multi-dim predicates prune files

@@ -120,3 +120,21 @@ def test_countmin_is_conservative_and_bounded(spark):
         assert r["overcount"] >= 0, r
         assert r["est_n"] >= r["true_n"], r
         assert r["overcount"] <= bound, (r, bound)
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    """KMV estimator envelope: relative error std is ~1/sqrt(k-2) ≈ 12.7%
+    at k=64 — assert every group lands within 4 sigmas, and groups with
+    fewer than k distinct values report EXACT counts."""
+    from parquet_storage_query_spark.operators.advanced import KMV_K, agg_kmv_distinct
+
+    from .conftest import SF_SMOKE
+
+    rows = agg_kmv_distinct(spark, SF_SMOKE).collect()
+    assert any(r["event_type"] == "ALL" for r in rows)
+    for r in rows:
+        if r["n_exact"] < KMV_K:
+            assert r["kmv_est"] == float(r["n_exact"]), r
+        else:
+            rel = abs(r["kmv_est"] - r["n_exact"]) / r["n_exact"]
+            assert rel < 4 / (KMV_K - 2) ** 0.5, (r, rel)
