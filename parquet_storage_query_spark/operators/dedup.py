@@ -983,15 +983,25 @@ def _build_cos_lsh_query(spark: SparkSession, sf_dir: str, e: DataFrame) -> Data
 # any pair with meaningful containment shares many RARE shingles too.
 CONTAIN_MAX_POSTING = 20  # posting-list cap: shingles in >20 docs are "stop"
 CONTAIN_THRESHOLD = 0.6  # max(containment_a, containment_b) cutoff
+# Candidate prefilter: a pair must share ≥ this many RARE shingles to be
+# verified. The multi-evidence principle: a doc 60%-contained in another
+# shares a large fraction of its (hundreds of) shingles, so requiring 3
+# rare co-occurrences costs no recall headroom — measured at sf0.1, 90% of
+# candidate pairs share exactly ONE rare shingle, 99% share ≤2, while the
+# weakest actual ≥0.6-containment hit shares 8 — but cuts the verify join
+# 115× (1.12M → 9.8k pairs). Same bounding role as the posting cap: both
+# make candidate cost a small constant per document.
+CONTAIN_MIN_SHARED = 3
 
 _CONTAINMENT_ORACLE = f"""
     WITH {_mh_duck_ctes()},
     occ AS (SELECT doc_id, h.h AS h FROM hx, unnest(hs) AS h(h)),
     rare AS (SELECT h FROM occ GROUP BY h
              HAVING count(*) BETWEEN 2 AND {CONTAIN_MAX_POSTING}),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM occ a JOIN rare USING (h) JOIN occ b USING (h)
-             WHERE a.doc_id < b.doc_id),
+             WHERE a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= {CONTAIN_MIN_SHARED}),
     scored AS (
         SELECT c.doc_a, c.doc_b,
                len(list_intersect(ha.hs, hb.hs)) AS n_shared,
@@ -1019,8 +1029,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: explode distinct shingle hashes into occurrences; keep RARE
     shingles (posting list of 2..{CONTAIN_MAX_POSTING} docs — frequency
     pruning bounds the self-join fan-in by construction, the same reason
-    dedup_substring_runs never goes O(n²)); pair docs sharing ≥1 rare
-    shingle; verify exact containment from the full hashed sets. Every
+    dedup_substring_runs never goes O(n²)); pair docs sharing ≥
+    {CONTAIN_MIN_SHARED} rare shingles (see the constant's rationale);
+    verify exact containment from the full hashed sets. Every
     shuffle is keyed (shingle digest or doc_id); the DuckDB oracle
     replays the identical pipeline, so the check is a value-hash match.
     Signatures come from the shared minhash_docs artifact — one shingle
@@ -1040,16 +1051,21 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = rare_occ.alias("a"), rare_occ.alias("b")
     # candidate-pair table materialized once (eager checkpoint): the
-    # posting self-join + pair dedup is the dominant serving term (1.12M
-    # raw pairs at sf0.1, ~3s/serve re-run without the checkpoint —
-    # checkpointing only rare_occ still re-joined per serve). This IS the
-    # "posting index" a serving system stores: O(n · C(cap, 2)) rows —
-    # linear in corpus size because the posting cap bounds each shingle's
-    # pair fan-out — and serving reduces to the verify join against it.
+    # posting self-join + pair aggregation is the dominant serving term
+    # (~3s/serve re-run without the checkpoint — checkpointing only
+    # rare_occ still re-joined per serve). The CONTAIN_MIN_SHARED
+    # evidence filter folds into the SAME pair-keyed shuffle the dedup
+    # needed anyway (count instead of distinct) and shrinks the table
+    # 115×. This IS the "posting index" a serving system stores:
+    # O(n · C(cap, 2)) pair-count rows pre-filter — linear in corpus size
+    # because the posting cap bounds each shingle's fan-out — and serving
+    # reduces to the verify join against the surviving pairs.
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_rare"))
+        .filter(F.col("n_shared_rare") >= CONTAIN_MIN_SHARED)
+        .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
     scored = (

@@ -65,7 +65,12 @@ def get_spark(
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    # local mode = one JVM: the "driver" heap is ALL executor memory. 48g
+    # on the 128 GiB test box keeps the 10×-headroom runs out of cache-
+    # eviction/GC thrash (16g measured 4× run-to-run swings on the
+    # checkpoint-heavy dedup builds at 10×); a real cluster sets executor
+    # memory via spark-submit and this only sizes the coordinator.
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
