@@ -396,3 +396,61 @@ def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     rows = results.get("latest", [])
     return spark.createDataFrame(rows, "window_start timestamp, event_type string, n bigint, rk int")
+
+
+# ---------------------------------------------------------------------------
+# Streaming sketch maintenance: the CMS frequency matrix as live state
+# ---------------------------------------------------------------------------
+
+
+def _cms_cells(df: DataFrame) -> DataFrame:
+    """(r, c, n) CMS cell counts for a (streaming or batch) events frame —
+    the shared plan both execution modes run (the §2.9 pairing idiom)."""
+    from ..operators.advanced import CMS_D, _cms_col
+
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(r).alias("r"), _cms_col(r, F.col("user_id")).alias("c"))
+                for r in range(CMS_D)
+            ]
+        )
+    ).alias("rc")
+    return (
+        df.select(rows)
+        .select("rc.r", "rc.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _cms_cells_oracle() -> str:
+    from ..operators.advanced import CMS_D, _CMS_COL_SQL
+
+    return f"""
+    SELECT t.r AS r, {_CMS_COL_SQL.format(r='t.r')} AS c, count(*) AS n
+    FROM events, range({CMS_D}) t(r)
+    GROUP BY 1, 2
+    """
+
+
+@query("stream_countmin_cells", oracle=_cms_cells_oracle())
+def stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the live CMS maintenance: the full cell matrix the
+    stream converges to (oracle-checked; agg_countmin_heavy_hitters is the
+    point-query consumer of the same matrix)."""
+    return _cms_cells(load(spark, sf_dir, "events"))
+
+
+def streaming_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS under CONTINUOUS ingest: each micro-batch's keys fold into the
+    fixed {CMS_D}×{CMS_W} counter state incrementally — counts are
+    associative, so streaming state = the batch matrix exactly (parity
+    test pins it). This is how a production pipeline keeps live frequency
+    estimates (trending keys, hot-shard detection) without any rescan: the
+    sketch IS the state, bytes-bounded no matter how long the stream runs.
+    Complete mode here for the 1:1 batch comparison; a deployment emits
+    update-mode deltas to a compacted topic/table."""
+    return _run_to_memory(
+        _cms_cells(read_events_stream(spark, sf_dir)), "stream_cms_out", "complete"
+    )

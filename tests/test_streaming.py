@@ -313,3 +313,12 @@ def test_streaming_incremental_dedup_matches_batch(spark):
     assert len(rows) > 0  # the check must not be vacuous
     assert all(r["doc_a"] % INCR_BATCH_MOD != 0 for r in rows)  # index side
     assert all(r["doc_b"] % INCR_BATCH_MOD == 0 for r in rows)  # stream side
+
+
+def test_streaming_countmin_matches_batch(spark):
+    """Live CMS maintenance parity: after the stream drains, the counter
+    state equals the batch-built matrix cell-for-cell (counts are
+    associative — the sketch folds incrementally without drift)."""
+    got = sw.streaming_countmin_cells(spark, SF_SMOKE)
+    want = sw.stream_countmin_cells(spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)
