@@ -521,17 +521,47 @@ def _cls_weights() -> list[float]:
 CLS_WEIGHTS = _cls_weights()
 
 
-def _cls_oracle() -> str:
+def cls_raw_score(text: Column | str = "text") -> Column:
+    """Raw (pre-sigmoid) classifier score `s` for a text column — the
+    shared scoring expression `text_quality_classifier` and
+    `train_curriculum` both compute. Left fold over inlined weights: bit-
+    identical across engines given identical tokens."""
+    warr = F.array(*[F.lit(w) for w in CLS_WEIGHTS])
+    ws = words_col(text)
+    tok_w = F.transform(
+        ws,
+        lambda w: F.element_at(
+            warr,
+            (
+                F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast("long")
+                % CLS_DIM
+            ).cast("int")
+            + 1,
+        ),
+    )
+    return (
+        F.aggregate(tok_w, F.lit(0.0), lambda a, x: a + x) / F.size(ws) + F.lit(CLS_BIAS)
+    )
+
+
+def cls_raw_score_sql(ws_expr: str = "string_split(trim(text), ' ')") -> str:
+    """DuckDB twin of cls_raw_score over an arbitrary word-array expr."""
     warr = "[" + ", ".join(repr(w) for w in CLS_WEIGHTS) + "]"
     tok_w = (
         f"({warr}::DOUBLE[])[1 + CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {CLS_DIM}]"
     )
+    return (
+        f"list_reduce(list_transform({ws_expr}, w -> {tok_w}), (a, x) -> a + x)"
+        f" / len({ws_expr}) + {CLS_BIAS}"
+    )
+
+
+def _cls_oracle() -> str:
     return f"""
     WITH scored AS (
         SELECT doc_id,
                len(ws) AS n_tokens,
-               list_reduce(list_transform(ws, w -> {tok_w}), (a, x) -> a + x)
-                   / len(ws) + {CLS_BIAS} AS s
+               {cls_raw_score_sql('ws')} AS s
         FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents))
     SELECT doc_id, n_tokens,
            round(s, 4)                  AS score,
@@ -555,22 +585,8 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH engines, so float summation order is pinned and the 4-decimal
     rounding is stable."""
     docs = load(spark, sf_dir, "documents")
-    warr = F.array(*[F.lit(w) for w in CLS_WEIGHTS])
     ws = words_col()
-    tok_w = F.transform(
-        ws,
-        lambda w: F.element_at(
-            warr,
-            (
-                F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast("long")
-                % CLS_DIM
-            ).cast("int")
-            + 1,
-        ),
-    )
-    s = (
-        F.aggregate(tok_w, F.lit(0.0), lambda a, x: a + x) / F.size(ws) + F.lit(CLS_BIAS)
-    )
+    s = cls_raw_score()
     prob = 1.0 / (1.0 + F.exp(-F.col("s")))
     return (
         docs.select("doc_id", F.size(ws).alias("n_tokens"), s.alias("s"))

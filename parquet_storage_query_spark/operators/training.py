@@ -444,3 +444,80 @@ def train_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_md5_bucket(F.col("text"), 10000) < F.col("permille"))
         .select("doc_id", "source", "permille")
     )
+
+
+# --- curriculum ordering --------------------------------------------------
+# Easy-to-hard scheduling: tier by the shared quality-classifier
+# probability, rank within (split, tier) so the dataloader can walk tiers
+# in order. Thresholds sit on the classifier's sigmoid scale.
+CURR_EASY_P = 0.55
+CURR_HARD_P = 0.45
+
+
+def _curriculum_oracle() -> str:
+    from .text import cls_raw_score_sql
+
+    return f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END
+                   AS split,
+               1.0 / (1.0 + exp(-s)) AS p
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % 100 AS b,
+                     {cls_raw_score_sql()} AS s
+              FROM documents)),
+    tiered AS (
+        SELECT doc_id, split,
+               CASE WHEN p >= {CURR_EASY_P} THEN 'easy'
+                    WHEN p < {CURR_HARD_P} THEN 'hard'
+                    ELSE 'medium' END AS tier,
+               p
+        FROM scored)
+    SELECT doc_id, split, tier, round(p, 4) AS prob,
+           row_number() OVER (PARTITION BY split, tier
+                              ORDER BY p DESC, doc_id) AS curriculum_rank
+    FROM tiered
+    """
+
+
+@query("train_curriculum", oracle=_curriculum_oracle())
+def train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: every document tiered easy/medium/hard by the
+    SHARED quality-classifier probability (text.cls_raw_score — one model,
+    two consumers) and ranked easy-first within its (split, tier) — the
+    order a curriculum dataloader consumes. Composes the deterministic
+    split hash with the map-side scorer.
+
+    Scale shape: scoring and tiering are map-side; the only shuffle is the
+    (split, tier)-partitioned rank window — 9 partitions of O(n/9) rows,
+    never a global single-partition window (the train_interleave lesson).
+    Ties at a tier boundary are impossible cross-engine: both engines
+    compare the IDENTICAL left-fold double against the threshold."""
+    from pyspark.sql import Window as W
+
+    from .text import cls_raw_score
+
+    docs = load(spark, sf_dir, "documents")
+    b = _md5_bucket(F.col("doc_id").cast("string"))
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    p = 1.0 / (1.0 + F.exp(-cls_raw_score()))
+    tier = (
+        F.when(p >= CURR_EASY_P, F.lit("easy"))
+        .when(p < CURR_HARD_P, F.lit("hard"))
+        .otherwise(F.lit("medium"))
+    )
+    scored = docs.select(
+        "doc_id", split.alias("split"), tier.alias("tier"), p.alias("p")
+    )
+    w = W.partitionBy("split", "tier").orderBy(F.col("p").desc(), "doc_id")
+    return scored.select(
+        "doc_id",
+        "split",
+        "tier",
+        F.round("p", 4).alias("prob"),
+        F.row_number().over(w).alias("curriculum_rank"),
+    )
