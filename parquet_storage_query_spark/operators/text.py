@@ -598,3 +598,77 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (prob >= F.lit(CLS_KEEP_P)).alias("keep"),
         )
     )
+
+
+# --- TF-IDF keyword extraction -------------------------------------------
+TFIDF_TOP_K = 3
+
+_TFIDF_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, t.term AS term
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+             unnest(ws) AS t(term)),
+    doclen AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+    tf AS (SELECT doc_id, term, count(*) AS n_td FROM toks GROUP BY doc_id, term),
+    idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               (CAST(tf.n_td AS DOUBLE) / doclen.n_tokens)
+                   * (CAST(n.n_docs + 1 AS DOUBLE) / (idf.df + 1)) AS s
+        FROM tf
+        JOIN doclen USING (doc_id)
+        JOIN idf USING (term)
+        CROSS JOIN n)
+    SELECT doc_id, term, round(s, 4) AS tfidf, rk FROM (
+        SELECT doc_id, term, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rk
+        FROM scored)
+    WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
+@query("text_tfidf_keywords", oracle=_TFIDF_ORACLE)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_TOP_K} keywords by TF-IDF — the classic
+    corpus-statistics extraction (document cards, index terms, topic
+    seeds). IDF here is the smoothed RATIO (N+1)/(df+1) rather than its
+    logarithm: every score stays inside IEEE-exactly-rounded ops (integer
+    counts → two divisions and a multiply), so cross-engine rank order is
+    bitwise stable — ln() would put the ranking at the mercy of libm ulp
+    differences. Production semantics can swap ln in; the dataflow is the
+    point.
+
+    Scale shape: term frequencies are one (doc, term)-keyed partial-merge
+    aggregate off the token explode; the IDF table is one term-keyed
+    aggregate OVER THE TF TABLE (no second corpus scan) and joins back
+    vocabulary-sized; the top-k window partitions by doc_id. Nothing is a
+    global window, nothing rescans, documents never shuffle — only
+    (doc_id, term, count) triples do."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words_col()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_td"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("n_td").cast("double") / F.col("n_tokens"))
+                * ((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+            ).alias("s"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("s").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", F.round("s", 4).alias("tfidf"), "rk")
+    )
