@@ -89,6 +89,6 @@ def test_example_curation_pipeline_config_all_match(spark):
     evolution, contamination, sharding) as one D8 config — must run end
     to end with every differential check matching."""
     report = runner.run("examples/curation_pipeline.json", spark=spark)
-    assert len(report["queries"]) == 9
+    assert len(report["queries"]) >= 9  # grows as the curation surface grows
     for q in report["queries"]:
         assert q["differential"] == "match", q
