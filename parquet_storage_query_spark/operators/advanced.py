@@ -1160,6 +1160,88 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sampled quantiles: the mergeable-quantile design with a HARD oracle.
+# t-digest/GK sketches are engine-specific; a bottom-k-by-hash sample is
+# not — the k rows with the smallest md5(event_id) are a uniform sample
+# chosen deterministically, per-shard bottom-k sets merge by union +
+# re-truncate (the KMV property), and exact quantiles OF THE SAMPLE are
+# the estimate. Same mergeability contract as a quantile sketch, fully
+# replayable in DuckDB.
+QSAMPLE_K = 2048
+
+_QSAMPLE_ORACLE = f"""
+    WITH ranked AS (
+        SELECT value,
+               row_number() OVER (
+                   ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
+                            event_id) AS rn
+        FROM events),
+    sample AS (SELECT value FROM ranked WHERE rn <= {QSAMPLE_K}),
+    s AS (
+        SELECT quantile_cont(value, 0.5)  AS est_p50,
+               quantile_cont(value, 0.9)  AS est_p90,
+               quantile_cont(value, 0.99) AS est_p99,
+               count(*)                   AS sample_n
+        FROM sample),
+    x AS (
+        SELECT quantile_cont(value, 0.5)  AS exact_p50,
+               quantile_cont(value, 0.9)  AS exact_p90,
+               quantile_cont(value, 0.99) AS exact_p99
+        FROM events)
+    SELECT CAST(sample_n AS BIGINT) AS sample_n,
+           round(est_p50, 4) AS est_p50, round(exact_p50, 4) AS exact_p50,
+           round(est_p90, 4) AS est_p90, round(exact_p90, 4) AS exact_p90,
+           round(est_p99, 4) AS est_p99, round(exact_p99, 4) AS exact_p99
+    FROM s, x
+"""
+
+
+@query("agg_sampled_percentiles", oracle=_QSAMPLE_ORACLE)
+def agg_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a deterministic bottom-k hash sample: the
+    {QSAMPLE_K} events with the smallest md5(event_id) are a uniform
+    sample (ids are hash-scattered), and exact interpolated percentiles
+    of the sample estimate the population's. Paired with the exact
+    answers so the error is visible in the result.
+
+    Why this shape: per-shard bottom-k sets MERGE (union + re-truncate,
+    the KMV property), giving the mergeable-quantile contract of a
+    t-digest — but unlike a t-digest the state is deterministic, so both
+    engines replay it bit-for-bit and the check is a value hash, not a
+    tolerance. Scale: the sample selection is a per-partition bottom-k
+    (TakeOrdered over hash keys) — O(k) state per partition, one k-row
+    merge; the exact side is the one full percentile pass the estimate
+    would replace at 100 TB."""
+    from .dedup import md5_i64
+
+    ev = load_parallel(spark, sf_dir, "events")
+    sample = (
+        ev.select("value", md5_i64(F.col("event_id").cast("string")).alias("h"), "event_id")
+        .orderBy("h", "event_id")
+        .limit(QSAMPLE_K)
+    )
+    s = sample.agg(
+        F.count(F.lit(1)).alias("sample_n"),
+        F.percentile("value", F.lit(0.5)).alias("est_p50"),
+        F.percentile("value", F.lit(0.9)).alias("est_p90"),
+        F.percentile("value", F.lit(0.99)).alias("est_p99"),
+    )
+    x = ev.agg(
+        F.percentile("value", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("value", F.lit(0.9)).alias("exact_p90"),
+        F.percentile("value", F.lit(0.99)).alias("exact_p99"),
+    )
+    return s.crossJoin(F.broadcast(x)).select(
+        "sample_n",
+        F.round("est_p50", 4).alias("est_p50"),
+        F.round("exact_p50", 4).alias("exact_p50"),
+        F.round("est_p90", 4).alias("est_p90"),
+        F.round("exact_p90", 4).alias("exact_p90"),
+        F.round("est_p99", 4).alias("est_p99"),
+        F.round("exact_p99", 4).alias("exact_p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-dimensional data layout (z-order) — the clustering step a lakehouse
 # runs after compaction (reference D2) so multi-dim predicates prune files

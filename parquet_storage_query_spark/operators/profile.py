@@ -246,3 +246,100 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --- distribution drift (PSI) between corpus snapshots --------------------
+# Population Stability Index per dimension: Σ (p₂−p₁)·ln(p₂/p₁) over the
+# dimension's value buckets. The standard go/no-go drift gate before
+# retraining (<0.1 stable, 0.1-0.25 moderate, >0.25 shifted). Snapshots
+# reuse prep_snapshot_diff's deterministic versioning: v1 = the corpus
+# without its latest additions (doc_id % 7 == 6), v2 = the full corpus.
+PSI_EPS = 1e-6  # probability clamp so empty buckets don't produce ln(0)
+PSI_BUCKETS = 6
+PSI_CHARS_HI = 600.0
+
+_PSI_DIM_SQL = f"""
+        SELECT 'source' AS dim, source AS val, doc_id FROM documents
+        UNION ALL
+        SELECT 'lang', lang, doc_id FROM documents
+        UNION ALL
+        SELECT 'n_chars_bucket',
+               CAST(CASE WHEN n_chars < 0 THEN 0
+                         WHEN n_chars >= {PSI_CHARS_HI} THEN {PSI_BUCKETS + 1}
+                         ELSE CAST(floor(n_chars / ({PSI_CHARS_HI} / {PSI_BUCKETS}))
+                                   AS BIGINT) + 1 END AS VARCHAR),
+               doc_id
+        FROM documents
+"""
+
+_PSI_ORACLE = f"""
+    WITH dims AS ({_PSI_DIM_SQL}),
+    c AS (
+        SELECT dim, val,
+               count(*) FILTER (doc_id % 7 != 6) AS n1,
+               count(*)                          AS n2
+        FROM dims GROUP BY dim, val),
+    p AS (
+        SELECT dim, val,
+               greatest(CAST(n1 AS DOUBLE) / sum(n1) OVER (PARTITION BY dim), {PSI_EPS})
+                   AS p1,
+               greatest(CAST(n2 AS DOUBLE) / sum(n2) OVER (PARTITION BY dim), {PSI_EPS})
+                   AS p2
+        FROM c)
+    SELECT dim,
+           count(*) AS n_values,
+           round(sum((p2 - p1) * ln(p2 / p1)), 6) AS psi,
+           CASE WHEN sum((p2 - p1) * ln(p2 / p1)) < 0.1 THEN 'stable'
+                WHEN sum((p2 - p1) * ln(p2 / p1)) < 0.25 THEN 'moderate'
+                ELSE 'shifted' END AS verdict
+    FROM p GROUP BY dim
+"""
+
+
+@query("profile_drift_psi", oracle=_PSI_ORACLE)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot distribution drift: PSI for each profiled
+    dimension (source mix, language mix, length histogram) between the
+    previous corpus version and the refreshed one — the drift gate a
+    retraining pipeline runs right after prep_snapshot_diff tells it WHAT
+    changed, to decide whether the change MOVES the data distribution.
+
+    Shape: one scan builds all three dimensions' value counts for both
+    snapshots simultaneously (conditional-count partials — v1 is a filter
+    of v2, so there is no second scan); the per-dim probability window
+    and the PSI fold run over O(distinct values) rows. The {PSI_EPS}
+    clamp is the standard empty-bucket guard and keeps ln() away from
+    zero on BOTH engines."""
+    docs = load(spark, sf_dir, "documents")
+    span = PSI_CHARS_HI / PSI_BUCKETS
+    bucket = F.width_bucket("n_chars", F.lit(0.0), F.lit(PSI_CHARS_HI), F.lit(PSI_BUCKETS))
+    dims = (
+        docs.select(F.lit("source").alias("dim"), F.col("source").alias("val"), "doc_id")
+        .unionByName(
+            docs.select(F.lit("lang").alias("dim"), F.col("lang").alias("val"), "doc_id")
+        )
+        .unionByName(
+            docs.select(
+                F.lit("n_chars_bucket").alias("dim"),
+                bucket.cast("string").alias("val"),
+                "doc_id",
+            )
+        )
+    )
+    c = dims.groupBy("dim", "val").agg(
+        F.count(F.when(F.col("doc_id") % 7 != 6, 1)).alias("n1"),
+        F.count(F.lit(1)).alias("n2"),
+    )
+    wd = W.partitionBy("dim")
+    p1 = F.greatest(F.col("n1").cast("double") / F.sum("n1").over(wd), F.lit(PSI_EPS))
+    p2 = F.greatest(F.col("n2").cast("double") / F.sum("n2").over(wd), F.lit(PSI_EPS))
+    terms = c.select("dim", ((p2 - p1) * F.log(p2 / p1)).alias("term"))
+    psi = F.sum("term")
+    return terms.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(psi, 6).alias("psi"),
+        F.when(psi < 0.1, F.lit("stable"))
+        .when(psi < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("shifted"))
+        .alias("verdict"),
+    )
