@@ -343,3 +343,42 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("shifted"))
         .alias("verdict"),
     )
+
+
+# --- k-anonymity audit ----------------------------------------------------
+K_ANON = 5  # quasi-identifier groups smaller than this are re-identifiable
+
+_KANON_ORACLE = f"""
+    WITH g AS (
+        SELECT lang, source, count(*) AS group_n
+        FROM documents GROUP BY lang, source)
+    SELECT count(*)                                    AS n_groups,
+           count(*) FILTER (group_n < {K_ANON})        AS n_unsafe_groups,
+           CAST(coalesce(sum(group_n) FILTER (group_n < {K_ANON}), 0) AS BIGINT)
+               AS n_unsafe_docs,
+           CAST(min(group_n) AS BIGINT)                AS min_group,
+           round(CAST(coalesce(sum(group_n) FILTER (group_n < {K_ANON}), 0) AS DOUBLE)
+                 / sum(group_n), 4)                    AS unsafe_frac
+    FROM g
+"""
+
+
+@query("profile_k_anonymity", oracle=_KANON_ORACLE)
+def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source):
+    how many equivalence groups fall below k={K_ANON} members, and what
+    fraction of documents sits in them — the privacy gate run alongside
+    train_pii_redact before a corpus leaves quarantine (small groups are
+    the re-identification risk; the fix is suppression or coarsening).
+    Two partial-merge aggregates: value-tuple counts, then O(groups)
+    moments — the per-blob-partial shape at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("group_n"))
+    unsafe = F.sum(F.when(F.col("group_n") < K_ANON, F.col("group_n")).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("group_n") < K_ANON, 1)).alias("n_unsafe_groups"),
+        unsafe.cast("long").alias("n_unsafe_docs"),
+        F.min("group_n").alias("min_group"),
+        F.round(unsafe.cast("double") / F.sum("group_n"), 4).alias("unsafe_frac"),
+    )

@@ -409,3 +409,13 @@ def test_entropy_profile_aggregate_is_two_phase(spark):
 
     plan = formatted_plan(profile_column_entropy(spark, SF_SMOKE))
     assert has_partial_final_agg(plan), plan
+
+
+def test_sampled_percentiles_bottomk_is_take_ordered(spark):
+    """The bottom-k hash sample must plan TakeOrderedAndProject (per-
+    partition bottom-k + k-row merge — the mergeable-sketch shape), never
+    a global sort of the input."""
+    from parquet_storage_query_spark.operators.advanced import agg_sampled_percentiles
+
+    plan = formatted_plan(agg_sampled_percentiles(spark, SF_SMOKE))
+    assert has_take_ordered(plan), plan
