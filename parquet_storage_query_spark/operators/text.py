@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cache import session_memo
+from ..cache import prepared, session_memo
 from ..catalog import load, load_parallel
 from ..registry import query
 
@@ -671,4 +671,142 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TFIDF_TOP_K)
         .select("doc_id", "term", F.round("s", 4).alias("tfidf"), "rk")
+    )
+
+
+# --- BPE vocabulary training (iterative merge loop) -----------------------
+# Word-level byte-pair-encoding trainer: each round counts adjacent
+# symbol pairs across the corpus, merges the most frequent pair into one
+# symbol (greedy left-to-right within each document), and repeats. The
+# third iterative operator family (after Lloyd's k-means and connected
+# components), and like them it gets a HARD oracle: every step is
+# integer/string work — pair counts, a deterministic argmax
+# (count desc, pair asc), and a window-based greedy rewrite — so DuckDB
+# replays the full loop unrolled, bit-for-bit, no float tolerance at all.
+BPE_MERGES = 3
+BPE_SEP = "\x1f"  # unit separator: cannot occur in whitespace tokens
+
+
+def _bpe_oracle() -> str:
+    """The whole training loop unrolled as chained CTEs (the kmeans-oracle
+    pattern). Greedy-overlap semantics (only reachable when a == b, e.g.
+    'x x x') are the islands trick: within each maximal run of
+    consecutive candidate positions, merges start at even offsets."""
+    ctes = [
+        """r0 AS (
+        SELECT doc_id, t.i AS idx, ws[t.i + 1] AS tok
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+             unnest(range(len(ws))) AS t(i))"""
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        p = f"p{k}"
+        ctes.append(f"""
+    {p} AS (
+        SELECT doc_id, idx, tok,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY idx) AS tb
+        FROM r{k - 1})""")
+        ctes.append(f"""
+    w{k} AS (
+        SELECT tok AS wa, tb AS wb, count(*) AS cnt
+        FROM {p} WHERE tb IS NOT NULL
+        GROUP BY tok, tb ORDER BY cnt DESC, wa, wb LIMIT 1)""")
+        ctes.append(f"""
+    s{k} AS (
+        SELECT doc_id, idx FROM (
+            SELECT doc_id, idx,
+                   min(idx) OVER (PARTITION BY doc_id, grp) AS run_start
+            FROM (SELECT c.doc_id, c.idx,
+                         c.idx - row_number() OVER (PARTITION BY c.doc_id
+                                                    ORDER BY c.idx) AS grp
+                  FROM {p} c CROSS JOIN w{k} w
+                  WHERE c.tb IS NOT NULL AND c.tok = w.wa AND c.tb = w.wb))
+        WHERE (idx - run_start) % 2 = 0)""")
+        ctes.append(f"""
+    r{k} AS (
+        SELECT c.doc_id, c.idx,
+               CASE WHEN s.idx IS NOT NULL
+                    THEN w.wa || chr(31) || w.wb ELSE c.tok END AS tok
+        FROM {p} c
+        CROSS JOIN w{k} w
+        LEFT JOIN s{k} s  ON s.doc_id = c.doc_id AND s.idx = c.idx
+        LEFT JOIN s{k} sp ON sp.doc_id = c.doc_id AND sp.idx = c.idx - 1
+        WHERE sp.idx IS NULL)""")
+    arms = " UNION ALL ".join(
+        f"SELECT {k} AS step, w.wa AS pair_a, w.wb AS pair_b, w.cnt AS n_pairs, "
+        f"(SELECT count(*) FROM r{k}) AS tokens_after FROM w{k} w"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return f"WITH {', '.join(ctes)} {arms}"
+
+
+@query("text_bpe_vocab_train", oracle=_bpe_oracle())
+@prepared("bpe_vocab_query")
+def text_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-vocabulary training, {BPE_MERGES} merge rounds: the
+    learned merge table (pair, its corpus frequency at selection time,
+    corpus token count after applying it) — the artifact a tokenizer
+    ships. Per round: one pair-count aggregate (partial-merged, keyed by
+    the pair), a 1-row deterministic argmax collected to the driver (the
+    inlined-model idiom sim_kmeans_train uses), and a greedy rewrite as
+    doc_id-partitioned windows — candidate starts resolved with the
+    gaps-and-islands parity rule so overlapping runs ('x x x') merge
+    left-to-right exactly like a sequential fold would.
+
+    Scale: each round shuffles (doc_id)-keyed token rows and O(vocab²)
+    count partials; rows are localCheckpoint-ed per round so lineage
+    stays flat. Production trainers fold identical WORDS first (the
+    classic word-frequency optimization) — here every token is already a
+    word, so that fold is the explode itself. The DuckDB oracle replays
+    the entire loop unrolled; with only integer/string ops in play the
+    check is exact, not tolerance-based."""
+    from pyspark.sql import Window as W
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    rows = docs.select(
+        "doc_id", F.posexplode(words_col()).alias("idx", "tok")
+    ).localCheckpoint(eager=True)
+    stats: list[tuple[int, str, str, int, int]] = []
+    for step in range(1, BPE_MERGES + 1):
+        wlead = W.partitionBy("doc_id").orderBy("idx")
+        p = rows.withColumn("tb", F.lead("tok").over(wlead))
+        top = (
+            p.filter(F.col("tb").isNotNull())
+            .groupBy("tok", "tb")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "tok", "tb")
+            .limit(1)
+            .collect()[0]
+        )
+        wa, wb, wcnt = top["tok"], top["tb"], int(top["cnt"])
+        cand = p.filter(
+            F.col("tb").isNotNull() & (F.col("tok") == wa) & (F.col("tb") == wb)
+        )
+        grp = (F.col("idx") - F.row_number().over(wlead)).alias("grp")
+        starts = (
+            cand.select("doc_id", "idx", grp)
+            .withColumn(
+                "run_start", F.min("idx").over(W.partitionBy("doc_id", "grp"))
+            )
+            .filter((F.col("idx") - F.col("run_start")) % 2 == 0)
+            .select("doc_id", F.col("idx").alias("s_idx"))
+        )
+        merged_tok = F.lit(wa + BPE_SEP + wb)
+        s_here = starts.select("doc_id", F.col("s_idx").alias("idx"), F.lit(True).alias("is_start"))
+        s_prev = starts.select(
+            "doc_id", (F.col("s_idx") + 1).alias("idx"), F.lit(True).alias("consumed")
+        )
+        rows = (
+            p.join(s_here, ["doc_id", "idx"], "left")
+            .join(s_prev, ["doc_id", "idx"], "left")
+            .filter(F.col("consumed").isNull())
+            .select(
+                "doc_id",
+                "idx",
+                F.when(F.col("is_start"), merged_tok).otherwise(F.col("tok")).alias("tok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        stats.append((step, wa, wb, wcnt, rows.count()))
+    return spark.createDataFrame(
+        stats, "step int, pair_a string, pair_b string, n_pairs bigint, tokens_after bigint"
     )

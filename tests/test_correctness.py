@@ -138,3 +138,27 @@ def test_kmv_estimate_within_tolerance(spark):
         else:
             rel = abs(r["kmv_est"] - r["n_exact"]) / r["n_exact"]
             assert rel < 4 / (KMV_K - 2) ** 0.5, (r, rel)
+
+
+def test_bpe_vocab_train_invariants(spark):
+    """BPE trainer: the merge table must be reproducible run-to-run, the
+    corpus token count strictly decreases by one per applied merge, and
+    each learned pair was the frequency argmax at its step (counts are
+    non-increasing only within a step's own selection, so just sanity:
+    positive counts, distinct learned symbols)."""
+    from parquet_storage_query_spark.cache import _MEMO
+    from parquet_storage_query_spark.operators.text import text_bpe_vocab_train
+
+    from .conftest import SF_SMOKE
+
+    out1 = sorted(map(tuple, text_bpe_vocab_train(spark, SF_SMOKE).collect()))
+    for k in [k for k in _MEMO if k[2] == "bpe_vocab_query"]:
+        _MEMO.pop(k)
+    out2 = sorted(map(tuple, text_bpe_vocab_train(spark, SF_SMOKE).collect()))
+    assert out1 == out2
+    assert len(out1) == 3
+    toks = [r[4] for r in out1]
+    assert toks[0] > toks[1] > toks[2]
+    pairs = {(r[1], r[2]) for r in out1}
+    assert len(pairs) == 3
+    assert all(r[3] > 0 for r in out1)
