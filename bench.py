@@ -49,7 +49,9 @@ HEADLINE = [
     "stream_enrich_static",
     "text_quality_score",
     "text_quality_classifier",
+    "text_tfidf_keywords",
     "text_ngram_lm_score",
+    "text_bpe_vocab_train",
     "dedup_minhash_lsh",
     "dedup_paragraphs",
     "dedup_containment",
@@ -66,10 +68,15 @@ HEADLINE = [
     # marginal cell/compare cost
     "dedup_semantic",
     "agg_hll_sketch",
+    "agg_countmin_heavy_hitters",
+    "agg_kmv_distinct",
+    "agg_sampled_percentiles",
     "prep_upsert_snapshot",
     "prep_zorder_layout",
     "pipeline_training_shard",
     "train_domain_mixture",
+    "train_curriculum",
+    "profile_drift_psi",
 ]
 
 
@@ -104,6 +111,7 @@ def main() -> None:
         "dedup_incremental": "incremental_index_build",
         "dedup_clusters": "dedup_clusters_build",
         "text_ngram_lm_score": "lm_model_build",
+        "text_bpe_vocab_train": "bpe_vocab_build",
     }
 
     timings: dict[str, float] = {}
