@@ -65,12 +65,13 @@ def get_spark(
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    # local mode = one JVM: the "driver" heap is ALL executor memory. 48g
-    # on the 128 GiB test box keeps the 10×-headroom runs out of cache-
-    # eviction/GC thrash (16g measured 4× run-to-run swings on the
-    # checkpoint-heavy dedup builds at 10×); a real cluster sets executor
-    # memory via spark-submit and this only sizes the coordinator.
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    # local mode = one JVM: the "driver" heap is ALL executor memory. 16g
+    # measured FASTER than 48g on the checkpoint-heavy 10× dedup builds
+    # (cos-LSH build 17.9s vs 47.8s isolated) — the giant heap pays G1
+    # page-commit/locality costs that dwarf any spill it avoids. A real
+    # cluster sets executor memory via spark-submit; this only sizes the
+    # local JVM.
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
