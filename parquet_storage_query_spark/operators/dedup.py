@@ -1518,3 +1518,90 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.cast("long").alias("n_tokens_kept"),
         F.round(kept.cast("double") / F.sum("blen"), 4).alias("kept_ratio"),
     )
+
+
+# --- LSH quality evaluation ------------------------------------------------
+# "Measure, don't guess" applied to the approximate dedup itself: exact
+# Jaccard ground truth (posting-list join over ALL shingles — affordable
+# at audit scale; sample at production scale) vs the banded-LSH pair set,
+# reported as precision/recall counts. Precision is 1.0 BY CONSTRUCTION
+# (the LSH path verifies exact Jaccard on its candidates with the same
+# formula) — the eval proves it and quantifies what the banding misses.
+
+_LSH_EVAL_ORACLE = f"""
+    WITH {_mh_duck_ctes()},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bnd a JOIN bnd b
+               ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+    {_MH_JACCARD_TAIL},
+    lsh AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+    occ AS (SELECT doc_id, h.h AS h FROM hx, unnest(hs) AS h(h)),
+    gtc AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ns
+            FROM occ a JOIN occ b USING (h)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    gt AS (SELECT da, db FROM gtc
+           JOIN hx ha ON ha.doc_id = da
+           JOIN hx hb ON hb.doc_id = db
+           WHERE CAST(ns AS DOUBLE) / (len(ha.hs) + len(hb.hs) - ns) >= 0.5)
+    SELECT (SELECT count(*) FROM gt)  AS n_ground_truth,
+           (SELECT count(*) FROM lsh) AS n_lsh,
+           (SELECT count(*) FROM lsh JOIN gt ON doc_a = da AND doc_b = db) AS n_hit,
+           round(CASE WHEN (SELECT count(*) FROM lsh) = 0 THEN 1.0
+                      ELSE CAST((SELECT count(*) FROM lsh JOIN gt ON doc_a = da AND doc_b = db)
+                                AS DOUBLE) / (SELECT count(*) FROM lsh) END, 4) AS precision,
+           round(CASE WHEN (SELECT count(*) FROM gt) = 0 THEN 1.0
+                      ELSE CAST((SELECT count(*) FROM lsh JOIN gt ON doc_a = da AND doc_b = db)
+                                AS DOUBLE) / (SELECT count(*) FROM gt) END, 4)  AS recall
+"""
+
+
+@query("eval_minhash_lsh_quality", oracle=_LSH_EVAL_ORACLE)
+@prepared("lsh_eval_query")
+def eval_minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the banded MinHash-LSH dedup against EXACT
+    Jaccard ground truth (threshold 0.5): the measured answer to "what
+    does the banding miss?" — recall quantifies the s-curve's promise
+    (16 bands × 2 rows ⇒ ~0.99 catch probability at J = 0.5), precision
+    confirms the exact-verify step admits nothing below threshold.
+
+    Ground truth comes from a full posting-list self-join over ALL
+    distinct shingle hashes — O(Σ per-shingle doc-count²), affordable at
+    audit scale and run on hash-bucketed samples at 100 TB (the eval is
+    an offline quality gate, not a serving path). Both pair sets reduce
+    to integer counts, so the DuckDB replay is exact."""
+    docs = minhash_docs(spark, sf_dir).select("doc_id", "hs")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    occ = docs.select("doc_id", F.explode("hs").alias("h"))
+    a, b = occ.alias("a"), occ.alias("b")
+    gtc = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    gt = (
+        gtc.join(docs.select(F.col("doc_id").alias("da"), F.size("hs").alias("na")), "da")
+        .join(docs.select(F.col("doc_id").alias("db"), F.size("hs").alias("nb")), "db")
+        .filter(
+            F.col("ns").cast("double") / (F.col("na") + F.col("nb") - F.col("ns")) >= 0.5
+        )
+        .select("da", "db")
+    )
+    hit = lsh.join(gt, (F.col("doc_a") == F.col("da")) & (F.col("doc_b") == F.col("db")))
+    counts = (
+        gt.agg(F.count(F.lit(1)).alias("n_ground_truth"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    prec = F.when(F.col("n_lsh") == 0, F.lit(1.0)).otherwise(
+        F.col("n_hit").cast("double") / F.col("n_lsh")
+    )
+    rec = F.when(F.col("n_ground_truth") == 0, F.lit(1.0)).otherwise(
+        F.col("n_hit").cast("double") / F.col("n_ground_truth")
+    )
+    return counts.select(
+        "n_ground_truth",
+        "n_lsh",
+        "n_hit",
+        F.round(prec, 4).alias("precision"),
+        F.round(rec, 4).alias("recall"),
+    )
