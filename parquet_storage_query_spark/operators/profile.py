@@ -313,19 +313,22 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     span = PSI_CHARS_HI / PSI_BUCKETS
     bucket = F.width_bucket("n_chars", F.lit(0.0), F.lit(PSI_CHARS_HI), F.lit(PSI_BUCKETS))
-    dims = (
-        docs.select(F.lit("source").alias("dim"), F.col("source").alias("val"), "doc_id")
-        .unionByName(
-            docs.select(F.lit("lang").alias("dim"), F.col("lang").alias("val"), "doc_id")
-        )
-        .unionByName(
-            docs.select(
-                F.lit("n_chars_bucket").alias("dim"),
-                bucket.cast("string").alias("val"),
-                "doc_id",
+    # ONE corpus scan for all three dimensions: explode a per-row array of
+    # (dim, val) structs instead of a 3-arm self-union (which re-scans the
+    # parquet once per dimension — the plan-audit rescan smell).
+    dims = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("source").alias("dim"), F.col("source").alias("val")),
+                F.struct(F.lit("lang").alias("dim"), F.col("lang").alias("val")),
+                F.struct(
+                    F.lit("n_chars_bucket").alias("dim"),
+                    bucket.cast("string").alias("val"),
+                ),
             )
-        )
-    )
+        ).alias("dv"),
+        "doc_id",
+    ).select(F.col("dv.dim").alias("dim"), F.col("dv.val").alias("val"), "doc_id")
     c = dims.groupBy("dim", "val").agg(
         F.count(F.when(F.col("doc_id") % 7 != 6, 1)).alias("n1"),
         F.count(F.lit(1)).alias("n2"),

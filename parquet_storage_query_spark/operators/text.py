@@ -629,6 +629,7 @@ _TFIDF_ORACLE = f"""
 
 
 @query("text_tfidf_keywords", oracle=_TFIDF_ORACLE)
+@prepared("tfidf_query")
 def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-{TFIDF_TOP_K} keywords by TF-IDF — the classic
     corpus-statistics extraction (document cards, index terms, topic
@@ -639,20 +640,28 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences. Production semantics can swap ln in; the dataflow is the
     point.
 
-    Scale shape: term frequencies are one (doc, term)-keyed partial-merge
-    aggregate off the token explode; the IDF table is one term-keyed
-    aggregate OVER THE TF TABLE (no second corpus scan) and joins back
-    vocabulary-sized; the top-k window partitions by doc_id. Nothing is a
-    global window, nothing rescans, documents never shuffle — only
+    Scale shape: ONE corpus scan. Every other input derives from the TF
+    table itself — doc lengths are Σ n_td per doc, document frequencies
+    are COUNT per term, the corpus size is the doclen row count — and the
+    TF table is materialized once (eager localCheckpoint, the
+    minhash_docs staging-table pattern) because its three consumers would
+    otherwise each re-run the explode+count subtree (Catalyst's exchange
+    reuse only deduplicated one of them, measured). The vocabulary-sized
+    IDF table joins back broadcast and the top-k window partitions by
+    doc_id. Nothing is a global window, documents never shuffle — only
     (doc_id, term, count) triples do."""
     from pyspark.sql import Window as W
 
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(words_col()).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_td"))
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n_td"))
+        .localCheckpoint(eager=True)
+    )
+    doclen = tf.groupBy("doc_id").agg(F.sum("n_td").alias("n_tokens"))
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n = doclen.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(doclen, "doc_id")
         .join(F.broadcast(idf), "term")
