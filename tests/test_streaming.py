@@ -322,3 +322,78 @@ def test_streaming_countmin_matches_batch(spark):
     got = sw.streaming_countmin_cells(spark, SF_SMOKE)
     want = sw.stream_countmin_cells(spark, SF_SMOKE)
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_agg_on_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state backend: the same incremental aggregation runs on
+    the RocksDB state store provider (bounded-heap, spill-to-disk state —
+    what a production deployment uses instead of the default in-heap
+    HDFS-backed store) INCLUDING kill/restart recovery from its
+    checkpoint. Exactly-once is pinned the same way as the CDC-sink test:
+    the restarted query processes exactly one new commit for one new
+    file, and the final counts equal the batch oracle over everything
+    ever fed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = "id LONG, k LONG"
+        src, ckpt = tmp_path / "src", str(tmp_path / "ckpt")
+        src.mkdir()
+        fed = []
+
+        def feed(name, rows):
+            fed.extend(rows)
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+
+        def run():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src) + "/*")
+            )
+            q = (
+                stream.groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+                .writeStream.outputMode("complete")
+                .format("memory")
+                .queryName("rocks_counts")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            return {tuple(r) for r in spark.table("rocks_counts").collect()}
+
+        feed("f1", [(1, 0), (2, 1), (3, 0)])
+        feed("f2", [(4, 1), (5, 2)])
+        run()
+        commits = os.path.join(ckpt, "commits")
+        n1 = len([f for f in os.listdir(commits) if f.isdigit()])
+        assert n1 == 2  # one commit per file
+
+        feed("f3", [(6, 0), (7, 2)])
+        got = run()
+        n2 = len([f for f in os.listdir(commits) if f.isdigit()])
+        assert n2 == 3  # exactly ONE new commit — state recovered, not replayed
+
+        want = {
+            tuple(r)
+            for r in spark.createDataFrame(fed, schema)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
