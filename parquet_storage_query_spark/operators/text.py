@@ -768,6 +768,20 @@ def text_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     word, so that fold is the explode itself. The DuckDB oracle replays
     the entire loop unrolled; with only integer/string ops in play the
     check is exact, not tolerance-based."""
+    stats, _rows = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        stats, "step int, pair_a string, pair_b string, n_pairs bigint, tokens_after bigint"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """(merge stats, final token-row table) — memoized per (session,
+    sf_dir) so the trainer and the tokenizer-apply consumer share ONE
+    training run (the minhash_docs shared-artifact idiom)."""
+    return session_memo(spark, sf_dir, "bpe_train", lambda: _bpe_train_build(spark, sf_dir))
+
+
+def _bpe_train_build(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window as W
 
     docs = load_parallel(spark, sf_dir, "documents")
@@ -816,6 +830,45 @@ def text_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         stats.append((step, wa, wb, wcnt, rows.count()))
-    return spark.createDataFrame(
-        stats, "step int, pair_a string, pair_b string, n_pairs bigint, tokens_after bigint"
+    return stats, rows
+
+
+def _bpe_apply_oracle() -> str:
+    """Per-doc tokenization report off the SAME unrolled training CTEs:
+    r{BPE_MERGES} is the corpus after all learned merges."""
+    last = BPE_MERGES
+    body = _bpe_oracle()
+    # reuse the trainer's CTE prefix; swap the final stat arms for the
+    # per-doc rollup over the last rewrite
+    prefix = body[: body.rindex("SELECT 1 AS step")]
+    return f"""{prefix}
+    SELECT d.doc_id,
+           CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_tokens_orig,
+           count(r.idx)                                         AS n_tokens_bpe,
+           count(r.idx) FILTER (contains(r.tok, chr(31)))       AS n_bpe_symbols
+    FROM documents d JOIN r{last} r ON r.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.text
+    """
+
+
+@query("text_bpe_tokenize_apply", oracle=_bpe_apply_oracle())
+@prepared("bpe_apply_query")
+def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer APPLIED: per-document token counts before and
+    after the learned BPE merges, plus how many merged symbols each doc
+    now contains — the compression report that tells you what the new
+    vocabulary buys on this corpus. Consumes the SAME memoized training
+    run as `text_bpe_vocab_train` (one loop per session, two registered
+    consumers — the minhash_docs sharing idiom), so applying costs one
+    per-doc rollup over the final checkpointed token table."""
+    _stats, rows = _bpe_train(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words_col()).cast("long").alias("n_tokens_orig")
+    )
+    per_doc = rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_bpe"),
+        F.count(F.when(F.col("tok").contains(BPE_SEP), 1)).alias("n_bpe_symbols"),
+    )
+    return docs.join(per_doc, "doc_id").select(
+        "doc_id", "n_tokens_orig", "n_tokens_bpe", "n_bpe_symbols"
     )
