@@ -787,3 +787,137 @@ def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("ms", 4).alias("maxsim"), "rk")
     )
+
+
+# --- consensus dedup verdict (the composed curation decision) --------------
+def _consensus_oracle() -> str:
+    """All four dedup signals replayed in ONE SQL: exact copies (md5,
+    keep-first), MinHash near-dups (J ≥ 0.5, drop doc_b), containment
+    excerpts (drop the more-contained side; ties drop the higher id),
+    and SemDeDup semantic dups (cell-pruned cosine, drop the higher id).
+    Composes the same CTE fragments the per-operator oracles use."""
+    from .dedup import (
+        CONTAIN_MAX_POSTING,
+        CONTAIN_MIN_SHARED,
+        CONTAIN_THRESHOLD,
+        _mh_duck_ctes,
+    )
+
+    return f"""
+    WITH {_mh_duck_ctes()},
+    exact_dup AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+                                              ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn > 1),
+    mh_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bnd a JOIN bnd b
+                  ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+    near_dup AS (
+        SELECT DISTINCT c.doc_b AS doc_id
+        FROM mh_cand c
+        JOIN hx ha ON ha.doc_id = c.doc_a
+        JOIN hx hb ON hb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+              / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.5),
+    occ2 AS (SELECT doc_id, h.h AS h FROM hx, unnest(hs) AS h(h)),
+    rare2 AS (SELECT h FROM occ2 GROUP BY h
+              HAVING count(*) BETWEEN 2 AND {CONTAIN_MAX_POSTING}),
+    ct_cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM occ2 a JOIN rare2 USING (h) JOIN occ2 b USING (h)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= {CONTAIN_MIN_SHARED}),
+    excerpt AS (
+        SELECT DISTINCT CASE WHEN ca > cb THEN doc_a
+                             WHEN cb > ca THEN doc_b
+                             ELSE greatest(doc_a, doc_b) END AS doc_id
+        FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) / len(ha.hs) AS ca,
+                   CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) / len(hb.hs) AS cb
+            FROM ct_cand c
+            JOIN hx ha ON ha.doc_id = c.doc_a
+            JOIN hx hb ON hb.doc_id = c.doc_b)
+        WHERE greatest(ca, cb) >= {CONTAIN_THRESHOLD}),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT label AS clabel, [{_IVF_CENT_SQL}]::DOUBLE[] AS c
+             FROM e GROUP BY label),
+    assigned AS (
+        SELECT e.vec_id, e.v,
+               first(clabel ORDER BY {_cos_sql('e.v', 'c')} DESC, clabel) AS cell
+        FROM e CROSS JOIN cent GROUP BY e.vec_id, e.v),
+    sem_dup AS (
+        SELECT DISTINCT b.vec_id AS doc_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_cos_sql('a.v', 'b.v')} >= {SEM_THRESHOLD})
+    SELECT d.doc_id,
+           (x.doc_id IS NOT NULL) AS is_exact_dup,
+           (n.doc_id IS NOT NULL) AS is_near_dup,
+           (c.doc_id IS NOT NULL) AS is_excerpt,
+           (s.doc_id IS NOT NULL) AS is_semantic_dup,
+           (x.doc_id IS NULL AND n.doc_id IS NULL
+            AND c.doc_id IS NULL AND s.doc_id IS NULL) AS keep
+    FROM documents d
+    LEFT JOIN exact_dup x ON x.doc_id = d.doc_id
+    LEFT JOIN near_dup n  ON n.doc_id = d.doc_id
+    LEFT JOIN excerpt c   ON c.doc_id = d.doc_id
+    LEFT JOIN sem_dup s   ON s.doc_id = d.doc_id
+    """
+
+
+@query("pipeline_dedup_consensus", oracle=_consensus_oracle())
+@prepared("dedup_consensus_query")
+def pipeline_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation decision: one verdict row per document with
+    every dedup signal the engine computes — exact copy (md5 keep-first),
+    MinHash near-duplicate (J ≥ 0.5, keep-first), containment excerpt
+    (drop the more-contained side), semantic duplicate (SemDeDup cell
+    prune) — and the final keep bit a shard writer would filter on. This
+    is the production shape: independent evidence tables, one broadcast-
+    joined verdict, auditable reasons per drop.
+
+    Cost: ~free beyond its inputs — every signal comes from the SAME
+    memoized artifacts its standalone operator serves from (signature
+    table, band keys, posting pairs, cell assignment), and the verdict
+    join broadcasts four drop-lists that are small by construction."""
+    from pyspark.sql import Window as W
+
+    from .dedup import dedup_containment, dedup_minhash_lsh
+    from ..catalog import load as _load
+
+    docs = _load(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    )
+    exact = (
+        docs.select("doc_id", rn.alias("rn")).filter(F.col("rn") > 1).select("doc_id")
+    )
+    near = dedup_minhash_lsh(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    ct = dedup_containment(spark, sf_dir)
+    excerpt = ct.select(
+        F.when(F.col("contain_a") > F.col("contain_b"), F.col("doc_a"))
+        .when(F.col("contain_b") > F.col("contain_a"), F.col("doc_b"))
+        .otherwise(F.greatest("doc_a", "doc_b"))
+        .alias("doc_id")
+    ).distinct()
+    sem = (
+        dedup_semantic(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+    )
+    def flag(df: DataFrame, name: str) -> DataFrame:
+        return df.withColumn(name, F.lit(True))
+
+    out = (
+        docs.select("doc_id")
+        .join(F.broadcast(flag(exact, "is_exact_dup")), "doc_id", "left")
+        .join(F.broadcast(flag(near, "is_near_dup")), "doc_id", "left")
+        .join(F.broadcast(flag(excerpt, "is_excerpt")), "doc_id", "left")
+        .join(F.broadcast(flag(sem, "is_semantic_dup")), "doc_id", "left")
+    )
+    cols = ["is_exact_dup", "is_near_dup", "is_excerpt", "is_semantic_dup"]
+    filled = [F.coalesce(F.col(c), F.lit(False)).alias(c) for c in cols]
+    keep = ~F.greatest(*[F.coalesce(F.col(c), F.lit(False)) for c in cols])
+    return out.select("doc_id", *filled, keep.alias("keep"))
