@@ -63,10 +63,12 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_kmeans_train",
+    "sim_maxsim_topk",
     # after sim_ivf_topk: the shared centroid model trains there (its
     # index_build metric, same attribution as r4), so semantic shows its
     # marginal cell/compare cost
     "dedup_semantic",
+    "pipeline_dedup_consensus",
     "agg_hll_sketch",
     "agg_countmin_heavy_hitters",
     "agg_kmv_distinct",
