@@ -114,6 +114,7 @@ def main() -> None:
         "dedup_clusters": "dedup_clusters_build",
         "text_ngram_lm_score": "lm_model_build",
         "text_bpe_vocab_train": "bpe_vocab_build",
+        "pipeline_dedup_consensus": "dedup_consensus_build",
     }
 
     timings: dict[str, float] = {}
