@@ -1,0 +1,168 @@
+"""Event-sequence analytics over the `events` stream: per-user Markov
+transition structure and ordered funnel conversion — the behavioral-
+analytics queries an event log exists to answer (and the batch twins of
+what the streaming sessionizer feeds).
+
+Both are partial-merge aggregates over user-keyed windows/joins: the
+100 TB cost is one shuffle keyed by user_id (the natural partitioning of
+an event stream), then O(users)- or O(type²)-sized state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+    t AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM t
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of event types, how often one follows the other within a
+    user's timeline, and the row-normalized transition probability — the
+    "what happens next" table behind session modeling and anomaly
+    scoring (an (error → purchase) cell suddenly growing is a signal).
+
+    Shape: ONE user-keyed window (the stream's natural partitioning — no
+    global ordering anywhere), then the transition rollup collapses to
+    O(types²) rows; the probability window runs over that tiny matrix.
+    Tie-broken by event_id so the sequence — and therefore the hash — is
+    deterministic under any task ordering."""
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    t = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(W.partitionBy("from_type")), 4
+        ).alias("p"),
+    )
+
+
+FUNNEL = ("view", "click", "purchase")
+
+
+@query(
+    "events_funnel",
+    oracle=f"""
+    WITH u AS (SELECT count(DISTINCT user_id) AS n_total FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = '{FUNNEL[0]}' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = '{FUNNEL[1]}' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = '{FUNNEL[2]}' AND e.ts > s2.t2 GROUP BY e.user_id),
+    c AS (SELECT (SELECT n_total FROM u)    AS n_total,
+                 (SELECT count(*) FROM s1)  AS n1,
+                 (SELECT count(*) FROM s2)  AS n2,
+                 (SELECT count(*) FROM s3)  AS n3)
+    SELECT stage, n_users,
+           round(CAST(n_users AS DOUBLE) / prev_n, 4)  AS conv_from_prev,
+           round(CAST(n_users AS DOUBLE) / n_total, 4) AS conv_from_all
+    FROM (
+        SELECT 1 AS ord, '{FUNNEL[0]}' AS stage, n1 AS n_users, n_total AS prev_n, n_total FROM c
+        UNION ALL
+        SELECT 2, '{FUNNEL[1]}', n2, n1, n_total FROM c
+        UNION ALL
+        SELECT 3, '{FUNNEL[2]}', n3, n2, n_total FROM c)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase, each stage
+    strictly AFTER the previous stage's first occurrence — not mere
+    co-occurrence): users per stage plus step and overall conversion
+    rates. The sequential-constraint join is what separates a funnel from
+    three filters.
+
+    Shape: each stage is a user-keyed partial-merge min + an equi-join
+    against the previous stage's O(users) table — the event table is
+    scanned per stage but never self-joined row-to-row, and everything
+    shuffles on user_id only. The final report is three rows assembled
+    from four scalar counts."""
+    ev = load(spark, sf_dir, "events")
+    n_total = ev.agg(F.countDistinct("user_id").alias("n_total"))
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c = (
+        n_total.crossJoin(F.broadcast(s1.agg(F.count(F.lit(1)).alias("n1"))))
+        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).alias("n2"))))
+        .crossJoin(F.broadcast(s3.agg(F.count(F.lit(1)).alias("n3"))))
+    )
+    rows = c.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(FUNNEL[0]).alias("stage"),
+                    F.col("n1").alias("n_users"),
+                    F.col("n_total").cast("long").alias("prev_n"),
+                    F.col("n_total").cast("long").alias("n_total"),
+                ),
+                F.struct(
+                    F.lit(FUNNEL[1]).alias("stage"),
+                    F.col("n2").alias("n_users"),
+                    F.col("n1").alias("prev_n"),
+                    F.col("n_total").cast("long").alias("n_total"),
+                ),
+                F.struct(
+                    F.lit(FUNNEL[2]).alias("stage"),
+                    F.col("n3").alias("n_users"),
+                    F.col("n2").alias("prev_n"),
+                    F.col("n_total").cast("long").alias("n_total"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_users", "s.prev_n", "s.n_total")
+    return rows.select(
+        "stage",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("prev_n"), 4).alias(
+            "conv_from_prev"
+        ),
+        F.round(F.col("n_users").cast("double") / F.col("n_total"), 4).alias(
+            "conv_from_all"
+        ),
+    )
