@@ -166,3 +166,66 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_from_all"
         ),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, time_bucket(INTERVAL '1 day', min(ts)) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               CAST(date_diff('day', f.cohort_day,
+                              time_bucket(INTERVAL '1 day', e.ts)) AS BIGINT) AS day_n
+        FROM events e JOIN first_seen f USING (user_id)),
+    sizes AS (SELECT cohort_day, count(DISTINCT user_id) AS cohort_n
+              FROM first_seen GROUP BY cohort_day)
+    SELECT a.cohort_day, a.day_n,
+           count(*) AS n_active,
+           round(CAST(count(*) AS DOUBLE) / any_value(s.cohort_n), 4) AS retention
+    FROM activity a JOIN sizes s USING (cohort_day)
+    WHERE a.day_n <= 7
+    GROUP BY a.cohort_day, a.day_n
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, then the
+    fraction of each cohort active again N days later (the retention
+    triangle, first week) — the canonical product-analytics rollup and a
+    second consumer of the first-seen table the funnel family builds.
+
+    Shape: first-seen is one user-keyed partial-merge min; activity
+    re-joins it user-keyed (broadcastable at O(users) — the event table
+    itself never self-joins); the triangle is O(cohorts × days) rows.
+    Day bucketing uses date_trunc on BOTH engines so cohort keys match
+    bit-for-bit."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_n"),
+        )
+        .distinct()
+    )
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_n")
+    )
+    return (
+        activity.filter(F.col("day_n") <= 7)
+        .join(sizes, "cohort_day")
+        .groupBy("cohort_day", "day_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.any_value("cohort_n"), 4
+            ).alias("retention"),
+        )
+    )
