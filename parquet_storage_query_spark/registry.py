@@ -63,6 +63,7 @@ _PRIORITY = [
     "agg_kmv_distinct", "stream_countmin_cells", "train_curriculum", "text_tfidf_keywords",
     "agg_sampled_percentiles", "profile_drift_psi", "profile_k_anonymity", "text_bpe_vocab_train", "eval_minhash_lsh_quality", "sim_maxsim_topk", "text_bpe_tokenize_apply", "pipeline_dedup_consensus",
     "events_transition_matrix", "events_funnel", "events_retention_cohorts",
+    "sim_persisted_topk",
     # -- never driver-checked in any round (r4 sample cut off before them) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
     "prep_table_stats", "sim_kmeans_train", "agg_windowed_hll",

@@ -419,3 +419,19 @@ def test_sampled_percentiles_bottomk_is_take_ordered(spark):
 
     plan = formatted_plan(agg_sampled_percentiles(spark, SF_SMOKE))
     assert has_take_ordered(plan), plan
+
+
+def test_persisted_ann_serving_reads_only_the_index(spark):
+    """sim_persisted_topk must serve from the on-disk band partitions
+    alone: every parquet scan in the plan is over the ann_index location,
+    never the embeddings table (the standing-index no-rebuild contract),
+    and the probes broadcast."""
+    import re
+
+    from parquet_storage_query_spark.operators.similarity import sim_persisted_topk
+
+    plan = formatted_plan(sim_persisted_topk(spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    assert "embeddings.parquet" not in plan, plan
+    assert "ann_index" in plan, plan
+    assert has_broadcast_join(plan), plan
