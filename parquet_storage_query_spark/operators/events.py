@@ -229,3 +229,65 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+    scored AS (
+        SELECT event_type, hour_start, n,
+               avg(n) OVER w  AS base_mean,
+               stddev_samp(n) OVER w AS base_std
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, hour_start, n,
+           round(base_mean, 4) AS base_mean,
+           round((n - base_mean) / base_std, 4) AS zscore,
+           abs((n - base_mean) / base_std) > 3.0 AS is_anomaly
+    FROM scored
+    WHERE base_std IS NOT NULL AND base_std > 0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each (event_type, hour) count scored
+    against the TRAILING six hours' mean/std (rows 6-preceding to
+    1-preceding — the current hour never contaminates its own baseline),
+    flagged at |z| > 3 — the monitoring rule that pages when an error
+    type spikes. Warm-up hours (fewer than two baseline points) are
+    excluded rather than scored against a degenerate std.
+
+    Shape: the hourly rollup is one partial-merge aggregate; the trailing
+    window partitions by event_type over O(types × hours) rows — tiny
+    state no matter how many raw events feed it. The same plan runs
+    incrementally as a streaming windowed-agg + foreachBatch scorer."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-6, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour_start",
+        "n",
+        F.avg("n").over(w).alias("base_mean"),
+        F.stddev_samp("n").over(w).alias("base_std"),
+    )
+    z = (F.col("n") - F.col("base_mean")) / F.col("base_std")
+    return scored.filter(F.col("base_std").isNotNull() & (F.col("base_std") > 0)).select(
+        "event_type",
+        "hour_start",
+        "n",
+        F.round("base_mean", 4).alias("base_mean"),
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )
