@@ -64,6 +64,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "sim_kmeans_train",
     "sim_maxsim_topk",
+    "sim_persisted_topk",
     # after sim_ivf_topk: the shared centroid model trains there (its
     # index_build metric, same attribution as r4), so semantic shows its
     # marginal cell/compare cost
@@ -79,6 +80,8 @@ HEADLINE = [
     "train_domain_mixture",
     "train_curriculum",
     "profile_drift_psi",
+    "events_transition_matrix",
+    "events_funnel",
 ]
 
 
@@ -115,6 +118,7 @@ def main() -> None:
         "text_ngram_lm_score": "lm_model_build",
         "text_bpe_vocab_train": "bpe_vocab_build",
         "pipeline_dedup_consensus": "dedup_consensus_build",
+        "sim_persisted_topk": "ann_index_write",
     }
 
     timings: dict[str, float] = {}
