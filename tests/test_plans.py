@@ -435,3 +435,30 @@ def test_persisted_ann_serving_reads_only_the_index(spark):
     assert "embeddings.parquet" not in plan, plan
     assert "ann_index" in plan, plan
     assert has_broadcast_join(plan), plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """DPP: a filter on a NON-partition dim column must translate at
+    runtime into partition pruning on the fact side (the dim's surviving
+    join keys become a dynamicpruning subquery in the fact scan) — the
+    Catalyst feature that makes star joins over date-partitioned 100 TB
+    facts read only the qualifying partitions."""
+    from parquet_storage_query_spark.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    fdir = str(tmp_path / "fact")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(fdir)
+    fact = spark.read.parquet(fdir)
+    days = [r["day"] for r in fact.select("day").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(d, f"r{i % 3}") for i, d in enumerate(days)], "day date, region string"
+    )
+    ddir = str(tmp_path / "dim")
+    dim.write.parquet(ddir)
+    j = (
+        fact.join(spark.read.parquet(ddir).filter(F.col("region") == "r0"), "day")
+        .groupBy("region")
+        .agg(F.sum("value"))
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
