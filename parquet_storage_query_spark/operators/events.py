@@ -270,6 +270,15 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_start"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return score_hourly_counts(hourly)
+
+
+def score_hourly_counts(hourly: DataFrame) -> DataFrame:
+    """Trailing-window z-scoring of an (event_type, hour_start, n) table —
+    shared by the batch operator above and the live foreachBatch monitor
+    (streaming/windows.streaming_anomaly_zscore), which scores each
+    micro-batch SNAPSHOT of its streaming hourly counts with this exact
+    plan."""
     w = (
         W.partitionBy("event_type")
         .orderBy("hour_start")

@@ -454,3 +454,41 @@ def streaming_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         _cms_cells(read_events_stream(spark, sf_dir)), "stream_cms_out", "complete"
     )
+
+
+def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The volume-anomaly monitor LIVE: streaming hourly counts fold
+    incrementally (complete mode), and each micro-batch snapshot is
+    z-scored inside foreachBatch with the SAME trailing-window plan the
+    batch operator uses (rank-style windows are forbidden on a streaming
+    aggregate — the batch-snapshot scoring is the production monitor
+    shape). The parity test pins live == batch after the stream drains."""
+    import threading
+
+    from ..operators.events import score_hourly_counts
+
+    results: dict[str, list] = {}
+    lock = threading.Lock()
+
+    hourly = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def score_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = score_hourly_counts(batch_df).collect()
+        with lock:
+            results["latest"] = rows
+
+    q = hourly.writeStream.outputMode("complete").foreachBatch(score_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        results.get("latest", []),
+        "event_type string, hour_start timestamp, n bigint, "
+        "base_mean double, zscore double, is_anomaly boolean",
+    )

@@ -397,3 +397,13 @@ def test_streaming_agg_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def test_streaming_anomaly_matches_batch(spark):
+    """Live anomaly monitor parity: after the stream drains, the scored
+    snapshot equals the batch operator's output row-for-row."""
+    from parquet_storage_query_spark.operators.events import events_anomaly_zscore
+
+    got = sw.streaming_anomaly_zscore(spark, SF_SMOKE)
+    want = events_anomaly_zscore(spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)
