@@ -1085,6 +1085,81 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WCMS_ORACLE = f"""
+    WITH cells AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+               t.r AS r, {_CMS_COL_SQL.format(r='t.r')} AS c, count(*) AS n
+        FROM events, range({CMS_D}) t(r)
+        GROUP BY 1, 2, 3),
+    top_u AS (
+        SELECT user_id, count(*) AS true_total
+        FROM events GROUP BY user_id
+        ORDER BY true_total DESC, user_id LIMIT 3),
+    probe AS (
+        SELECT user_id, true_total, t.r AS r, {_CMS_COL_SQL.format(r='t.r')} AS c
+        FROM top_u, range({CMS_D}) t(r)),
+    per_day AS (
+        SELECT p.user_id, p.true_total, cells.day_start, min(cells.n) AS est_n
+        FROM probe p JOIN cells ON cells.r = p.r AND cells.c = p.c
+        GROUP BY 1, 2, 3)
+    SELECT user_id, true_total,
+           count(*)                     AS n_days,
+           CAST(sum(est_n) AS BIGINT)   AS est_total,
+           CAST(sum(est_n) AS BIGINT) - true_total AS overcount
+    FROM per_day GROUP BY user_id, true_total
+"""
+
+
+@query("agg_windowed_cms", oracle=_WCMS_ORACLE)
+def agg_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-sliced Count-Min: one CMS cell matrix PER DAY, and a probe
+    answered by summing the per-day point estimates — the windowed-sketch
+    rollup (`agg_windowed_hll`'s frequency twin, but hash-checked: CMS
+    cells are deterministic counts, HLL registers aren't). Summing per-
+    window estimates IS the sketch-merge property in action: any date
+    range's frequency comes from adding its windows' matrices, no rescan.
+
+    Shape: the daily cell table is (days × {CMS_D} × {CMS_W}) counters
+    regardless of event volume; the probe join broadcasts a handful of
+    rows. Per-day min-over-rows then sum-over-days overcounts at most the
+    sum of per-day collision noise — the report's overcount column shows
+    exactly that."""
+    ev = load_parallel(spark, sf_dir, "events")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(r).alias("r"), _cms_col(r, F.col("user_id")).alias("c"))
+                for r in range(CMS_D)
+            ]
+        )
+    ).alias("rc")
+    cells = (
+        ev.select(F.date_trunc("day", "ts").alias("day_start"), rows)
+        .select("day_start", "rc.r", "rc.c")
+        .groupBy("day_start", "r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top_u = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_total"))
+        .orderBy(F.col("true_total").desc(), "user_id")
+        .limit(3)
+    )
+    probe = top_u.select("user_id", "true_total", rows).select(
+        "user_id", "true_total", "rc.r", "rc.c"
+    )
+    per_day = (
+        cells.join(F.broadcast(probe), ["r", "c"])
+        .groupBy("user_id", "true_total", "day_start")
+        .agg(F.min("n").alias("est_n"))
+    )
+    return per_day.groupBy("user_id", "true_total").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("est_n").cast("long").alias("est_total"),
+        (F.sum("est_n").cast("long") - F.col("true_total")).alias("overcount"),
+    )
+
+
 # KMV (k-minimum-values / bottom-k) distinct sketch: the third sketch
 # family member. Like CMS — and unlike HLL — the estimator is a pure
 # function of deterministic hash values (est = (k−1)·2⁶⁰/h_k), so the

@@ -60,7 +60,7 @@ _PRIORITY = [
     # -- new in round 5 (this session): need their first driver rows --
     "dedup_paragraphs", "train_domain_mixture", "text_quality_classifier",
     "profile_column_entropy", "sim_range_search", "agg_countmin_heavy_hitters",
-    "agg_kmv_distinct", "stream_countmin_cells", "train_curriculum", "text_tfidf_keywords",
+    "agg_kmv_distinct", "agg_windowed_cms", "stream_countmin_cells", "train_curriculum", "text_tfidf_keywords",
     "agg_sampled_percentiles", "profile_drift_psi", "profile_k_anonymity", "text_bpe_vocab_train", "eval_minhash_lsh_quality", "sim_maxsim_topk", "text_bpe_tokenize_apply", "pipeline_dedup_consensus",
     "events_transition_matrix", "events_funnel", "events_retention_cohorts", "events_anomaly_zscore",
     "sim_persisted_topk",
