@@ -74,6 +74,7 @@ HEADLINE = [
     "agg_countmin_heavy_hitters",
     "agg_kmv_distinct",
     "agg_sampled_percentiles",
+    "agg_windowed_cms",
     "prep_upsert_snapshot",
     "prep_zorder_layout",
     "pipeline_training_shard",
