@@ -38,6 +38,12 @@ HEADLINE = [
     "ref_distinct",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
     "join_star_revenue",
     "join_asof",
     "agg_count_distinct",

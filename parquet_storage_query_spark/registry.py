@@ -57,7 +57,14 @@ def query(name: str, oracle: str | None = None):
 # registered are skipped, so entries can be listed ahead of their
 # implementation landing.
 _PRIORITY = [
-    # -- new in round 5 (this session): need their first driver rows --
+    # -- new in round 5 session 3: TPC-H shape pack + event/profile depth --
+    "q2_min_price_supplier", "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q12_late_shipments",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_diversity", "q17_small_quantity", "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    # -- new in round 5 (session 2): need their first driver rows --
     "dedup_paragraphs", "train_domain_mixture", "text_quality_classifier",
     "profile_column_entropy", "sim_range_search", "agg_countmin_heavy_hitters",
     "agg_kmv_distinct", "agg_windowed_cms", "stream_countmin_cells", "train_curriculum", "text_tfidf_keywords",
@@ -172,6 +179,7 @@ def _ensure_loaded() -> None:
         relational,
         similarity,
         text,
+        tpch,
         training,
         windows,
     )

@@ -462,3 +462,66 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    """TPC-H Q6 is the pushdown-decides-everything query: ship-date range,
+    discount band, and quantity cap must ALL reach the lineitem parquet
+    scan, and the scan must read only the 4 referenced columns."""
+    from parquet_storage_query_spark.operators.tpch import q6_forecast_revenue
+
+    plan = formatted_plan(q6_forecast_revenue(spark, SF_SMOKE))
+    pf = " ".join(pushed_filters(plan))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf, plan
+    schemas = read_schemas(plan)
+    assert any("l_extendedprice" in s for s in schemas)
+    assert all("l_returnflag" not in s and "l_partkey" not in s for s in schemas)
+
+
+def test_q19_factored_implicates_prune_both_scans(spark):
+    """Q19's mixed-table OR cannot push as-is; the hand-factored
+    single-table implicates must: the lineitem scan carries the quantity
+    band 1-30 and the part side joins by broadcast."""
+    from parquet_storage_query_spark.operators.tpch import q19_disjunctive_revenue
+
+    plan = formatted_plan(q19_disjunctive_revenue(spark, SF_SMOKE))
+    pf = " ".join(pushed_filters(plan))
+    assert "l_quantity" in pf, plan
+    assert has_broadcast_join(plan), plan
+
+
+def test_q5_dims_broadcast_facts_shuffle_once_each(spark):
+    """Q5's supplier⋈nation⋈region must collapse into broadcast dims; the
+    only exchanges are the two fact keys (custkey, orderkey) plus the
+    final 25-row aggregate — never a fact-side broadcast or extra
+    repartition."""
+    from parquet_storage_query_spark.operators.tpch import q5_local_supplier_volume
+
+    plan = formatted_plan(q5_local_supplier_volume(spark, SF_SMOKE))
+    assert has_broadcast_join(plan), plan
+    assert has_partial_final_agg(plan), plan
+
+
+def test_q15_scalar_max_no_unpartitioned_window(spark):
+    """Q15's scalar max must be an aggregate broadcast back, not a window
+    over a single partition (the plan-audit smell) and not a collect."""
+    from parquet_storage_query_spark.operators.tpch import q15_top_supplier
+
+    plan = formatted_plan(q15_top_supplier(spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert has_broadcast_join(plan), plan
+
+
+def test_q17_correlated_avg_confined_to_brand_slice(spark):
+    """Q17's per-part average must aggregate the brand-filtered rows only:
+    every lineitem scan in the plan carries the broadcast-join semi-
+    reduction, and the avg side joins back by broadcast (|brand parts|
+    rows), so no full-corpus shuffle exists."""
+    from parquet_storage_query_spark.operators.tpch import q17_small_quantity
+
+    plan = formatted_plan(q17_small_quantity(spark, SF_SMOKE))
+    assert has_broadcast_join(plan), plan
+    # the partkey pushdown from the broadcast part slice is IsNotNull only;
+    # the load-bearing check is that no SortMergeJoin-scale exchange of the
+    # raw fact appears for the correlated side
+    assert "SortMergeJoin" not in plan, plan
