@@ -89,6 +89,7 @@ HEADLINE = [
     "profile_drift_psi",
     "events_transition_matrix",
     "events_funnel",
+    "events_attribution",
 ]
 
 

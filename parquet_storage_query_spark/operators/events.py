@@ -300,3 +300,120 @@ def score_hourly_counts(hourly: DataFrame) -> DataFrame:
         F.round(z, 4).alias("zscore"),
         (F.abs(z) > 3.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH touched AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch_type,
+               last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch_ts,
+               ts
+        FROM events
+    )
+    SELECT touch_type, count(*) AS n_purchases,
+           round(sum(value), 2) AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+      AND ts - touch_ts <= INTERVAL 7 DAY
+    GROUP BY touch_type
+    ORDER BY touch_type
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's most
+    recent preceding non-purchase event within a 7-day window — the
+    marketing-analytics standard that asks "what did the user do right
+    before converting".
+
+    Shape: ONE user-keyed window pass carrying two ignore-nulls running
+    `last` values (the latest touch's type and time); the purchase filter
+    and the 7-day lookback are per-row predicates after it, and the credit
+    rollup is O(types). Exactly one shuffle at any corpus size — the same
+    user_id partitioning every other event operator uses, so a multi-query
+    session reuses the exchange. Tie-broken by event_id for a
+    deterministic hash."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch_type = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True
+    ).over(w)
+    touch_ts = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    touched = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "ts",
+        touch_type.alias("touch_type"),
+        touch_ts.alias("touch_ts"),
+    )
+    return (
+        touched.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_type").isNotNull()
+            & (F.col("ts") <= F.col("touch_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+@query(
+    "events_path_topk",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t2,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t3
+        FROM events
+    )
+    SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path, count(*) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 15
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 three-step behavior paths (event-type trigrams over each
+    user's timeline) — the path-analysis view that surfaces dominant
+    flows (view > click > purchase) and pathological loops
+    (error > error > error).
+
+    Shape: the same single user-keyed window as the transition matrix,
+    two leads instead of one; the trigram rollup is O(types³) ≤ 125 rows
+    here, and top-15 is TakeOrderedAndProject. One shuffle total."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t3").isNotNull())
+        .groupBy(
+            F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(15)
+    )

@@ -385,3 +385,60 @@ def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("group_n").alias("min_group"),
         F.round(unsafe.cast("double") / F.sum("group_n"), 4).alias("unsafe_frac"),
     )
+
+
+@query(
+    "profile_correlation_matrix",
+    oracle="""
+    WITH c AS (
+        SELECT corr(l_quantity, l_extendedprice) AS qty_price,
+               corr(l_quantity, l_discount)      AS qty_disc,
+               corr(l_quantity, l_tax)           AS qty_tax,
+               corr(l_extendedprice, l_discount) AS price_disc,
+               corr(l_extendedprice, l_tax)      AS price_tax,
+               corr(l_discount, l_tax)           AS disc_tax
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+           round(qty_price, 4) AS pearson_r FROM c
+    UNION ALL SELECT 'l_quantity', 'l_discount', round(qty_disc, 4) FROM c
+    UNION ALL SELECT 'l_quantity', 'l_tax', round(qty_tax, 4) FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', round(price_disc, 4) FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', round(price_tax, 4) FROM c
+    UNION ALL SELECT 'l_discount', 'l_tax', round(disc_tax, 4) FROM c
+    ORDER BY col_x, col_y
+    """,
+)
+def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation across the fact table's numeric
+    columns — the feature-redundancy screen a training pipeline runs
+    before picking model inputs.
+
+    All six pairs fold in ONE scan-aggregate pass (corr is a distributive
+    moment aggregate: partial (n, Σx, Σy, Σxy, Σx², Σy²) per task, merged
+    once), then a 6-row literal unpivot on the single result row — the
+    oracle's UNION ALL over a CTE is the same shape. Never one scan per
+    pair. Correlation is scale-invariant, so sample-vs-population
+    denominators cancel and both engines compute the identical ratio;
+    rounded at 4 like every cross-engine float."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    wide = li.agg(
+        *[F.round(F.corr(x, y), 4).alias(f"_r{i}") for i, (x, y) in enumerate(pairs)]
+    )
+    stack = ", ".join(
+        f"'{x}', '{y}', _r{i}" for i, (x, y) in enumerate(pairs)
+    )
+    return (
+        wide.selectExpr(
+            f"stack({len(pairs)}, {stack}) AS (col_x, col_y, pearson_r)"
+        )
+        .orderBy("col_x", "col_y")
+    )
