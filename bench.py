@@ -90,6 +90,7 @@ HEADLINE = [
     "events_transition_matrix",
     "events_funnel",
     "events_attribution",
+    "graph_pagerank",
 ]
 
 
@@ -127,6 +128,7 @@ def main() -> None:
         "text_bpe_vocab_train": "bpe_vocab_build",
         "pipeline_dedup_consensus": "dedup_consensus_build",
         "sim_persisted_topk": "ann_index_write",
+        "graph_pagerank": "pagerank_iterations_build",
     }
 
     timings: dict[str, float] = {}
