@@ -91,6 +91,7 @@ HEADLINE = [
     "events_funnel",
     "events_attribution",
     "graph_pagerank",
+    "agg_incremental_rollup",
 ]
 
 
@@ -129,6 +130,7 @@ def main() -> None:
         "pipeline_dedup_consensus": "dedup_consensus_build",
         "sim_persisted_topk": "ann_index_write",
         "graph_pagerank": "pagerank_iterations_build",
+        "agg_incremental_rollup": "daily_rollup_build",
     }
 
     timings: dict[str, float] = {}

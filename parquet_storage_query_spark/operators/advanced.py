@@ -1411,3 +1411,102 @@ def agg_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "approx_users", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view merge)
+# ---------------------------------------------------------------------------
+
+# Mid-day cutoff: day 25 has rows on BOTH sides, so serving genuinely
+# merges partials (n₁+n₂, Σ₁+Σ₂) instead of unioning disjoint days.
+ROLLUP_CUTOFF = "2024-01-25 12:00:00"
+
+
+def _cents(col: str):
+    """Exact integer cents of a 2-decimal money double. Integer partials
+    are bit-exact under ANY merge order — the property that makes the
+    standing rollup trustworthy (float partials drift by summation order
+    AND hit decimal-tie rounding traps: 307.03/8 = 38.37875 sits exactly
+    on the 4-decimal rounding boundary, observed splitting engines at
+    sf0.001)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def ensure_daily_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session) the standing daily rollup — per
+    (event_type, day) mergeable partials (count, UNROUNDED double sum) of
+    every event before ROLLUP_CUTOFF — to the shared index scratch dir,
+    and return its path. The production shape: nightly job appends a
+    day's partials; history raw data is never rescanned after."""
+    from ..cache import scratch_dir, session_memo
+
+    def build() -> str:
+        dest = scratch_dir(spark, sf_dir, "daily_rollup")
+        (
+            load(spark, sf_dir, "events")
+            .filter(F.col("ts") < F.to_timestamp(F.lit(ROLLUP_CUTOFF)))
+            .groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents("value")).alias("sc"))
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+        return dest
+
+    return session_memo(spark, sf_dir, "daily_rollup_dir", build)
+
+
+@query(
+    "agg_incremental_rollup",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           (sum(CAST(round(value * 100) AS BIGINT)) * 10) // count(*)
+             AS avg_milli
+    FROM events
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the corpus-wide daily rollup served
+    by MERGING a persisted standing rollup (all history before the
+    cutoff, parquet partials) with partials of only the since-cutoff
+    rows — count and sum are mergeable, so re-aggregating the union of
+    partials equals the full recompute the oracle runs, and the
+    historical raw events are NEVER rescanned (the serving plan's only
+    events scan carries the pushed ts >= cutoff filter —
+    tests/test_plans.py asserts it; the floor-milli average derives from
+    the merged partials — the standard mergeable-state treatment of
+    non-distributive aggregates — in exact integer arithmetic).
+
+    At 100 TB this is the difference between a dashboard query costing
+    one day of data versus the whole corpus: the standing table is
+    O(days × types), the nightly append is one partial-agg of the new
+    day, and any window query sums pre-merged partials. The same
+    contract the streaming tumbling-count sink maintains live."""
+    from ..cache import session_memo
+
+    def build() -> DataFrame:
+        dest = ensure_daily_rollup(spark, sf_dir)
+        standing = spark.read.parquet(dest)
+        fresh = (
+            load(spark, sf_dir, "events")
+            .filter(F.col("ts") >= F.to_timestamp(F.lit(ROLLUP_CUTOFF)))
+            .groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents("value")).alias("sc"))
+        )
+        merged = (
+            standing.unionByName(fresh)
+            .groupBy("event_type", "day")
+            .agg(F.sum("n").alias("n"), F.sum("sc").alias("sc"))
+        )
+        return merged.select(
+            "event_type",
+            "day",
+            "n",
+            F.col("sc").alias("sum_cents"),
+            F.expr("(sc * 10) DIV n").alias("avg_milli"),
+        ).orderBy("event_type", "day")
+
+    return session_memo(spark, sf_dir, "incremental_rollup_query", build)

@@ -525,3 +525,18 @@ def test_q17_correlated_avg_confined_to_brand_slice(spark):
     # the load-bearing check is that no SortMergeJoin-scale exchange of the
     # raw fact appears for the correlated side
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_incremental_rollup_never_rescans_history(spark):
+    """Materialized-view maintenance contract: the serving plan's ONLY
+    events scan carries the pushed ts >= cutoff filter (new rows), and
+    the standing daily_rollup parquet appears as its own scan — historical
+    raw events are never re-read."""
+    from parquet_storage_query_spark.operators.advanced import agg_incremental_rollup
+
+    plan = formatted_plan(agg_incremental_rollup(spark, SF_SMOKE))
+    assert "daily_rollup" in plan, plan
+    pf = [p for p in pushed_filters(plan) if "ts" in p]
+    assert pf and all("GreaterThanOrEqual" in p or "IsNotNull" in p for p in pf), plan
+    # exactly one events scan (the fresh slice)
+    assert plan.count("events.parquet") == 1, plan
