@@ -521,3 +521,59 @@ def train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p", 4).alias("prob"),
         F.row_number().over(w).alias("curriculum_rank"),
     )
+
+
+@query(
+    "train_epoch_shuffle",
+    oracle="""
+    WITH ranked AS (
+        SELECT e.epoch, d.doc_id,
+               md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+                 AS shuffle_key
+        FROM documents d, (SELECT unnest([1, 2, 3]) AS epoch) e
+    ), top AS (
+        SELECT epoch, doc_id, shuffle_key,
+               row_number() OVER (PARTITION BY epoch ORDER BY shuffle_key)
+                 AS position
+        FROM ranked
+    )
+    SELECT epoch, position, doc_id FROM top
+    WHERE position <= 15
+    ORDER BY epoch, position
+    """,
+)
+def train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle order: every epoch visits the corpus
+    in a different pseudo-random order, yet any run (and any resumed run)
+    reproduces the exact same order — shuffle_key = md5(epoch:doc_id), no
+    rand() anywhere. The query surfaces each epoch's first 15 documents as
+    the auditable contract.
+
+    Scale shape: each epoch's head is its OWN TakeOrderedAndProject
+    (per-task top-k heaps over a map-side hash projection — documents
+    never shuffle, no epoch-wide window exists; an epoch partition would
+    be the whole corpus). The 45-row union then gets positions from a
+    window over already-limited rows. The full-epoch materialization of
+    the same contract is a repartitionByRange(shuffle_key) +
+    sortWithinPartitions write — the shard-writer path (write_training_
+    shards); this query pins the ordering both share."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    heads = None
+    for epoch in (1, 2, 3):
+        h = (
+            docs.select(
+                F.lit(epoch).alias("epoch"),
+                "doc_id",
+                F.md5(F.concat_ws(":", F.lit(str(epoch)), F.col("doc_id"))).alias(
+                    "shuffle_key"
+                ),
+            )
+            .orderBy("shuffle_key")
+            .limit(15)
+        )
+        heads = h if heads is None else heads.unionByName(h)
+    w = W.partitionBy("epoch").orderBy("shuffle_key")
+    return (
+        heads.select("epoch", F.row_number().over(w).alias("position"), "doc_id")
+        .orderBy("epoch", "position")
+    )

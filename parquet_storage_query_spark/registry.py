@@ -65,7 +65,7 @@ _PRIORITY = [
     "q16_supplier_diversity", "q17_small_quantity", "q19_disjunctive_revenue",
     "q22_idle_customers",
     "events_attribution", "events_path_topk", "profile_correlation_matrix",
-    "graph_pagerank", "agg_incremental_rollup",
+    "graph_pagerank", "agg_incremental_rollup", "train_epoch_shuffle",
     # -- new in round 5 (session 2): need their first driver rows --
     "dedup_paragraphs", "train_domain_mixture", "text_quality_classifier",
     "profile_column_entropy", "sim_range_search", "agg_countmin_heavy_hitters",
