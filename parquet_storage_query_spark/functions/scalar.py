@@ -359,3 +359,43 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("normal")
         .alias("price_band"),
     )
+
+
+@query(
+    "scalar_decimal_money",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,2))
+             AS gross,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(5,2))) AS DECIMAL(30,4))
+             AS net
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def scalar_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money arithmetic — the engine-parity counterpoint to
+    every rounded double in this suite: cast prices to DECIMAL(18,2) at
+    the scan, multiply/sum in decimal, and the totals are EXACT (no
+    summation-order drift, no half-even tie traps — the properties
+    integer cents buy, in the SQL type built for it). Both engines
+    produce the identical digit string with the final casts pinning
+    precision/scale, so no rounding appears anywhere in this query.
+
+    Scale note: Spark decimal aggregation is still whole-stage-codegen
+    JVM arithmetic on unscaled longs (for ≤18-digit intermediates), so
+    the exactness is nearly free; the final cast bounds the result scale
+    so the cross-engine schema agrees."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    net_factor = (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).cast("decimal(30,2)").alias("gross"),
+            F.sum(price * net_factor).cast("decimal(30,4)").alias("net"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -491,3 +491,38 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, ["F", "O", "P"])
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT nullif(lang, 'zh') AS k, count(*) AS n_docs
+               FROM documents GROUP BY 1),
+         b AS (SELECT nullif(lang, 'zh') AS k, sum(n_chars) AS total_chars
+               FROM documents GROUP BY 1)
+    SELECT a.k AS lang_key, a.n_docs, b.total_chars
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY lang_key NULLS FIRST
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the NULL group
+    on each side must match ITSELF — a plain equality join silently drops
+    it, the classic lost-rows bug when join keys are nullable. Exercised
+    by NULLing one language on both sides of two per-lang rollups.
+
+    Plan note: Spark hash-partitions null-safe keys like any other (NULL
+    hashes to a bucket), so this is a normal shuffled/broadcast hash join
+    — no nested-loop penalty for using the safe operator; at 100 TB the
+    join behaves identically to `=` plus the correct NULL row."""
+    docs = load(spark, sf_dir, "documents")
+    k = F.nullif(F.col("lang"), F.lit("zh")) if hasattr(F, "nullif") else F.when(
+        F.col("lang") != "zh", F.col("lang")
+    )
+    a = docs.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n_docs"))
+    b = docs.groupBy(k.alias("k2")).agg(F.sum("n_chars").alias("total_chars"))
+    return (
+        a.join(b, a.k.eqNullSafe(b.k2))
+        .select(F.col("k").alias("lang_key"), "n_docs", "total_chars")
+        .orderBy(F.col("lang_key").asc_nulls_first())
+    )
