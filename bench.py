@@ -33,6 +33,7 @@ def _force(df) -> int:
 # join, window, time-window, dedup, ANN, text, distinct).
 HEADLINE = [
     "ref_total_count",
+    "ref_total_count_meta",
     "ref_min_max",
     "ref_max_by",
     "ref_distinct",

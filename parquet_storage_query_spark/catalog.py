@@ -285,3 +285,26 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
     _REGISTERED = key
+
+
+def metadata_count(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """COUNT(*) answered from parquet FOOTERS — no row group is ever
+    decoded. Uses a derived session (same SparkContext, own SQLConf)
+    with the DataSource V2 parquet reader + aggregate pushdown, because
+    those confs are session-wide and the main session stays on the
+    default reader for every other query. The plan shows
+    `PushedAggregation: [COUNT(*)]` (tests/test_plans.py asserts it).
+
+    At 100 TB this is the difference between scanning the corpus and
+    reading ~10⁵ footers: the reference's A1 TotalCount
+    (QueryOrchestration.cs:348-369) fans out one COUNT(1) query per
+    blob — this is the same idea executed at the metadata layer. Only
+    valid without filters/projections (Spark falls back to a scan the
+    moment either appears, same answer either way)."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    ns.conf.set("spark.sql.sources.useV1SourceList", "")
+    # nanos timestamps (events.parquet) are irrelevant to a footer count,
+    # but the schema still resolves at read time
+    ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return ns.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -540,3 +540,14 @@ def test_incremental_rollup_never_rescans_history(spark):
     assert pf and all("GreaterThanOrEqual" in p or "IsNotNull" in p for p in pf), plan
     # exactly one events scan (the fresh slice)
     assert plan.count("events.parquet") == 1, plan
+
+
+def test_metadata_count_pushes_aggregate_to_footers(spark):
+    """ref_total_count_meta must answer COUNT(*) from parquet footers:
+    the DSv2 scan carries PushedAggregation and no row-group decode."""
+    from parquet_storage_query_spark.operators.reference import ref_total_count_meta
+
+    df = ref_total_count_meta(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "PushedAggregation: [COUNT(*)]" in plan, plan
+    assert df.collect()[0]["cnt"] > 0
