@@ -287,8 +287,9 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
     _REGISTERED = key
 
 
-def metadata_count(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """COUNT(*) answered from parquet FOOTERS — no row group is ever
+def metadata_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A scan wired for FOOTER-ONLY aggregation (COUNT/MIN/MAX on supported
+    types) — no row group decoded when the plan is aggregate-only — no row group is ever
     decoded. Uses a derived session (same SparkContext, own SQLConf)
     with the DataSource V2 parquet reader + aggregate pushdown, because
     those confs are session-wide and the main session stays on the

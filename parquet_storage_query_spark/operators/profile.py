@@ -442,3 +442,32 @@ def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_x", "col_y")
     )
+
+
+@query(
+    "profile_minmax_meta",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+)
+def profile_minmax_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table extent stats answered from parquet FOOTERS: count + numeric
+    min/max fold from row-group statistics via the DSv2 aggregate
+    pushdown (catalog.metadata_scan) — the plan carries
+    `PushedAggregation: [COUNT(*), MIN(...), MAX(...)]` and decodes zero
+    data pages. This is the profiler's first pass at 100 TB: extent
+    screening for free before any full-scan moment computation
+    (profile_numeric_stats) is spent. Raw footer values, no rounding —
+    exact on both engines by construction."""
+    from ..catalog import metadata_scan
+
+    return metadata_scan(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )

@@ -140,15 +140,15 @@ def ref_per_file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT count(*) AS cnt FROM events",
 )
 def ref_total_count_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 TotalCount served from parquet METADATA (catalog.metadata_count):
+    """A1 TotalCount served from parquet METADATA (catalog.metadata_scan):
     the count folds from row-group footer statistics via the DSv2
     aggregate pushdown — zero data pages decoded, the plan carries
     `PushedAggregation: [COUNT(*)]`. Same oracle as ref_total_count; the
     reference's per-blob COUNT fan-out (QO:348-369) done at the footer
     layer. The 100 TB cost is one metadata read per file instead of a
     corpus scan."""
-    from ..catalog import metadata_count
+    from ..catalog import metadata_scan
 
-    return metadata_count(spark, sf_dir, "events").agg(
+    return metadata_scan(spark, sf_dir, "events").agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -551,3 +551,13 @@ def test_metadata_count_pushes_aggregate_to_footers(spark):
     plan = formatted_plan(df)
     assert "PushedAggregation: [COUNT(*)]" in plan, plan
     assert df.collect()[0]["cnt"] > 0
+
+
+def test_footer_stats_push_count_min_max(spark):
+    """profile_minmax_meta folds count + numeric extents from row-group
+    footer statistics — the full aggregate list must appear as
+    PushedAggregation."""
+    from parquet_storage_query_spark.operators.profile import profile_minmax_meta
+
+    plan = formatted_plan(profile_minmax_meta(spark, SF_SMOKE))
+    assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)" in plan, plan
