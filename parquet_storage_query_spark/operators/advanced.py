@@ -1510,3 +1510,64 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("event_type", "day")
 
     return session_memo(spark, sf_dir, "incremental_rollup_query", build)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned layout + partition-pruned serving
+# ---------------------------------------------------------------------------
+
+
+def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session) the events corpus re-laid-out as
+    date-partitioned parquet (`day=YYYY-MM-DD/` directories) under the
+    index scratch dir — the ingest-time layout decision that makes every
+    time-sliced query at 100 TB read only its slice's files."""
+    from ..cache import scratch_dir, session_memo
+
+    def build() -> str:
+        dest = scratch_dir(spark, sf_dir, "events_by_day")
+        (
+            load(spark, sf_dir, "events")
+            .withColumn("day", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(dest)
+        )
+        return dest
+
+    return session_memo(spark, sf_dir, "events_by_day_dir", build)
+
+
+@query(
+    "prep_partitioned_serve",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def prep_partitioned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One day's per-type stats served off the date-partitioned layout:
+    the day predicate is a PARTITION filter — Spark lists exactly one
+    `day=.../` directory and never opens the other 29 days' files
+    (tests/test_plans.py asserts PartitionFilters carries `day` and the
+    data filters are empty). The 100 TB contract: cost is proportional
+    to the queried slice, not the corpus — the partitioned complement to
+    the footer-stats and standing-rollup paths, and the lakehouse answer
+    the reference approximates with per-blob fan-out over a date-named
+    folder hierarchy (DataPreparationOrchestration folder layout,
+    DP:88-143)."""
+    dest = ensure_partitioned_events(spark, sf_dir)
+    df = spark.read.parquet(dest)
+    return (
+        df.filter(F.col("day") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )

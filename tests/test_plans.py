@@ -561,3 +561,15 @@ def test_footer_stats_push_count_min_max(spark):
 
     plan = formatted_plan(profile_minmax_meta(spark, SF_SMOKE))
     assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)" in plan, plan
+
+
+def test_partitioned_serve_prunes_to_one_day(spark):
+    """prep_partitioned_serve's day predicate must be a partition filter
+    (directory pruning), not a data filter: PartitionFilters carries
+    `day`, PushedFilters carries nothing for it."""
+    from parquet_storage_query_spark.operators.advanced import prep_partitioned_serve
+
+    plan = formatted_plan(prep_partitioned_serve(spark, SF_SMOKE))
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200], plan
+    pf = " ".join(pushed_filters(plan))
+    assert "day" not in pf, plan
