@@ -1571,3 +1571,108 @@ def prep_partitioned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_kmv_overlap",
+    oracle=f"""
+    WITH hv AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM events WHERE event_type = 'view'),
+    hp AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events WHERE event_type = 'purchase'),
+    ka AS (SELECT h FROM hv ORDER BY h LIMIT {KMV_K}),
+    kb AS (SELECT h FROM hp ORDER BY h LIMIT {KMV_K}),
+    ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) t
+           ORDER BY h LIMIT {KMV_K}),
+    stats AS (SELECT count(*) AS k_eff,
+                     sum(CASE WHEN h IN (SELECT h FROM ka)
+                               AND h IN (SELECT h FROM kb) THEN 1 ELSE 0 END) AS n_both,
+                     max(h) AS hk
+              FROM ku),
+    exact AS (SELECT
+        (SELECT count(*) FROM (SELECT h FROM hv INTERSECT SELECT h FROM hp) i)
+          AS inter_exact,
+        (SELECT count(*) FROM (SELECT h FROM hv UNION SELECT h FROM hp) u)
+          AS union_exact)
+    SELECT k_eff, n_both,
+           round(CAST(n_both AS DOUBLE) / k_eff, 4) AS jaccard_est,
+           round(CAST(inter_exact AS DOUBLE) / union_exact, 4) AS jaccard_exact,
+           inter_exact
+    FROM stats, exact
+    """,
+)
+def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-OVERLAP estimation from two KMV sketches — the audience-overlap
+    question (how many viewers also purchase?) answered WITHOUT comparing
+    the sets: bottom-k sketches of each side merge (union, re-truncate —
+    the same KMV merge the distinct estimator uses), and the fraction of
+    the union sketch's members present in BOTH sides is the Jaccard
+    estimate (Beyer et al.'s KMV coincidence estimator). The exact
+    Jaccard rides along as the in-query error reference.
+
+    Deterministic md5 bottom-k ⇒ fully hash-checked in DuckDB, like the
+    CMS/KMV family and unlike HLL registers. Scale shape: two distinct-
+    hash reductions + O(k) driver-free set algebra — at 100 TB each
+    sketch is 64 longs regardless of corpus size, and the overlap of ANY
+    pair of dimensions (days, sources, cohorts) is computable from
+    stored sketches alone, no rescan."""
+    from pyspark.sql import Window as W
+
+    from .dedup import md5_i64
+
+    ev = load_parallel(spark, sf_dir, "events")
+
+    def bottom_k(etype: str) -> DataFrame:
+        dh = (
+            ev.filter(F.col("event_type") == etype)
+            .select(md5_i64(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+        )
+        w = W.partitionBy().orderBy("h")
+        return (
+            dh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KMV_K)
+            .select("h")
+        )
+
+    # bottom-k windows run over ≤|distinct users| rows per side — the
+    # reduction to distinct hashes happened in the partial-agg'd distinct
+    ka = bottom_k("view").localCheckpoint(eager=True)
+    kb = bottom_k("purchase").localCheckpoint(eager=True)
+    ku = (
+        ka.unionByName(kb)
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    marked = (
+        ku.join(ka.select(F.col("h").alias("h_a")), ku.h == F.col("h_a"), "left")
+        .join(kb.select(F.col("h").alias("h_b")), ku.h == F.col("h_b"), "left")
+        .select(
+            "h",
+            (F.col("h_a").isNotNull() & F.col("h_b").isNotNull()).alias("in_both"),
+        )
+    )
+    stats = marked.agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.sum(F.col("in_both").cast("long")).alias("n_both"),
+    )
+    hv = ev.filter(F.col("event_type") == "view").select(
+        md5_i64(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    hp = ev.filter(F.col("event_type") == "purchase").select(
+        md5_i64(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    inter_exact = hv.intersect(hp).agg(F.count(F.lit(1)).alias("inter_exact"))
+    union_exact = hv.union(hp).distinct().agg(F.count(F.lit(1)).alias("union_exact"))
+    return (
+        stats.crossJoin(F.broadcast(inter_exact))
+        .crossJoin(F.broadcast(union_exact))
+        .select(
+            "k_eff",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("k_eff"), 4).alias("jaccard_est"),
+            F.round(F.col("inter_exact").cast("double") / F.col("union_exact"), 4).alias("jaccard_exact"),
+            F.col("inter_exact").cast("long").alias("inter_exact"),
+        )
+    )

@@ -417,3 +417,43 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(15)
     )
+
+
+@query(
+    "events_dau_mau",
+    oracle="""
+    WITH mau AS (SELECT count(DISTINCT user_id) AS m FROM events),
+    dau AS (SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+            FROM events GROUP BY day)
+    SELECT day, dau, m AS mau,
+           round(CAST(dau AS DOUBLE) / m, 4) AS stickiness
+    FROM dau, mau
+    ORDER BY day
+    """,
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness: daily active users over the month's active
+    users, per day — the engagement ratio every consumer product tracks.
+    (The corpus is exactly one month, so MAU is the corpus-wide distinct.)
+
+    Shape: two count-distinct aggregates over the same scan — the daily
+    one keyed by day (two-phase distinct), the monthly one a single-row
+    sketch-sized result broadcast back as a cross join. At 100 TB the
+    rolling-window variant maintains per-day KMV/HLL sketches
+    (agg_windowed_hll / agg_kmv_distinct) and unions 30 of them per day
+    instead of rescanning — the merge property those operators pin."""
+    ev = load(spark, sf_dir, "events")
+    mau = ev.agg(F.countDistinct("user_id").alias("mau"))
+    dau = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return (
+        dau.crossJoin(F.broadcast(mau))
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

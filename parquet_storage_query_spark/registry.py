@@ -68,6 +68,7 @@ _PRIORITY = [
     "graph_pagerank", "agg_incremental_rollup", "train_epoch_shuffle",
     "scalar_decimal_money", "join_null_safe", "ref_total_count_meta",
     "profile_minmax_meta", "prep_partitioned_serve",
+    "agg_kmv_overlap", "events_dau_mau",
     # -- new in round 5 (session 2): need their first driver rows --
     "dedup_paragraphs", "train_domain_mixture", "text_quality_classifier",
     "profile_column_entropy", "sim_range_search", "agg_countmin_heavy_hitters",
