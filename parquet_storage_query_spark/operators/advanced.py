@@ -1612,12 +1612,13 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic md5 bottom-k ⇒ fully hash-checked in DuckDB, like the
     CMS/KMV family and unlike HLL registers. Scale shape: two distinct-
-    hash reductions + O(k) driver-free set algebra — at 100 TB each
-    sketch is 64 longs regardless of corpus size, and the overlap of ANY
-    pair of dimensions (days, sources, cohorts) is computable from
-    stored sketches alone, no rescan."""
-    from pyspark.sql import Window as W
-
+    hash reductions ending in TakeOrdered k-row heaps (never a global
+    sort of the distinct set) + O(k) driver-free set algebra — at 100 TB
+    each sketch is 64 longs regardless of corpus size, and the overlap
+    of ANY pair of dimensions (days, sources, cohorts) is computable
+    from stored sketches alone, no rescan. The exact-Jaccard reference
+    arms account for 2 of the plan's 4 event scans — they exist to grade
+    the estimate in-query and would be dropped in production serving."""
     from .dedup import md5_i64
 
     ev = load_parallel(spark, sf_dir, "events")
@@ -1628,15 +1629,11 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(md5_i64(F.col("user_id").cast("string")).alias("h"))
             .distinct()
         )
-        w = W.partitionBy().orderBy("h")
-        return (
-            dh.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= KMV_K)
-            .select("h")
-        )
+        # orderBy().limit(k) plans TakeOrderedAndProject — per-task k-row
+        # heaps merged once, never a single-partition sort of the distinct
+        # hash set (which is |users|-sized: billions at 100 TB)
+        return dh.orderBy("h").limit(KMV_K)
 
-    # bottom-k windows run over ≤|distinct users| rows per side — the
-    # reduction to distinct hashes happened in the partial-agg'd distinct
     ka = bottom_k("view").localCheckpoint(eager=True)
     kb = bottom_k("purchase").localCheckpoint(eager=True)
     ku = (
