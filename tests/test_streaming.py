@@ -407,3 +407,41 @@ def test_streaming_anomaly_matches_batch(spark):
     got = sw.streaming_anomaly_zscore(spark, SF_SMOKE)
     want = events_anomaly_zscore(spark, SF_SMOKE)
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """Live materialized-view maintenance parity: after draining a
+    4-micro-batch stream, the standing rollup equals the full batch
+    recompute EXACTLY — integer partials merge associatively across any
+    batch cut (the same contract agg_incremental_rollup pins for the
+    batch merge path)."""
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.streaming.sinks import stream_rollup_to_parquet
+
+    ev = load(spark, SF_SMOKE, "events")
+    src_dir = str(tmp_path / "ev4")
+    ev.repartition(4).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    live = stream_rollup_to_parquet(
+        spark, SF_SMOKE, str(tmp_path / "roll"), str(tmp_path / "ckpt"), stream=stream
+    )
+    got = {
+        (str(r["day"]), r["event_type"], r["n"], r["sc"])
+        for r in live.collect()
+    }
+    want = {
+        (str(r["day"]), r["event_type"], r["n"], r["sc"])
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 100
