@@ -573,3 +573,19 @@ def test_partitioned_serve_prunes_to_one_day(spark):
     assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200], plan
     pf = " ".join(pushed_filters(plan))
     assert "day" not in pf, plan
+
+
+def test_sql_surface_parity(spark):
+    """The engine's SQL string surface (S8 external-table DDL analog:
+    register_all temp views + spark.sql) must produce the identical
+    result set as the DataFrame builder for a representative composite
+    query (TPC-H Q3) — one engine, two front-ends."""
+    from parquet_storage_query_spark.catalog import register_all
+    from parquet_storage_query_spark.operators.advanced import q3_shipping_priority
+    from parquet_storage_query_spark.registry import all_queries, resolve_oracle
+
+    register_all(spark, SF_SMOKE)
+    sql = resolve_oracle(all_queries()["q3_shipping_priority"].oracle, SF_SMOKE)
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in q3_shipping_priority(spark, SF_SMOKE).collect()]
+    assert got == want and len(got) > 0
