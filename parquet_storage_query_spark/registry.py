@@ -46,47 +46,52 @@ def query(name: str, oracle: str | None = None):
 
 # Driver-facing iteration order. The driver samples the FIRST ~50 registry
 # entries each round, so iteration order decides which queries get a hard
-# driver-side CORRECTNESS row. ROTATED each round: least-recently-driver-
-# checked first. Round 5 order (VERDICT r4 'Next round' #2): (1) the six
-# queries that have NEVER had a driver row (the r4 sample cut off just
-# before them); (2) queries whose behavior changed in round 5 (md5-seeded
-# MinHash family, cos-LSH guard, new per-file oracle, schema evolution) —
-# these need fresh hard rows because their hashes/row sets changed; (3) the
-# r01-only aggregate/subquery/reshape tail; (4) r03-sampled; (5) the
-# queries CORRECTNESS_r04 just covered, demoted to the tail. Names not yet
-# registered are skipped, so entries can be listed ahead of their
-# implementation landing.
+# driver-side CORRECTNESS row. The round-5 head is budgeted for a ~50
+# sample, in strict priority: (1) the six queries that have NEVER had a
+# driver row in any round (VERDICT r4 'Next round' #2 — the r4 sample cut
+# off just before them); (2) the queries whose VALUES changed in round 5
+# (md5-seeded signature family, cos-LSH bucket budget, per-file oracle,
+# schema evolution) — their old driver rows no longer certify the current
+# hashes; (3) one representative per NEW round-5 operator family (sessions
+# 2-3) so every family gets at least one hard row — the full member list
+# follows right after the cutoff and all members pass the identical local
+# gate (tools/check.py, COVERAGE.md). Names not yet registered are
+# skipped, so entries can be listed ahead of their implementation landing.
 _PRIORITY = [
-    # -- new in round 5 session 3: TPC-H shape pack + event/profile depth --
-    "q2_min_price_supplier", "q4_order_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q12_late_shipments",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_diversity", "q17_small_quantity", "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "events_attribution", "events_path_topk", "profile_correlation_matrix",
-    "graph_pagerank", "agg_incremental_rollup", "train_epoch_shuffle",
-    "scalar_decimal_money", "join_null_safe", "ref_total_count_meta",
-    "profile_minmax_meta", "prep_partitioned_serve",
-    "agg_kmv_overlap", "events_dau_mau",
-    # -- new in round 5 (session 2): need their first driver rows --
-    "dedup_paragraphs", "train_domain_mixture", "text_quality_classifier",
-    "profile_column_entropy", "sim_range_search", "agg_countmin_heavy_hitters",
-    "agg_kmv_distinct", "agg_windowed_cms", "stream_countmin_cells", "train_curriculum", "text_tfidf_keywords",
-    "agg_sampled_percentiles", "profile_drift_psi", "profile_k_anonymity", "text_bpe_vocab_train", "eval_minhash_lsh_quality", "sim_maxsim_topk", "text_bpe_tokenize_apply", "pipeline_dedup_consensus",
-    "events_transition_matrix", "events_funnel", "events_retention_cohorts", "events_anomaly_zscore",
-    "sim_persisted_topk",
-    # -- never driver-checked in any round (r4 sample cut off before them) --
+    # -- (1) never driver-checked in ANY round --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
     "prep_table_stats", "sim_kmeans_train", "agg_windowed_hll",
-    # -- changed or new in round 5: md5-seeded signatures (hashes changed,
-    #    now oracle-checked), cos-LSH bucket budget, per-file oracle,
-    #    schema-evolution ingest --
+    # -- (2) values changed in round 5: md5-seeded signatures, cos-LSH
+    #    bucket budget, per-file oracle, schema-evolution ingest --
     "dedup_minhash_lsh", "dedup_simhash", "dedup_incremental",
     "dedup_clusters", "dedup_embedding_cosine", "sim_lsh_topk",
     "ref_per_file_counts", "prep_schema_evolution",
     "dedup_containment", "prep_snapshot_diff", "stream_incremental_dedup",
     "dedup_semantic",
+    # -- (3a) round-5 session-3 new: family representatives first --
+    "q2_min_price_supplier", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
+    "q19_disjunctive_revenue", "q22_idle_customers",
+    "graph_pagerank", "agg_incremental_rollup",
+    "events_attribution", "events_dau_mau", "profile_correlation_matrix",
+    "train_epoch_shuffle", "scalar_decimal_money", "ref_total_count_meta",
+    "prep_partitioned_serve", "agg_kmv_overlap",
+    # -- (3b) round-5 session-2 new: family representatives --
+    "text_bpe_vocab_train", "pipeline_dedup_consensus", "dedup_paragraphs",
+    "events_transition_matrix", "events_funnel", "sim_persisted_topk",
+    "agg_countmin_heavy_hitters", "agg_kmv_distinct", "agg_windowed_cms",
+    "train_domain_mixture", "text_quality_classifier", "sim_maxsim_topk",
+    "eval_minhash_lsh_quality", "agg_sampled_percentiles",
+    # ---- ~50-sample budget line: everything below passes the identical
+    # ---- local DuckDB gate; remaining round-5 members first
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q12_late_shipments",
+    "q14_promo_revenue", "q16_supplier_diversity",
+    "events_path_topk", "join_null_safe", "profile_minmax_meta",
+    "text_bpe_tokenize_apply", "events_retention_cohorts",
+    "events_anomaly_zscore", "profile_column_entropy", "sim_range_search",
+    "stream_countmin_cells", "train_curriculum", "text_tfidf_keywords",
+    "profile_drift_psi", "profile_k_anonymity",
     # -- no driver row since r01: aggregate families --
     "agg_cube", "agg_grouping_sets", "agg_count_distinct",
     "agg_percentiles", "agg_arg_max", "agg_collect_sorted", "agg_having",
