@@ -872,3 +872,71 @@ def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(per_doc, "doc_id").select(
         "doc_id", "n_tokens_orig", "n_tokens_bpe", "n_bpe_symbols"
     )
+
+
+# Chunking geometry: 128-token windows advancing 96 tokens (32-token
+# overlap) — the RAG-retrieval / packing-prep standard shape.
+CHUNK_TOKENS = 128
+CHUNK_STEP = 96
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), plan AS (
+        SELECT doc_id, len(w) AS n_tokens,
+               1 + greatest(0, (len(w) - {CHUNK_TOKENS} + {CHUNK_STEP} - 1)
+                               // {CHUNK_STEP}) AS n_chunks, w
+        FROM toks
+    )
+    SELECT doc_id, CAST(c.i AS INT) AS chunk_id,
+           CAST(c.i * {CHUNK_STEP} AS INT) AS start_tok,
+           CAST(least(len(w) - c.i * {CHUNK_STEP}, {CHUNK_TOKENS}) AS INT)
+             AS chunk_len,
+           md5(array_to_string(w[c.i * {CHUNK_STEP} + 1 :
+                                 c.i * {CHUNK_STEP} + {CHUNK_TOKENS}], ' '))
+             AS chunk_digest
+    FROM plan, unnest(range(n_chunks)) AS c(i)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: every document split into {CHUNK_TOKENS}-token
+    windows advancing {CHUNK_STEP} tokens (overlap keeps boundary context
+    retrievable) — the unit RAG retrieval indexes and packing preparation
+    consumes. Each chunk carries a CONTENT digest, so chunk-level exact
+    dedup (boilerplate headers/footers shared across docs) and
+    chunk-level embedding pipelines key on md5(chunk) rather than
+    position.
+
+    Scale shape: pure map-side — tokenize, compute the chunk count with
+    integer arithmetic, explode a `sequence`, slice per chunk. No shuffle
+    anywhere; the only exchange in the plan is the output ordering the
+    check needs. At 100 TB this runs at scan throughput and the digests
+    feed the same groupBy-dedup machinery dedup_exact uses."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    w = words_col()
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.expr(f"(size(split(trim(text), ' ')) - {CHUNK_TOKENS} + {CHUNK_STEP} - 1) DIV {CHUNK_STEP}"),
+    )
+    start = F.col("chunk_id") * CHUNK_STEP
+    chunk = F.slice(F.col("w"), start + 1, CHUNK_TOKENS)
+    return (
+        docs.select("doc_id", w.alias("w"), n_chunks.alias("n_chunks"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            start.cast("int").alias("start_tok"),
+            F.least(F.size("w") - start, F.lit(CHUNK_TOKENS)).cast("int").alias("chunk_len"),
+            F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_digest"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
