@@ -583,7 +583,12 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup and the left-fold sum are JVM codegen — one map-side scan, zero
     shuffles, zero Python, at any corpus size. The fold is a left fold in
     BOTH engines, so float summation order is pinned and the 4-decimal
-    rounding is stable."""
+    rounding is stable at every driver scale. Known residual: sigmoid
+    goes through libm exp(), and JVM Math.exp vs DuckDB std::exp can
+    differ by 1 ulp for the same input — on the extra-curricular 10×
+    sweep a handful of rows in 500k land exactly on the 4-decimal
+    boundary and flip the last digit (the score column and the keep gate
+    are unaffected; gate thresholds never sit on a boundary)."""
     docs = load(spark, sf_dir, "documents")
     ws = words_col()
     s = cls_raw_score()

@@ -430,11 +430,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_profit",
     oracle="""
-    SELECT n_name AS nation, o_year, round(sum(amount), 2) AS profit
+    SELECT n_name AS nation, o_year,
+           CAST(sum(amount_e4) AS DOUBLE) / 10000.0 AS profit
     FROM (
         SELECT n_name, year(o_orderdate) AS o_year,
-               l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity AS amount
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) AS amount_e4
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -454,7 +457,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into lineitem, one orderkey shuffle to pick up the year,
     partial-aggregated group on (nation, year). The LIKE predicates are a
     substring scan pushed to the part dim only — the fact never evaluates
-    them."""
+    them.
+
+    Profit accumulates in EXACT integer 10⁻⁴-dollar units (price and
+    discount are 2-decimal, so their product is 4-decimal-exact; the 0.6
+    cost factor is 60 in those units): at 10× data the per-group double
+    sums reach ~1e8 where summation-order drift exceeds a cent and
+    round(sum,2) split the engines — integer sums are order-independent
+    at any scale, and the final /10000.0 of identical int64s is the
+    identical double on both engines, so the display needs no rounding
+    call at all."""
     part = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%green%") | F.col("p_name").like("%red%"))
@@ -470,9 +482,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
     )
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    amount_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    ) - 60 * F.round(F.col("p_retailprice") * 100).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -480,10 +494,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
-            amount.alias("amount"),
+            amount_e4.alias("amount_e4"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("profit"))
+        .agg((F.sum("amount_e4").cast("double") / 10000.0).alias("profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
