@@ -790,19 +790,13 @@ def _bpe_train_build(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window as W
 
     docs = load_parallel(spark, sf_dir, "documents")
-    rows = docs.select("doc_id", F.posexplode(words_col()).alias("idx", "tok"))
+    rows = docs.select(
+        "doc_id", F.posexplode(words_col()).alias("idx", "tok")
+    ).localCheckpoint(eager=True)
     stats: list[tuple[int, str, str, int, int]] = []
     for step in range(1, BPE_MERGES + 1):
         wlead = W.partitionBy("doc_id").orderBy("idx")
-        # checkpoint the lead-annotated table, not the bare rows: the
-        # window (the iteration's only corpus shuffle) runs ONCE and both
-        # consumers — the argmax collect and the run rewrite — scan the
-        # cached result instead of re-running it (measured ~35% off the
-        # build; hashes unchanged, checkpoint placement is invisible to
-        # the values)
-        p = rows.withColumn("tb", F.lead("tok").over(wlead)).localCheckpoint(
-            eager=True
-        )
+        p = rows.withColumn("tb", F.lead("tok").over(wlead))
         top = (
             p.filter(F.col("tb").isNotNull())
             .groupBy("tok", "tb")
@@ -829,10 +823,6 @@ def _bpe_train_build(spark: SparkSession, sf_dir: str):
         s_prev = starts.select(
             "doc_id", (F.col("s_idx") + 1).alias("idx"), F.lit(True).alias("consumed")
         )
-        # the rewrite itself is NOT checkpointed: its consumers are the
-        # next iteration's p (which checkpoints) and the count below, and
-        # both read the cached p — materializing the rewrite would be a
-        # second full-table write per round for nothing
         rows = (
             p.join(s_here, ["doc_id", "idx"], "left")
             .join(s_prev, ["doc_id", "idx"], "left")
@@ -842,11 +832,8 @@ def _bpe_train_build(spark: SparkSession, sf_dir: str):
                 "idx",
                 F.when(F.col("is_start"), merged_tok).otherwise(F.col("tok")).alias("tok"),
             )
+            .localCheckpoint(eager=True)
         )
-        if step == BPE_MERGES:
-            # the final table IS handed to the tokenize-apply consumer —
-            # truncate its lineage once
-            rows = rows.localCheckpoint(eager=True)
         stats.append((step, wa, wb, wcnt, rows.count()))
     return stats, rows
 
