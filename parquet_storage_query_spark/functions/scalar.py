@@ -399,3 +399,63 @@ def scalar_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "udtf_top_bigrams",
+    oracle="""
+    WITH big AS (
+        SELECT doc_id,
+               w[i] || ' ' || w[i+1] AS bigram
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+             unnest(range(1, len(w))) AS t(i)
+    ), counted AS (
+        SELECT doc_id, bigram, count(*) AS n,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, bigram) AS rk
+        FROM big GROUP BY doc_id, bigram
+    )
+    SELECT doc_id, bigram, CAST(n AS INT) AS n
+    FROM counted WHERE rk <= 3
+    ORDER BY doc_id, n DESC, bigram
+    """,
+)
+def udtf_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) — the third leg of the §2.10
+    extension surface next to scalar pandas_udf and grouped
+    applyInPandas: one input row expands to N output rows with arbitrary
+    imperative logic (here: per-document top-3 bigrams via a Counter,
+    deterministic count-desc/lexicographic tie-break), consumed through
+    SQL LATERAL.
+
+    This is the ROW-AT-A-TIME Python path — the documented slow lane,
+    here as the extension-contract demo (the same result is expressible
+    with explode+window built-ins, which is what the oracle does and
+    what a hot path should use). Still distributed: the UDTF runs inside
+    each task over its partition's rows; no state crosses rows, so the
+    operator scales with input splits like any map-side op."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, bigram: string, n: int")
+    class TopBigrams:
+        def eval(self, doc_id: int, text: str):
+            from collections import Counter
+
+            toks = text.strip().split(" ")
+            counts = Counter(
+                f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+            )
+            for bg, n in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]:
+                yield int(doc_id), bg, int(n)
+
+    spark.udtf.register("top_bigrams", TopBigrams)
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.bigram, t.n
+        FROM documents, LATERAL top_bigrams(doc_id, text) t
+        ORDER BY t.doc_id, t.n DESC, t.bigram
+        """
+    )
