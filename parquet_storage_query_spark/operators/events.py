@@ -457,3 +457,101 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_ab_lift",
+    oracle="""
+    WITH assign AS (
+        SELECT DISTINCT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS bucket
+        FROM events
+    ), conv AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 180.0
+    ), cells AS (
+        SELECT a.bucket,
+               count(*) AS n_users,
+               sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_converted
+        FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+        GROUP BY a.bucket
+    ), wide AS (
+        SELECT
+            max(CASE WHEN bucket = 0 THEN n_users END)     AS n_a,
+            max(CASE WHEN bucket = 0 THEN n_converted END) AS conv_a,
+            max(CASE WHEN bucket = 1 THEN n_users END)     AS n_b,
+            max(CASE WHEN bucket = 1 THEN n_converted END) AS conv_b
+        FROM cells
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 4) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 4) AS rate_b,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                THEN NULL
+                ELSE round((CAST(conv_b AS DOUBLE) / n_b
+                            - CAST(conv_a AS DOUBLE) / n_a)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) END AS zscore
+    FROM wide
+    """,
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion analysis: users deterministically hash-bucketed into
+    two arms (md5 — reproducible assignment, the same no-rand() contract
+    as train_split_hash), purchase conversion per arm, and the pooled
+    two-proportion z-score — the experiment-readout query every product
+    analytics stack runs.
+
+    Exactness: every cell is an integer count; the rates and the z-score
+    are division/sqrt chains over identical integers — IEEE requires
+    correctly-rounded /, sqrt, so both engines compute the bit-identical
+    double before the display rounding. Shape: one distinct-user
+    reduction, one semi-reduction for converters, a 2-row cell table —
+    the corpus is touched twice, the statistics are O(1)."""
+    ev = load(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("bucket"),
+    )
+    conv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 180.0))
+        .select("user_id")
+        .distinct()
+    )
+    cells = (
+        assign.join(conv.withColumn("c", F.lit(1)), "user_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("n_converted"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("bucket") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("bucket") == 0, F.col("n_converted"))).alias("conv_a"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n_converted"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    tot_conv = F.col("conv_a") + F.col("conv_b")
+    tot_n = F.col("n_a") + F.col("n_b")
+    z_raw = (rb - ra) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    z = F.when((tot_conv == 0) | (tot_conv == tot_n), F.lit(None)).otherwise(z_raw)
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 4).alias("rate_a"),
+        F.round(rb, 4).alias("rate_b"),
+        F.round(z, 4).alias("zscore"),
+    )
