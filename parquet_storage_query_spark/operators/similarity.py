@@ -993,3 +993,96 @@ def sim_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rk")
     )
+
+
+FILTER_LABEL = 3  # the metadata constraint the filtered search demo uses
+
+
+def _filtered_lsh_oracle() -> str:
+    from .dedup import COS_PLANES_PER_BAND, N_COS_BANDS, _cos_planes_duck
+
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id,
+                 list_transform({_cos_planes_duck()},
+                                p -> CASE WHEN list_dot_product(v, p) > 0
+                                     THEN 1 ELSE 0 END) AS sig
+          FROM e),
+    bands AS (
+        SELECT vec_id, bd.band,
+               list_reduce(sig[bd.band * {COS_PLANES_PER_BAND} + 1
+                               : bd.band * {COS_PLANES_PER_BAND} + {COS_PLANES_PER_BAND}],
+                           (a, x) -> a * 2 + x) AS bucket
+        FROM s, range({N_COS_BANDS}) bd(band)),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bands q JOIN bands c
+          ON q.band = c.band AND q.bucket = c.bucket
+         AND q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               list_dot_product(eq.v, ec.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v)))
+                   AS cos_raw
+        FROM cand cd
+        JOIN e eq ON eq.vec_id = cd.query_id
+        JOIN e ec ON ec.vec_id = cd.neighbor_id
+        WHERE ec.label = {FILTER_LABEL})
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rk FROM (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_K}
+    """
+
+
+@query("sim_filtered_topk", oracle=_filtered_lsh_oracle())
+@prepared("sim_filtered_query")
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: approximate top-k restricted to neighbors
+    carrying a metadata predicate (label = {FILTER_LABEL}) — the
+    vector-database "filtered query" every retrieval stack needs (search
+    only docs from one source / license / language).
+
+    Strategy is POST-filtering over the shared banded index: candidates
+    come from the same 16-band bucket join sim_lsh_topk uses (one index,
+    three access paths now), the label predicate applies before scoring,
+    and top-k ranks the survivors. Post-filtering trades recall when the
+    filter is highly selective (~10% here → candidate sets shrink 10×);
+    the pre-filtered alternative — label-partitioned band indexes, i.e.
+    `write_ann_index` partitioned by (label, band) — is the scale path
+    when filters are known ahead of time, and the docstring contract the
+    persisted index already demonstrates with band partitioning. The
+    filter column rides the index (labels broadcast with the tiny dim),
+    so no extra corpus scan is added."""
+    bands = cos_lsh_index(spark, sf_dir)
+    labels = (
+        load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    )
+    probes = bands.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("band").alias("q_band"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    cs = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))
+    scored = (
+        bands.join(F.broadcast(labels), "vec_id")
+        .filter(F.col("label") == FILTER_LABEL)
+        .join(
+            F.broadcast(probes),
+            (F.col("band") == F.col("q_band"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cs.alias("cos_raw"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rk")
+    )
