@@ -555,3 +555,80 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rb, 4).alias("rate_b"),
         F.round(z, 4).alias("zscore"),
     )
+
+
+@query(
+    "events_session_stats",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_type, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_type, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ), per_session AS (
+        SELECT user_id, session_id, count(*) AS depth,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                 AS duration_sec,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted,
+               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT count(*) AS n_sessions,
+           round(avg(depth), 4)        AS avg_depth,
+           round(avg(duration_sec), 4) AS avg_duration_sec,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 4)
+             AS session_conversion,
+           sum(value_cents)            AS total_value_cents
+    FROM per_session
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level product metrics on top of the 30-minute-gap
+    sessionizer: how many sessions, how deep, how long, how often a
+    session converts, and total session value — the funnel/sessionize
+    follow-on every analytics stack reports.
+
+    One user_id shuffle serves BOTH windows (gap-lag and the running
+    session-id sum reuse the partitioning, same as window_sessionize),
+    the per-session rollup groups on the same key, and the corpus-level
+    summary is a single-row partial-merged aggregate. Durations are
+    whole-second integers and session values integer cents, so every
+    average is a ratio of exact integers — the only doubles appear at
+    the display division (identical operands both engines)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    df = load(spark, sf_dir, "events")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    per_session = (
+        df.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("depth"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000
+            ).cast("long").alias("duration_sec"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("depth"), 4).alias("avg_depth"),
+        F.round(F.avg("duration_sec"), 4).alias("avg_duration_sec"),
+        F.round(F.sum("converted").cast("double") / F.count(F.lit(1)), 4).alias(
+            "session_conversion"
+        ),
+        F.sum("value_cents").alias("total_value_cents"),
+    )
