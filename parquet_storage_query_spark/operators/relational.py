@@ -14,9 +14,14 @@ the client-side concat of per-blob partials, QueryOrchestration.cs:206, 235,
 - Aggregations are partial/final; only |groups| rows cross the shuffle.
 - Top-k is `TakeOrderedAndProject` — never a full global sort.
 
-All double-valued aggregates are rounded to 2 decimals IN BOTH the Spark
-builder and the oracle SQL: float summation order differs between engines,
-and the driver compares value hashes, not tolerances.
+Numeric-exactness policy (hardened after the 10× sweep caught q9's
+summation-order drift): money sums whose per-group magnitude grows with
+the corpus accumulate in EXACT DECIMAL (2-decimal inputs cast at the
+scan; products carry 4-6 exact places; Spark's ≤18-digit decimal sum
+runs on unscaled longs inside codegen) — order-independent at any scale
+and bit-identical across engines. Bounded-magnitude aggregates
+(per-order, per-customer groups) keep the simpler round(double, 2)
+convention, applied identically in the Spark builder and the oracle SQL.
 """
 
 from __future__ import annotations
@@ -37,14 +42,24 @@ from ..registry import query
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2)                                    AS avg_qty,
-           round(avg(l_extendedprice), 2)                               AS avg_price,
-           round(avg(l_discount), 2)                                    AS avg_disc,
-           count(*)                                                     AS count_order
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2))
+               AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,2))
+               AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(5,2))), 2)
+                AS DECIMAL(30,2)) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(5,2))
+                          * CAST(1 + l_tax AS DECIMAL(5,2))), 2)
+                AS DECIMAL(30,2)) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 2) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 2) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE)
+                 / count(*), 2) AS avg_disc,
+           count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -55,21 +70,36 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The headline "is the engine a real OLAP engine" query: one scan, full
     partial aggregation map-side (4 group values → ~nothing shuffles).
-    """
+
+    Money/quantity aggregates accumulate in EXACT DECIMAL (2-decimal
+    inputs cast at the scan; products carry 4-6 exact decimal places;
+    Spark sums ≤18-digit decimals on unscaled longs inside codegen, so
+    exactness is nearly free). Double sums drift with summation order
+    once per-group magnitudes pass ~1e8 — the 10× sweep measured exactly
+    that on q9 — and with 4 groups over the whole corpus, Q1 is the
+    first query such drift would hit at 100×. Averages divide the exact
+    decimal sum (identical on both engines) by the exact count, so the
+    only doubles are a single display division."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_d = F.col("l_quantity").cast("decimal(18,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+    tax_f = (F.lit(1) + F.col("l_tax")).cast("decimal(5,2)")
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty_d).cast("decimal(30,2)").alias("sum_qty"),
+            F.sum(price_d).cast("decimal(30,2)").alias("sum_base_price"),
+            F.round(F.sum(price_d * disc_f), 2).cast("decimal(30,2)").alias("sum_disc_price"),
+            F.round(F.sum(price_d * disc_f * tax_f), 2).cast("decimal(30,2)").alias("sum_charge"),
+            F.round(F.sum(qty_d).cast("double") / cnt, 2).alias("avg_qty"),
+            F.round(F.sum(price_d).cast("double") / cnt, 2).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(5,2)")).cast("double") / cnt, 2
+            ).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
@@ -195,7 +225,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star_revenue",
     oracle="""
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DECIMAL(30,2)) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -227,9 +257,9 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2)
+            .cast("decimal(30,2)")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -164,7 +164,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_local_supplier_volume",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DECIMAL(30,2)) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -213,7 +213,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(co, (F.col("l_orderkey") == co.o_orderkey) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2)
+            .cast("decimal(30,2)")
+            .alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -226,7 +230,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))), 2) AS DECIMAL(30,2)) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -250,7 +254,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.04, 0.06))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(5,2)")), 2
+            )
+            .cast("decimal(30,2)")
+            .alias("revenue")
+        )
     )
 
 
@@ -263,11 +273,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           CAST(round(sum(volume), 2) AS DECIMAL(30,2)) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(5,2)) AS volume
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders   ON o_orderkey = l_orderkey
@@ -325,9 +336,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2)
+            .cast("decimal(30,2)")
+            .alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -342,12 +353,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           round(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                                ELSE 0 END), 2)
-                 / round(sum(volume), 2), 4) AS mkt_share
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
     FROM (
         SELECT year(o_orderdate) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(5,2)) AS DECIMAL(24,4))
+                 AS volume,
                n2.n_name AS supp_nation
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
@@ -404,7 +417,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     co = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "o_orderdate"
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")).cast("decimal(24,4)")
+    zero = F.lit(0).cast("decimal(24,4)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -413,8 +427,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.round(F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))), 2)
-                / F.round(F.sum(vol), 2),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -651,9 +667,14 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     oracle="""
-    SELECT round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
-                 / round(sum(l_extendedprice * (1 - l_discount)), 2),
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(1 - l_discount AS DECIMAL(5,2))
+                               AS DECIMAL(24,4))
+                     ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * CAST(1 - l_discount AS DECIMAL(5,2))
+                                 AS DECIMAL(24,4))) AS DOUBLE),
                  4) AS promo_revenue_pct
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -672,14 +693,17 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1997-03-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")).cast("decimal(24,4)")
+    zero = F.lit(0).cast("decimal(24,4)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
-                * F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2)
-                / F.round(F.sum(rev), 2),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -804,7 +828,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
@@ -835,7 +859,13 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         brand_li.join(F.broadcast(avg_qty), brand_li.l_partkey == avg_qty._pk)
         .filter(F.col("l_quantity") < F.col("_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
