@@ -522,7 +522,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
            CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
                 THEN date_trunc('hour', ts) END AS hour_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+           event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS total_value
     FROM events
     GROUP BY GROUPING SETS (
         (date_trunc('day', ts), date_trunc('hour', ts), event_type),
@@ -543,7 +543,7 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT date_trunc('DAY', ts) AS day_start,
                CASE WHEN GROUPING(date_trunc('HOUR', ts)) = 0
                     THEN date_trunc('HOUR', ts) END AS hour_start,
-               event_type, count(*) AS n, round(sum(value), 2) AS total_value
+               event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS total_value
         FROM events
         GROUP BY GROUPING SETS (
             (date_trunc('DAY', ts), date_trunc('HOUR', ts), event_type),

@@ -109,8 +109,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*)                         AS n_orders,
-           round(sum(o_totalprice), 2)      AS sum_price,
-           round(avg(o_totalprice), 2)      AS avg_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2))
+               AS sum_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 2)             AS avg_price,
            round(stddev_samp(o_totalprice), 2) AS sd_price,
            round(min(o_totalprice), 2)      AS min_price,
            round(max(o_totalprice), 2)      AS max_price
@@ -125,8 +127,14 @@ def agg_multi_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(30,2)")
+            .alias("sum_price"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_price"),
             F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
@@ -137,7 +145,7 @@ def agg_multi_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_rollup",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS total
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
@@ -146,14 +154,19 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(30,2)")
+            .alias("total"),
+        )
     )
 
 
 @query(
     "agg_cube",
     oracle="""
-    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -162,7 +175,12 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(30,2)")
+            .alias("qty"),
+        )
     )
 
 
