@@ -847,3 +847,55 @@ def test_double_committed_doc_yields_exactly_once_pairs(spark, tmp_path):
     assert [(r["doc_a"], r["doc_b"], r["jaccard"], r["origin"]) for r in got] == [
         (10, 20, 1.0, "index")
     ]
+
+
+def test_filtered_topk_recall_vs_filtered_bruteforce(spark):
+    """Filtered vector search must behave like brute-force search over the
+    label-restricted corpus: every neighbor carries the filter label, and
+    recall@5 against the exact filtered baseline clears the post-filter
+    design floor (post-filtering thins candidates ~10×, so the floor is
+    below the unfiltered LSH tier's)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.operators.similarity import (
+        FILTER_LABEL,
+        N_QUERY_VECS,
+        TOP_K,
+        dot,
+        sim_filtered_topk,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    labels = {r["vec_id"] for r in emb.filter(F.col("label") == FILTER_LABEL).collect()}
+    approx: dict[int, set[int]] = {}
+    for r in sim_filtered_topk(spark, SF_SMOKE).collect():
+        assert r["neighbor_id"] in labels  # filter actually applied
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    # exact filtered baseline: brute-force cosine against label-3 vectors
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter((F.col("label") == FILTER_LABEL) & (F.col("vec_id") >= N_QUERY_VECS)).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    qd = F.col("qe").cast("array<double>")
+    cd = F.col("ce").cast("array<double>")
+    cos = dot(qd, cd) / (F.sqrt(dot(qd, qd)) * F.sqrt(dot(cd, cd)))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    exact: dict[int, set[int]] = {}
+    for r in (
+        q.crossJoin(c)
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .collect()
+    ):
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    hits = sum(len(approx.get(k, set()) & v) for k, v in exact.items())
+    total = sum(len(v) for v in exact.values())
+    assert total > 0
+    assert hits / total >= 0.3, hits / total
