@@ -1673,3 +1673,49 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("inter_exact").cast("long").alias("inter_exact"),
         )
     )
+
+
+@query(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           sum(length(text)) AS total_len
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-source round trip: the documents table egested to gzip JSONL
+    shards (prep.export_jsonl) and read BACK through the registered
+    `jsonl_corpus` Python DataSource (sources/jsonl_source.py — one input
+    partition per shard, per-task gzip decode), then rolled up. Equality
+    with the oracle's rollup over the original parquet proves the source
+    is lossless end-to-end: schema, values, and text byte lengths.
+
+    This is the S5/S6 extension seam demonstrated with a REAL reader; the
+    docstring of the source module states the slow-path caveat. The egest
+    is written once per session to the scratch dir (8 shards, so the
+    read-back exercises real multi-partition planning)."""
+    from ..cache import scratch_dir, session_memo
+    from ..sources import jsonl_source
+    from ..sources.prep import export_jsonl
+
+    def build() -> str:
+        dest = scratch_dir(spark, sf_dir, "jsonl_corpus")
+        export_jsonl(load(spark, sf_dir, "documents").repartition(8), dest)
+        return dest
+
+    dest = session_memo(spark, sf_dir, "jsonl_corpus_dir", build)
+    jsonl_source.register(spark)
+    docs = spark.read.format("jsonl_corpus").option("path", dest).load()
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_len"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -83,7 +83,7 @@ _PRIORITY = [
     "train_domain_mixture", "text_quality_classifier", "sim_maxsim_topk",
     "eval_minhash_lsh_quality", "agg_sampled_percentiles",
     "text_chunk_windows", "udtf_top_bigrams", "events_ab_lift",
-    "sim_filtered_topk", "events_session_stats",
+    "sim_filtered_topk", "events_session_stats", "source_jsonl_roundtrip",
     # ---- ~50-sample budget line: everything below passes the identical
     # ---- local DuckDB gate; remaining round-5 members first
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
