@@ -76,16 +76,19 @@ _PRIORITY = [
     "events_attribution", "events_dau_mau", "profile_correlation_matrix",
     "train_epoch_shuffle", "scalar_decimal_money", "ref_total_count_meta",
     "prep_partitioned_serve", "agg_kmv_overlap",
-    # -- (3b) round-5 session-2 new: family representatives --
-    "text_bpe_vocab_train", "pipeline_dedup_consensus", "dedup_paragraphs",
-    "events_transition_matrix", "events_funnel", "sim_persisted_topk",
-    "agg_countmin_heavy_hitters", "agg_kmv_distinct", "agg_windowed_cms",
-    "train_domain_mixture", "text_quality_classifier", "sim_maxsim_topk",
-    "eval_minhash_lsh_quality", "agg_sampled_percentiles",
+    # -- (3c) session-3 late additions (chunking, UDTF, A/B, filtered ANN,
+    #    session metrics, custom source) --
     "text_chunk_windows", "udtf_top_bigrams", "events_ab_lift",
     "sim_filtered_topk", "events_session_stats", "source_jsonl_roundtrip",
+    # -- (3b) round-5 session-2 new: family representatives --
+    "text_bpe_vocab_train", "pipeline_dedup_consensus", "dedup_paragraphs",
+    "events_transition_matrix", "sim_persisted_topk",
+    "agg_countmin_heavy_hitters",
     # ---- ~50-sample budget line: everything below passes the identical
     # ---- local DuckDB gate; remaining round-5 members first
+    "agg_kmv_distinct", "agg_windowed_cms", "train_domain_mixture",
+    "text_quality_classifier", "sim_maxsim_topk", "eval_minhash_lsh_quality",
+    "agg_sampled_percentiles", "events_funnel",
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q10_returned_items", "q12_late_shipments",
     "q14_promo_revenue", "q16_supplier_diversity",
