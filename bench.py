@@ -91,8 +91,19 @@ HEADLINE = [
     "events_transition_matrix",
     "events_funnel",
     "events_attribution",
+    "events_session_stats",
+    "events_ab_lift",
     "graph_pagerank",
     "agg_incremental_rollup",
+    "agg_kmv_overlap",
+    "text_chunk_windows",
+    "sim_filtered_topk",
+    "source_jsonl_roundtrip",
+    # udtf_top_bigrams is deliberately absent: it is the documented
+    # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
+    # headline would just measure the Python boundary we tell users to
+    # avoid on hot paths (the oracle-equivalent explode+window built-in
+    # path is what production uses and what the other text metrics time)
 ]
 
 
