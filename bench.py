@@ -143,6 +143,7 @@ def main() -> None:
         "sim_persisted_topk": "ann_index_write",
         "graph_pagerank": "pagerank_iterations_build",
         "agg_incremental_rollup": "daily_rollup_build",
+        "source_jsonl_roundtrip": "jsonl_egest_build",
     }
 
     timings: dict[str, float] = {}

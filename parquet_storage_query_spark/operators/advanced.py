@@ -1619,23 +1619,36 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stored sketches alone, no rescan. The exact-Jaccard reference
     arms account for 2 of the plan's 4 event scans — they exist to grade
     the estimate in-query and would be dropped in production serving."""
+    from ..cache import session_memo
     from .dedup import md5_i64
 
     ev = load_parallel(spark, sf_dir, "events")
 
-    def bottom_k(etype: str) -> DataFrame:
-        dh = (
-            ev.filter(F.col("event_type") == etype)
+    def distinct_hashes(etype: str) -> DataFrame:
+        # each side's distinct hash set feeds BOTH the sketch arm and the
+        # exact-reference arm — materialize it once per session instead of
+        # re-running the distinct reduction per consumer
+        return session_memo(
+            spark,
+            sf_dir,
+            f"kmv_hashes_{etype}",
+            lambda: ev.filter(F.col("event_type") == etype)
             .select(md5_i64(F.col("user_id").cast("string")).alias("h"))
             .distinct()
+            .localCheckpoint(eager=True),
         )
+
+    hv = distinct_hashes("view")
+    hp = distinct_hashes("purchase")
+
+    def bottom_k(dh: DataFrame) -> DataFrame:
         # orderBy().limit(k) plans TakeOrderedAndProject — per-task k-row
         # heaps merged once, never a single-partition sort of the distinct
         # hash set (which is |users|-sized: billions at 100 TB)
         return dh.orderBy("h").limit(KMV_K)
 
-    ka = bottom_k("view").localCheckpoint(eager=True)
-    kb = bottom_k("purchase").localCheckpoint(eager=True)
+    ka = bottom_k(hv).localCheckpoint(eager=True)
+    kb = bottom_k(hp).localCheckpoint(eager=True)
     ku = (
         ka.unionByName(kb)
         .distinct()
@@ -1654,12 +1667,6 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("k_eff"),
         F.sum(F.col("in_both").cast("long")).alias("n_both"),
     )
-    hv = ev.filter(F.col("event_type") == "view").select(
-        md5_i64(F.col("user_id").cast("string")).alias("h")
-    ).distinct()
-    hp = ev.filter(F.col("event_type") == "purchase").select(
-        md5_i64(F.col("user_id").cast("string")).alias("h")
-    ).distinct()
     inter_exact = hv.intersect(hp).agg(F.count(F.lit(1)).alias("inter_exact"))
     union_exact = hv.union(hp).distinct().agg(F.count(F.lit(1)).alias("union_exact"))
     return (
