@@ -162,3 +162,38 @@ def test_bpe_vocab_train_invariants(spark):
     pairs = {(r[1], r[2]) for r in out1}
     assert len(pairs) == 3
     assert all(r[3] > 0 for r in out1)
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """Cross-algorithm validation: the gaps-and-islands sessionizer
+    (window_sessionize — lag-gap + running sum) and Spark's native
+    F.session_window aggregation implement the SAME 30-minute-gap session
+    semantics via completely different algorithms (window functions vs
+    merging session state). Their per-user session sets must agree
+    exactly: same count, same (start, end, n_events) multiset."""
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.operators.windows import window_sessionize
+
+    from .conftest import SF_SMOKE
+
+    ours = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in window_sessionize(spark, SF_SMOKE).collect()
+    }
+    native = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in (
+            load(spark, SF_SMOKE, "events")
+            .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+            )
+            .select("user_id", "session_start", "session_end", "n_events")
+            .collect()
+        )
+    }
+    assert ours == native and len(ours) > 100
