@@ -563,7 +563,19 @@ def build_spark(spec: Spec, spark: SparkSession, sf_dir: str) -> DataFrame:
         elif fn == "max_num":
             exprs.append(F.round(F.max(d), 4).alias(alias))
         else:
-            exprs.append(F.round(F.avg(d), 4).alias(alias))
+            # avg as exact integer floor-milli units (sum of 2-decimal
+            # cents ×10, integer-divided by count) — run 20260814 found
+            # round(avg(double), 4) landing on a representable half-tie
+            # (53.347249999999995 → Spark HALF_UP 53.3472 vs DuckDB
+            # scaled-double rounding 53.3473), the THIRD member of the
+            # decimal-tie class this fuzzer has caught; integer division
+            # of identical int64s cannot tie
+            exprs.append(
+                F.expr(
+                    f"(sum(CAST(round(CAST({c} AS DOUBLE) * 100) AS BIGINT)) * 10)"
+                    " DIV count(*)"
+                ).alias(alias)
+            )
     grouped = df.groupBy(*spec.keys) if spec.keys else df.groupBy()
     out = grouped.agg(*exprs, F.count(F.lit(1)).alias("_n")) if spec.having is not None else grouped.agg(*exprs)
     if spec.having is not None:
@@ -585,7 +597,7 @@ def build_sql(spec: Spec) -> str:
             "sum_num": f"round(sum({d}), 2)",
             "min_num": f"round(min({d}), 4)",
             "max_num": f"round(max({d}), 4)",
-            "avg_num": f"round(avg({d}), 4)",
+            "avg_num": f"(sum(CAST(round({d} * 100) AS BIGINT)) * 10) // count(*)",
         }[fn]
         aggs.append(f"{sql} AS {alias}")
     select = ", ".join(list(spec.keys) + aggs)
