@@ -1069,7 +1069,10 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cs = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))
     scored = (
-        bands.join(F.broadcast(labels), "vec_id")
+        # labels are corpus-proportional — no broadcast hint (AQE
+        # broadcasts while small; the real scale path is carrying the
+        # label inside the persisted index partitioning)
+        bands.join(labels, "vec_id")
         .filter(F.col("label") == FILTER_LABEL)
         .join(
             F.broadcast(probes),

@@ -10,8 +10,12 @@ nearest shapes are noted on each query that adapts).
 
 Every query carries a full DuckDB oracle (hash-checked by the driver gate)
 and a 100 TB plan note. Common scale themes:
-- dims (region/nation/supplier/part-slice) broadcast; facts shuffle at most
-  once per distinct join key;
+- constant-size sides (nation/region, 1-row scalar aggregates, tie sets)
+  carry explicit broadcast hints; corpus-PROPORTIONAL sides (part slices,
+  supplier, customer projections) carry NO hint — AQE/size estimates
+  broadcast them while small and degrade to shuffle joins at 100 TB
+  instead of OOMing executors (the q18 lesson, ADVICE r4). Facts shuffle
+  at most once per distinct join key either way;
 - selective dim predicates applied BEFORE the join so the broadcast side
   stays small and the fact scan is semi-reduced early;
 - top-k endings are TakeOrderedAndProject (per-task heaps), never a global
@@ -100,8 +104,8 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     w = W.partitionBy("p_partkey").orderBy("unit_milli", "s_suppkey")
     return (
-        price.join(F.broadcast(part), price.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), price.l_suppkey == supp.s_suppkey)
+        price.join(part, price.l_partkey == part.p_partkey)
+        .join(supp, price.l_suppkey == supp.s_suppkey)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_milli")
@@ -210,7 +214,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "c_nationkey"
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(co, (F.col("l_orderkey") == co.o_orderkey) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
         .agg(
@@ -327,7 +331,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "cust_nation"
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(co, F.col("l_orderkey") == co.o_orderkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
@@ -420,8 +424,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")).cast("decimal(24,4)")
     zero = F.lit(0).cast("decimal(24,4)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(co, F.col("l_orderkey") == co.o_orderkey)
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
@@ -504,8 +508,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity"
     ).cast("long")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -696,7 +700,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")).cast("decimal(24,4)")
     zero = F.lit(0).cast("decimal(24,4)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -812,7 +816,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -850,14 +854,14 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exactly representable far past this corpus size."""
     part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
-    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    brand_li = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     avg_qty = brand_li.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (F.avg("l_quantity") * 0.2).alias("_thresh")
     )
     return (
-        brand_li.join(F.broadcast(avg_qty), brand_li.l_partkey == avg_qty._pk)
+        brand_li.join(avg_qty, brand_li.l_partkey == avg_qty._pk)
         .filter(F.col("l_quantity") < F.col("_thresh"))
         .agg(
             F.round(
@@ -914,7 +918,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(exact)
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
