@@ -319,3 +319,28 @@ def test_schema_evolution_roundtrip_null_fills_both_directions(spark, tmp_path):
         4: ("de", 80),
         5: (None, None),
     }
+
+
+def test_read_ignoring_corrupt_files_skips_garbage_blob(spark, tmp_path):
+    """D5 per-blob error channel under an actually-corrupt blob: a folder
+    holding valid parquet plus a garbage .parquet file must (a) fail a
+    plain read and (b) return exactly the valid rows through the tolerant
+    reader — continue-on-blob-error at file granularity, the reference's
+    ErrorHandler behavior (QueryOrchestration.cs:470-475)."""
+    import pytest
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.sources.prep import read_ignoring_corrupt_files
+
+    folder = str(tmp_path / "mixed")
+    nations = load(spark, SF_SMOKE, "nation")
+    nations.write.parquet(folder)
+    n_valid = nations.count()
+    with open(f"{folder}/part-99999-garbage.parquet", "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet file at all \x00\x01\x02")
+
+    with pytest.raises(Exception):
+        spark.read.parquet(folder).count()
+
+    got = read_ignoring_corrupt_files(spark, folder)
+    assert got.count() == n_valid
