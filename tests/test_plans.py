@@ -589,3 +589,23 @@ def test_sql_surface_parity(spark):
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in q3_shipping_priority(spark, SF_SMOKE).collect()]
     assert got == want and len(got) > 0
+
+
+def test_chunk_windows_is_map_side(spark):
+    """Document chunking must be pure map-side: no hash exchange anywhere
+    (the only exchange is the output-ordering range partition) — at
+    100 TB it runs at scan throughput."""
+    from parquet_storage_query_spark.operators.text import text_chunk_windows
+
+    plan = formatted_plan(text_chunk_windows(spark, SF_SMOKE))
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_attribution_single_corpus_shuffle(spark):
+    """Last-touch attribution: exactly one corpus-sized exchange (the
+    user_id window) plus the O(types) credit-rollup exchange — never a
+    second shuffle of raw events."""
+    from parquet_storage_query_spark.operators.events import events_attribution
+
+    plan = formatted_plan(events_attribution(spark, SF_SMOKE))
+    assert plan.count("hashpartitioning") == 2, plan
