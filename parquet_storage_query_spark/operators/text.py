@@ -520,13 +520,21 @@ def _cls_weights() -> list[float]:
 
 CLS_WEIGHTS = _cls_weights()
 
+# Integer model: the 4-decimal weights and bias in EXACT e4 units. The
+# float fold was order-pinned but its VALUES were 4-decimal rationals, so
+# mean-weight scores landed exactly on 4-decimal rounding ties (observed
+# at sf0.1: score -0.35155 splitting -0.3515/-0.3516 across engines).
+# Integer folds are exact at any length; the one double the score path
+# produces is a single division of identical int64s.
+CLS_W_E4 = [int(round(w * 10000)) for w in CLS_WEIGHTS]
+CLS_BIAS_E4 = int(round(CLS_BIAS * 10000))
 
-def cls_raw_score(text: Column | str = "text") -> Column:
-    """Raw (pre-sigmoid) classifier score `s` for a text column — the
-    shared scoring expression `text_quality_classifier` and
-    `train_curriculum` both compute. Left fold over inlined weights: bit-
-    identical across engines given identical tokens."""
-    warr = F.array(*[F.lit(w) for w in CLS_WEIGHTS])
+
+def cls_score_num(text: Column | str = "text") -> Column:
+    """Integer score numerator S = Σ w_e4(token) + n·bias_e4 (int64,
+    exact): score = S / (10⁴·n). The shared scoring core
+    `text_quality_classifier` and `train_curriculum` both compute."""
+    warr = F.array(*[F.lit(w).cast("long") for w in CLS_W_E4])
     ws = words_col(text)
     tok_w = F.transform(
         ws,
@@ -539,21 +547,34 @@ def cls_raw_score(text: Column | str = "text") -> Column:
             + 1,
         ),
     )
+    return F.aggregate(tok_w, F.lit(0).cast("long"), lambda a, x: a + x) + (
+        F.size(ws).cast("long") * CLS_BIAS_E4
+    )
+
+
+def cls_raw_score(text: Column | str = "text") -> Column:
+    """Exact classifier score as a double: S/(10⁴·n) — one division of
+    identical int64s, bit-identical across engines at any scale."""
+    ws = words_col(text)
+    return cls_score_num(text) / (10000.0 * F.size(ws))
+
+
+def cls_score_num_sql(ws_expr: str = "string_split(trim(text), ' ')") -> str:
+    """DuckDB twin of cls_score_num over an arbitrary word-array expr."""
+    warr = "[" + ", ".join(str(w) for w in CLS_W_E4) + "]"
+    tok_w = (
+        f"({warr}::BIGINT[])[1 + CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {CLS_DIM}]"
+    )
     return (
-        F.aggregate(tok_w, F.lit(0.0), lambda a, x: a + x) / F.size(ws) + F.lit(CLS_BIAS)
+        f"(list_reduce(list_transform({ws_expr}, w -> {tok_w}), (a, x) -> a + x)"
+        f" + len({ws_expr}) * {CLS_BIAS_E4})"
     )
 
 
 def cls_raw_score_sql(ws_expr: str = "string_split(trim(text), ' ')") -> str:
-    """DuckDB twin of cls_raw_score over an arbitrary word-array expr."""
-    warr = "[" + ", ".join(repr(w) for w in CLS_WEIGHTS) + "]"
-    tok_w = (
-        f"({warr}::DOUBLE[])[1 + CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {CLS_DIM}]"
-    )
-    return (
-        f"list_reduce(list_transform({ws_expr}, w -> {tok_w}), (a, x) -> a + x)"
-        f" / len({ws_expr}) + {CLS_BIAS}"
-    )
+    """DuckDB twin of cls_raw_score."""
+    return f"({cls_score_num_sql(ws_expr)} / (10000.0 * len({ws_expr})))"
+
 
 
 def _cls_oracle() -> str:
@@ -561,12 +582,13 @@ def _cls_oracle() -> str:
     WITH scored AS (
         SELECT doc_id,
                len(ws) AS n_tokens,
+               {cls_score_num_sql('ws')} AS s_num,
                {cls_raw_score_sql('ws')} AS s
         FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents))
     SELECT doc_id, n_tokens,
-           round(s, 4)                  AS score,
-           round(1.0 / (1.0 + exp(-s)), 4) AS prob,
-           (1.0 / (1.0 + exp(-s))) >= {CLS_KEEP_P} AS keep
+           floor(CAST(s_num AS DOUBLE) / n_tokens) / 10000.0 AS score,
+           round(0.5 + 0.5 * s / (1.0 + abs(s)), 4) AS prob,
+           (0.5 + 0.5 * s / (1.0 + abs(s))) >= {CLS_KEEP_P} AS keep
     FROM scored
     """
 
@@ -575,30 +597,37 @@ def _cls_oracle() -> str:
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick linear classifier over tokens (the fastText quality-
     filter shape): each token hashes into one of CLS_DIM weight buckets,
-    the document score is the mean bucket weight + bias, squashed by a
-    sigmoid into a keep probability gated at CLS_KEEP_P.
+    the document score is the mean bucket weight + bias, squashed by the
+    RATIONAL fast sigmoid 0.5 + s/(2(1+|s|)) into a keep probability
+    gated at CLS_KEEP_P.
 
     Scale shape: the model is CLS_DIM literals inlined into the plan (the
     same broadcast-model trick as sim_ivf_topk's centroids), the per-token
     lookup and the left-fold sum are JVM codegen — one map-side scan, zero
     shuffles, zero Python, at any corpus size. The fold is a left fold in
-    BOTH engines, so float summation order is pinned and the 4-decimal
-    rounding is stable at every driver scale. Known residual: sigmoid
-    goes through libm exp(), and JVM Math.exp vs DuckDB std::exp can
-    differ by 1 ulp for the same input — on the extra-curricular 10×
-    sweep a handful of rows in 500k land exactly on the 4-decimal
-    boundary and flip the last digit (the score column and the keep gate
-    are unaffected; gate thresholds never sit on a boundary)."""
+    BOTH engines, so float summation order is pinned. The squashing is
+    deliberately the RATIONAL sigmoid, not the logistic: libm exp()
+    differs by 1 ulp between JVM Math.exp and DuckDB std::exp, which
+    flipped 4-decimal roundings (and downstream curriculum ranks) for a
+    handful of rows once corpora passed ~5k docs — +,*,/,abs are IEEE
+    exact-rounded, so the rational form is bit-identical cross-engine at
+    every scale, same monotone S-shape, same gate semantics."""
     docs = load(spark, sf_dir, "documents")
     ws = words_col()
-    s = cls_raw_score()
-    prob = 1.0 / (1.0 + F.exp(-F.col("s")))
+    prob = 0.5 + 0.5 * F.col("s") / (1.0 + F.abs(F.col("s")))
     return (
-        docs.select("doc_id", F.size(ws).alias("n_tokens"), s.alias("s"))
+        docs.select(
+            "doc_id",
+            F.size(ws).alias("n_tokens"),
+            cls_score_num().alias("s_num"),
+            cls_raw_score().alias("s"),
+        )
         .select(
             "doc_id",
             "n_tokens",
-            F.round("s", 4).alias("score"),
+            # exact display: floor(S/n) is an integer decided by integer
+            # comparison margins ≥ 1/n — never within double error
+            (F.floor(F.col("s_num").cast("double") / F.col("n_tokens")) / 10000.0).alias("score"),
             F.round(prob, 4).alias("prob"),
             (prob >= F.lit(CLS_KEEP_P)).alias("keep"),
         )

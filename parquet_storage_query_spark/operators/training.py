@@ -462,7 +462,7 @@ def _curriculum_oracle() -> str:
         SELECT doc_id,
                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END
                    AS split,
-               1.0 / (1.0 + exp(-s)) AS p
+               0.5 + 0.5 * s / (1.0 + abs(s)) AS p
         FROM (SELECT doc_id,
                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                          % 100 AS b,
@@ -504,7 +504,7 @@ def train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(b < 80, F.lit("train")).when(b < 90, F.lit("valid")).otherwise(F.lit("test"))
     )
-    p = 1.0 / (1.0 + F.exp(-cls_raw_score()))
+    p = 0.5 + 0.5 * cls_raw_score() / (1.0 + F.abs(cls_raw_score()))
     tier = (
         F.when(p >= CURR_EASY_P, F.lit("easy"))
         .when(p < CURR_HARD_P, F.lit("hard"))
