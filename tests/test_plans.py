@@ -609,3 +609,36 @@ def test_attribution_single_corpus_shuffle(spark):
 
     plan = formatted_plan(events_attribution(spark, SF_SMOKE))
     assert plan.count("hashpartitioning") == 2, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The runtime half of the skew story (join_salted_skew is the manual
+    half): a 90%-one-key join under AQE must be re-planned with the
+    skewed partition SPLIT — the final adaptive plan carries
+    SortMergeJoin(skew=true) over an `AQEShuffleRead skewed` node.
+    Thresholds are scoped to a derived session; production tuning sets
+    the same knobs cluster-wide."""
+    from pyspark.sql import functions as F
+
+    ns = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }.items():
+        ns.conf.set(k, v)
+    fact = ns.range(0, 400000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000).alias("k"),
+        F.concat(F.lit("x" * 32), F.col("id").cast("string")).alias("pad"),
+    )
+    dim = ns.range(0, 1001).select(F.col("id").alias("k"), F.lit("d").alias("attr"))
+    j = fact.join(dim, "k").select("pad", "attr")
+    assert j._jdf.queryExecution().toRdd().count() == 400000
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan
+    assert "AQEShuffleRead skewed" in plan, plan
