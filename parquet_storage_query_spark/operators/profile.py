@@ -160,7 +160,14 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     many). Entropy folds distributively from value counts via
     H = log2(N) − Σ n·log2(n)/N, so the whole profile is two partial-merge
     aggregates: one shuffle of O(distinct values) count partials, then one
-    of O(columns) moment partials — corpus size only pays the scan."""
+    of O(columns) moment partials — corpus size only pays the scan.
+
+    Known cross-engine class (same family the classifier eliminated for
+    exp): log2 is libm, where JVM and DuckDB may differ by 1 ulp for the
+    same input — a 4-decimal rounding flips only if the true value sits
+    within ~1e-15 of a boundary, unstructured here (entropies are sums of
+    transcendentals, unlike the classifier's 4-decimal-rational scores);
+    green at every tested scale including 10×/30×."""
     docs = load(spark, sf_dir, "documents")
     ev = load(spark, sf_dir, "events")
     counts = (
@@ -309,7 +316,9 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     of v2, so there is no second scan); the per-dim probability window
     and the PSI fold run over O(distinct values) rows. The {PSI_EPS}
     clamp is the standard empty-bucket guard and keeps ln() away from
-    zero on BOTH engines."""
+    zero on BOTH engines. ln is libm (JVM vs DuckDB can differ by 1 ulp
+    for the same input — the unstructured-boundary class noted on
+    profile_column_entropy; green at every tested scale)."""
     docs = load(spark, sf_dir, "documents")
     span = PSI_CHARS_HI / PSI_BUCKETS
     bucket = F.width_bucket("n_chars", F.lit(0.0), F.lit(PSI_CHARS_HI), F.lit(PSI_BUCKETS))
