@@ -73,7 +73,8 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the per-(part, supplier) price table is ONE partial-aggregated
     shuffle of the fact keyed by (partkey, suppkey); the filtered part
-    slice and the 100-row supplier dim broadcast into it, so the correlated
+    slice and the supplier dim join into it (no hints — both grow with
+    the corpus; AQE broadcasts them while small), so the correlated
     "min per part" is a window over data already partitioned by partkey —
     no second fact shuffle. At 100 TB the only big exchange is the first
     keyed aggregate; everything after operates on |part×supplier| rows.
@@ -187,8 +188,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer share a nation, restricted to one region and one year.
 
     Plan: supplier⋈nation⋈region collapses to a single broadcast-able dim
-    (suppliers in ASIA nations) BEFORE touching facts. lineitem joins it by
-    broadcast (suppkey), orders⋈customer shuffles once on custkey, then
+    (suppliers in ASIA nations) BEFORE touching facts. lineitem joins it on
+    suppkey (hint-free — the slice is corpus-proportional; AQE broadcasts
+    it while small), orders⋈customer shuffles once on custkey, then
     the two halves meet on orderkey — the local-supplier condition
     c_nationkey = s_nationkey rides as a residual on that join rather than
     a separate exchange. Two fact shuffles total (custkey, orderkey), both
@@ -302,7 +304,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: bilateral trade volume between two nations by ship year.
 
     Plan: each nation filter collapses into its OWN dim before the facts —
-    suppliers of either nation broadcast into lineitem, customers of either
+    suppliers of either nation join into lineitem (hint-free), customers of either
     nation shuffle with orders — so the facts are semi-reduced to the ~8%
     of rows involving the two nations before the orderkey join. The
     cross-nation disjunction is applied as a residual on the final join
@@ -388,7 +390,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator share computed in ONE aggregate pass (sum(CASE)/sum), never
     two scans.
 
-    Plan: part slice and supplier-nation map broadcast into lineitem;
+    Plan: part slice and supplier-nation map join into lineitem (hint-free
+    — corpus-proportional sides);
     customer⋈nation⋈region collapses to a broadcast-able EUROPE customer
     set joined to orders on custkey; facts meet once on orderkey. Both
     share terms are rounded to 2 decimals BEFORE the division so the
@@ -474,7 +477,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order year. This corpus has no partsupp.ps_supplycost; cost is modeled
     as 60% of p_retailprice (documented constant), which preserves the
     plan shape exactly: a LIKE-sliced part dim and supplier-nation map
-    broadcast into lineitem, one orderkey shuffle to pick up the year,
+    joined into lineitem (hint-free), one orderkey shuffle to pick up the year,
     partial-aggregated group on (nation, year). The LIKE predicates are a
     substring scan pushed to the part dim only — the fact never evaluates
     them.
@@ -688,8 +691,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: percentage of one month's revenue from PROMO parts —
-    numerator and denominator in one aggregate pass over a broadcast part
-    join. The month filter prunes the fact scan; the part dim carries only
+    numerator and denominator in one aggregate pass over the part join
+    (hint-free — part grows with the corpus). The month filter prunes the fact scan; the part dim carries only
     (partkey, is-promo). Both sums rounded before the division (identical
     operands cross-engine), quotient rounded to 4."""
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
@@ -804,7 +807,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brand, type, size) segment, excluding one brand, one type, and
     limited to the classic size set.
 
-    Plan: the three part predicates prune the broadcast dim (IN-set and
+    Plan: the three part predicates prune the part side's scan (IN-set and
     inequalities push to its scan); count(DISTINCT) expands to the
     standard two-phase distinct aggregate: first partial-dedup on
     (segment, suppkey), then count — both phases map-side-combined. The
@@ -844,7 +847,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue from orders of less than 20% of a part's average
     quantity, for one brand. The correlated per-part average becomes a
     per-partkey aggregate joined back — but ONLY for the brand's parts:
-    the brand slice broadcasts into the aggregate input as well as the
+    the brand slice joins into the aggregate input as well as the
     outer scan, so the avg table is |brand parts| rows, not |part|. One
     fact scan feeds both sides via the same pruned column set; at 100 TB
     the avg side is a partial-agg'd shuffle of the brand's rows only.
@@ -900,7 +903,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     implicates as a pre-join filter (part: the brand/size disjunction;
     lineitem: quantity 1-30), which prunes both scans, and the exact
     three-way predicate is re-applied post-join as the residual. The part
-    side then broadcasts. Same answer, but the fact scan reads only the
+    sides are then small enough for AQE to broadcast at any realistic
+    slice size. Same answer, but the fact scan reads only the
     quantity band instead of everything
     (tests/test_plans.py asserts the pushed lineitem range)."""
     brand_size = (
