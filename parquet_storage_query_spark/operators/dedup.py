@@ -1605,3 +1605,50 @@ def eval_minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prec, 4).alias("precision"),
         F.round(rec, 4).alias("recall"),
     )
+
+
+def committed_versions(dest: str) -> list[str]:
+    """Commit history of a standing index: committed batch ids in COMMIT
+    order (marker mtime, id tiebreak) — the marker files double as the
+    commit log, so the index layout already carries its own version
+    history the way a table format's transaction log does."""
+    import os
+
+    d = f"{dest}/_committed"
+    if not os.path.isdir(d):
+        return []
+    return [
+        name
+        for _, name in sorted(
+            (os.stat(os.path.join(d, n)).st_mtime_ns, n) for n in os.listdir(d)
+        )
+    ]
+
+
+def read_signature_index_asof(
+    spark: SparkSession, dest: str, version: int
+) -> tuple[DataFrame, DataFrame]:
+    """TIME TRAVEL on the standing index: (signatures, bands) as of the
+    `version`-th commit (1-based) — the state any past ingest step served
+    from, reconstructed for free because appends never rewrite prior
+    batch partitions and the commit markers order them. The audit/debug
+    read every lakehouse table format sells, here from the plain-parquet
+    commit protocol (reference analogue: none — the reference overwrites;
+    this is the durability layer the 100 TB ingest loop needs).
+
+    Same dedup semantics as read_signature_index, restricted to the first
+    `version` commits."""
+    ids = committed_versions(dest)
+    if not 1 <= version <= len(ids):
+        raise ValueError(f"version {version} out of range 1..{len(ids)} at {dest}")
+    keep = ids[:version]
+    sigs = (
+        spark.read.parquet(f"{dest}/signatures")
+        .filter(F.col("batch").isin(keep))
+        .drop("batch")
+        .dropDuplicates(["doc_id"])
+    )
+    bands = (
+        spark.read.parquet(f"{dest}/bands").filter(F.col("batch").isin(keep)).drop("batch")
+    )
+    return sigs, bands

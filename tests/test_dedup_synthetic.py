@@ -899,3 +899,40 @@ def test_filtered_topk_recall_vs_filtered_bruteforce(spark):
     total = sum(len(v) for v in exact.values())
     assert total > 0
     assert hits / total >= 0.3, hits / total
+
+
+def test_signature_index_time_travel(spark, tmp_path):
+    """As-of reads on the standing index: after base-write + append, the
+    version-1 read reconstructs exactly the pre-append state (doc set and
+    band count), version-2 equals the current full read, and out-of-range
+    versions raise. Append-only partitions + the commit-marker log make
+    every historical state recoverable for free."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.operators.dedup import (
+        append_signature_index,
+        committed_versions,
+        read_signature_index,
+        read_signature_index_asof,
+        write_signature_index,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    extra = docs.filter(F.col("doc_id") % 4 == 0)
+    dest = str(tmp_path / "idx")
+    write_signature_index(base, dest)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    append_signature_index(extra, dest)
+
+    assert len(committed_versions(dest)) == 2
+    s1, b1 = read_signature_index_asof(spark, dest, 1)
+    assert {r["doc_id"] for r in s1.select("doc_id").collect()} == base_ids
+    s2, b2 = read_signature_index_asof(spark, dest, 2)
+    s_now, b_now = read_signature_index(spark, dest)
+    assert s2.count() == s_now.count() and b2.count() == b_now.count()
+    assert b1.count() < b2.count()
+    with pytest.raises(ValueError):
+        read_signature_index_asof(spark, dest, 3)
