@@ -616,12 +616,14 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = words_col()
     prob = 0.5 + 0.5 * F.col("s") / (1.0 + F.abs(F.col("s")))
     return (
+        # ONE integer fold per row; the exact score derives from the
+        # selected s_num column instead of a second fold
         docs.select(
             "doc_id",
             F.size(ws).alias("n_tokens"),
             cls_score_num().alias("s_num"),
-            cls_raw_score().alias("s"),
         )
+        .withColumn("s", F.col("s_num") / (10000.0 * F.col("n_tokens")))
         .select(
             "doc_id",
             "n_tokens",

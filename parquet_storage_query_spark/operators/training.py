@@ -504,15 +504,16 @@ def train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(b < 80, F.lit("train")).when(b < 90, F.lit("valid")).otherwise(F.lit("test"))
     )
-    p = 0.5 + 0.5 * cls_raw_score() / (1.0 + F.abs(cls_raw_score()))
+    # one fold per row: score once into a column, then squash/tier off it
+    p = 0.5 + 0.5 * F.col("s") / (1.0 + F.abs(F.col("s")))
     tier = (
         F.when(p >= CURR_EASY_P, F.lit("easy"))
         .when(p < CURR_HARD_P, F.lit("hard"))
         .otherwise(F.lit("medium"))
     )
     scored = docs.select(
-        "doc_id", split.alias("split"), tier.alias("tier"), p.alias("p")
-    )
+        "doc_id", split.alias("split"), cls_raw_score().alias("s")
+    ).select("doc_id", "split", tier.alias("tier"), p.alias("p"))
     w = W.partitionBy("split", "tier").orderBy(F.col("p").desc(), "doc_id")
     return scored.select(
         "doc_id",
