@@ -1652,3 +1652,48 @@ def read_signature_index_asof(
         spark.read.parquet(f"{dest}/bands").filter(F.col("batch").isin(keep)).drop("batch")
     )
     return sigs, bands
+
+
+@query(
+    "dedup_index_versions",
+    oracle=f"""
+    SELECT 1 AS version, count(*) AS n_docs, {N_BANDS} * count(*) AS n_bands
+    FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> 0
+    UNION ALL
+    SELECT 2 AS version, count(*) AS n_docs, {N_BANDS} * count(*) AS n_bands
+    FROM documents
+    ORDER BY version
+    """,
+)
+def dedup_index_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version history of the standing signature index, served through the
+    TIME-TRAVEL read path: a two-commit demo index (base write of the
+    already-ingested docs, then the new batch appended) read back AS OF
+    each commit — (version, docs, band keys) per historical state. The
+    oracle replays the split arithmetic exactly (every doc contributes
+    {N_BANDS} band keys deterministically), so the as-of reconstruction
+    is value-checked, not merely row-counted.
+
+    The layout pays nothing for this: append-only batch partitions plus
+    the commit-marker log ARE the transaction history (the audit read a
+    table format sells, on plain parquet)."""
+    from ..cache import scratch_dir, session_memo
+
+    def build_dir() -> str:
+        dest = scratch_dir(spark, sf_dir, "asof_index")
+        docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+        write_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), dest)
+        append_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0), dest)
+        return dest
+
+    dest = session_memo(spark, sf_dir, "asof_index_dir", build_dir)
+    out = None
+    for v in (1, 2):
+        sigs, bands = read_signature_index_asof(spark, dest, v)
+        row = (
+            sigs.agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(F.broadcast(bands.agg(F.count(F.lit(1)).alias("n_bands"))))
+            .select(F.lit(v).alias("version"), "n_docs", "n_bands")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("version")

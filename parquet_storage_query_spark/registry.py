@@ -80,6 +80,7 @@ _PRIORITY = [
     #    session metrics, custom source) --
     "text_chunk_windows", "udtf_top_bigrams", "events_ab_lift",
     "sim_filtered_topk", "events_session_stats", "source_jsonl_roundtrip",
+    "dedup_index_versions",
     # -- (3b) round-5 session-2 new: family representatives --
     "text_bpe_vocab_train", "pipeline_dedup_consensus", "dedup_paragraphs",
     "events_transition_matrix", "sim_persisted_topk",
