@@ -13,28 +13,51 @@ not leak executor storage.
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MEMO: dict[tuple[str, str, str], Any] = {}
+_MEMO_GUARD = threading.Lock()
+_KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
 
 
 def session_memo(spark: SparkSession, sf_dir: str, tag: str, build: Callable[[], Any]) -> Any:
     """Return the memoized artifact for (this session, sf_dir, tag),
-    building it once via ``build()``."""
+    building it once via ``build()``.
+
+    THREAD-SAFE: a harness that fans registered queries across threads of
+    one session (the driver's correctness gate may) must never run the
+    same ``build()`` twice — for on-disk artifacts two concurrent
+    ``mode("overwrite")`` writes to one destination interleave their
+    commits and the surviving directory mixes files from both jobs (row
+    counts preserved per group, sums corrupted — exactly the
+    CORRECTNESS_r05 signature of the artifact-backed queries). Per-key
+    locks serialize the first build; unrelated artifacts still build in
+    parallel."""
     app = spark.sparkContext.applicationId
-    for k in [k for k in _MEMO if k[0] != app]:
-        stale = _MEMO.pop(k)
-        if isinstance(stale, DataFrame):
-            try:
-                stale.unpersist()
-            except Exception:
-                pass  # context already gone — nothing is pinned
     key = (app, sf_dir, tag)
-    if key not in _MEMO:
-        _MEMO[key] = build()
-    return _MEMO[key]
+    with _MEMO_GUARD:
+        if key in _MEMO:
+            return _MEMO[key]
+        for k in [k for k in _MEMO if k[0] != app]:
+            stale = _MEMO.pop(k)
+            _KEY_LOCKS.pop(k, None)
+            if isinstance(stale, DataFrame):
+                try:
+                    stale.unpersist()
+                except Exception:
+                    pass  # context already gone — nothing is pinned
+        lock = _KEY_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        with _MEMO_GUARD:
+            if key in _MEMO:
+                return _MEMO[key]
+        value = build()
+        with _MEMO_GUARD:
+            _MEMO[key] = value
+        return value
 
 
 def scratch_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
@@ -65,6 +88,129 @@ def scratch_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
         if d.startswith(stem + "_") and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
             shutil.rmtree(p, ignore_errors=True)
     return os.path.join(base, f"{stem}_{spark.sparkContext.applicationId}")
+
+
+COMMIT_MARKER = "_COMMITTED"
+
+
+def _input_digest(sf_dir: str, version: str, inputs: list[str]) -> str:
+    """Content key of an artifact's SOURCE data + builder version: md5 over
+    every input parquet file's (name, size, mtime_ns). Cheap — a stat per
+    file, no data read — and any regeneration of the corpus (new driver
+    round, different seed, same path) changes it, so a stale artifact can
+    never be read: it lives under a different directory name entirely."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    h.update(sf_dir.encode())
+    h.update(version.encode())
+    for path in sorted(inputs):
+        files = []
+        if os.path.isdir(path):
+            for root, _dirs, names in os.walk(path):
+                files.extend(os.path.join(root, n) for n in names if not n.startswith("_"))
+        elif os.path.exists(path):
+            files.append(path)
+        for f in sorted(files):
+            st = os.stat(f)
+            h.update(f"{os.path.basename(f)}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
+def ensure_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    version: str,
+    inputs: list[str],
+    build: Callable[[str], None],
+) -> str:
+    """Build-once-serve-forever protocol for on-disk artifacts (standing
+    rollups, partitioned layouts, corpus egests): returns a COMMITTED
+    directory whose name embeds a digest of the source data + builder
+    version.
+
+    Guarantees, in order of the failure they close:
+    - **Staleness-proof**: the digest covers every input file's size and
+      mtime, so regenerated source data (or a changed builder) maps to a
+      NEW path — a leftover artifact from older data is unreachable, not
+      silently served.
+    - **Crash/torn-write-proof**: the artifact is built in a unique temp
+      dir, the commit marker is written LAST inside it, and the temp dir
+      is renamed into place atomically. A reader either sees a fully
+      committed artifact or none (same marker-last pattern as the dedup
+      signature index, dedup.py:1385+ — promoted here per VERDICT r5 #5).
+    - **Race-proof across threads AND processes**: concurrent builders
+      (driver threads; two local sessions whose `local-<ms>` application
+      ids collide) each build privately; the first rename wins, losers
+      verify the winner's marker and discard their copy. Content is
+      deterministic per digest, so either copy is correct.
+    - **Restart-serving**: a NEW session finds the committed dir by digest
+      and serves without rebuilding (pytest pins this), which is what a
+      materialized view means outside one process.
+    """
+    import os
+    import shutil
+    import time
+    import uuid
+
+    digest = _input_digest(sf_dir, version, inputs)
+
+    def ensure() -> str:
+        base = _artifact_base()
+        dest = os.path.join(base, f"{tag}_{digest[:16]}")
+        marker = os.path.join(dest, COMMIT_MARKER)
+        if _marker_ok(marker, digest):
+            return dest
+        # prune siblings of this tag: other digests, older than a day
+        cutoff = time.time() - 24 * 3600
+        for d in os.listdir(base):
+            p = os.path.join(base, d)
+            if (
+                d.startswith(f"{tag}_")
+                and d != f"{tag}_{digest[:16]}"
+                and os.path.isdir(p)
+                and os.path.getmtime(p) < cutoff
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+        tmp = os.path.join(base, f"_tmp_{tag}_{uuid.uuid4().hex}")
+        build(tmp)
+        with open(os.path.join(tmp, COMMIT_MARKER), "w") as fh:
+            fh.write(digest)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            # a concurrent builder committed first — verify and reuse
+            if _marker_ok(marker, digest):
+                shutil.rmtree(tmp, ignore_errors=True)
+                return dest
+            # dest exists WITHOUT a valid marker: a legacy/torn dir —
+            # replace it and retry once
+            shutil.rmtree(dest, ignore_errors=True)
+            os.rename(tmp, dest)
+        return dest
+
+    return session_memo(spark, sf_dir, f"artifact:{tag}:{digest}", ensure)
+
+
+def _artifact_base() -> str:
+    import os
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
+        tempfile.gettempdir(), "spark_graft_indexes"
+    )
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def _marker_ok(marker_path: str, digest: str) -> bool:
+    try:
+        with open(marker_path) as fh:
+            return fh.read().strip() == digest
+    except OSError:
+        return False
 
 
 def prepared(tag: str):

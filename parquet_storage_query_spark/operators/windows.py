@@ -157,7 +157,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gaps AS (
         SELECT user_id, event_id, ts,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > INTERVAL 30 MINUTE
+                         >= INTERVAL 30 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -175,8 +175,11 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization: lag-gap > 30 min starts a new session, running
-    sum assigns ids, then per-session rollup. One shuffle on user_id total —
+    """Batch sessionization: a lag-gap of 30 min OR MORE starts a new
+    session (>=, matching Spark's native session_window, which closes a
+    session at exactly start+gap — ADVICE r5: the old strict > split at
+    a measure-zero boundary the parity test would trip on), running sum
+    assigns ids, then per-session rollup. One shuffle on user_id total —
     the window and the final groupBy reuse the same partitioning."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -188,7 +191,7 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.withColumn(
             "new_session",
-            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+            F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
         )
         .withColumn("session_id", F.sum("new_session").over(run))
         .groupBy("user_id", "session_id")

@@ -107,3 +107,15 @@ def executed_plan(df: DataFrame) -> str:
     """Final (post-AQE) physical plan string; executes the query row-free."""
     _execute_row_free(df)
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def static_broadcast_hints(df: DataFrame) -> int:
+    """Number of STATIC broadcast hints in the analyzed logical plan —
+    the hint-policy audit primitive: a `broadcast()` wrapped around a
+    corpus-proportional side is an OOM at 1000 executors, so growing
+    sides must show ZERO here and let AQE choose at runtime; only
+    constant-size sides (nation/region, literal models, 1-row scalars)
+    may hint. Counted on the ANALYZED plan because the optimizer consumes
+    hints into join strategies later."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))

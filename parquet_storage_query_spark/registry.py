@@ -46,50 +46,53 @@ def query(name: str, oracle: str | None = None):
 
 # Driver-facing iteration order. The driver samples the FIRST ~50 registry
 # entries each round, so iteration order decides which queries get a hard
-# driver-side CORRECTNESS row. The round-5 head is budgeted for a ~50
-# sample, in strict priority: (1) the six queries that have NEVER had a
-# driver row in any round (VERDICT r4 'Next round' #2 — the r4 sample cut
-# off just before them); (2) the queries whose VALUES changed in round 5
-# (md5-seeded signature family, cos-LSH bucket budget, per-file oracle,
-# schema evolution) — their old driver rows no longer certify the current
-# hashes; (3) one representative per NEW round-5 operator family (sessions
-# 2-3) so every family gets at least one hard row — the full member list
-# follows right after the cutoff and all members pass the identical local
-# gate (tools/check.py, COVERAGE.md). Names not yet registered are
-# skipped, so entries can be listed ahead of their implementation landing.
+# driver-side CORRECTNESS row. The round-6 head, in strict priority:
+# (1) the SEVEN queries CORRECTNESS_r05 graded hash-red (rows/schema
+# matched; no local emulation reproduced the hash gap — VERDICT r5 #1).
+# Round 6 rebuilt each one driver-proof: output schemas are pure
+# BIGINT/STRING (exact integer DIV rounding replaces every rounded
+# double/DECIMAL/date cell) and the three artifact-backed ones now serve
+# from content-addressed, atomically-committed directories
+# (cache.ensure_artifact) that can never be read stale, torn, or
+# concurrently overwritten. They MUST be re-sampled for fresh rows.
+# (2) queries whose driver rows predate round 4 or that changed recently;
+# then the rest — all of which pass the identical local gate
+# (tools/check.py, COVERAGE.md). Names not yet registered are skipped.
 _PRIORITY = [
-    # -- (1) never driver-checked in ANY round --
+    # -- (1) CORRECTNESS_r05 red, rebuilt driver-proof this round --
+    "agg_incremental_rollup", "scalar_decimal_money",
+    "prep_partitioned_serve", "agg_kmv_overlap", "events_ab_lift",
+    "events_session_stats", "source_jsonl_roundtrip",
+    # -- (2) round-6 new/changed surfaces needing fresh hard rows --
+    "events_funnel", "join_star_revenue", "q3_shipping_priority",
+    "stream_enrich_static", "pipeline_dedup_consensus",
+    "mm_feature_extract", "agg_windowed_hll",
+    # -- r5-sampled green (fresh rows exist; keep near the head so the
+    #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
-    "prep_table_stats", "sim_kmeans_train", "agg_windowed_hll",
-    # -- (2) values changed in round 5: md5-seeded signatures, cos-LSH
-    #    bucket budget, per-file oracle, schema-evolution ingest --
+    "prep_table_stats", "sim_kmeans_train",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_incremental",
     "dedup_clusters", "dedup_embedding_cosine", "sim_lsh_topk",
     "ref_per_file_counts", "prep_schema_evolution",
     "dedup_containment", "prep_snapshot_diff", "stream_incremental_dedup",
     "dedup_semantic",
-    # -- (3a) round-5 session-3 new: family representatives first --
     "q2_min_price_supplier", "q5_local_supplier_volume", "q6_forecast_revenue",
     "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
     "q19_disjunctive_revenue", "q22_idle_customers",
-    "graph_pagerank", "agg_incremental_rollup",
+    "graph_pagerank",
     "events_attribution", "events_dau_mau", "profile_correlation_matrix",
-    "train_epoch_shuffle", "scalar_decimal_money", "ref_total_count_meta",
-    "prep_partitioned_serve", "agg_kmv_overlap",
-    # -- (3c) session-3 late additions (chunking, UDTF, A/B, filtered ANN,
-    #    session metrics, custom source) --
-    "text_chunk_windows", "udtf_top_bigrams", "events_ab_lift",
-    "sim_filtered_topk", "events_session_stats", "source_jsonl_roundtrip",
+    "train_epoch_shuffle", "ref_total_count_meta",
+    "text_chunk_windows", "udtf_top_bigrams",
+    "sim_filtered_topk",
     "dedup_index_versions",
-    # -- (3b) round-5 session-2 new: family representatives --
-    "text_bpe_vocab_train", "pipeline_dedup_consensus", "dedup_paragraphs",
+    "text_bpe_vocab_train", "dedup_paragraphs",
     "events_transition_matrix", "sim_persisted_topk",
     "agg_countmin_heavy_hitters",
     # ---- ~50-sample budget line: everything below passes the identical
     # ---- local DuckDB gate; remaining round-5 members first
     "agg_kmv_distinct", "agg_windowed_cms", "train_domain_mixture",
     "text_quality_classifier", "sim_maxsim_topk", "eval_minhash_lsh_quality",
-    "agg_sampled_percentiles", "events_funnel",
+    "agg_sampled_percentiles", 
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q10_returned_items", "q12_late_shipments",
     "q14_promo_revenue", "q16_supplier_diversity",
@@ -107,7 +110,7 @@ _PRIORITY = [
     "explode_top_tokens", "unpivot_price_metrics", "sample_hash_bucket",
     "rollup_time_hierarchy", "agg_rollup",
     # -- r03-sampled (older than r04's rows) --
-    "join_star_revenue", "join_left_outer", "join_full_outer", "join_semi",
+    "join_left_outer", "join_full_outer", "join_semi",
     "join_anti", "join_cross", "join_range",
     "topk_orders", "sort_multi_col",
     "setop_union", "setop_intersect", "setop_except", "dedup_rows",
@@ -122,7 +125,7 @@ _PRIORITY = [
     "agg_approx_percentiles", "scalar_pandas_udf_norm", "grouped_pandas_udf_wavg",
     "timeseries_gapfill",
     "stream_time_filter_count", "stream_tumbling_append", "stream_dedup",
-    "stream_enrich_static", "stream_windowed_topk",
+    "stream_windowed_topk",
     "text_ngram_lm_score", "prep_upsert_snapshot", "agg_hll_sketch",
     "prep_zorder_layout", "pipeline_training_shard", "mm_embed_batch",
     "profile_numeric_stats",
@@ -132,13 +135,13 @@ _PRIORITY = [
     "text_contamination_check", "dedup_substring_runs",
     "text_repetition_score", "train_seq_pack_execute",
     "dedup_exact", "dedup_exact_keep_first", "dedup_ngram_jaccard",
-    "mm_binary_meta", "mm_feature_extract", "mm_frame_sample", "mm_resize",
+    "mm_binary_meta", "mm_frame_sample", "mm_resize",
     "train_split_hash", "train_stratified_sample", "train_seq_pack_plan",
     "train_interleave", "train_pii_redact",
     "text_token_stats", "text_quality_score", "text_lang_id",
     "text_fingerprint", "text_corpus_rollup", "text_bpe_tokens",
     "text_content_filter", "text_dataset_card",
-    "q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
+    "q1_pricing_summary", "q18_large_orders",
     "join_asof", "join_salted_skew",
     "window_percent_rank", "window_range_frame",
     "scalar_math_case", "scalar_arrays", "scalar_maps", "scalar_json",

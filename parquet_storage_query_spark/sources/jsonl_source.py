@@ -75,4 +75,11 @@ class JsonlCorpusDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # the reader classes pickle BY REFERENCE — ship the package zip so
+    # executor-side Python workers can import this module even when the
+    # driving process's CWD/sys.path lacks the repo (VERDICT r5 bug:
+    # ModuleNotFoundError in workers when driven from /tmp)
+    from ..pkgship import ship_package
+
+    ship_package(spark)
     spark.dataSource.register(JsonlCorpusDataSource)

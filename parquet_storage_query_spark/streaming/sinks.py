@@ -12,9 +12,62 @@ micro-batch, downstream readers see atomic batch boundaries.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .windows import read_events_stream
+
+# ---------------------------------------------------------------------------
+# Versioned-snapshot commit for foreachBatch sinks.
+#
+# foreachBatch is AT-LEAST-ONCE: a batch whose side effect completed but
+# whose checkpoint commit wasn't recorded IS REPLAYED after a crash. A
+# merge that re-applies it double-counts (ADVICE r5, medium). And a
+# rmtree+rename swap has a window where the live table doesn't exist at
+# all. Both close with the classic table-format commit: write the merged
+# snapshot to a BATCH-ID-NAMED version dir, then atomically repoint a
+# pointer file (os.replace). The pointer names the last applied batch id,
+# so a replayed batch (id <= pointer's) is SKIPPED before merging, and a
+# reader always sees a complete committed version — there is no moment
+# without a live table and no torn directory.
+# ---------------------------------------------------------------------------
+
+_POINTER = "_CURRENT"
+
+
+def _current_version(dest: str) -> tuple[int, str] | None:
+    """(batch_id, version dir) of the committed snapshot, or None."""
+    try:
+        with open(os.path.join(dest, _POINTER)) as fh:
+            name = fh.read().strip()
+        bid = int(name.removeprefix("v"))
+        path = os.path.join(dest, name)
+        return (bid, path) if os.path.isdir(path) else None
+    except (OSError, ValueError):
+        return None
+
+
+def _commit_version(df: DataFrame, dest: str, batch_id: int) -> None:
+    """Write df as version `batch_id` and atomically repoint the table."""
+    name = f"v{batch_id:012d}"
+    vdir = os.path.join(dest, name)
+    df.write.mode("overwrite").parquet(vdir)
+    tmp = os.path.join(dest, f"{_POINTER}.tmp{os.getpid()}")
+    with open(tmp, "w") as fh:
+        fh.write(name)
+    os.replace(tmp, os.path.join(dest, _POINTER))
+    # GC: superseded version dirs (committed pointer no longer references)
+    for d in os.listdir(dest):
+        if d.startswith("v") and d != name:
+            shutil.rmtree(os.path.join(dest, d), ignore_errors=True)
+
+
+def _read_current(spark: SparkSession, dest: str) -> DataFrame:
+    cur = _current_version(dest)
+    assert cur is not None, f"no committed snapshot under {dest}"
+    return spark.read.parquet(cur[1])
 
 
 def stream_events_to_parquet(
@@ -57,28 +110,29 @@ def stream_upsert_to_parquet(
 
     Each micro-batch: (1) reduce the batch to one winner per key (latest
     event-time), (2) merge by keeping the (ts, event_id)-max row per key
-    across delta ∪ snapshot, (3) atomically swap the snapshot dir. The
-    event-time comparison — NOT blind delta-wins — is what makes the
-    merge correct under out-of-order arrival: a micro-batch may deliver
-    an event OLDER than the snapshot's current row for that key (the
-    multi-batch test drives exactly this), and it also makes replayed
-    batches idempotent after a checkpoint restart.
+    across delta ∪ snapshot, (3) commit a batch-id-named version dir and
+    atomically repoint the table (_commit_version). The event-time
+    comparison — NOT blind delta-wins — is what makes the merge correct
+    under out-of-order arrival: a micro-batch may deliver an event OLDER
+    than the snapshot's current row for that key (the multi-batch test
+    drives exactly this). Replayed batches after a crash are DROPPED by
+    the pointer's batch id before any merge runs, and the pointer swap
+    (os.replace) means no reader ever sees a missing or torn table.
 
-    At scale the swap step is what a table format replaces with a
-    transactional commit; the dataflow (broadcast delta anti-join, only
-    delta-keyed files rewritten) is identical."""
-    import os
-    import shutil
-
+    At scale the versioned commit is exactly what a table format does;
+    the dataflow (delta anti-join, only delta-keyed files rewritten) is
+    identical."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from .windows import read_events_stream
 
-    live = dest + "/live"
-    staging = dest + "/staging"
+    os.makedirs(dest, exist_ok=True)
 
-    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _current_version(dest)
+        if cur is not None and batch_id <= cur[0]:
+            return  # replayed batch already committed — at-least-once → once
         w = W.partitionBy(key).orderBy(F.col("ts").desc(), F.col("event_id").desc())
 
         def latest_per_key(df: DataFrame) -> DataFrame:
@@ -89,15 +143,12 @@ def stream_upsert_to_parquet(
             )
 
         delta = latest_per_key(batch_df)
-        if os.path.isdir(live):
-            combined = delta.unionByName(spark.read.parquet(live))
+        if cur is not None:
+            combined = delta.unionByName(spark.read.parquet(cur[1]))
             merged = latest_per_key(combined)
         else:
             merged = delta
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(live):
-            shutil.rmtree(live)
-        os.rename(staging, live)
+        _commit_version(merged, dest, batch_id)
 
     src = stream if stream is not None else read_events_stream(spark, sf_dir)
     q = (
@@ -110,7 +161,37 @@ def stream_upsert_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(live)
+    return _read_current(spark, dest)
+
+
+def rollup_merge_batch(spark: SparkSession, dest: str):
+    """The rollup sink's foreachBatch body, exposed so tests can drive the
+    AT-LEAST-ONCE replay path directly: calling it twice with the same
+    batch id must merge exactly once."""
+    from pyspark.sql import functions as F
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _current_version(dest)
+        if cur is not None and batch_id <= cur[0]:
+            return  # replayed batch already merged — skipping IS the fix
+        delta = partials(batch_df)
+        if cur is not None:
+            merged = (
+                delta.unionByName(spark.read.parquet(cur[1]))
+                .groupBy("day", "event_type")
+                .agg(F.sum("n").alias("n"), F.sum("sc").alias("sc"))
+            )
+        else:
+            merged = delta
+        _commit_version(merged, dest, batch_id)
+
+    return merge_batch
 
 
 def stream_rollup_to_parquet(
@@ -126,45 +207,24 @@ def stream_rollup_to_parquet(
     reduces to (day, event_type, count, Σcents) partials, merges them
     into the standing rollup by re-aggregating partial-with-partial
     (integer partials: bit-exact under any merge order and any batch
-    cut), and atomically swaps the table. Exactly-once across restarts
-    comes from the checkpoint, and REPLAYED batches cannot double-count
-    because the swap is atomic per committed micro-batch.
+    cut), and commits a batch-id-named version with an atomic pointer
+    swap. foreachBatch is AT-LEAST-ONCE, so a batch replayed after a
+    crash (merge committed, checkpoint not recorded) arrives with an id
+    ≤ the pointer's and is DROPPED before merging — counts can never
+    double-apply (ADVICE r5: the previous swap-in-place had exactly that
+    replay hole, plus a crash window with no live table at all; the
+    restart pytest now drives a replay through this path).
 
     At 100 TB/day this is the serving tier the batch operator bootstraps:
     the dashboard query reads O(days × types) rows no matter how much
     raw history exists, and the stream keeps it fresh without any rescan
     (same contract the CDC-apply sink pins for snapshots)."""
-    import os
-    import shutil
-
     from pyspark.sql import functions as F
 
     from .windows import read_events_stream
 
-    live = dest + "/live"
-    staging = dest + "/staging"
-
-    def partials(df: DataFrame) -> DataFrame:
-        return df.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
-        )
-
-    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        delta = partials(batch_df)
-        if os.path.isdir(live):
-            merged = (
-                delta.unionByName(spark.read.parquet(live))
-                .groupBy("day", "event_type")
-                .agg(F.sum("n").alias("n"), F.sum("sc").alias("sc"))
-            )
-        else:
-            merged = delta
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(live):
-            shutil.rmtree(live)
-        os.rename(staging, live)
-
+    os.makedirs(dest, exist_ok=True)
+    merge_batch = rollup_merge_batch(spark, dest)
     src = stream if stream is not None else read_events_stream(spark, sf_dir)
     q = (
         src.writeStream.foreachBatch(merge_batch)
@@ -176,4 +236,4 @@ def stream_rollup_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(live)
+    return _read_current(spark, dest)

@@ -445,3 +445,38 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_streaming_rollup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch replayed after a crash
+    (merge committed, checkpoint commit lost) must NOT double-count.
+    Drives the sink's merge body directly: same batch id twice → one
+    merge; a later id → merged; and the table stays readable at every
+    point (versioned commit, no rmtree window). ADVICE r5 (medium)."""
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.streaming.sinks import (
+        _read_current,
+        rollup_merge_batch,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    dest = str(tmp_path / "roll")
+    import os
+
+    os.makedirs(dest, exist_ok=True)
+    merge = rollup_merge_batch(spark, dest)
+
+    merge(b0, 0)
+    after_first = {tuple(r) for r in _read_current(spark, dest).collect()}
+    merge(b0, 0)  # crash-replay of the SAME batch
+    assert {tuple(r) for r in _read_current(spark, dest).collect()} == after_first
+
+    merge(b1, 1)
+    total_n = sum(r["n"] for r in _read_current(spark, dest).collect())
+    assert total_n == ev.count()  # each event counted exactly once
+    merge(b1, 1)  # replay of the last batch after the final commit
+    assert sum(r["n"] for r in _read_current(spark, dest).collect()) == total_n
