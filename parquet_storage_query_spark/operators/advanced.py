@@ -833,16 +833,14 @@ def prep_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer metadata. The DuckDB oracle replays the split arithmetically
     (even doc_ids have n_chars, odd don't) without any file I/O.
 
-    The write-once round trip is memoized per (session, sf_dir) under
-    $SPARK_GRAFT_INDEX_DIR like dedup_incremental's standing index."""
-    from ..cache import scratch_dir, session_memo
+    The two-shard layout is a committed artifact (cache.ensure_artifact:
+    content-addressed, marker-last, race/staleness-proof), so the evolved
+    table serves across session restarts without rewriting."""
+    from ..cache import ensure_artifact, session_memo
+    from ..catalog import table_path
     from ..sources.prep import append_evolving, read_evolving
 
-    def build() -> DataFrame:
-        import shutil
-
-        dest = scratch_dir(spark, sf_dir, "evolving")
-        shutil.rmtree(dest, ignore_errors=True)
+    def build_layout(dest: str) -> None:
         docs = load(spark, sf_dir, "documents")
         append_evolving(
             docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source"),
@@ -853,6 +851,11 @@ def prep_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id", "lang", "source", "n_chars"
             ),
             dest,
+        )
+
+    def build() -> DataFrame:
+        dest = ensure_artifact(
+            spark, sf_dir, "evolving", "v2", [table_path(sf_dir, "documents")], build_layout
         )
         return (
             read_evolving(spark, dest)

@@ -1430,18 +1430,26 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ensure_demo_index(spark: SparkSession, sf_dir: str) -> str:
-    """Write (once per session) the demo standing index — signatures of
-    the already-ingested docs (doc_id % 4 != 0) — under
-    $SPARK_GRAFT_INDEX_DIR, and return its path. Shared by the batch
-    incremental dedup and its streaming twin."""
+    """Write (once per corpus version) the demo standing index —
+    signatures of the already-ingested docs (doc_id % 4 != 0) — through
+    the committed-artifact protocol, and return its path. Shared by the
+    batch incremental dedup and its streaming twin; a fresh session
+    serves from the committed index without re-shingling history (the
+    standing-index contract, now restart-proof like the rollup)."""
 
     def build() -> str:
-        from ..cache import scratch_dir
+        from ..cache import ensure_artifact
+        from ..catalog import table_path
 
-        dest = scratch_dir(spark, sf_dir, "sig_index")
-        docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
-        write_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), dest)
-        return dest
+        def build_index(dest: str) -> None:
+            docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+            write_signature_index(
+                docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), dest
+            )
+
+        return ensure_artifact(
+            spark, sf_dir, "sig_index", "v2", [table_path(sf_dir, "documents")], build_index
+        )
 
     return session_memo(spark, sf_dir, "demo_sig_index_dir", build)
 
@@ -1700,14 +1708,18 @@ def dedup_index_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     The layout pays nothing for this: append-only batch partitions plus
     the commit-marker log ARE the transaction history (the audit read a
     table format sells, on plain parquet)."""
-    from ..cache import scratch_dir, session_memo
+    from ..cache import ensure_artifact, session_memo
+    from ..catalog import table_path
 
     def build_dir() -> str:
-        dest = scratch_dir(spark, sf_dir, "asof_index")
-        docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
-        write_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), dest)
-        append_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0), dest)
-        return dest
+        def build(d: str) -> None:
+            docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+            write_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), d)
+            append_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0), d)
+
+        return ensure_artifact(
+            spark, sf_dir, "asof_index", "v2", [table_path(sf_dir, "documents")], build
+        )
 
     dest = session_memo(spark, sf_dir, "asof_index_dir", build_dir)
     out = None

@@ -947,18 +947,24 @@ def write_ann_index(spark: SparkSession, sf_dir: str, dest: str) -> None:
 
 
 def ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
-    """Write (once per session) the standing ANN index under
-    $SPARK_GRAFT_INDEX_DIR and return its path — the dedup
-    ensure_demo_index idiom for the vector side."""
+    """Write (once per corpus version) the standing ANN index through the
+    committed-artifact protocol (cache.ensure_artifact: content-addressed,
+    marker-last, race/staleness/torn-write-proof) and return its path.
+    A FRESH session finds the committed index by digest and serves
+    sim_persisted_topk without rebuilding — the vector-database claim
+    ('another service answers probes from the on-disk index') now holds
+    across process restarts, not just within one session."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
 
-    def build() -> str:
-        from ..cache import scratch_dir
-
-        dest = scratch_dir(spark, sf_dir, "ann_index")
-        write_ann_index(spark, sf_dir, dest)
-        return dest
-
-    return session_memo(spark, sf_dir, "ann_index_dir", build)
+    return ensure_artifact(
+        spark,
+        sf_dir,
+        "ann_index",
+        "v2",
+        [table_path(sf_dir, "embeddings")],
+        lambda dest: write_ann_index(spark, sf_dir, dest),
+    )
 
 
 @query("sim_persisted_topk", oracle=_banded_lsh_oracle())

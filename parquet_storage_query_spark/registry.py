@@ -64,7 +64,7 @@ _PRIORITY = [
     "prep_partitioned_serve", "agg_kmv_overlap", "events_ab_lift",
     "events_session_stats", "source_jsonl_roundtrip",
     # -- (2) round-6 new/changed surfaces needing fresh hard rows --
-    "events_funnel", "mm_decode_png", "join_star_revenue",
+    "events_funnel", "mm_decode_png", "mm_decode_wav", "join_star_revenue",
     "q3_shipping_priority", "stream_enrich_static",
     "pipeline_dedup_consensus", "mm_feature_extract", "agg_windowed_hll",
     # -- r5-sampled green (fresh rows exist; keep near the head so the

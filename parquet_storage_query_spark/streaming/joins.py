@@ -190,8 +190,8 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The arriving shard is staged as MULTIPLE parquet files so
     maxFilesPerTrigger=1 yields a real multi-micro-batch run."""
-    from ..cache import scratch_dir, session_memo
-    from ..catalog import load_parallel
+    from ..cache import ensure_artifact
+    from ..catalog import load_parallel, table_path
     from ..operators.dedup import (
         INCR_BATCH_MOD,
         ensure_demo_index,
@@ -203,8 +203,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index_dir = ensure_demo_index(spark, sf_dir)
 
-    def stage_stream_dir() -> str:
-        dest = scratch_dir(spark, sf_dir, "incr_stream")
+    def stage(dest: str) -> None:
         (
             load_parallel(spark, sf_dir, "documents")
             .select("doc_id", "text")
@@ -213,9 +212,10 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(dest)
         )
-        return dest
 
-    stream_dir = session_memo(spark, sf_dir, "incr_stream_dir", stage_stream_dir)
+    stream_dir = ensure_artifact(
+        spark, sf_dir, "incr_stream", "v2", [table_path(sf_dir, "documents")], stage
+    )
     idx_sigs, idx_bands = read_signature_index(spark, index_dir)
 
     stream = (

@@ -420,3 +420,32 @@ def test_png_codec_roundtrip_all_filters():
     px = bytes(range(w * h * 3))
     ppm = b"P6\n%d %d\n255\n" % (w, h) + px
     assert decode_image(ppm) == (w, h, 3, px)
+
+
+def test_wav_codec_roundtrip():
+    """The RIFF/PCM16 decoder must invert encode_wav bit-for-bit, survive
+    an extra (ignored) chunk with odd length (word-alignment path), and
+    reject non-PCM payloads with the documented NotImplementedError."""
+    import struct
+
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    data = encode_wav(16000, 1, samples)
+    assert decode_audio(data) == (16000, 1, samples)
+
+    # splice an odd-length LIST chunk between fmt and data: the chunk walk
+    # must skip it via word alignment and still find the samples
+    fmt_end = data.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = data[:fmt_end] + extra + data[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_audio(spliced) == (16000, 1, samples)
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03" + b"\x00" * 64)  # mp3-ish payload
