@@ -5,7 +5,14 @@ oracle on the same parquet files, then compares row count, sorted column
 names, and an order-insensitive value hash. Stricter than tolerant — if
 this passes, the driver's CORRECTNESS check should too.
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [--threads N] [sf_dir] [query ...]
+
+`--threads N` fans the SPARK side across N concurrent threads of one
+session before the sequential oracle comparison — the emulation of a
+harness that runs registered queries in parallel. This is the one mode
+that could reproduce the CORRECTNESS_r05 artifact-corruption signature
+pre-round-6 (concurrent overwrite of a shared artifact dir); with the
+committed-artifact protocol it must stay green.
 """
 
 from __future__ import annotations
@@ -28,6 +35,12 @@ from parquet_storage_query_spark.session import get_spark
 
 
 def main() -> int:
+    argv = list(sys.argv[1:])
+    threads = 0
+    if argv and argv[0] == "--threads":
+        threads = int(argv[1])
+        argv = argv[2:]
+    sys.argv = [sys.argv[0]] + argv
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     unknown = only - set(all_queries())
@@ -41,15 +54,37 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
 
     qs = all_queries()
+    todo = [n for n in sorted(qs) if not only or n in only]
+
+    spark_results: dict[str, tuple[list[str], list[tuple]] | Exception] = {}
+    if threads:
+        # concurrent-driver emulation: run every Spark side first, N-wide
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run_spark(name: str) -> None:
+            try:
+                sdf = qs[name].builder(spark, sf_dir)
+                spark_results[name] = (sdf.columns, [tuple(r) for r in sdf.collect()])
+            except Exception as e:  # noqa: BLE001
+                spark_results[name] = e
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            list(pool.map(run_spark, todo))
+
     failures, passed, rows_only = [], 0, 0
-    for name, qd in sorted(qs.items()):
-        if only and name not in only:
-            continue
+    for name in todo:
+        qd = qs[name]
         t0 = time.perf_counter()
         try:
-            sdf = qd.builder(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if threads:
+                got = spark_results[name]
+                if isinstance(got, Exception):
+                    raise got
+                scols, srows = got
+            else:
+                sdf = qd.builder(spark, sf_dir)
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
