@@ -163,13 +163,15 @@ def ensure_artifact(
         marker = os.path.join(dest, COMMIT_MARKER)
         if _marker_ok(marker, digest):
             return dest
-        # prune siblings of this tag: other digests, older than a day
+        # prune siblings of this tag (other digests) and orphaned temp
+        # dirs from crashed builders, older than a day
         cutoff = time.time() - 24 * 3600
         for d in os.listdir(base):
             p = os.path.join(base, d)
+            stale_sibling = d.startswith(f"{tag}_") and d != f"{tag}_{digest[:16]}"
+            orphan_tmp = d.startswith(f"_tmp_{tag}_")
             if (
-                d.startswith(f"{tag}_")
-                and d != f"{tag}_{digest[:16]}"
+                (stale_sibling or orphan_tmp)
                 and os.path.isdir(p)
                 and os.path.getmtime(p) < cutoff
             ):

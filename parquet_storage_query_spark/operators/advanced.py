@@ -1711,6 +1711,98 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_kmv_difference",
+    oracle=f"""
+    WITH hv AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM events WHERE event_type = 'view'),
+    hp AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events WHERE event_type = 'purchase'),
+    ka AS (SELECT h FROM hv ORDER BY h LIMIT {KMV_K}),
+    kb AS (SELECT h FROM hp ORDER BY h LIMIT {KMV_K}),
+    ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) t
+           ORDER BY h LIMIT {KMV_K}),
+    stats AS (SELECT count(*) AS k_eff,
+                     sum(CASE WHEN h IN (SELECT h FROM ka)
+                               AND h NOT IN (SELECT h FROM kb) THEN 1 ELSE 0 END)
+                       AS n_a_only,
+                     max(h) AS hk
+              FROM ku),
+    exact AS (SELECT count(*) AS diff_exact
+              FROM (SELECT h FROM hv EXCEPT SELECT h FROM hp) d)
+    SELECT k_eff, n_a_only,
+           CAST((n_a_only::HUGEINT * (k_eff - 1) * (1::HUGEINT << 60))
+                // (k_eff::HUGEINT * hk) AS BIGINT) AS diff_est,
+           diff_exact
+    FROM stats, exact
+    """,
+)
+def agg_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-DIFFERENCE estimation from the same two KMV sketches the
+    overlap query merges — the third leg of the sketch set algebra
+    (distinct / overlap / difference): how many viewers never purchase,
+    WITHOUT comparing the sets. The union sketch's members present only
+    in A estimate the difference fraction; scaled by the KMV
+    union-cardinality estimator (k−1)·2⁶⁰/h_k it becomes a count. All
+    arithmetic is exact 128-bit integer (DECIMAL(38,0) / HUGEINT — the
+    2⁶⁰-scale products overflow int64), so the sketch estimate itself is
+    hash-checked cross-engine, like the overlap/distinct legs and unlike
+    HLL registers; the exact difference rides along as the in-query
+    error reference. Scale shape: shares the session-memoized per-side
+    distinct-hash artifacts and TakeOrdered k-row heaps with
+    agg_kmv_overlap — at 100 TB the marginal cost of ANY set-algebra
+    readout over stored sketches is O(k) driver-free arithmetic."""
+    from ..cache import session_memo
+    from .dedup import md5_i64
+
+    ev = load_parallel(spark, sf_dir, "events")
+
+    def distinct_hashes(etype: str) -> DataFrame:
+        return session_memo(
+            spark,
+            sf_dir,
+            f"kmv_hashes_{etype}",
+            lambda: ev.filter(F.col("event_type") == etype)
+            .select(md5_i64(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+            .localCheckpoint(eager=True),
+        )
+
+    hv = distinct_hashes("view")
+    hp = distinct_hashes("purchase")
+    ka = hv.orderBy("h").limit(KMV_K).localCheckpoint(eager=True)
+    kb = hp.orderBy("h").limit(KMV_K).localCheckpoint(eager=True)
+    ku = ka.unionByName(kb).distinct().orderBy("h").limit(KMV_K)
+    marked = (
+        ku.join(ka.select(F.col("h").alias("h_a")), ku.h == F.col("h_a"), "left")
+        .join(kb.select(F.col("h").alias("h_b")), ku.h == F.col("h_b"), "left")
+        .select(
+            "h",
+            (F.col("h_a").isNotNull() & F.col("h_b").isNull()).alias("a_only"),
+        )
+    )
+    stats = marked.agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.sum(F.col("a_only").cast("long")).alias("n_a_only"),
+        F.max("h").alias("hk"),
+    )
+    diff_exact = hv.exceptAll(hp).agg(F.count(F.lit(1)).alias("diff_exact"))
+    est = F.expr(
+        """CAST((CAST(n_a_only AS DECIMAL(38,0)) * (k_eff - 1)
+                 * CAST(1152921504606846976 AS DECIMAL(38,0)))
+                DIV (CAST(k_eff AS DECIMAL(38,0)) * hk) AS BIGINT)"""
+    )
+    return (
+        stats.crossJoin(F.broadcast(diff_exact))
+        .select(
+            "k_eff",
+            "n_a_only",
+            est.alias("diff_est"),
+            F.col("diff_exact").cast("long").alias("diff_exact"),
+        )
+    )
+
+
+@query(
     "source_jsonl_roundtrip",
     oracle="""
     SELECT lang, source, count(*) AS n_docs,
