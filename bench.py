@@ -96,9 +96,12 @@ HEADLINE = [
     "graph_pagerank",
     "agg_incremental_rollup",
     "agg_kmv_overlap",
+    "agg_kmv_difference",
     "text_chunk_windows",
     "sim_filtered_topk",
     "source_jsonl_roundtrip",
+    "mm_decode_png",
+    "mm_decode_wav",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to
@@ -158,6 +161,8 @@ def main() -> None:
         "graph_pagerank": "pagerank_iterations_build",
         "agg_incremental_rollup": "daily_rollup_build",
         "source_jsonl_roundtrip": "jsonl_egest_build",
+        "mm_decode_png": "png_fixture_build",
+        "mm_decode_wav": "wav_fixture_build",
     }
 
     timings: dict[str, float] = {}

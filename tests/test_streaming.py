@@ -480,3 +480,46 @@ def test_streaming_rollup_replay_is_idempotent(spark, tmp_path):
     assert total_n == ev.count()  # each event counted exactly once
     merge(b1, 1)  # replay of the last batch after the final commit
     assert sum(r["n"] for r in _read_current(spark, dest).collect()) == total_n
+
+
+def test_streaming_rollup_restart_resumes_checkpoint(spark, tmp_path):
+    """Stop/restart across runs: the first run drains half the source,
+    the process 'dies', more data arrives, and a SECOND run on the SAME
+    checkpoint must merge only the new batches on top of the committed
+    version pointer — final table equals the full batch recompute with
+    nothing double-counted (checkpoint offsets + versioned pointer
+    working together across process boundaries)."""
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.streaming.sinks import stream_rollup_to_parquet
+
+    ev = load(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    roll = str(tmp_path / "roll")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk_stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    ev.filter(F.col("event_id") % 4 < 2).repartition(2).write.mode("append").parquet(src)
+    stream_rollup_to_parquet(spark, SF_SMOKE, roll, ckpt, stream=mk_stream())
+
+    ev.filter(F.col("event_id") % 4 >= 2).repartition(2).write.mode("append").parquet(src)
+    live = stream_rollup_to_parquet(spark, SF_SMOKE, roll, ckpt, stream=mk_stream())
+
+    got = {(str(r["day"]), r["event_type"], r["n"], r["sc"]) for r in live.collect()}
+    want = {
+        (str(r["day"]), r["event_type"], r["n"], r["sc"])
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 100
