@@ -682,10 +682,13 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF table is materialized once (eager localCheckpoint, the
     minhash_docs staging-table pattern) because its three consumers would
     otherwise each re-run the explode+count subtree (Catalyst's exchange
-    reuse only deduplicated one of them, measured). The vocabulary-sized
-    IDF table joins back broadcast and the top-k window partitions by
-    doc_id. Nothing is a global window, documents never shuffle — only
-    (doc_id, term, count) triples do."""
+    reuse only deduplicated one of them, measured). The IDF table joins
+    back HINT-FREE: vocabulary grows with the corpus (web-crawl token
+    junk is unbounded), so a static broadcast would OOM at scale — AQE
+    broadcasts it while it fits (it does at every bench SF) and shuffles
+    on term when it doesn't (hint policy: constant-size sides only). The
+    top-k window partitions by doc_id. Nothing is a global window,
+    documents never shuffle — only (doc_id, term, count) triples do."""
     from pyspark.sql import Window as W
 
     docs = load(spark, sf_dir, "documents")
@@ -700,7 +703,7 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = doclen.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(doclen, "doc_id")
-        .join(F.broadcast(idf), "term")
+        .join(idf, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -70,11 +70,15 @@ def test_q3_and_consensus_are_hint_free(spark):
     from parquet_storage_query_spark.operators.similarity import (
         pipeline_dedup_consensus,
     )
+    from parquet_storage_query_spark.operators.text import text_tfidf_keywords
     from parquet_storage_query_spark.streaming.joins import stream_enrich_static
 
     assert static_broadcast_hints(q3_shipping_priority(spark, SF_SMOKE)) == 0
     assert static_broadcast_hints(stream_enrich_static(spark, SF_SMOKE)) == 0
     assert static_broadcast_hints(pipeline_dedup_consensus(spark, SF_SMOKE)) == 0
+    # tfidf keeps exactly one hint: the 1-row corpus count; the growing
+    # vocabulary-sized IDF side must be hint-free
+    assert static_broadcast_hints(text_tfidf_keywords(spark, SF_SMOKE)) == 1
 
 
 def test_funnel_is_single_scan(spark):
