@@ -216,11 +216,14 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary = candidate for closer review).
 
     Scale shape: the model IS a DataFrame (token → logp). Its size is the
-    vocabulary, not the corpus, so it broadcasts; the scoring join never
-    shuffles the document side. The corpus-total normalizer is a broadcast
-    single-row aggregate joined onto the vocabulary — no single-partition
-    window anywhere. Swapping in bigram counts changes only the explode
-    key; the dataflow is identical."""
+    vocabulary — which still GROWS with a web corpus, so the scoring join
+    is hint-free: AQE broadcasts the model while it fits (every bench SF)
+    and falls back to a token-keyed shuffle when a trillion-token crawl's
+    vocabulary doesn't (hint policy: constant-size sides only). The
+    corpus-total normalizer is a broadcast single-row aggregate joined
+    onto the vocabulary — no single-partition window anywhere. Swapping
+    in bigram counts changes only the explode key; the dataflow is
+    identical."""
     tok = load_parallel(spark, sf_dir, "documents").select(
         "doc_id", F.explode(words_col()).alias("tok")
     )
@@ -240,7 +243,7 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = session_memo(spark, sf_dir, "unigram_lm", _train_lm)
     avg_lp = F.avg("logp")
     return (
-        tok.join(F.broadcast(lp), "tok")
+        tok.join(lp, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
