@@ -188,9 +188,18 @@ def ensure_artifact(
                 shutil.rmtree(tmp, ignore_errors=True)
                 return dest
             # dest exists WITHOUT a valid marker: a legacy/torn dir —
-            # replace it and retry once
+            # replace it and retry; if ANOTHER replacer wins the retry
+            # race, fall back to verify-and-reuse once more (two
+            # processes can both reach this branch; either one's rename
+            # produces a valid committed dir)
             shutil.rmtree(dest, ignore_errors=True)
-            os.rename(tmp, dest)
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                if _marker_ok(marker, digest):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    return dest
+                raise
         return dest
 
     return session_memo(spark, sf_dir, f"artifact:{tag}:{digest}", ensure)

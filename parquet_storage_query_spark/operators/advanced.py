@@ -1594,6 +1594,27 @@ def prep_partitioned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _kmv_distinct_hashes(spark: SparkSession, sf_dir: str, etype: str) -> DataFrame:
+    """One event type's distinct md5 user-hash set, materialized once per
+    session (eager localCheckpoint) — the shared input of EVERY KMV
+    set-algebra leg (distinct / overlap / difference): each side's
+    reduction runs once no matter how many sketch readouts consume it."""
+    from ..cache import session_memo
+    from .dedup import md5_i64
+
+    ev = load_parallel(spark, sf_dir, "events")
+    return session_memo(
+        spark,
+        sf_dir,
+        f"kmv_hashes_{etype}",
+        lambda: ev.filter(F.col("event_type") == etype)
+        .select(md5_i64(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True),
+    )
+
+
 @query(
     "agg_kmv_overlap",
     oracle=f"""
@@ -1641,27 +1662,8 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stored sketches alone, no rescan. The exact-Jaccard reference
     arms account for 2 of the plan's 4 event scans — they exist to grade
     the estimate in-query and would be dropped in production serving."""
-    from ..cache import session_memo
-    from .dedup import md5_i64
-
-    ev = load_parallel(spark, sf_dir, "events")
-
-    def distinct_hashes(etype: str) -> DataFrame:
-        # each side's distinct hash set feeds BOTH the sketch arm and the
-        # exact-reference arm — materialize it once per session instead of
-        # re-running the distinct reduction per consumer
-        return session_memo(
-            spark,
-            sf_dir,
-            f"kmv_hashes_{etype}",
-            lambda: ev.filter(F.col("event_type") == etype)
-            .select(md5_i64(F.col("user_id").cast("string")).alias("h"))
-            .distinct()
-            .localCheckpoint(eager=True),
-        )
-
-    hv = distinct_hashes("view")
-    hp = distinct_hashes("purchase")
+    hv = _kmv_distinct_hashes(spark, sf_dir, "view")
+    hp = _kmv_distinct_hashes(spark, sf_dir, "purchase")
 
     def bottom_k(dh: DataFrame) -> DataFrame:
         # orderBy().limit(k) plans TakeOrderedAndProject — per-task k-row
@@ -1751,24 +1753,8 @@ def agg_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-hash artifacts and TakeOrdered k-row heaps with
     agg_kmv_overlap — at 100 TB the marginal cost of ANY set-algebra
     readout over stored sketches is O(k) driver-free arithmetic."""
-    from ..cache import session_memo
-    from .dedup import md5_i64
-
-    ev = load_parallel(spark, sf_dir, "events")
-
-    def distinct_hashes(etype: str) -> DataFrame:
-        return session_memo(
-            spark,
-            sf_dir,
-            f"kmv_hashes_{etype}",
-            lambda: ev.filter(F.col("event_type") == etype)
-            .select(md5_i64(F.col("user_id").cast("string")).alias("h"))
-            .distinct()
-            .localCheckpoint(eager=True),
-        )
-
-    hv = distinct_hashes("view")
-    hp = distinct_hashes("purchase")
+    hv = _kmv_distinct_hashes(spark, sf_dir, "view")
+    hp = _kmv_distinct_hashes(spark, sf_dir, "purchase")
     ka = hv.orderBy("h").limit(KMV_K).localCheckpoint(eager=True)
     kb = hp.orderBy("h").limit(KMV_K).localCheckpoint(eager=True)
     ku = ka.unionByName(kb).distinct().orderBy("h").limit(KMV_K)

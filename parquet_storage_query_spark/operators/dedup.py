@@ -1190,13 +1190,19 @@ def _marker_sort_key(d: str, name: str):
     NAME (`000007-<batch>`), with mtime only as the legacy fallback —
     rsync/copy/restore of an index directory rewrites mtimes and coarse
     filesystems tie them, which would silently reorder version history
-    (ADVICE r5). The name survives any copy."""
+    (ADVICE r5). The name survives any copy.
+
+    Legacy (un-prefixed) markers sort BEFORE seq-prefixed ones: in a
+    mixed directory the prefixed markers were necessarily appended after
+    the migration, so legacy-first preserves true commit order — the
+    other priority would list a post-migration append as the OLDEST
+    version and invert as-of reads."""
     import os
 
     seq, _, _rest = name.partition("-")
     if seq.isdigit():
-        return (0, int(seq), name)
-    return (1, os.stat(os.path.join(d, name)).st_mtime_ns, name)
+        return (1, int(seq), name)
+    return (0, os.stat(os.path.join(d, name)).st_mtime_ns, name)
 
 
 def _marker_batch(name: str) -> str:
@@ -1437,21 +1443,20 @@ def ensure_demo_index(spark: SparkSession, sf_dir: str) -> str:
     serves from the committed index without re-shingling history (the
     standing-index contract, now restart-proof like the rollup)."""
 
-    def build() -> str:
-        from ..cache import ensure_artifact
-        from ..catalog import table_path
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
 
-        def build_index(dest: str) -> None:
-            docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
-            write_signature_index(
-                docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), dest
-            )
+    def build_index(dest: str) -> None:
+        docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+        write_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), dest)
 
-        return ensure_artifact(
-            spark, sf_dir, "sig_index", "v2", [table_path(sf_dir, "documents")], build_index
-        )
-
-    return session_memo(spark, sf_dir, "demo_sig_index_dir", build)
+    # no outer session_memo: ensure_artifact already memoizes per digest,
+    # and re-digesting per call is the point — a regenerated corpus maps
+    # to a new index path immediately (review finding: the extra layer
+    # froze the first call's digest for the whole session)
+    return ensure_artifact(
+        spark, sf_dir, "sig_index", "v2", [table_path(sf_dir, "documents")], build_index
+    )
 
 
 _STREAM_INCR_ORACLE = f"""
@@ -1708,20 +1713,17 @@ def dedup_index_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     The layout pays nothing for this: append-only batch partitions plus
     the commit-marker log ARE the transaction history (the audit read a
     table format sells, on plain parquet)."""
-    from ..cache import ensure_artifact, session_memo
+    from ..cache import ensure_artifact
     from ..catalog import table_path
 
-    def build_dir() -> str:
-        def build(d: str) -> None:
-            docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
-            write_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), d)
-            append_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0), d)
+    def build(d: str) -> None:
+        docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+        write_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), d)
+        append_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0), d)
 
-        return ensure_artifact(
-            spark, sf_dir, "asof_index", "v2", [table_path(sf_dir, "documents")], build
-        )
-
-    dest = session_memo(spark, sf_dir, "asof_index_dir", build_dir)
+    dest = ensure_artifact(
+        spark, sf_dir, "asof_index", "v2", [table_path(sf_dir, "documents")], build
+    )
     out = None
     for v in (1, 2):
         sigs, bands = read_signature_index_asof(spark, dest, v)

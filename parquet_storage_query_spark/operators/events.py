@@ -541,7 +541,11 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ·N / (n_a·n_b·C·(N−C)) with C=c_a+c_b, N=n_a+n_b — so it's computed
     by one 128-bit integer division (DECIMAL(38,0) / HUGEINT), never
     touching sqrt or floating point. z²·10⁶ ≥ 3.84×10⁶ ⇔ 95%
-    significance; the sign carries the lift direction. (The original
+    significance; the sign carries the lift direction. int128 headroom:
+    D²·N·10⁶ stays under 10³⁸ for arms up to ~10⁷ users each — beyond
+    that, drop the 10⁶ scale into the denominator and report z²·10³ (or
+    divide D by gcd(D, n_a·n_b) first); the experiment-arm cap, not the
+    corpus, is the bound. (The original
     rounded-double rate/z columns were CORRECTNESS_r05's only red cells
     here while every local emulation matched bit-for-bit — the integer
     surface removes the entire float canonicalization channel.) Shape:

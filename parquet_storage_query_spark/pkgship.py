@@ -24,7 +24,7 @@ import tempfile
 import threading
 import zipfile
 
-_SHIPPED: set[tuple[str, str]] = set()  # (applicationId, zip path)
+_SHIPPED: set[str] = set()  # applicationIds already shipped to
 _LOCK = threading.Lock()
 
 
@@ -49,7 +49,12 @@ def _package_zip() -> str:
     dest = os.path.join(tempfile.gettempdir(), f"psqs_pkg_{h.hexdigest()[:16]}.zip")
     if os.path.exists(dest):
         return dest
-    tmp = f"{dest}.tmp{os.getpid()}"
+    # uuid-unique tmp: concurrent builders (threads of one pid included)
+    # each write their OWN file; os.replace is atomic and the content is
+    # deterministic per digest, so any winner is valid
+    import uuid
+
+    tmp = f"{dest}.tmp{uuid.uuid4().hex}"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
         for rel, full in sorted(entries):
             # fixed timestamp → byte-stable zip for a given source tree
@@ -61,12 +66,19 @@ def _package_zip() -> str:
 
 
 def ship_package(spark) -> None:
-    """Make this package importable on every Python worker of `spark`."""
+    """Make this package importable on every Python worker of `spark`.
+
+    Fast path first: per-applicationId set lookup BEFORE any filesystem
+    work, so the per-load() call really is a cheap no-op after the first
+    ship (the zip build walks and hashes the whole source tree — doing
+    that on every load() of a 190-query sweep would be thousands of
+    wasted tree reads)."""
     sc = spark.sparkContext
-    path = _package_zip()
-    key = (sc.applicationId, path)
+    app = sc.applicationId
+    if app in _SHIPPED:
+        return
     with _LOCK:
-        if key in _SHIPPED:
+        if app in _SHIPPED:
             return
-        sc.addPyFile(path)
-        _SHIPPED.add(key)
+        sc.addPyFile(_package_zip())
+        _SHIPPED.add(app)

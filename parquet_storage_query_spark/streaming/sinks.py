@@ -35,6 +35,37 @@ from .windows import read_events_stream
 # ---------------------------------------------------------------------------
 
 _POINTER = "_CURRENT"
+_CKPT_MARK = "_CHECKPOINT"
+
+
+def _bind_checkpoint(dest: str, checkpoint: str) -> None:
+    """Pin the (dest, checkpoint) pairing. Batch ids are CHECKPOINT-scoped
+    (a fresh checkpoint restarts at 0), while the replay-skip pointer is
+    DEST-scoped — pointing a new checkpoint at an existing table would
+    make the pointer silently DISCARD the new stream's first batches as
+    'replays'. Refusing loudly is the only safe move; the caller either
+    reuses the original checkpoint (resume) or starts a fresh dest."""
+    import os
+
+    os.makedirs(dest, exist_ok=True)
+    mark = os.path.join(dest, _CKPT_MARK)
+    norm = os.path.abspath(checkpoint)
+    try:
+        with open(mark) as fh:
+            bound = fh.read().strip()
+    except OSError:
+        bound = None
+    if bound is None:
+        tmp = f"{mark}.tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(norm)
+        os.replace(tmp, mark)
+    elif bound != norm:
+        raise ValueError(
+            f"snapshot dir {dest} is bound to checkpoint {bound}; driving it "
+            f"from {norm} would misread batch ids as replays — resume with "
+            "the original checkpoint or use a fresh dest"
+        )
 
 
 def _current_version(dest: str) -> tuple[int, str] | None:
@@ -127,7 +158,7 @@ def stream_upsert_to_parquet(
 
     from .windows import read_events_stream
 
-    os.makedirs(dest, exist_ok=True)
+    _bind_checkpoint(dest, checkpoint)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         cur = _current_version(dest)
@@ -223,7 +254,7 @@ def stream_rollup_to_parquet(
 
     from .windows import read_events_stream
 
-    os.makedirs(dest, exist_ok=True)
+    _bind_checkpoint(dest, checkpoint)
     merge_batch = rollup_merge_batch(spark, dest)
     src = stream if stream is not None else read_events_stream(spark, sf_dir)
     q = (

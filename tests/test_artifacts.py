@@ -150,3 +150,31 @@ def test_rollup_and_partition_serve_across_restart(spark, tmp_path, monkeypatch)
     finally:
         monkeypatch.setattr(rw.DataFrameWriter, "parquet", real_parquet)
     assert second == first
+
+
+def test_marker_commit_order_survives_migration_and_copies(tmp_path):
+    """Commit order from marker names: legacy (un-prefixed, mtime-ordered)
+    markers sort BEFORE seq-prefixed ones appended after migration, and
+    rewriting every mtime (a restore/rsync) must not reorder the
+    seq-prefixed history (review finding + ADVICE r5)."""
+    import os
+    import time
+
+    from parquet_storage_query_spark.operators.dedup import committed_versions
+
+    dest = tmp_path / "idx"
+    d = dest / "_committed"
+    d.mkdir(parents=True)
+    (d / "bbb").touch()  # legacy marker, committed first
+    time.sleep(0.01)
+    (d / "aaa").touch()  # legacy marker, committed second (later mtime)
+    (d / "000003-ccc").touch()  # post-migration appends
+    (d / "000004-ddd").touch()
+    assert committed_versions(str(dest)) == ["bbb", "aaa", "ccc", "ddd"]
+
+    # "restore": set every mtime to the same instant — order must hold
+    # for the seq-prefixed tail regardless
+    now = time.time()
+    for n in os.listdir(d):
+        os.utime(d / n, (now, now))
+    assert committed_versions(str(dest))[2:] == ["ccc", "ddd"]

@@ -523,3 +523,13 @@ def test_streaming_rollup_restart_resumes_checkpoint(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 100
+
+    # a FRESH checkpoint against the same dest must refuse loudly: its
+    # batch ids restart at 0 and the pointer would silently discard them
+    # as replays (review finding)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bound to checkpoint"):
+        stream_rollup_to_parquet(
+            spark, SF_SMOKE, roll, str(tmp_path / "ckpt_fresh"), stream=mk_stream()
+        )
