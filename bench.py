@@ -91,6 +91,7 @@ HEADLINE = [
     "events_transition_matrix",
     "events_funnel",
     "events_attribution",
+    "events_cohort_ltv",
     "events_session_stats",
     "events_ab_lift",
     "graph_pagerank",

@@ -193,6 +193,103 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, time_bucket(INTERVAL '1 day', min(ts)) AS cohort_day
+        FROM events GROUP BY user_id),
+    sizes AS (SELECT cohort_day, count(*) AS cohort_n
+              FROM first_seen GROUP BY cohort_day),
+    rev AS (
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day,
+                              time_bucket(INTERVAL '1 day', e.ts)) AS BIGINT)
+                 AS day_n,
+               sum(CAST(round(e.value * 100) AS BIGINT)) AS rev_cents
+        FROM events e JOIN first_seen f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2),
+    grid AS (
+        SELECT s.cohort_day, s.cohort_n, t.d AS day_n
+        FROM sizes s, unnest(range(8)) AS t(d)),
+    curve AS (
+        SELECT g.cohort_day, g.cohort_n, g.day_n,
+               coalesce(r.rev_cents, 0) AS rev_cents
+        FROM grid g LEFT JOIN rev r
+          ON r.cohort_day = g.cohort_day AND r.day_n = g.day_n)
+    SELECT strftime(CAST(cohort_day AS DATE), '%Y-%m-%d') AS cohort_day,
+           day_n, cohort_n,
+           sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_n
+                                ROWS UNBOUNDED PRECEDING) AS cum_revenue_cents,
+           (2 * sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_n
+                                     ROWS UNBOUNDED PRECEDING) + cohort_n)
+             // (2 * cohort_n) AS ltv_cents_per_user
+    FROM curve
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curve — retention's revenue twin and the
+    third consumer of the first-seen table: for each signup cohort (day
+    of first event) and each day offset 0..7, the CUMULATIVE purchase
+    revenue and the per-user LTV at that age. The question every growth
+    team asks of an event log ("how much is a day-N user worth?"),
+    missing from the family until now.
+
+    Exactness and shape: revenue accumulates in integer cents, the LTV
+    display is round-half-up integer DIV, and the cohort key renders as
+    an ISO string — pure BIGINT/STRING output (driver-proof policy).
+    Dense day grid 0..7 (explode on Spark, range() on DuckDB) so cohorts
+    with zero-revenue days still show a flat curve instead of gaps. One
+    user-keyed shuffle builds first-seen; the revenue join re-uses the
+    user key; the cumulative window runs over the O(cohorts × 8) curve
+    table, never the corpus."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    sizes = first_seen.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_n"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_n"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_cents"))
+    )
+    grid = sizes.select(
+        "cohort_day",
+        "cohort_n",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("d"),
+    ).select("cohort_day", "cohort_n", F.col("d").cast("long").alias("day_n"))
+    curve = grid.join(rev, ["cohort_day", "day_n"], "left").select(
+        "cohort_day",
+        "cohort_n",
+        "day_n",
+        F.coalesce("rev_cents", F.lit(0)).alias("rev_cents"),
+    )
+    wcum = (
+        W.partitionBy("cohort_day")
+        .orderBy("day_n")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("rev_cents").over(wcum)
+    return curve.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_n",
+        "cohort_n",
+        cum.alias("cum_revenue_cents"),
+        F.expr(
+            "(2 * sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_n "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + cohort_n) "
+            "DIV (2 * cohort_n)"
+        ).alias("ltv_cents_per_user"),
+    )
+
+
+@query(
     "events_retention_cohorts",
     oracle="""
     WITH first_seen AS (
