@@ -92,6 +92,7 @@ HEADLINE = [
     "events_funnel",
     "events_attribution",
     "events_cohort_ltv",
+    "events_conversion_lag",
     "events_session_stats",
     "events_ab_lift",
     "graph_pagerank",

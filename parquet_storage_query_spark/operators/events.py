@@ -192,6 +192,88 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LAG_BUCKETS = (60, 3600, 86400)  # ≤1min, ≤1h, ≤1day, >1day
+
+
+@query(
+    "events_conversion_lag",
+    oracle=f"""
+    WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = '{FUNNEL[0]}' GROUP BY user_id),
+    tp AS (SELECT e.user_id,
+                  (epoch_us(min(e.ts)) - epoch_us(any_value(t1.t1))) // 1000000
+                    AS lag_sec
+           FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = '{FUNNEL[2]}' AND e.ts > t1.t1
+           GROUP BY e.user_id),
+    b AS (SELECT CASE WHEN lag_sec <= {LAG_BUCKETS[0]} THEN 'a_under_1m'
+                      WHEN lag_sec <= {LAG_BUCKETS[1]} THEN 'b_under_1h'
+                      WHEN lag_sec <= {LAG_BUCKETS[2]} THEN 'c_under_1d'
+                      ELSE 'd_over_1d' END AS bucket,
+                 lag_sec
+          FROM tp)
+    SELECT bucket, count(*) AS n_users,
+           min(lag_sec) AS min_lag_sec, max(lag_sec) AS max_lag_sec,
+           sum(lag_sec) AS sum_lag_sec,
+           (20000 * sum(lag_sec) + count(*)) // (2 * count(*))
+             AS avg_lag_sec_e4
+    FROM b GROUP BY bucket
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT distribution — the funnel's latency readout: for
+    every user who purchases after their first view, the lag from first
+    view to first qualifying purchase, bucketed into the product-analytics
+    grid (≤1 min / ≤1 h / ≤1 day / longer) with per-bucket whole-second
+    min/max/sum and a round-half-up e4 average. Answers "how long does
+    conversion take", which the stage-count funnel cannot.
+
+    Exactness: lags are whole-second integers (µs difference floor-div),
+    buckets are integer comparisons, the average is integer DIV — pure
+    BIGINT/STRING output. Shape: two user-keyed partial-merge mins and
+    one O(4)-row rollup; events shuffle once on user_id, nothing else
+    moves."""
+    ev = load(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    lag = (
+        ev.filter(F.col("event_type") == FUNNEL[2])
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(
+            (
+                (F.unix_micros(F.min("ts")) - F.unix_micros(F.first("t1")))
+                / 1_000_000
+            )
+            .cast("long")
+            .alias("lag_sec")
+        )
+    )
+    bucket = (
+        F.when(F.col("lag_sec") <= LAG_BUCKETS[0], "a_under_1m")
+        .when(F.col("lag_sec") <= LAG_BUCKETS[1], "b_under_1h")
+        .when(F.col("lag_sec") <= LAG_BUCKETS[2], "c_under_1d")
+        .otherwise("d_over_1d")
+    )
+    return (
+        lag.select(bucket.alias("bucket"), "lag_sec")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("lag_sec").alias("min_lag_sec"),
+            F.max("lag_sec").alias("max_lag_sec"),
+            F.sum("lag_sec").alias("sum_lag_sec"),
+            F.expr(
+                "(20000 * sum(lag_sec) + count(1)) DIV (2 * count(1))"
+            ).alias("avg_lag_sec_e4"),
+        )
+    )
+
+
 @query(
     "events_cohort_ltv",
     oracle="""

@@ -67,7 +67,7 @@ _PRIORITY = [
     "events_funnel", "mm_decode_png", "mm_decode_wav", "join_star_revenue",
     "q3_shipping_priority", "stream_enrich_static",
     "pipeline_dedup_consensus", "mm_feature_extract", "agg_windowed_hll",
-    "agg_kmv_difference", "events_cohort_ltv",
+    "agg_kmv_difference", "events_cohort_ltv", "events_conversion_lag",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
