@@ -508,6 +508,86 @@ def build_array_sql(spec: ArraySpec) -> str:
     return f"SELECT {', '.join(parts)} FROM documents"
 
 
+@dataclass(frozen=True)
+class DatetimeSpec:
+    """scan events → per-row TEMPORAL derivations — the date/time function
+    surface (trunc, extract, format, arithmetic, epoch). Classic
+    cross-engine divergence territory, encoded around the known traps:
+    dayofweek is EXCLUDED (Spark 1-7 Sunday-first vs DuckDB dow 0-6),
+    sub-second extraction is EXCLUDED (the corpus carries TIMESTAMP(NANOS);
+    Spark reads it floor-truncated to µs while DuckDB keeps ns — identical
+    at minute grain and above, divergent below), week-of-year is EXCLUDED
+    (ISO week conventions differ). Timestamps are emitted as FORMATTED
+    STRINGS or integers, never raw timestamp cells, so engine-side
+    precision never reaches the fingerprint."""
+
+    filters: tuple[tuple[str, int], ...]  # (op, event_id bound)
+    kinds: tuple[str, ...]
+
+    def describe(self) -> str:
+        f = " AND ".join(f"event_id {o} {v}" for o, v in self.filters) or "TRUE"
+        return f"events WHERE {f} TEMPORAL {','.join(self.kinds)}"
+
+
+_DT_KINDS = ("hour", "minute", "month", "year", "day_str", "trunc_hour_str",
+             "epoch_s", "days_from_lit", "add_hours_hour")
+
+
+def gen_datetime_spec(rng: random.Random) -> DatetimeSpec:
+    filters = tuple(
+        (rng.choice(["<", ">="]), rng.choice([1000, 10000, 50000]))
+        for _ in range(rng.randint(0, 1))
+    )
+    kinds = tuple(rng.sample(_DT_KINDS, rng.randint(2, 5)))
+    return DatetimeSpec(filters, kinds)
+
+
+def build_datetime_spark(spec: DatetimeSpec, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_storage_query_spark.catalog import load
+
+    df = load(spark, sf_dir, "events")
+    for op, v in spec.filters:
+        df = df.filter(F.col("event_id") < v if op == "<" else F.col("event_id") >= v)
+    ts = F.col("ts")
+    out = [F.col("event_id").alias("uid")]
+    for i, kind in enumerate(spec.kinds):
+        e = {
+            "hour": F.hour(ts),
+            "minute": F.minute(ts),
+            "month": F.month(ts),
+            "year": F.year(ts),
+            "day_str": F.date_format(ts, "yyyy-MM-dd"),
+            "trunc_hour_str": F.date_format(F.date_trunc("hour", ts), "yyyy-MM-dd HH"),
+            "epoch_s": F.expr("unix_micros(ts) DIV 1000000"),
+            "days_from_lit": F.datediff(F.to_date(ts), F.lit("2024-01-01").cast("date")),
+            "add_hours_hour": F.hour(ts + F.expr("INTERVAL 5 HOURS")),
+        }[kind]
+        out.append(e.alias(f"d{i}"))
+    return df.select(*out)
+
+
+def build_datetime_sql(spec: DatetimeSpec) -> str:
+    where = " AND ".join(f"event_id {op} {v}" for op, v in spec.filters)
+    parts = ["event_id AS uid"]
+    for i, kind in enumerate(spec.kinds):
+        sql = {
+            "hour": "CAST(hour(ts) AS INT)",
+            "minute": "CAST(minute(ts) AS INT)",
+            "month": "CAST(month(ts) AS INT)",
+            "year": "CAST(year(ts) AS INT)",
+            "day_str": "strftime(CAST(ts AS DATE), '%Y-%m-%d')",
+            "trunc_hour_str": "strftime(date_trunc('hour', ts), '%Y-%m-%d %H')",
+            "epoch_s": "epoch_us(ts) // 1000000",
+            "days_from_lit": "CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)",
+            "add_hours_hour": "CAST(hour(ts + INTERVAL 5 HOUR) AS INT)",
+        }[kind]
+        parts.append(f"{sql} AS d{i}")
+    q = f"SELECT {', '.join(parts)} FROM events"
+    if where:
+        q += f" WHERE {where}"
+    return q
+
+
 def gen_spec(rng: random.Random) -> Spec:
     table = rng.choice(list(TABLE_COLS))
     cols = TABLE_COLS[table]
@@ -649,6 +729,10 @@ def run_fuzz(spark: SparkSession, sf_dir: str, n_specs: int, seed: int) -> list[
             spec = gen_array_spec(rng)
             sdf = build_array_spark(spec, spark, sf_dir)
             sql = build_array_sql(spec)
+        elif roll < 0.82:
+            spec = gen_datetime_spec(rng)
+            sdf = build_datetime_spark(spec, spark, sf_dir)
+            sql = build_datetime_sql(spec)
         else:
             spec = gen_spec(rng)
             sdf = build_spark(spec, spark, sf_dir)
