@@ -192,6 +192,16 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _first_seen(ev: DataFrame) -> DataFrame:
+    """Per-user signup-cohort table (day of first event) — the shared
+    input of the cohort family (retention triangle, LTV curve): one
+    user-keyed partial-merge min, date_trunc'd identically on both
+    engines so cohort keys match bit-for-bit."""
+    return ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+
+
 LAG_BUCKETS = (60, 3600, 86400)  # ≤1min, ≤1h, ≤1day, >1day
 
 
@@ -230,9 +240,12 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: lags are whole-second integers (µs difference floor-div),
     buckets are integer comparisons, the average is integer DIV — pure
-    BIGINT/STRING output. Shape: two user-keyed partial-merge mins and
-    one O(4)-row rollup; events shuffle once on user_id, nothing else
-    moves."""
+    BIGINT/STRING output. int64 headroom: 2·10⁴·Σlag needs Σlag <
+    4.6×10¹⁴ s per bucket (~10⁸ converting users at week-long lags);
+    beyond that, lift the display division to DECIMAL(38,0) — the same
+    bound note as events_session_stats. Shape: two user-keyed
+    partial-merge mins and one O(4)-row rollup; events shuffle once on
+    user_id, nothing else moves."""
     ev = load(spark, sf_dir, "events")
     t1 = (
         ev.filter(F.col("event_type") == FUNNEL[0])
@@ -326,9 +339,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     user key; the cumulative window runs over the O(cohorts × 8) curve
     table, never the corpus."""
     ev = load(spark, sf_dir, "events")
-    first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).alias("cohort_day")
-    )
+    first_seen = _first_seen(ev)
     sizes = first_seen.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_n"))
     rev = (
         ev.filter(F.col("event_type") == "purchase")
@@ -357,17 +368,21 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day_n")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = F.sum("rev_cents").over(wcum)
-    return curve.select(
-        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
-        "day_n",
-        "cohort_n",
-        cum.alias("cum_revenue_cents"),
-        F.expr(
-            "(2 * sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_n "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + cohort_n) "
-            "DIV (2 * cohort_n)"
-        ).alias("ltv_cents_per_user"),
+    # ONE window definition: the LTV division derives from the aliased
+    # cumulative column, so both outputs share the same frame by
+    # construction (review finding: the F.expr twin spelled the window a
+    # second time in SQL syntax)
+    return (
+        curve.select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_n",
+            "cohort_n",
+            F.sum("rev_cents").over(wcum).alias("cum_revenue_cents"),
+        )
+        .withColumn(
+            "ltv_cents_per_user",
+            F.expr("(2 * cum_revenue_cents + cohort_n) DIV (2 * cohort_n)"),
+        )
     )
 
 
@@ -404,9 +419,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Day bucketing uses date_trunc on BOTH engines so cohort keys match
     bit-for-bit."""
     ev = load(spark, sf_dir, "events")
-    first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).alias("cohort_day")
-    )
+    first_seen = _first_seen(ev)
     activity = (
         ev.join(first_seen, "user_id")
         .select(

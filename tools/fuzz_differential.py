@@ -706,11 +706,11 @@ def run_fuzz(spark: SparkSession, sf_dir: str, n_specs: int, seed: int) -> list[
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )
     rng = random.Random(seed)
-    mismatches: list[Spec | WindowSpec] = []
+    mismatches: list[Spec | WindowSpec | SetOpSpec | OuterJoinSpec | ExprSpec | ArraySpec | DatetimeSpec] = []
     for i in range(n_specs):
         roll = rng.random()
         if roll < 0.2:
-            spec: Spec | WindowSpec | SetOpSpec = gen_window_spec(rng)
+            spec: Spec | WindowSpec | SetOpSpec | OuterJoinSpec | ExprSpec | ArraySpec | DatetimeSpec = gen_window_spec(rng)
             sdf = build_window_spark(spec, spark, sf_dir)
             sql = build_window_sql(spec)
         elif roll < 0.35:
