@@ -1833,3 +1833,143 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series LOCF + big-big interval join (§2.4/§2.9 batch extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_locf",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+        FROM events),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+    bands AS (SELECT unnest(range(50)) AS band),
+    ranked AS (
+        SELECT user_id % 50 AS band, date_trunc('day', ts) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY user_id % 50, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'),
+    counts AS (SELECT band, day, count(*) AS n FROM ranked GROUP BY 1, 2),
+    lastv  AS (SELECT band, day, v FROM ranked WHERE rn = 1),
+    grid AS (
+        SELECT b.band, s.day, coalesce(c.n, 0) AS n, l.v
+        FROM spine s CROSS JOIN bands b
+        LEFT JOIN counts c ON c.band = b.band AND c.day = s.day
+        LEFT JOIN lastv  l ON l.band = b.band AND l.day = s.day)
+    SELECT CAST(band AS BIGINT) AS band,
+           strftime(CAST(day AS DATE), '%Y-%m-%d') AS day, n,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY band ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS locf_value_cents
+    FROM grid
+    """,
+)
+def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series with LAST-OBSERVATION-CARRIED-FORWARD — the
+    forward-fill twin of `timeseries_gapfill` (which zero-fills counts):
+    per user band (user_id mod 50) and day, the purchase count plus the
+    most recent observed purchase value, carried forward across days with
+    no purchases (NULL until the band's first observation). The shape
+    behind "latest known price/balance per key per day" reporting, where
+    an empty day must repeat yesterday's value, not zero it.
+
+    Scale shape: the daily arg-max folds in ONE band/day-keyed partial
+    aggregate (max of a (ts, event_id, v) struct — no per-row window over
+    the corpus); the dense grid is O(bands × days) rows built from a
+    1-row bounds aggregate; the forward-fill window runs over that grid,
+    never the raw events. Banding keeps the example corpus-sparse at
+    small SF (so the LOCF path is genuinely exercised) while the pattern
+    is identical for any low-cardinality key. Integer cents + ISO day
+    strings keep every cell BIGINT/STRING (driver-proof policy)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 50).alias("band"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.struct(
+            F.col("ts"), F.col("event_id"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        ).alias("obs"),
+    )
+    daily = purchases.groupBy("band", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("obs").getField("v").alias("v"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    bands = spark.range(50).select(F.col("id").alias("band"))
+    grid = spine.crossJoin(bands).join(daily, ["band", "day"], "left")
+    wfill = (
+        W.partitionBy("band").orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return grid.select(
+        "band",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("v", ignorenulls=True).over(wfill).alias("locf_value_cents"),
+    )
+
+
+@query(
+    "join_interval_bucketed",
+    oracle="""
+    SELECT c.event_id AS click_id, count(*) AS n_errors
+    FROM events c JOIN events e
+      ON c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts >= c.ts - INTERVAL 5 MINUTE AND e.ts < c.ts
+    GROUP BY c.event_id
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big INTERVAL join via time bucketization — the scale path
+    `join_range` (small broadcast dim) cannot take: for every click, the
+    number of error events anywhere in the preceding 5 minutes. Neither
+    side is broadcastable at 100 TB and there is NO equi key, so the
+    naive plan is a nested-loop cross product. Bucketizing makes it an
+    EQUI-join: errors land in one floor(epoch/300s) bucket; each click
+    probes its own bucket and the previous one (window length == bucket
+    width, so two probes cover the interval exactly); the residual
+    timestamp predicate then trims the in-bucket misses. Candidate pairs
+    are bounded by per-bucket co-occupancy (events × window density) —
+    a shuffled hash/sort-merge join keyed by time bucket, skew-split by
+    AQE on hot buckets, instead of an O(n²) BNLJ.
+
+    Same pattern as the banded-LSH dedup joins: turn a proximity
+    predicate into an exact equi-key + residual verify."""
+    ev = load(spark, sf_dir, "events")
+    micros_per_bucket = 300 * 1_000_000
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+        F.explode(
+            F.array(
+                F.floor(F.unix_micros("ts") / micros_per_bucket),
+                F.floor(F.unix_micros("ts") / micros_per_bucket) - 1,
+            )
+        ).alias("bkt"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("ets"),
+        F.floor(F.unix_micros("ts") / micros_per_bucket).alias("bkt"),
+    )
+    return (
+        clicks.join(errors, "bkt")
+        .filter(
+            (F.col("ets") >= F.col("cts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("ets") < F.col("cts"))
+        )
+        .groupBy("click_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )

@@ -1734,3 +1734,63 @@ def dedup_index_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("version")
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang, n_chars // 20 AS len_band,
+               substr(text, 1, 12) AS pfx, substr(text, 1, 120) AS head
+        FROM documents)
+    SELECT a.doc_id AS doc_id, c.doc_id AS dup_id,
+           CAST(levenshtein(a.head, c.head) AS BIGINT) AS edit_dist
+    FROM b a JOIN b c
+      ON a.lang = c.lang AND a.len_band = c.len_band AND a.pfx = c.pfx
+     AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.head, c.head) <= 15
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by EDIT DISTANCE under blocking — the
+    record-linkage classic (and the character-level complement of the
+    token-level MinHash/SimHash family: it catches small in-place edits
+    that shift every shingle). Candidate pairs come from an equi-join on
+    a (lang, length-band, 12-char-prefix) blocking key — never an O(n²)
+    cross product; the Levenshtein verify runs only inside blocks, on a
+    120-char head cap, and uses Spark's threshold-bounded form
+    (levenshtein(l, r, 15): the DP row aborts once the band exceeds the
+    threshold, returning -1 — so the verify cost per pair is
+    O(len × threshold), not O(len²)).
+
+    Blocking tradeoff, documented: a near-dup whose first 12 chars or
+    length band differ is missed here (MinHash banding covers those);
+    prefix blocking is exact for the truncation/suffix-append family the
+    containment query targets. At 100 TB the block key is the shuffle
+    key; block sizes are bounded by prefix selectivity and AQE splits
+    hot blocks."""
+    docs = load(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars DIV 20").alias("len_band"),
+        F.substring("text", 1, 12).alias("pfx"),
+        F.substring("text", 1, 120).alias("head"),
+    )
+    left = b.select(
+        F.col("doc_id").alias("l_id"), "lang", "len_band", "pfx",
+        F.col("head").alias("l_head"),
+    )
+    right = b.select(
+        F.col("doc_id").alias("r_id"), "lang", "len_band", "pfx",
+        F.col("head").alias("r_head"),
+    )
+    pairs = left.join(right, ["lang", "len_band", "pfx"]).filter(
+        F.col("l_id") < F.col("r_id")
+    )
+    d = pairs.select(
+        F.col("l_id").alias("doc_id"),
+        F.col("r_id").alias("dup_id"),
+        F.levenshtein("l_head", "r_head", 15).cast("long").alias("edit_dist"),
+    )
+    return d.filter(F.col("edit_dist") >= 0)

@@ -885,3 +885,136 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conversion_e6"),
         "total_value_cents",
     )
+
+
+@query(
+    "events_running_distinct",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, event_type, min(ts) AS fts
+        FROM events GROUP BY user_id, event_type),
+    ranked AS (
+        SELECT user_id, fts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY fts, event_type) AS k
+        FROM first_seen)
+    SELECT CAST(k AS BIGINT) AS k,
+           strftime(CAST(date_trunc('day', fts) AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_users
+    FROM ranked GROUP BY k, day
+    """,
+)
+def events_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT-count curve, the scale-correct way: the day each
+    user's cumulative distinct-event-type count first reached k, rolled
+    up to a (k, day) → users "time to breadth" distribution (how fast do
+    users discover their 2nd, 3rd, ... feature?).
+
+    The naive running distinct (collect_set over an ever-growing window)
+    buffers every key per row — O(corpus) memory at 100 TB. The correct
+    decomposition: distinct-count only changes on FIRST occurrences, so
+    reduce to the first-seen table (one (user, type)-keyed partial-merge
+    min — O(users × types) rows), rank first-seens per user (window over
+    ≤|types| rows per user), and the k-th rank's timestamp IS the moment
+    the running distinct count hit k. Ties broken by type name so the
+    rank — and the hash — is engine-order independent."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("fts"))
+    ranked = first_seen.select(
+        "fts",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("fts", "event_type"))
+        .cast("long")
+        .alias("k"),
+    )
+    return (
+        ranked.groupBy(
+            "k", F.date_format(F.date_trunc("day", "fts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "events_rfm_bands",
+    oracle="""
+    WITH now_t AS (SELECT date_trunc('day', max(ts)) AS now_day FROM events),
+    u AS (
+        SELECT user_id, count(*) AS f,
+               sum(CAST(round(value * 100) AS BIGINT)) AS m,
+               date_diff('day', date_trunc('day', max(ts)),
+                         (SELECT now_day FROM now_t)) AS r
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    b AS (
+        SELECT CAST(CASE WHEN r <= 1 THEN 4 WHEN r <= 3 THEN 3
+                         WHEN r <= 7 THEN 2 ELSE 1 END AS BIGINT) AS r_band,
+               CAST(CASE WHEN f >= 20 THEN 4 WHEN f >= 13 THEN 3
+                         WHEN f >= 8 THEN 2 ELSE 1 END AS BIGINT) AS f_band,
+               CAST(CASE WHEN m >= 120000 THEN 4 WHEN m >= 90000 THEN 3
+                         WHEN m >= 50000 THEN 2 ELSE 1 END AS BIGINT) AS m_band,
+               m
+        FROM u)
+    SELECT r_band, f_band, m_band, count(*) AS n_users, sum(m) AS total_cents
+    FROM b GROUP BY r_band, f_band, m_band
+    """,
+)
+def events_rfm_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary) with
+    FIXED business bands — the marketing-analytics rollup behind
+    churn/win-back targeting. Each purchasing user scores 1-4 on days
+    since last purchase, purchase count, and lifetime cents; the output
+    is the O(4³)-cell segment census with its revenue.
+
+    Fixed bands, not ntile quantiles, on purpose: quantile banding needs
+    a global rank over all users (a single-partition window — the one
+    shape that cannot scale), while fixed thresholds are pure map-side
+    arithmetic after one user-keyed rollup; the band census then folds
+    to ≤64 rows. "Now" is the corpus max-ts, recovered from the SAME
+    user rollup (max of per-user maxima — one corpus scan total: the
+    O(users) rollup is materialized once via the suite's
+    localCheckpoint/session_memo prepared-view pattern, q15-style,
+    because it feeds both the census and its own 1-row "now" scalar and
+    Catalyst does not reuse the exchange across the two consumers).
+    Integer cents and integer day arithmetic end to end."""
+    from ..cache import session_memo
+
+    def _per_user() -> DataFrame:
+        ev = load(spark, sf_dir, "events")
+        return (
+            ev.groupBy("user_id")
+            .agg(
+                F.max("ts").alias("any_last"),
+                F.count(F.when(F.col("event_type") == "purchase", 1)).alias("f"),
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
+                ).alias("m"),
+                F.date_trunc(
+                    "day",
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                ).alias("last_day"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    per_user = session_memo(spark, sf_dir, "rfm_per_user_view", _per_user)
+    now_t = per_user.agg(F.date_trunc("day", F.max("any_last")).alias("now_day"))
+    u = (
+        per_user.filter(F.col("f") > 0)
+        .crossJoin(now_t)
+        .withColumn("r", F.datediff("now_day", "last_day").cast("long"))
+    )
+    b = u.select(
+        F.when(F.col("r") <= 1, 4).when(F.col("r") <= 3, 3)
+        .when(F.col("r") <= 7, 2).otherwise(1).cast("long").alias("r_band"),
+        F.when(F.col("f") >= 20, 4).when(F.col("f") >= 13, 3)
+        .when(F.col("f") >= 8, 2).otherwise(1).cast("long").alias("f_band"),
+        F.when(F.col("m") >= 120000, 4).when(F.col("m") >= 90000, 3)
+        .when(F.col("m") >= 50000, 2).otherwise(1).cast("long").alias("m_band"),
+        "m",
+    )
+    return b.groupBy("r_band", "f_band", "m_band").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("m").alias("total_cents")
+    )

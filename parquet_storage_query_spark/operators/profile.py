@@ -480,3 +480,42 @@ def profile_minmax_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
+
+
+@query(
+    "profile_benford",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    d AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               count(*) AS n
+        FROM t GROUP BY 1)
+    SELECT digit, n,
+           (20000 * n + CAST(sum(n) OVER () AS BIGINT))
+             // (2 * CAST(sum(n) OVER () AS BIGINT)) AS pct_e4
+    FROM d
+    """,
+)
+def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals: the distribution of
+    leading significant digits, the classic fraud/synthetic-data screen
+    (organic monetary amounts track log10(1+1/d); fabricated or
+    truncated columns don't). Output is the 9-row digit census with a
+    round-half-up e4 share — compare against the Benford expectation
+    offline.
+
+    Shape: ONE map-side digit extraction (first char of the integer-cent
+    rendering — no float formatting anywhere) + a 9-group partial-merge
+    count; the share window runs over 9 rows. Integer cells only."""
+    t = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    d = t.select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("long").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    return d.withColumn("total", F.sum("n").over(W.partitionBy())).select(
+        "digit",
+        "n",
+        F.expr("(20000 * n + total) DIV (2 * total)").alias("pct_e4"),
+    )

@@ -68,6 +68,9 @@ _PRIORITY = [
     "q3_shipping_priority", "stream_enrich_static",
     "pipeline_dedup_consensus", "mm_feature_extract", "agg_windowed_hll",
     "agg_kmv_difference", "events_cohort_ltv", "events_conversion_lag",
+    # -- round-6 continuation: new operators needing first driver rows --
+    "timeseries_locf", "join_interval_bucketed", "events_running_distinct",
+    "events_rfm_bands", "dedup_fuzzy_levenshtein", "profile_benford",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
