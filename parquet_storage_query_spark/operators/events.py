@@ -1018,3 +1018,70 @@ def events_rfm_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("r_band", "f_band", "m_band").agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("m").alias("total_cents")
     )
+
+
+@query(
+    "events_error_bursts",
+    oracle="""
+    WITH err AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) <= 3600000000 THEN 0 ELSE 1 END AS brk
+        FROM events WHERE event_type = 'error'),
+    runs AS (
+        SELECT user_id,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM err),
+    sizes AS (SELECT user_id, run_id, count(*) AS len
+              FROM runs GROUP BY user_id, run_id)
+    SELECT user_id, count(*) AS n_bursts, max(len) AS longest_burst,
+           sum(len) AS total_burst_errors
+    FROM sizes WHERE len >= 2
+    GROUP BY user_id
+    """,
+)
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-BURST detection per user — gaps-and-islands run grouping
+    over the event stream (the alerting twin of the sessionizer): a
+    burst is ≥2 consecutive error events for the same user with ≤1 hour
+    between them; the report is each affected user's burst count,
+    longest burst, and total bursty errors. "Errors come in clusters" is
+    the shape retry storms and broken clients leave in a log; a run
+    detector finds them where per-day counts (events_anomaly_zscore)
+    smear them away.
+
+    Shape: errors filter → ONE user-keyed window pass (lag for the gap
+    break flag, running sum for run ids — both over the same window, one
+    shuffle), then two partial-merge rollups over O(runs) and O(users)
+    rows. Gap arithmetic in integer microseconds on both engines; NULL
+    lag (the user's first error) compares to NULL → else-branch 1, which
+    correctly opens a run."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) <= 3_600_000_000,
+            0,
+        )
+        .otherwise(1)
+        .alias("brk"),
+    )
+    runs = err.select(
+        "user_id",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("run_id"),
+    )
+    sizes = runs.groupBy("user_id", "run_id").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        sizes.filter(F.col("len") >= 2)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bursts"),
+            F.max("len").alias("longest_burst"),
+            F.sum("len").alias("total_burst_errors"),
+        )
+    )

@@ -128,3 +128,127 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return session_memo(spark, sf_dir, "graph_pagerank", build)
+
+
+def _pairs_ctes() -> str:
+    """Shared DuckDB derivation of the verified near-dup pair list (the
+    same md5-seeded MinHash pipeline the Spark side memoizes)."""
+    return f"""{_mh_duck_ctes()},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bnd a JOIN bnd b
+               ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+    {_MH_JACCARD_TAIL},
+    pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs)"""
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {{}},
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM pairs p1
+        JOIN pairs p2 ON p2.doc_a = p1.doc_a AND p2.doc_b > p1.doc_b
+        JOIN pairs p3 ON p3.doc_a = p1.doc_b AND p3.doc_b = p2.doc_b)
+    SELECT (SELECT count(*) FROM pairs) AS n_edges,
+           (SELECT count(DISTINCT src) FROM sym) AS n_nodes,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """.format(_pairs_ctes()),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup graph — the clustering-structure
+    census (triangles = mutually-similar doc triples; a triangle-dense
+    region is a template family, a triangle-free path is chained drift),
+    and the third member of the iterative/graph family after connected
+    components and PageRank.
+
+    Scale shape — DEGREE-ORDERED edge orientation, the standard
+    distributed algorithm: orient every edge from its lower-(degree, id)
+    endpoint to the higher one, build wedges only out of each node's
+    oriented neighbors, and close them against the oriented edge list.
+    Each triangle is counted exactly ONCE (its minimum-(degree, id)
+    corner owns it), and the wedge count is bounded by Σ out-deg² with
+    out-degrees capped at O(√|E|) — the bound that makes triangle
+    counting feasible on power-law graphs where the naive per-node
+    neighborhood join explodes on hubs. All joins are doc-id equi-joins.
+    The DuckDB oracle enumerates the same triangles by id order (any
+    total order counts each triangle once — equality is the check that
+    both enumerations see the same graph)."""
+
+    def build() -> DataFrame:
+        from .dedup import dedup_minhash_lsh
+
+        pairs = (
+            dedup_minhash_lsh(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        sym = pairs.select(F.col("doc_a").alias("id"), F.col("doc_b").alias("nbr")).unionAll(
+            pairs.select(F.col("doc_b").alias("id"), F.col("doc_a").alias("nbr"))
+        )
+        deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+        da = deg.select(F.col("id").alias("doc_a"), F.col("d").alias("da"))
+        db = deg.select(F.col("id").alias("doc_b"), F.col("d").alias("db"))
+        withdeg = pairs.join(da, "doc_a").join(db, "doc_b")
+        a_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+        )
+        oriented = withdeg.select(
+            F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+            F.when(
+                a_first, F.struct(F.col("db").alias("d"), F.col("doc_b").alias("id"))
+            )
+            .otherwise(F.struct(F.col("da").alias("d"), F.col("doc_a").alias("id")))
+            .alias("dk"),
+        ).localCheckpoint(eager=True)
+        e1 = oriented.select("src", F.col("dst").alias("v"), F.col("dk").alias("vk"))
+        e2 = oriented.select("src", F.col("dst").alias("w"), F.col("dk").alias("wk"))
+        wedges = e1.join(e2, "src").filter(F.col("vk") < F.col("wk"))
+        closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        tri = wedges.join(closer, ["v", "w"]).agg(
+            F.count(F.lit(1)).alias("n_triangles")
+        )
+        n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+        n_nodes = sym.select("id").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+        return (
+            n_edges.crossJoin(n_nodes)
+            .crossJoin(tri)
+            .select("n_edges", "n_nodes", "n_triangles")
+        )
+
+    return session_memo(spark, sf_dir, "graph_triangle_count", build)
+
+
+@query(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH {{}},
+    deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)
+    SELECT d AS degree, count(*) AS n_docs FROM deg GROUP BY d
+    """.format(_pairs_ctes()),
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph: how many docs have k
+    verified near-duplicates — the first question about any corpus graph
+    (a heavy tail here means template/boilerplate hubs; the histogram is
+    what justifies the degree-ordered orientation the triangle counter
+    uses). Two partial-merge aggregates: one doc-keyed, one over the
+    O(max-degree) histogram."""
+
+    def build() -> DataFrame:
+        from .dedup import dedup_minhash_lsh
+
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        sym = pairs.select(F.col("doc_a").alias("id")).unionAll(
+            pairs.select(F.col("doc_b").alias("id"))
+        )
+        deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+        return deg.groupBy(F.col("d").alias("degree")).agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+
+    return session_memo(spark, sf_dir, "graph_degree_histogram", build)

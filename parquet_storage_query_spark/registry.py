@@ -71,6 +71,7 @@ _PRIORITY = [
     # -- round-6 continuation: new operators needing first driver rows --
     "timeseries_locf", "join_interval_bucketed", "events_running_distinct",
     "events_rfm_bands", "dedup_fuzzy_levenshtein", "profile_benford",
+    "graph_triangle_count", "graph_degree_histogram", "events_error_bursts",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
