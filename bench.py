@@ -96,6 +96,18 @@ HEADLINE = [
     "events_session_stats",
     "events_ab_lift",
     "graph_pagerank",
+    # after dedup_minhash_lsh/graph_pagerank: the pair graph is shared, so
+    # these time the marginal triangle/histogram work, not the LSH pipeline
+    "graph_triangle_count",
+    "graph_degree_histogram",
+    "timeseries_locf",
+    "join_interval_bucketed",
+    "events_running_distinct",
+    "events_rfm_bands",
+    "events_error_bursts",
+    "dedup_fuzzy_levenshtein",
+    "profile_benford",
+    "text_collocations_pmi",
     "agg_incremental_rollup",
     "agg_kmv_overlap",
     "agg_kmv_difference",

@@ -982,3 +982,103 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+    WITH wd AS (SELECT string_split(trim(text), ' ') AS w FROM documents),
+    uni AS (SELECT word, count(*) AS c
+            FROM (SELECT unnest(w) AS word FROM wd) GROUP BY word),
+    big AS (SELECT w[i] AS a, w[i+1] AS b, w[i] || ' ' || w[i+1] AS bigram
+            FROM wd, unnest(range(1, len(w))) AS t(i)),
+    bc AS (SELECT a, b, bigram, count(*) AS n FROM big
+           GROUP BY a, b, bigram HAVING count(*) >= 5),
+    tot AS (SELECT count(*) AS bt FROM big)
+    SELECT bigram, n,
+           CAST((2000000 * CAST(bt AS HUGEINT) * n
+                 + CAST(ca.c AS HUGEINT) * cb.c)
+                // (2 * CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_e6
+    FROM bc JOIN uni ca ON bc.a = ca.word
+            JOIN uni cb ON bc.b = cb.word
+    CROSS JOIN tot
+    ORDER BY lift_e6 DESC, bigram
+    LIMIT 25
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-25 bigrams by PMI-style LIFT —
+    observed bigram frequency over the frequency expected if the two
+    words were independent, B·c(ab) / (c(a)·c(b)) — the corpus-linguistics
+    primitive behind phrase detection (word2vec-style phrase merging,
+    tokenizer seed phrases, NER gazetteer candidates). Rare-pair noise is
+    cut by the classic min-count ≥ 5.
+
+    Exactness: the RANKING KEY is the lift itself, so it must be
+    bit-identical across engines — computed as round-half-up integer
+    millionths entirely in 128-bit integer arithmetic (DECIMAL(38,0) on
+    Spark, HUGEINT on DuckDB; at 100 TB, B·c(ab)·10⁶ overflows int64 —
+    same headroom rule as the A/B z² chain). PMI = log(lift) is monotone,
+    so ranking by exact lift IS ranking by PMI, with no libm anywhere
+    (the known 1-ulp exp/log trap). Ties break on the bigram string.
+
+    Scale shape: one doc-side pass builds bigrams map-side (transform
+    over the word array — no self-join of token positions); unigram and
+    bigram counts are partial-merge aggregates; the ≥5 filter runs
+    BEFORE the vocab joins so only frequent pairs join; the vocab-sized
+    unigram side is hint-free (AQE broadcasts while small); the top-25
+    plans TakeOrderedAndProject."""
+    from ..cache import session_memo
+
+    docs = load(spark, sf_dir, "documents")
+
+    # Vocab-sized unigram table, built ONCE (posexplode: the count of
+    # position-0 tokens is the doc count, so total bigrams = tokens −
+    # docs derives from THIS table — no extra corpus pass) and
+    # checkpointed because three consumers (left join, right join, the
+    # B scalar) would otherwise each rescan the corpus. Net: 2 corpus
+    # scans total (bigrams + unigrams), independent of consumer count.
+    def _uni() -> DataFrame:
+        wd = docs.select(words_col().alias("w"))
+        return (
+            wd.select(F.posexplode("w").alias("pos", "word"))
+            .groupBy("word")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.count(F.when(F.col("pos") == 0, 1)).alias("c_first"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    uni = session_memo(spark, sf_dir, "collocations_unigrams", _uni)
+    bt = uni.agg((F.sum("c") - F.sum("c_first")).alias("bt"))
+    big = docs.select(words_col().alias("w")).select(
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " (x, i) -> struct(x AS a, w[i + 1] AS b))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a").alias("a"),
+        F.col("p.b").alias("b"),
+        F.concat_ws(" ", "p.a", "p.b").alias("bigram"),
+    )
+    bc = (
+        big.groupBy("a", "b", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    ca = uni.select(F.col("word").alias("a"), F.col("c").alias("ca"))
+    cb = uni.select(F.col("word").alias("b"), F.col("c").alias("cb"))
+    joined = bc.join(ca, "a").join(cb, "b").crossJoin(F.broadcast(bt))
+    lift = F.expr(
+        "CAST((2000000 * CAST(bt AS DECIMAL(38,0)) * n"
+        " + CAST(ca AS DECIMAL(38,0)) * cb)"
+        " DIV (2 * CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)"
+    )
+    return (
+        joined.select("bigram", "n", lift.alias("lift_e6"))
+        .orderBy(F.col("lift_e6").desc(), "bigram")
+        .limit(25)
+    )

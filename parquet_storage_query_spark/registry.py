@@ -72,6 +72,7 @@ _PRIORITY = [
     "timeseries_locf", "join_interval_bucketed", "events_running_distinct",
     "events_rfm_bands", "dedup_fuzzy_levenshtein", "profile_benford",
     "graph_triangle_count", "graph_degree_histogram", "events_error_bursts",
+    "text_collocations_pmi",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
