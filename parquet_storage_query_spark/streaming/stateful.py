@@ -104,3 +104,100 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-sensitive stateful operator: live error-burst detection
+# ---------------------------------------------------------------------------
+
+_BURST_OUT = (
+    "user_id LONG, seen LONG, n_bursts LONG, longest_burst LONG, "
+    "total_burst_errors LONG"
+)
+_BURST_STATE = "last_us LONG, run_len LONG, n_bursts LONG, longest LONG, total LONG, seen LONG"
+_BURST_GAP_US = 3_600_000_000  # 1 h, matching the batch twin events_error_bursts
+_NO_LAST = -(10**18)  # sentinel: no prior error for this user
+
+
+def _fold_error_bursts(
+    key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental gaps-and-islands run detection — the ORDER-SENSITIVE
+    stateful shape (stream_user_stats' folds are all commutative; a run
+    detector is not): per user, O(1) state (last error time, current run
+    length, burst tallies) folded over time-ordered error events. A run
+    is consecutive errors ≤1 h apart; a burst is a run of ≥2; the fold
+    updates tallies at the exact moment a run reaches length 2 and
+    extends them per subsequent member — equivalent to the batch
+    operator's window pass, but over state instead of history.
+
+    Ordering contract: rows are sorted (ts, event_id) WITHIN each batch
+    here; ACROSS batches the caller must deliver time-ordered
+    micro-batches (log streams are; production guards stragglers with a
+    watermark + sorted per-batch apply). State stays O(1) per user —
+    never a buffer of history."""
+    last_us, run_len, n_bursts, longest, total, seen = (
+        state.get if state.exists else (_NO_LAST, 0, 0, 0, 0, 0)
+    )
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for us in (pdf["ts"].astype("int64") // 1000).tolist():
+            if last_us != _NO_LAST and us - last_us <= _BURST_GAP_US:
+                run_len += 1
+                if run_len == 2:
+                    n_bursts += 1
+                    total += 2
+                else:
+                    total += 1
+                if run_len > longest:
+                    longest = run_len
+            else:
+                run_len = 1
+            last_us = us
+            seen += 1
+    state.update((last_us, run_len, n_bursts, longest, total, seen))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "seen": [seen],
+            "n_bursts": [n_bursts],
+            "longest_burst": [longest],
+            "total_burst_errors": [total],
+        }
+    )
+
+
+def streaming_error_bursts(
+    spark: SparkSession, sf_dir: str, stream: DataFrame | None = None
+) -> DataFrame:
+    """Live twin of `events_error_bursts` (operators/events.py): the same
+    per-user burst report maintained incrementally across micro-batches.
+    Update-mode emissions are monotone in `seen`, so the final state per
+    user is the row with the highest seen; users whose errors never
+    formed a burst are dropped at the end exactly like the batch twin's
+    len ≥ 2 filter."""
+    if stream is None:
+        stream = read_events_stream(spark, sf_dir)
+    errors = stream.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    updates = errors.groupBy("user_id").applyInPandasWithState(
+        _fold_error_bursts,
+        outputStructType=_BURST_OUT,
+        stateStructType=_BURST_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from .windows import _run_to_memory
+
+    all_updates = _run_to_memory(updates, "stream_error_bursts_out", "update")
+    final = all_updates.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("n_bursts", "longest_burst", "total_burst_errors"), "seen"
+        ).alias("s")
+    )
+    return final.filter(F.col("s.n_bursts") > 0).select(
+        "user_id", "s.n_bursts", "s.longest_burst", "s.total_burst_errors"
+    )

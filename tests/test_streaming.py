@@ -533,3 +533,76 @@ def test_streaming_rollup_restart_resumes_checkpoint(spark, tmp_path):
         stream_rollup_to_parquet(
             spark, SF_SMOKE, roll, str(tmp_path / "ckpt_fresh"), stream=mk_stream()
         )
+
+
+def test_streaming_error_bursts_match_batch(spark):
+    """The order-sensitive stateful fold over the real sf0.001 corpus
+    must equal the batch gaps-and-islands operator exactly."""
+    from parquet_storage_query_spark.operators.events import events_error_bursts
+    from parquet_storage_query_spark.streaming.stateful import streaming_error_bursts
+
+    got = _rows(streaming_error_bursts(spark, SF_SMOKE))
+    want = _rows(events_error_bursts(spark, SF_SMOKE))
+    assert got == want
+
+
+def test_streaming_error_bursts_across_micro_batches(spark, tmp_path):
+    """Runs SPANNING micro-batch boundaries are the case the O(1) state
+    must carry: feed three time-ordered files through ONE checkpoint
+    (sequential availableNow runs — deterministic batch order), with a
+    burst crossing f1→f2, a >1h gap breaking a run inside f2, and a
+    3-run crossing f2→f3. Final report must equal the batch operator on
+    the union corpus (written as a tiny events table)."""
+    import datetime as dt
+
+    from parquet_storage_query_spark.operators.events import events_error_bursts
+    from parquet_storage_query_spark.streaming.stateful import streaming_error_bursts
+
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    t = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    h = dt.timedelta(hours=1)
+    f1 = [
+        (1, t + 0 * m, 1, "error", 0.0, "{}"),
+        (2, t + 5 * m, 1, "view", 0.0, "{}"),   # non-error must be ignored
+        (3, t + 10 * m, 2, "error", 0.0, "{}"),
+    ]
+    f2 = [
+        (4, t + 20 * m, 1, "error", 0.0, "{}"),     # burst 1 for u1: ids 1,4 (cross f1->f2)
+        (5, t + 20 * m + 2 * h, 1, "error", 0.0, "{}"),  # >1h gap: new run for u1
+        (6, t + 25 * m + 2 * h, 1, "error", 0.0, "{}"),  # burst 2 for u1 starts
+    ]
+    f3 = [
+        (7, t + 30 * m + 2 * h, 1, "error", 0.0, "{}"),  # burst 2 reaches len 3 (cross f2->f3)
+        (8, t + 9 * h, 2, "error", 0.0, "{}"),           # u2: isolated errors, no burst
+    ]
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    fed = []
+    for name, rows in [("f1", f1), ("f2", f2), ("f3", f3)]:
+        fed.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+        time.sleep(1.1)  # strictly increasing mtimes -> deterministic
+        # micro-batch order (the file source orders by mod time)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    got = _rows(streaming_error_bursts(spark, str(tmp_path), stream=stream))
+
+    # batch oracle over the union, written as a tiny events table
+    batch_sf = tmp_path / "batch_sf"
+    batch_sf.mkdir()
+    spark.createDataFrame(fed, schema).coalesce(1).write.parquet(
+        str(batch_sf / "events.parquet")
+    )
+    want = _rows(events_error_bursts(spark, str(batch_sf)))
+    assert got == want
+    # and the hand-computed expectation: u1 has two bursts (len 2 + len 3)
+    by_user = {r[0]: r for r in got}
+    assert by_user[1] == (1, 2, 3, 5) or by_user[1][1:] == (2, 3, 5)
