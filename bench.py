@@ -218,7 +218,11 @@ def main() -> None:
     # BENCH_r05.json recorded "parsed": null and the round's perf work
     # registered nothing (VERDICT r5 #2). Totals + counts go on the line;
     # the full per-query map goes to BENCH_DETAIL.json next to this file.
-    detail_path = str(Path(__file__).resolve().parent / "BENCH_DETAIL.json")
+    # BENCH_DETAIL.json is the judged sf0.1 artifact; runs at any other
+    # SF (e.g. the /tmp/sf1 headroom sweep) write a suffixed file so a
+    # sequential sf0.1→sf1 session can't clobber the sf0.1 map.
+    detail_name = "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    detail_path = str(Path(__file__).resolve().parent / detail_name)
     with open(detail_path, "w") as fh:
         json.dump(
             {"sf": sf, "serving_total_sec": total, "build_total_sec": build_total,
