@@ -47,10 +47,13 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "join_star_revenue",
     "join_asof",
+    "join_bloom_prefilter",
     "agg_count_distinct",
+    "agg_bitmap_distinct",
     "topk_orders",
     "window_topk_per_group",
     "window_sessionize",
+    "window_global_prefix",
     "rollup_time_hierarchy",
     "stream_tumbling_counts",
     "stream_enrich_static",
@@ -100,7 +103,9 @@ HEADLINE = [
     # these time the marginal triangle/histogram work, not the LSH pipeline
     "graph_triangle_count",
     "graph_degree_histogram",
+    "graph_common_neighbors",
     "timeseries_locf",
+    "timeseries_ohlc",
     "join_interval_bucketed",
     "events_running_distinct",
     "events_rfm_bands",
@@ -108,6 +113,10 @@ HEADLINE = [
     "dedup_fuzzy_levenshtein",
     "profile_benford",
     "text_collocations_pmi",
+    # index first, search second: the shared posting build lands on the
+    # index metric, search times the marginal posting-intersection serve
+    "text_inverted_index",
+    "text_keyword_search",
     "agg_incremental_rollup",
     "agg_kmv_overlap",
     "agg_kmv_difference",

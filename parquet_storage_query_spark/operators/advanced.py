@@ -1973,3 +1973,109 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("click_id")
         .agg(F.count(F.lit(1)).alias("n_errors"))
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars + exact bitmap distinct (§2.3/§2.12 batch extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_ohlc",
+    oracle="""
+    WITH p AS (
+        SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events),
+    o AS (SELECT event_type, day,
+                 min(struct_pack(ts := ts, event_id := event_id, v := v)).v AS open_cents,
+                 max(struct_pack(ts := ts, event_id := event_id, v := v)).v AS close_cents,
+                 max(v) AS high_cents, min(v) AS low_cents,
+                 count(*) AS volume, sum(v) AS total_cents
+          FROM p GROUP BY event_type, day)
+    SELECT event_type, strftime(CAST(day AS DATE), '%Y-%m-%d') AS day,
+           open_cents, high_cents, low_cents, close_cents, volume, total_cents
+    FROM o
+    """,
+)
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsampling — the canonical time-series resample:
+    per (series, day), the first/highest/lowest/last observed value plus
+    volume. Finance calls it a bar; ops dashboards call it a daily
+    rollup of a gauge; both need FIRST/LAST semantics that survive a
+    distributed, unordered scan.
+
+    Scale shape: open/close are NOT windows over the corpus — each is a
+    plain partial-merge aggregate of a lexicographic (ts, event_id, v)
+    struct (min for open, max for close; LOCF's daily arg-max idiom), so
+    the whole bar table is ONE groupBy with map-side combine, no per-row
+    window, no second scan. The (ts, event_id) ordering key is unique, so
+    first/last are deterministic on both engines at any parallelism.
+    Integer cents + ISO day strings (driver-proof output policy)."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.struct(
+            "ts", "event_id", F.round(F.col("value") * 100).cast("long").alias("v")
+        ).alias("obs"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return (
+        obs.groupBy("event_type", "day")
+        .agg(
+            F.min("obs").getField("v").alias("open_cents"),
+            F.max("v").alias("high_cents"),
+            F.min("v").alias("low_cents"),
+            F.max("obs").getField("v").alias("close_cents"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum("v").alias("total_cents"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "open_cents", "high_cents", "low_cents", "close_cents",
+            "volume", "total_cents",
+        )
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT user_id // 60) AS n_words
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via bitmap partials — the third leg of the
+    distinct-count triptych (exact Expand shuffle: agg_count_distinct;
+    approximate sketch: agg_approx_distinct/KMV). When keys are dense
+    integers (user ids, row ids), a bitmap is both exact AND mergeable:
+    fold each key into bit (id mod 60) of word (id div 60), OR the words
+    per group in one partial-merge aggregate, then sum popcounts. Only
+    O(groups × occupied-words) rows cross the shuffle — 60 keys per row
+    versus one row per key for COUNT(DISTINCT)'s Expand, and unlike HLL
+    the answer is exact. This is the roaring-bitmap/BITMAP_COUNT pattern
+    warehouses expose natively, expressed with two built-in aggregates.
+
+    60 bits per word, not 64: bit positions stay clear of the sign bit so
+    shiftleft never overflows into it and both engines' BIGINTs agree.
+    Oracle asserts the exactness contract directly: count(DISTINCT) and
+    the word census must equal the bitmap's popcount sum."""
+    ev = load_parallel(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("user_id DIV 60").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 60 AS INT))").alias("m"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

@@ -579,3 +579,106 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").alias("lang_key"), "n_docs", "total_chars")
         .orderBy(F.col("lang_key").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime-filter join reduction (§2.4 scale pattern)
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORDS = 1024  # 65,536 bits = 8 KB, corpus-INDEPENDENT by construction
+_BLOOM_BITS = _BLOOM_WORDS * 64
+
+
+def _bloom_pos(c, salt: str):
+    """Deterministic bit position in [0, _BLOOM_BITS) from a salted md5 of
+    the key — same md5-60-bit idiom as the KMV/MinHash family, so the
+    filter contents are reproducible on any engine or executor count."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % _BLOOM_BITS
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders
+    WHERE o_custkey IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an EXPLICIT Bloom-filter runtime prefilter — the
+    join-reduction pattern that decides whether a 100 TB fact⋈dim join is
+    feasible at all: before the fact side ever reaches its shuffle, a
+    fixed-size (8 KB, 1024-word) bitmap built from the dim keys rejects
+    most non-matching rows MAP-SIDE, so only plausible matches pay
+    exchange + join cost. Spark's own optimizer injects the same shape
+    (spark.sql.optimizer.runtime.bloomFilter.*); building it explicitly
+    makes the mechanics plannable and testable: two salted md5 bit
+    positions per key, bitmap folded with a 1024-group bit_or aggregate
+    (the collect is 8 KB regardless of corpus size — unlike broadcasting
+    the key SET, which grows with the dim), probe as a pure literal-array
+    expression inside codegen, then the EXACT semi-join on survivors
+    clears the Bloom's false positives (it has no false negatives, which
+    is why the oracle is the plain semi-join).
+
+    Reference analogue: none — the reference scans every blob per query
+    (QueryOrchestration.cs:478-496 fans out unconditionally); this is the
+    Spark-first answer to "don't ship rows the join will drop"."""
+    from ..cache import session_memo
+
+    cust = load(spark, sf_dir, "customer")
+    dim_keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def _bitmap() -> list:
+        pos = dim_keys.select(
+            F.explode(
+                F.array(
+                    _bloom_pos(F.col("c_custkey"), "bl-a:"),
+                    _bloom_pos(F.col("c_custkey"), "bl-b:"),
+                )
+            ).alias("p")
+        )
+        rows = (
+            pos.select(
+                F.expr("p DIV 64").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("m").alias("mask"))
+            .collect()
+        )
+        words = [0] * _BLOOM_WORDS
+        for r in rows:
+            words[int(r["w"])] = int(r["mask"])
+        return words
+
+    words = session_memo(spark, sf_dir, "bloom_building_custkeys", _bitmap)
+
+    orders = load(spark, sf_dir, "orders")
+    probed = orders.withColumns(
+        {
+            "_bm": F.array(*[F.lit(int(x)) for x in words]),
+            "_p1": _bloom_pos(F.col("o_custkey"), "bl-a:"),
+            "_p2": _bloom_pos(F.col("o_custkey"), "bl-b:"),
+        }
+    )
+    hit = (
+        "(shiftright(element_at(_bm, CAST(_p1 DIV 64 AS INT) + 1), CAST(_p1 % 64 AS INT)) & 1) = 1 "
+        "AND (shiftright(element_at(_bm, CAST(_p2 DIV 64 AS INT) + 1), CAST(_p2 % 64 AS INT)) & 1) = 1"
+    )
+    survivors = probed.filter(F.expr(hit)).drop("_bm", "_p1", "_p2")
+    return (
+        survivors.join(dim_keys, survivors.o_custkey == dim_keys.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+    )

@@ -224,3 +224,84 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed global ordering (§2.5 scale pattern)
+# ---------------------------------------------------------------------------
+
+_PREFIX_BUCKETS = 32
+
+
+@query(
+    "window_global_prefix",
+    oracle="""
+    SELECT c_custkey,
+           row_number() OVER (ORDER BY c_custkey) AS rn,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT))
+               OVER (ORDER BY c_custkey ROWS UNBOUNDED PRECEDING) AS running_cents
+    FROM customer
+    """,
+)
+def window_global_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL row numbering + running total WITHOUT a single-partition
+    window — the two-phase distributed prefix-sum. `row_number() OVER
+    (ORDER BY k)` with no PARTITION BY is the one window shape that
+    cannot scale: Spark plans Exchange SinglePartition and one task sorts
+    the world. The scale-correct decomposition: (1) split the key space
+    into B ordered buckets by pure arithmetic on the key (deterministic —
+    unlike repartitionByRange, whose sampled boundaries shift with input
+    splits); (2) run the window per bucket (B-way parallel, one keyed
+    shuffle); (3) fold each bucket's (count, sum) into exclusive offsets
+    — B rows on the driver, corpus-independent — and add them back with a
+    B-row bounded join. Phase 3's state is O(B), so the same plan runs on
+    a 1000-executor cluster numbering 10¹² rows.
+
+    The key-bound scalar comes from a 1-row aggregate here; a lakehouse
+    table serves it from footer stats (profile_minmax_meta) for free.
+    Integer cents keep the running sum exact under any bucketing."""
+    from ..cache import session_memo
+
+    def _base() -> DataFrame:
+        return (
+            load(spark, sf_dir, "customer")
+            .select(
+                "c_custkey",
+                F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+            )
+            .localCheckpoint(eager=True)  # one corpus scan feeds all 3 jobs
+        )
+
+    base = session_memo(spark, sf_dir, "prefix_base_customer", _base)
+    max_key = base.agg(F.max("c_custkey")).collect()[0][0]
+    span = max(1, -(-int(max_key) // _PREFIX_BUCKETS))  # ceil
+    bucketed = base.withColumn(
+        "bucket", ((F.col("c_custkey") - 1) / span).cast("long")
+    )
+    w = W.partitionBy("bucket").orderBy("c_custkey")
+    local = bucketed.select(
+        "c_custkey",
+        "bucket",
+        F.row_number().over(w).cast("long").alias("rn_local"),
+        F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_local"),
+    )
+    totals = sorted(
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect(),
+        key=lambda r: r["bucket"],
+    )  # ≤ B rows — fixed driver state
+    off_n, off_s, offsets = 0, 0, []
+    for r in totals:
+        offsets.append((int(r["bucket"]), off_n, off_s))
+        off_n += int(r["n"])
+        off_s += int(r["s"])
+    off_df = spark.createDataFrame(offsets, "bucket long, off_n long, off_s long")
+    return (
+        local.join(F.broadcast(off_df), "bucket")  # B rows: bounded by construction
+        .select(
+            "c_custkey",
+            (F.col("rn_local") + F.col("off_n")).alias("rn"),
+            (F.col("cum_local") + F.col("off_s")).alias("running_cents"),
+        )
+    )

@@ -73,6 +73,10 @@ _PRIORITY = [
     "events_rfm_bands", "dedup_fuzzy_levenshtein", "profile_benford",
     "graph_triangle_count", "graph_degree_histogram", "events_error_bursts",
     "text_collocations_pmi",
+    # -- round-6 late additions: runtime-filter / prefix-sum / retrieval --
+    "join_bloom_prefilter", "window_global_prefix", "timeseries_ohlc",
+    "agg_bitmap_distinct", "text_inverted_index", "text_keyword_search",
+    "graph_common_neighbors",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",

@@ -687,3 +687,75 @@ def test_aqe_splits_skewed_join_partitions(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in plan, plan
     assert "AQEShuffleRead skewed" in plan, plan
+
+
+def test_bloom_prefilter_probe_is_map_side(spark):
+    """join_bloom_prefilter's 8 KB bitmap probe must run as a plain
+    Filter expression on the fact side (shiftright/element_at inside
+    codegen) BEFORE the exact semi-join — that ordering is the entire
+    point: non-matching rows die before they ever reach the exchange."""
+    from parquet_storage_query_spark.operators.relational import join_bloom_prefilter
+
+    plan = formatted_plan(join_bloom_prefilter(spark, SF_SMOKE))
+    assert "shiftright" in plan, plan
+    assert "LeftSemi" in plan, plan
+    # the probe filter must sit BELOW the semi-join in the tree: the
+    # first (outermost) LeftSemi line appears before the shiftright
+    # filter line in formatted output only if the filter is its child
+    assert plan.index("LeftSemi") < plan.index("shiftright"), plan
+
+
+def test_global_prefix_never_plans_single_partition(spark):
+    """window_global_prefix exists to AVOID `Exchange SinglePartition`
+    (the no-PARTITION-BY global window). Its plan must not contain one —
+    phase 2 windows are bucket-partitioned, phase 3 is a B-row broadcast
+    join."""
+    from parquet_storage_query_spark.operators.windows import window_global_prefix
+
+    plan = formatted_plan(window_global_prefix(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # the per-bucket windows ARE there
+
+
+def test_ohlc_is_one_scan_no_window(spark):
+    """timeseries_ohlc's open/close are struct-min/max AGGREGATES, not
+    first/last windows: the plan must show one events scan, a
+    partial/final aggregate, and no Window node at all."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.plan_audit import audit_plan
+
+    from parquet_storage_query_spark.operators.advanced import timeseries_ohlc
+
+    df = timeseries_ohlc(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    audit = audit_plan(plan)
+    assert audit["scans"] == 1, audit
+    assert "Window" not in plan, plan
+    assert has_partial_final_agg(formatted_plan(df))
+
+
+def test_keyword_search_serves_off_shared_postings(spark):
+    """text_keyword_search must serve from the session-shared posting
+    table (localCheckpoint), never rescanning the documents parquet —
+    the prepared-view contract the docstring claims (build once, every
+    search reuses)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.plan_audit import audit_plan
+
+    from parquet_storage_query_spark.operators.text import (
+        text_inverted_index,
+        text_keyword_search,
+    )
+
+    text_inverted_index(spark, SF_SMOKE).collect()  # build the shared postings
+    df = text_keyword_search(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    audit = audit_plan(plan)
+    assert audit["scans"] == 0, audit  # zero parquet scans at serve time
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
