@@ -86,14 +86,18 @@ HEADLINE = [
     "agg_sampled_percentiles",
     "agg_windowed_cms",
     "prep_upsert_snapshot",
+    "prep_scd2_history",
+    "prep_user_erasure",
     "prep_zorder_layout",
     "pipeline_training_shard",
     "train_domain_mixture",
     "train_curriculum",
     "profile_drift_psi",
+    "profile_outlier_mad",
     "events_transition_matrix",
     "events_funnel",
     "events_attribution",
+    "events_attribution_multitouch",
     "events_cohort_ltv",
     "events_conversion_lag",
     "events_session_stats",
@@ -104,13 +108,16 @@ HEADLINE = [
     "graph_triangle_count",
     "graph_degree_histogram",
     "graph_common_neighbors",
+    "graph_jaccard_edges",
     "timeseries_locf",
     "timeseries_ohlc",
     "join_interval_bucketed",
     "events_running_distinct",
     "events_rfm_bands",
     "events_error_bursts",
+    "events_streaks",
     "dedup_fuzzy_levenshtein",
+    "dedup_simhash_pairs",
     "profile_benford",
     "text_collocations_pmi",
     # index first, search second: the shared posting build lands on the

@@ -2079,3 +2079,151 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("mask")).alias("n_users"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build + GDPR erasure (§2.12 lakehouse extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prep_scd2_history",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, md5(text) AS digest FROM documents
+                WHERE doc_id % 7 != 6),
+    v2 AS (SELECT doc_id,
+                  md5(CASE WHEN doc_id % 11 = 3 THEN text || ' [rev2]'
+                           ELSE text END) AS digest
+           FROM documents),
+    j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                 v1.digest AS d1, v2.digest AS d2
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+    SELECT doc_id, d1 AS digest, 'v1' AS valid_from, 'v2' AS valid_to,
+           'N' AS is_current
+    FROM j WHERE d1 IS NOT NULL AND (d2 IS NULL OR d1 != d2)
+    UNION ALL
+    SELECT doc_id, d1 AS digest, 'v1' AS valid_from, NULL AS valid_to,
+           'Y' AS is_current
+    FROM j WHERE d1 IS NOT NULL AND d2 IS NOT NULL AND d1 = d2
+    UNION ALL
+    SELECT doc_id, d2 AS digest, 'v2' AS valid_from, NULL AS valid_to,
+           'Y' AS is_current
+    FROM j WHERE d2 IS NOT NULL AND (d1 IS NULL OR d1 != d2)
+    """,
+)
+def prep_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension TYPE 2 history build — the warehouse
+    pattern behind "what did this record look like when the model
+    trained": merging a new snapshot into a versioned history emits, per
+    key, closed rows (valid_from, valid_to, not current) for every
+    superseded version and one open row for the live version. Added docs
+    open at v2; removed docs close at v2; changed docs do both;
+    unchanged docs keep their open v1 row. Same deterministic synthetic
+    versioning as prep_snapshot_diff (v1 drops doc_id%7==6, v2 revises
+    doc_id%11==3), so the two lakehouse queries describe the same pair
+    of snapshots from the diff and history angles.
+
+    Shape: both snapshots reduce map-side to (doc_id, digest) — the
+    dedup_exact rule: documents never ride a shuffle — then ONE
+    doc_id-keyed full outer join classifies every key, and the history
+    rows are a flat CASE emission from the join row (explode of ≤2
+    structs, no second pass). At 100 TB this is the standard MERGE
+    INTO ... WHEN MATCHED/NOT MATCHED plan with the history table
+    partitioned by is_current so serving reads only open rows."""
+    docs = load(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text").cast("binary"))
+    v1 = docs.filter(F.col("doc_id") % 7 != 6).select(
+        F.col("doc_id").alias("id1"), digest.alias("d1")
+    )
+    v2 = docs.select(
+        F.col("doc_id").alias("id2"),
+        F.md5(
+            F.when(F.col("doc_id") % 11 == 3, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("d2"),
+    )
+    j = v1.join(v2, v1.id1 == v2.id2, "full_outer").select(
+        F.coalesce("id1", "id2").alias("doc_id"), "d1", "d2"
+    )
+    row = "struct(doc_id, digest, valid_from, valid_to, is_current)"
+    emitted = j.select(
+        F.explode(
+            F.expr(
+                # closed v1 row (changed or removed) | open v1 row (unchanged)
+                # | open v2 row (changed or added) — NULL slots drop below
+                "filter(array("
+                "  CASE WHEN d1 IS NOT NULL AND (d2 IS NULL OR d1 != d2) THEN"
+                "    named_struct('doc_id', doc_id, 'digest', d1,"
+                "      'valid_from', 'v1', 'valid_to', 'v2', 'is_current', 'N') END,"
+                "  CASE WHEN d1 IS NOT NULL AND d2 IS NOT NULL AND d1 = d2 THEN"
+                "    named_struct('doc_id', doc_id, 'digest', d1,"
+                "      'valid_from', 'v1', 'valid_to', CAST(NULL AS STRING), 'is_current', 'Y') END,"
+                "  CASE WHEN d2 IS NOT NULL AND (d1 IS NULL OR d1 != d2) THEN"
+                "    named_struct('doc_id', doc_id, 'digest', d2,"
+                "      'valid_from', 'v2', 'valid_to', CAST(NULL AS STRING), 'is_current', 'Y') END"
+                "), x -> x IS NOT NULL)"
+            )
+        ).alias("r")
+    )
+    return emitted.select("r.doc_id", "r.digest", "r.valid_from", "r.valid_to", "r.is_current")
+
+
+@query(
+    "prep_user_erasure",
+    oracle="""
+    WITH req AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 20 = 0),
+    tagged AS (
+        SELECT e.event_type, e.user_id,
+               CASE WHEN r.user_id IS NULL THEN 0 ELSE 1 END AS erased
+        FROM events e LEFT JOIN req r ON e.user_id = r.user_id)
+    SELECT event_type,
+           count(*) AS rows_total,
+           sum(erased) AS rows_erased,
+           count(*) - sum(erased) AS rows_kept,
+           count(DISTINCT CASE WHEN erased = 1 THEN user_id END) AS users_erased
+    FROM tagged GROUP BY event_type
+    """,
+)
+def prep_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR/CCPA right-to-be-forgotten PROPAGATION audit: given an
+    erasure-request list (here a deterministic md5 band ≈5% of users —
+    in production an explicit request table), classify every event row
+    as erased/kept via an anti-join-shaped key match and report the
+    per-table audit a compliance pipeline must emit (rows erased, rows
+    surviving, distinct subjects affected). The audit IS the point: a
+    deletion job that can't prove what it deleted hasn't deleted.
+
+    Shape: the request list is a distinct user projection; the
+    classification is one user_id-keyed left join (at 100 TB: the
+    request side is the small one — millions of requests vs trillions of
+    rows — so AQE broadcasts it; no static hint, the r5 hint-policy
+    rule), then a type-keyed conditional rollup in one pass. The actual
+    rewrite path reuses the machinery already proven here: partitioned
+    re-layout (prep_partitioned_serve) rewrites only partitions
+    containing matches, exactly like the dedup drop-list application."""
+    ev = load_parallel(spark, sf_dir, "events")
+    req = (
+        ev.select("user_id")
+        .distinct()
+        .filter(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 20 == 0
+        )
+        .withColumnRenamed("user_id", "req_user")
+    )
+    tagged = ev.join(req, ev.user_id == req.req_user, "left").select(
+        "event_type",
+        "user_id",
+        F.when(F.col("req_user").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("erased"),
+    )
+    return tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("rows_total"),
+        F.sum("erased").alias("rows_erased"),
+        (F.count(F.lit(1)) - F.sum("erased")).alias("rows_kept"),
+        F.count_distinct(
+            F.when(F.col("erased") == 1, F.col("user_id"))
+        ).alias("users_erased"),
+    )

@@ -1085,3 +1085,120 @@ def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("len").alias("total_burst_errors"),
         )
     )
+
+
+@query(
+    "events_attribution_multitouch",
+    oracle="""
+    WITH p AS (SELECT event_id AS pid, user_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, ts AS tts, event_type AS channel
+          FROM events WHERE event_type IN ('view', 'click')),
+    pairs AS (
+        SELECT p.pid, p.cents, t.channel,
+               count(*) OVER (PARTITION BY p.pid) AS n_touches
+        FROM p JOIN t ON p.user_id = t.user_id
+         AND t.tts >= p.ts - INTERVAL 7 DAY AND t.tts < p.ts)
+    SELECT channel,
+           count(*) AS n_touchpoints,
+           count(DISTINCT pid) AS n_purchases,
+           sum((1000 * cents) // n_touches) AS credit_millicents
+    FROM pairs GROUP BY channel
+    """,
+)
+def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the fair-share twin of
+    `events_attribution` (last-touch): every view/click in the 7 days
+    before a purchase splits that purchase's value equally, and the
+    report is each channel's earned credit. Last-touch over-rewards the
+    final click; linear credit is the standard first correction and the
+    same join produces time-decay/U-shaped variants by changing one
+    weight expression.
+
+    Shape: one user_id-keyed equi-join (the stream's natural
+    partitioning — both sides already cluster by user at 100 TB) with
+    the 7-day interval as a residual predicate; per-purchase touch
+    counts come from a purchase-keyed window over the pair set (bounded:
+    a purchase's touches are one user's single week of activity); the
+    channel rollup is a partial-merge aggregate over O(channels) groups.
+    Credit is floor-divided integer millicents — deterministic on both
+    engines; the sub-millicent remainder per purchase is the documented
+    display loss (the exact-cents total still lives in the purchase
+    table)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tuser"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = p.join(t, p.puser == t.tuser).filter(
+        (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS"))
+        & (F.col("tts") < F.col("pts"))
+    )
+    wp = W.partitionBy("pid")
+    credited = pairs.select(
+        "pid",
+        "channel",
+        "cents",
+        F.count(F.lit(1)).over(wp).alias("n_touches"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touchpoints"),
+        F.count_distinct("pid").alias("n_purchases"),
+        F.sum(F.expr("(1000 * cents) DIV n_touches")).alias("credit_millicents"),
+    )
+
+
+@query(
+    "events_streaks",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+               FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT user_id,
+                 CAST(day AS DATE)
+                   - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                          AS INTEGER) AS grp
+          FROM d),
+    s AS (SELECT user_id, grp, count(*) AS streak FROM r GROUP BY 1, 2),
+    m AS (SELECT user_id, max(streak) AS best_streak FROM s GROUP BY 1)
+    SELECT best_streak, count(*) AS n_users
+    FROM m GROUP BY best_streak
+    """,
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity STREAK per user (purchase days),
+    rolled to a streak-length census — the engagement metric behind
+    every "don't break the chain" product loop, and the calendar-grain
+    cousin of `events_error_bursts` (same gaps-and-islands identity, on
+    days instead of timestamps): within a user, day − row_number(day) is
+    constant exactly along a run of consecutive days, so one user-keyed
+    window + two partial-merge rollups find every streak.
+
+    Scale shape: the corpus reduces FIRST to distinct (user, day) — at
+    most users × days rows ride the window shuffle, never raw events;
+    the census output is O(max streak) rows. Integer day arithmetic on
+    both engines (date − rank stays a date; grouping needs no epoch
+    math)."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    r = d.select(
+        "user_id",
+        F.date_sub(
+            F.col("day").cast("date"),
+            F.row_number().over(W.partitionBy("user_id").orderBy("day")),
+        ).alias("grp"),
+    )
+    s = r.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("streak"))
+    m = s.groupBy("user_id").agg(F.max("streak").alias("best_streak"))
+    return m.groupBy("best_streak").agg(F.count(F.lit(1)).alias("n_users"))

@@ -256,10 +256,8 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "graph_common_neighbors",
-    oracle="""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+_CO_KNN_CTES = """
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     co AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_co
            FROM li a JOIN li b
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
@@ -271,7 +269,63 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM co) WHERE rn <= 10),
     colist AS (SELECT k1.p2 AS b, k2.p2 AS c, count(*) AS n_lists
                FROM knn k1 JOIN knn k2 ON k1.p1 = k2.p1 AND k1.p2 < k2.p2
-               GROUP BY 1, 2),
+               GROUP BY 1, 2)"""
+
+
+def _co_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric co-purchase table (p1, p2, n_co), checkpointed once per
+    session — shared root of the kNN graph queries (one lineitem scan +
+    one order-keyed self-join no matter how many graph queries run)."""
+
+    def build() -> DataFrame:
+        li = (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+        return (
+            a.join(b, "ok")
+            .filter(F.col("p1") != F.col("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("n_co"))
+            .localCheckpoint(eager=True)
+        )
+
+    return session_memo(spark, sf_dir, "graph_co_table", build)
+
+
+def _colist_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-listing census over the truncated kNN graph: (b, c, n_lists) =
+    how many parts' top-10 partner lists contain BOTH b and c (common
+    in-neighbors in the kNN digraph). Top-M truncation bounds the wedge
+    work at n·C(10,2) — see graph_common_neighbors docstring."""
+    from pyspark.sql import Window as W
+
+    def build() -> DataFrame:
+        co = _co_table(spark, sf_dir)
+        rn = F.row_number().over(
+            W.partitionBy("p1").orderBy(F.col("n_co").desc(), "p2")
+        )
+        knn = co.withColumn("rn", rn).filter(F.col("rn") <= 10).select("p1", "p2")
+        k1 = knn.select("p1", F.col("p2").alias("b"))
+        k2 = knn.select("p1", F.col("p2").alias("c"))
+        return (
+            k1.join(k2, "p1")
+            .filter(F.col("b") < F.col("c"))
+            .groupBy("b", "c")
+            .agg(F.count(F.lit(1)).alias("n_lists"))
+            .localCheckpoint(eager=True)
+        )
+
+    return session_memo(spark, sf_dir, "graph_colist_table", build)
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH {_CO_KNN_CTES},
     ne AS (SELECT colist.b, colist.c, colist.n_lists
            FROM colist LEFT JOIN co ON co.p1 = colist.b AND co.p2 = colist.c
            WHERE co.p1 IS NULL)
@@ -283,16 +337,16 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbors LINK PREDICTION over the co-purchase graph — the
     market-basket "you may also like": part pairs NEVER ordered together
-    that co-appear in many parts' nearest-neighbor lists (two parts
+    that co-appear in many parts\' nearest-neighbor lists (two parts
     recommended alongside the same partners are likely substitutes or
-    complements). The near-dup doc graph can't host this query — banded
+    complements). The near-dup doc graph can\'t host this query — banded
     MinHash clusters are cliques by construction (every wedge is already
     closed), so the graph with real open wedges is the behavioral one.
 
     Scale design — the part that matters at 100 TB: the raw co-purchase
-    graph's wedge count is Σ deg², unbounded on hub products (measured
+    graph\'s wedge count is Σ deg², unbounded on hub products (measured
     here: 32M candidate pairs at sf0.1 and super-linear beyond). The
-    standard fix is TOP-M NEIGHBOR TRUNCATION: keep each part's 10
+    standard fix is TOP-M NEIGHBOR TRUNCATION: keep each part\'s 10
     strongest partners (one part-keyed window over the co-occurrence
     table — deterministic (n_co DESC, id) order), and enumerate wedges
     only WITHIN those fixed-width lists: candidate work is exactly
@@ -300,45 +354,78 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction every production recommender/ANN-graph pipeline uses.
     Co-occurrence itself is one order-keyed self-join (items-per-order
     is bounded), and the non-edge filter is an anti-join back against
-    the co table. Top-k cut is total-ordered (n_lists, ids)."""
+    the co table. Top-k cut is total-ordered (n_lists, ids). The co and
+    colist tables are session-shared with graph_jaccard_edges."""
+    co = _co_table(spark, sf_dir)
+    colist = _colist_table(spark, sf_dir)
+    ne = colist.join(
+        co, (colist.b == co.p1) & (colist.c == co.p2), "left_anti"
+    )
+    return (
+        ne.filter(F.col("n_lists") >= 3)
+        .select(F.col("b").alias("part_a"), F.col("c").alias("part_b"), "n_lists")
+        .orderBy(F.col("n_lists").desc(), "part_a", "part_b")
+        .limit(25)
+    )
 
-    def build() -> DataFrame:
-        li = (
-            load(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
-        )
-        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-        co = (
-            a.join(b, "ok")
-            .filter(F.col("p1") != F.col("p2"))
-            .groupBy("p1", "p2")
-            .agg(F.count(F.lit(1)).alias("n_co"))
-            .localCheckpoint(eager=True)  # feeds knn AND the non-edge anti-join
-        )
-        from pyspark.sql import Window as W
 
-        rn = F.row_number().over(
-            W.partitionBy("p1").orderBy(F.col("n_co").desc(), "p2")
-        )
-        knn = co.withColumn("rn", rn).filter(F.col("rn") <= 10).select("p1", "p2")
-        k1 = knn.select("p1", F.col("p2").alias("b"))
-        k2 = knn.select("p1", F.col("p2").alias("c"))
-        colist = (
-            k1.join(k2, "p1")
-            .filter(F.col("b") < F.col("c"))
-            .groupBy("b", "c")
-            .agg(F.count(F.lit(1)).alias("n_lists"))
-        )
-        ne = colist.join(
-            co, (colist.b == co.p1) & (colist.c == co.p2), "left_anti"
-        )
-        return (
-            ne.filter(F.col("n_lists") >= 3)
-            .select(F.col("b").alias("part_a"), F.col("c").alias("part_b"), "n_lists")
-            .orderBy(F.col("n_lists").desc(), "part_a", "part_b")
-            .limit(25)
-        )
+@query(
+    "graph_jaccard_edges",
+    oracle=f"""
+    WITH {_CO_KNN_CTES},
+    indeg AS (SELECT p2 AS node, count(*) AS ind FROM knn GROUP BY p2),
+    scored AS (
+        SELECT cl.b, cl.c, cl.n_lists,
+               ib.ind + ic.ind - cl.n_lists AS u
+        FROM colist cl
+        JOIN co ON co.p1 = cl.b AND co.p2 = cl.c
+        JOIN indeg ib ON ib.node = cl.b
+        JOIN indeg ic ON ic.node = cl.c)
+    SELECT b AS part_a, c AS part_b, n_lists,
+           (2000000 * n_lists + u) // (2 * u) AS jaccard_e6
+    FROM scored WHERE n_lists >= 2
+    ORDER BY jaccard_e6 DESC, part_a, part_b LIMIT 25
+    """,
+)
+def graph_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard EDGE SCORING on the kNN co-purchase graph:
+    for part pairs that ARE co-ordered, how similar are their
+    recommendation neighborhoods — |N⁻(a) ∩ N⁻(b)| / |N⁻(a) ∪ N⁻(b)|
+    over kNN in-neighbor sets. High scores mark redundant/substitute
+    edges (same audience reaches both); the score is the standard edge
+    weight for graph sparsification and community pre-clustering, and
+    the structural complement of `graph_common_neighbors` (which scores
+    NON-edges: same census, opposite join polarity).
 
-    return session_memo(spark, sf_dir, "graph_common_neighbors", build)
+    Scale shape: reuses the session-shared co + colist tables (zero
+    extra corpus scans — the intersection size IS the co-listing count);
+    in-degrees are one knn rollup; union size folds by
+    inclusion-exclusion, no set materialization. Jaccard reported as
+    round-half-up integer millionths via the (2·10⁶·x + u) DIV 2u rule
+    (driver-proof policy)."""
+    co = _co_table(spark, sf_dir)
+    colist = _colist_table(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("p1").orderBy(F.col("n_co").desc(), "p2"))
+    knn = co.withColumn("rn", rn).filter(F.col("rn") <= 10).select("p1", "p2")
+    indeg = knn.groupBy(F.col("p2").alias("node")).agg(F.count(F.lit(1)).alias("ind"))
+    edges = colist.join(co, (colist.b == co.p1) & (colist.c == co.p2), "left_semi")
+    ib = indeg.select(F.col("node").alias("b"), F.col("ind").alias("ib"))
+    ic = indeg.select(F.col("node").alias("c"), F.col("ind").alias("ic"))
+    scored = (
+        edges.join(ib, "b")
+        .join(ic, "c")
+        .withColumn("u", F.col("ib") + F.col("ic") - F.col("n_lists"))
+    )
+    return (
+        scored.filter(F.col("n_lists") >= 2)
+        .select(
+            F.col("b").alias("part_a"),
+            F.col("c").alias("part_b"),
+            "n_lists",
+            F.expr("(2000000 * n_lists + u) DIV (2 * u)").alias("jaccard_e6"),
+        )
+        .orderBy(F.col("jaccard_e6").desc(), "part_a", "part_b")
+        .limit(25)
+    )

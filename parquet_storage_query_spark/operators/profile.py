@@ -519,3 +519,69 @@ def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("(20000 * n + total) DIV (2 * total)").alias("pct_e4"),
     )
+
+
+@query(
+    "profile_outlier_mad",
+    oracle="""
+    WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+    med AS (SELECT event_type,
+                   CAST(round(4 * quantile_cont(n, 0.5)) AS BIGINT) AS med4
+            FROM daily GROUP BY 1),
+    dev AS (SELECT d.event_type, d.day, d.n, m.med4,
+                   abs(4 * d.n - m.med4) AS dev4
+            FROM daily d JOIN med m USING (event_type)),
+    mad AS (SELECT event_type,
+                   CAST(round(2 * quantile_cont(dev4, 0.5)) AS BIGINT) AS mad8
+            FROM dev GROUP BY 1)
+    SELECT d.event_type, strftime(CAST(d.day AS DATE), '%Y-%m-%d') AS day,
+           d.n, d.med4, m.mad8,
+           CASE WHEN 2 * d.dev4 > 3 * m.mad8 THEN 'Y' ELSE 'N' END AS is_outlier
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def profile_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection: median-absolute-deviation flags on the
+    per-type daily volume series — the resistant counterpart of
+    `events_anomaly_zscore` (a single spike inflates a z-score's own
+    mean/stddev and can mask itself; the median/MAD pair is immune to
+    <50% contamination, which is why monitoring systems prefer it).
+
+    Exactness: medians of integers live on the half-integer lattice, so
+    everything scales into integers before any comparison — med4 = 4 ×
+    median(counts) (always integral: 4·(a+b)/2 = 2(a+b)), dev4 =
+    |4n − med4|, mad8 = 2 × median(dev4); the flag |n − med| > 3·MAD
+    becomes the pure-integer 2·dev4 > 3·mad8. Both engines interpolate
+    percentiles identically on the tiny exactly-representable integers,
+    and the output is all BIGINT/STRING (driver-proof policy). A
+    constant series has MAD 0 → any deviation flags (the standard MAD
+    caveat, documented).
+
+    Shape: the series is the O(types × days) rollup, so the two median
+    passes and the join run on report-sized data; only the first daily
+    rollup touches the corpus (one partial-merge aggregate)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.round(4 * F.percentile("n", F.lit(0.5))).cast("long").alias("med4")
+    )
+    dev = daily.join(med, "event_type").withColumn(
+        "dev4", F.abs(4 * F.col("n") - F.col("med4"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(2 * F.percentile("dev4", F.lit(0.5))).cast("long").alias("mad8")
+    )
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "med4",
+        "mad8",
+        F.when(2 * F.col("dev4") > 3 * F.col("mad8"), F.lit("Y"))
+        .otherwise(F.lit("N"))
+        .alias("is_outlier"),
+    )

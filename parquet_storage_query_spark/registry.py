@@ -76,7 +76,9 @@ _PRIORITY = [
     # -- round-6 late additions: runtime-filter / prefix-sum / retrieval --
     "join_bloom_prefilter", "window_global_prefix", "timeseries_ohlc",
     "agg_bitmap_distinct", "text_inverted_index", "text_keyword_search",
-    "graph_common_neighbors",
+    "graph_common_neighbors", "prep_scd2_history", "prep_user_erasure",
+    "events_attribution_multitouch", "profile_outlier_mad",
+    "dedup_simhash_pairs", "events_streaks", "graph_jaccard_edges",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
