@@ -50,6 +50,7 @@ HEADLINE = [
     "join_bloom_prefilter",
     "agg_count_distinct",
     "agg_bitmap_distinct",
+    "agg_exact_median_2pass",
     "topk_orders",
     "window_topk_per_group",
     "window_sessionize",

@@ -2227,3 +2227,78 @@ def prep_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("erased") == 1, F.col("user_id"))
         ).alias("users_erased"),
     )
+
+
+@query(
+    "agg_exact_median_2pass",
+    oracle="""
+    WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+               FROM lineitem),
+    n AS (SELECT count(*) AS n FROM t),
+    k AS (SELECT (n + 1) // 2 AS k, n FROM n)
+    SELECT (SELECT n FROM k) AS n_rows,
+           (SELECT k FROM k) AS k_rank,
+           (SELECT v FROM t ORDER BY v LIMIT 1 OFFSET (SELECT k - 1 FROM k))
+               AS median_cents
+    """,
+)
+def agg_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median by distributed SELECTION — constant passes,
+    no global sort: the way you take an exact quantile of 10¹² rows.
+    `percentile()` buffers each group's values and a global ORDER BY
+    sorts the world; the selection algorithm instead (1) folds count +
+    min/max in one aggregate, (2) histograms values into 4096 equal
+    integer-cent buckets (one partial-merge aggregate; 4096-row driver
+    state) and walks the cumulative counts to the bucket holding the
+    k-th = ⌈n/2⌉-th value, (3) re-scans with a map-side bucket predicate
+    and takes the (k − preceding)-th smallest INSIDE that bucket — a
+    TakeOrdered heap over the ~n/4096-row slice, never a sort of n.
+    Skewed value distributions recurse on the heavy bucket (same step
+    3); this corpus needs one level. DuckDB replays the contract, not
+    the algorithm: ORDER BY v LIMIT 1 OFFSET k−1 — equality proves the
+    selection found exactly the k-th order statistic.
+
+    The same 3 jobs answer ANY set of quantiles (each walks the same
+    histogram), which is how a 100 TB percentile dashboard stays
+    O(passes), not O(quantiles) — the exact-answer complement of
+    agg_sampled_percentiles / agg_approx_percentiles."""
+    from ..cache import session_memo
+
+    def base() -> DataFrame:
+        return (
+            load_parallel(spark, sf_dir, "lineitem")
+            .select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"))
+            .localCheckpoint(eager=True)  # one corpus scan feeds all 3 jobs
+        )
+
+    t = session_memo(spark, sf_dir, "median2p_values", base)
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()[0]
+    n, lo, hi = int(stats["n"]), int(stats["lo"]), int(stats["hi"])
+    k = (n + 1) // 2
+    nb = 4096
+    span = max(1, -(-(hi - lo + 1) // nb))  # ceil — every v maps into [0, nb)
+    hist = sorted(
+        t.groupBy(((F.col("v") - lo) / span).cast("long").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect(),
+        key=lambda r: r["b"],
+    )  # ≤ 4096 rows of driver state, corpus-independent
+    cum = 0
+    for r in hist:
+        if cum + int(r["c"]) >= k:
+            target_b, k_local = int(r["b"]), k - cum
+            break
+        cum += int(r["c"])
+    kth = (
+        t.filter(((F.col("v") - lo) / span).cast("long") == target_b)
+        .orderBy("v")
+        .limit(k_local)  # TakeOrdered heap over the single-bucket slice
+        .agg(F.max("v").alias("median_cents"))
+    )
+    return kth.select(
+        F.lit(n).cast("long").alias("n_rows"),
+        F.lit(k).cast("long").alias("k_rank"),
+        "median_cents",
+    )

@@ -492,3 +492,43 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, hour_start timestamp, n bigint, "
         "base_mean double, zscore double, is_anomaly boolean",
     )
+
+
+def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE OHLC candlestick maintenance — the streaming twin of
+    timeseries_ohlc: per (series, day) open/high/low/close/volume kept
+    incrementally. The reason this is streamable at all is the batch
+    design choice: open/close are lexicographic (ts, event_id, v)
+    struct-MIN/MAX — commutative, mergeable aggregates — so each
+    micro-batch folds into O(series × days) scalar state exactly like
+    min-of-mins (A4); a first/last-over-window formulation would not be
+    expressible incrementally. Complete mode republishes the bar table;
+    at scale the foreachBatch rollup sink (stream_rollup_to_parquet)
+    merges only dirty keys instead."""
+    ev = read_events_stream(spark, sf_dir)
+    obs = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.struct(
+            "ts", "event_id", F.round(F.col("value") * 100).cast("long").alias("v")
+        ).alias("obs"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    agg = (
+        obs.groupBy("event_type", "day")
+        .agg(
+            F.min("obs").getField("v").alias("open_cents"),
+            F.max("v").alias("high_cents"),
+            F.min("v").alias("low_cents"),
+            F.max("obs").getField("v").alias("close_cents"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum("v").alias("total_cents"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "open_cents", "high_cents", "low_cents", "close_cents",
+            "volume", "total_cents",
+        )
+    )
+    return _run_to_memory(agg, "stream_ohlc_out", "complete")

@@ -606,3 +606,14 @@ def test_streaming_error_bursts_across_micro_batches(spark, tmp_path):
     # and the hand-computed expectation: u1 has two bursts (len 2 + len 3)
     by_user = {r[0]: r for r in got}
     assert by_user[1] == (1, 2, 3, 5) or by_user[1][1:] == (2, 3, 5)
+
+
+def test_streaming_ohlc_matches_batch(spark):
+    """Live candlestick state (struct-min/max merge per micro-batch over
+    maxFilesPerTrigger=1) converges to the batch timeseries_ohlc bars —
+    the mergeability claim in both docstrings, proved end to end."""
+    from parquet_storage_query_spark.operators.advanced import timeseries_ohlc
+
+    got = sw.streaming_ohlc(spark, SF_SMOKE)
+    want = timeseries_ohlc(spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)
