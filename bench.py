@@ -122,9 +122,10 @@ HEADLINE = [
     "profile_benford",
     "text_collocations_pmi",
     # index first, search second: the shared posting build lands on the
-    # index metric, search times the marginal posting-intersection serve
+    # index metric, search/BM25 time the marginal posting-read serve
     "text_inverted_index",
     "text_keyword_search",
+    "text_bm25_topk",
     "agg_incremental_rollup",
     "agg_kmv_overlap",
     "agg_kmv_difference",
@@ -194,6 +195,13 @@ def main() -> None:
         "source_jsonl_roundtrip": "jsonl_egest_build",
         "mm_decode_png": "png_fixture_build",
         "mm_decode_wav": "wav_fixture_build",
+        # round-6 late additions with session-memoized prepared state
+        "join_bloom_prefilter": "bloom_bitmap_build",
+        "window_global_prefix": "prefix_base_build",
+        "dedup_simhash_pairs": "simhash_fp_build",
+        "graph_common_neighbors": "graph_co_knn_build",
+        "text_inverted_index": "postings_build",
+        "agg_exact_median_2pass": "median_hist_build",
     }
 
     timings: dict[str, float] = {}

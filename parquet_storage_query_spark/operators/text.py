@@ -1188,3 +1188,91 @@ def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_tf").desc(), "doc_id")
         .limit(20)
     )
+
+
+_BM25_TERMS = ("hash", "merge", "stream")
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents),
+    post AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) AS t),
+    dfreq AS (SELECT token, count(*) AS df FROM post
+              WHERE token IN {_BM25_TERMS!r} GROUP BY token),
+    hits AS (
+        SELECT p.doc_id,
+               CAST((CAST(s.n AS HUGEINT) - d.df + 1) * p.tf * 44 * s.t
+                    AS HUGEINT) AS num,
+               CAST((d.df + 1) AS HUGEINT)
+                 * (20 * p.tf * CAST(s.t AS HUGEINT)
+                    + 6 * CAST(s.t AS HUGEINT)
+                    + 18 * CAST(l.dl AS HUGEINT) * s.n) AS den
+        FROM post p
+        JOIN dfreq d ON d.token = p.token
+        JOIN dl l ON l.doc_id = p.doc_id
+        CROSS JOIN stats s)
+    SELECT doc_id, count(*) AS n_terms,
+           CAST(sum((1000000 * num) // den) AS BIGINT) AS score_e6
+    FROM hits GROUP BY doc_id
+    ORDER BY score_e6 DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKED disjunctive retrieval with BM25-SHAPED scoring over the
+    shared posting table — the scored companion of the boolean
+    `text_keyword_search`: docs matching ANY query term, ordered by a
+    per-term saturating score Σ_t idf_r(t) · tf·(k1+1) / (tf + k1·(1−b +
+    b·dl/avgdl)) with the standard k1=1.2, b=0.75 — BM25's exact tf
+    saturation and length normalization. One deliberate substitution
+    keeps the chain cross-engine bit-exact: the rational idf surrogate
+    (N−df+1)/(df+1) replaces Robertson's log-idf (log is libm, the #1
+    documented cross-engine trap); per-term ranking is monotone in the
+    same df, and the whole score evaluates in 128-bit integers
+    (DECIMAL(38,0)/HUGEINT — the PMI/A-B-z² headroom rule): clearing
+    avgdl = T/N turns every term into (N−df+1)·tf·44·T over
+    (df+1)·(20·tf·T + 6·T + 18·dl·N), floored to e6 per term and summed
+    — deterministic under any executor order because floor happens
+    before the sum.
+
+    Scale shape: terms select their postings (partition pruning on the
+    token-range layout at scale), df is an O(terms)-row aggregate, dl a
+    doc-keyed rollup of the SAME posting table, corpus stats one
+    broadcast scalar row; top-k is TakeOrdered."""
+    post = _postings(spark, sf_dir)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    )
+    dfreq = (
+        post.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    hits = (
+        post.join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    term_e6 = F.expr(
+        "CAST((1000000 * ((CAST(n AS DECIMAL(38,0)) - df + 1) * tf * 44 * t))"
+        " DIV (CAST(df + 1 AS DECIMAL(38,0))"
+        "      * (20 * tf * CAST(t AS DECIMAL(38,0))"
+        "         + 6 * CAST(t AS DECIMAL(38,0))"
+        "         + 18 * CAST(dl AS DECIMAL(38,0)) * n)) AS BIGINT)"
+    )
+    scored = hits.select("doc_id", term_e6.alias("term_e6"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("term_e6").alias("score_e6"),
+        )
+        .orderBy(F.col("score_e6").desc(), "doc_id")
+        .limit(20)
+    )
