@@ -133,6 +133,7 @@ HEADLINE = [
     "sim_filtered_topk",
     "source_jsonl_roundtrip",
     "mm_decode_png",
+    "mm_image_ahash",
     "mm_decode_wav",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the

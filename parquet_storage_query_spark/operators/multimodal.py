@@ -1,10 +1,14 @@
 """Multimodal column handling: opaque `binary` payloads + typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is a stub
-(`decode_image` raises NotImplementedError; `fake_decode_meta` is the
-deterministic stand-in) — but the Spark-side plumbing is real: binary
-columns, Arrow-batched `mapInPandas` with the exact schema/batch shape a
-real decoder would use, and metadata derivation that stays oracle-checkable.
+The DECODE step is REAL for the formats a pure stdlib can carry — PNG/PPM
+(`decode_image`: chunk walk, zlib inflate, all five scanline filters) and
+RIFF/PCM16 WAV (`decode_audio`) — each value-checked end to end against a
+closed-form DuckDB replay of the decoded statistics over real binary
+fixture tables (mm_decode_png / mm_decode_wav / mm_image_ahash). Formats
+needing system codecs (JPEG, mp3) remain the documented
+NotImplementedError hook with `fake_decode_meta` as the deterministic
+stand-in; the Spark-side plumbing — binary columns, Arrow-batched
+`mapInPandas`, metadata derivation — is identical either way.
 
 At scale: binary payloads ride Parquet as byte arrays; `mapInPandas`
 streams Arrow batches through Python once, and per-batch work is
@@ -717,4 +721,91 @@ def prep_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_paths.mapInPandas(
         read_footers,
         schema="table_name string, n_rows long, n_row_groups long, n_columns long, size_bytes long",
+    )
+
+
+@query(
+    "mm_image_ahash",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {PNG_BASE} + doc_id % {PNG_W_MOD} AS w,
+               {PNG_BASE} + doc_id % {PNG_H_MOD} AS h
+        FROM documents),
+    lum AS (
+        SELECT doc_id, w, h, t.p AS p,
+               ((doc_id * {PNG_A} + {PNG_B} * (3 * t.p)) % 256
+                + (doc_id * {PNG_A} + {PNG_B} * (3 * t.p + 1)) % 256
+                + (doc_id * {PNG_A} + {PNG_B} * (3 * t.p + 2)) % 256) // 3 AS y
+        FROM dims, unnest(range(w * h)) AS t(p)),
+    blk AS (
+        SELECT doc_id,
+               ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS bit,
+               sum(y) AS bsum, count(*) AS bn
+        FROM lum GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(bsum) AS tsum, sum(bn) AS tn FROM blk GROUP BY 1),
+    bits AS (
+        SELECT b.doc_id, b.bit,
+               CASE WHEN b.bsum * t.tn > t.tsum * b.bn THEN 1 ELSE 0 END AS on_bit
+        FROM blk b JOIN tot t USING (doc_id))
+    SELECT doc_id,
+           CAST(sum(CASE WHEN bit >= 32 AND on_bit = 1
+                         THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS BIGINT)
+               AS ahash_hi,
+           CAST(sum(CASE WHEN bit < 32 AND on_bit = 1
+                         THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+               AS ahash_lo,
+           CAST(sum(on_bit) AS BIGINT) AS n_bits
+    FROM bits GROUP BY doc_id
+    """,
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL average-hash over the REAL decoded PNGs — image
+    near-dup fingerprinting (the visual twin of dedup_simhash): decode
+    each image with the pure-stdlib PNG decoder, reduce to integer luma,
+    pool into an 8×8 block grid, and set bit (by·8+bx) iff the block's
+    mean exceeds the image mean — 64 bits emitted as two 32-bit BIGINT
+    halves (driver-proof: no sign-bit cell). Downstream, hamming pairs
+    over these hashes reuse dedup_simhash_pairs' banding verbatim.
+
+    This is also a deliberately STRONGER decoder check than
+    mm_decode_png's channel sums: block sums depend on pixel POSITIONS,
+    so an unfilter that produced the right multiset of bytes in the
+    wrong order (e.g. a transposed scanline) passes the channel sums but
+    breaks the aHash. Exactness: mean comparisons clear denominators
+    (bsum·tn > tsum·bn — pure integers; ties → 0), so the DuckDB replay
+    of the closed-form pixels is bit-identical. Arrow-batched
+    mapInPandas, one vectorized decode per batch, linear in images."""
+    import numpy as np
+
+    fixture = ensure_png_fixture(spark, sf_dir)
+    pngs = spark.read.parquet(fixture)
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_ids, out_hi, out_lo, out_nb = [], [], [], []
+        for pdf in batches:
+            for did, blob in zip(pdf["doc_id"], pdf["png"]):
+                w, h, _ch, px = decode_image(bytes(blob))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                luma = arr.reshape(h * w, 3).sum(axis=1) // 3
+                p = np.arange(h * w, dtype=np.int64)
+                bit = (p // w) * 8 // h * 8 + (p % w) * 8 // w
+                bsum = np.zeros(64, dtype=np.int64)
+                bn = np.zeros(64, dtype=np.int64)
+                np.add.at(bsum, bit, luma)
+                np.add.at(bn, bit, 1)
+                tsum, tn = int(luma.sum()), int(h * w)
+                on = (bsum * tn > tsum * bn).astype(np.int64)
+                hi = int((on[32:] << np.arange(32, dtype=np.int64)).sum())
+                lo = int((on[:32] << np.arange(32, dtype=np.int64)).sum())
+                out_ids.append(int(did))
+                out_hi.append(hi)
+                out_lo.append(lo)
+                out_nb.append(int(on.sum()))
+        yield pd.DataFrame(
+            {"doc_id": out_ids, "ahash_hi": out_hi, "ahash_lo": out_lo, "n_bits": out_nb}
+        )
+
+    return pngs.mapInPandas(
+        ahash, schema="doc_id long, ahash_hi long, ahash_lo long, n_bits long"
     )

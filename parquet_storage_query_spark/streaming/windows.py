@@ -532,3 +532,34 @@ def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "stream_ohlc_out", "complete")
+
+
+def streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE exact distinct-count via bitmap state — the streaming twin of
+    agg_bitmap_distinct and the exact counterpart of the approximate
+    HLL/KMV live sketches: bit_or is a commutative, mergeable aggregate,
+    so per-(type, word) bitmap words ARE legal incremental state; each
+    micro-batch ORs its keys in, and the popcount rollup republishes the
+    exact per-type distinct user count. State is O(groups × occupied
+    words) — 60 keys per state row — where a naive streaming
+    COUNT(DISTINCT) is unsupported precisely because its state would be
+    the full key set."""
+    ev = read_events_stream(spark, sf_dir)
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("user_id DIV 60").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 60 AS INT))").alias("m"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    # ONE stateful operator: the live state is the word table; the popcount
+    # census is a batch rollup over its snapshot (chaining a second
+    # streaming aggregate would trip Spark's multi-stateful-operator
+    # watermark correctness check, and the readout is O(state) anyway)
+    snap = _run_to_memory(words, "stream_bitmap_words_out", "complete")
+    return snap.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

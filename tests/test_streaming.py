@@ -617,3 +617,14 @@ def test_streaming_ohlc_matches_batch(spark):
     got = sw.streaming_ohlc(spark, SF_SMOKE)
     want = timeseries_ohlc(spark, SF_SMOKE)
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_bitmap_distinct_matches_batch(spark):
+    """Live bitmap-word state (bit_or merge per micro-batch) converges to
+    the batch exact distinct census — bit_or's mergeability proof, and
+    the exact-answer complement of the HLL/CMS live sketches."""
+    from parquet_storage_query_spark.operators.advanced import agg_bitmap_distinct
+
+    got = sw.streaming_bitmap_distinct(spark, SF_SMOKE)
+    want = agg_bitmap_distinct(spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)
