@@ -76,6 +76,7 @@ HEADLINE = [
     "sim_kmeans_train",
     "sim_maxsim_topk",
     "sim_persisted_topk",
+    "sim_pq_topk",
     # after sim_ivf_topk: the shared centroid model trains there (its
     # index_build metric, same attribution as r4), so semantic shows its
     # marginal cell/compare cost
@@ -203,6 +204,7 @@ def main() -> None:
         "graph_common_neighbors": "graph_co_knn_build",
         "text_inverted_index": "postings_build",
         "agg_exact_median_2pass": "median_hist_build",
+        "sim_pq_topk": "pq_codebook_train",
     }
 
     timings: dict[str, float] = {}

@@ -1098,3 +1098,190 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-vector ANN
+# ---------------------------------------------------------------------------
+
+PQ_S = 4        # subspaces
+PQ_SUBDIM = DIM // PQ_S
+PQ_K = 8        # codewords per subspace → codes are 4 × 3 bits
+PQ_ITERS = 2    # Lloyd's iterations per sub-quantizer
+
+
+def _pq_sub_d2_duck(off: int, vexpr: str = "e.v") -> str:
+    return (
+        f"list_reduce(list_transform(range({PQ_SUBDIM}), "
+        f"t -> ({vexpr}[{off} + t + 1] - c.c[t + 1]) * ({vexpr}[{off} + t + 1] - c.c[t + 1])), "
+        "(a, x) -> a + x)"
+    )
+
+
+def _pq_oracle() -> str:
+    """Replay the FULL PQ pipeline in DuckDB: 4 independent sub-quantizer
+    Lloyd's loops (unrolled CTEs, kmeans-oracle discipline: 4-decimal
+    centroid rounding per iteration, left-fold distances, first(j ORDER
+    BY d2, j) argmin ties), corpus encoding against the final codebooks,
+    per-probe ADC lookup tables (rounded 4), and the table-sum scoring.
+    Equality proves codebooks, codes, and ADC ranks all match bit-for-bit."""
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for s in range(PQ_S):
+        off = s * PQ_SUBDIM
+        d2 = _pq_sub_d2_duck(off)
+        ctes.append(
+            f"cb{s}_0 AS (SELECT CAST(vec_id AS INT) AS j, "
+            f"v[{off + 1}:{off + PQ_SUBDIM}] AS c FROM e WHERE vec_id < {PQ_K})"
+        )
+        for i in range(1, PQ_ITERS + 1):
+            ctes.append(f"""
+    asg{s}_{i} AS (
+        SELECT e.vec_id, e.v, first(c.j ORDER BY {d2} ASC, c.j) AS j
+        FROM e CROSS JOIN cb{s}_{i - 1} c
+        GROUP BY e.vec_id, e.v)""")
+            ctes.append(f"""
+    cb{s}_{i} AS (
+        SELECT p.j, coalesce(n.c, p.c) AS c
+        FROM cb{s}_{i - 1} p LEFT JOIN (
+            SELECT j, list(m ORDER BY pos) AS c FROM (
+                SELECT a.j, t.i AS pos, round(avg(a.v[{off} + t.i + 1]), 4) AS m
+                FROM asg{s}_{i} a, range({PQ_SUBDIM}) t(i)
+                GROUP BY a.j, t.i)
+            GROUP BY j) n ON n.j = p.j)""")
+        ctes.append(f"""
+    enc{s} AS (
+        SELECT e.vec_id, first(c.j ORDER BY {d2} ASC, c.j) AS j
+        FROM e CROSS JOIN cb{s}_{PQ_ITERS} c
+        GROUP BY e.vec_id)""")
+        ctes.append(f"""
+    tab{s} AS (
+        SELECT q.vec_id AS qid, c.j,
+               round({_pq_sub_d2_duck(off, 'q.v')}, 4) AS d
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERY_VECS}) q
+        CROSS JOIN cb{s}_{PQ_ITERS} c)""")
+    joins = " ".join(
+        f"JOIN enc{s} ON enc{s}.vec_id = n.vec_id "
+        f"JOIN tab{s} ON tab{s}.qid = q.vec_id AND tab{s}.j = enc{s}.j"
+        for s in range(PQ_S)
+    )
+    adc = " + ".join(f"tab{s}.d" for s in range(PQ_S))
+    return f"""
+    WITH {', '.join(ctes)},
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               round({adc}, 4) AS adc_d2
+        FROM (SELECT vec_id FROM e WHERE vec_id < {N_QUERY_VECS}) q
+        CROSS JOIN e n {joins}
+        WHERE n.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, adc_d2, CAST(rk AS INT) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2 ASC, neighbor_id) AS rk
+        FROM scored)
+    WHERE rk <= {TOP_K}
+    """
+
+
+@query("sim_pq_topk", oracle=_pq_oracle())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the MEMORY story for 100 TB vector
+    search: each 64-dim float vector compresses to 4 × 3-bit codes (a
+    ~170× cut; production PQ with 8-bit codes is 32× vs float32), and
+    query scoring never touches the original vectors — asymmetric
+    distance computation (ADC) sums 4 values from a per-probe 8-entry
+    lookup table, so the scan side reads CODES only. This is the
+    Jégou/Douze/Schmid TPAMI'11 design (public literature) and the
+    third index family beside hyperplane LSH (sim_lsh_topk) and IVF
+    (sim_ivf_topk); real systems compose IVF+PQ.
+
+    Pipeline, all deterministic: 4 independent sub-quantizers (Lloyd's
+    on each 16-dim slice — same map-side inlined-centroid assignment,
+    4-decimal per-iteration rounding, and lexicographic argmin ties as
+    sim_kmeans_train), corpus encoded in ONE map pass against the final
+    inlined codebooks (no join: the whole model is 4×8×16 literals),
+    driver-computed ADC tables per probe (4×8 doubles each, rounded 4),
+    scoring = 4 literal-array lookups + a left-assoc sum inside codegen.
+    The DuckDB oracle replays training, encoding, tables, and ranking
+    end to end — the strongest hash check in the sim_* family."""
+    e = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    seeds = e.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    codebooks: list[list[list[float]]] = [
+        [[float(x) for x in r["v"][s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]] for r in seeds]
+        for s in range(PQ_S)
+    ]
+
+    def dlit(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    def assign_expr(cb: list[list[float]], s: int) -> str:
+        off = s * PQ_SUBDIM
+        structs = ", ".join(
+            "named_struct('d', aggregate(zip_with(slice(v, %d, %d), array(%s), "
+            "(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 'c', %d)"
+            % (off + 1, PQ_SUBDIM, ", ".join(dlit(x) for x in c), j)
+            for j, c in enumerate(cb)
+        )
+        return f"array_min(array({structs}))"
+
+    for s in range(PQ_S):
+        cb = codebooks[s]
+        off = s * PQ_SUBDIM
+        for _ in range(PQ_ITERS):
+            assigned = e.withColumn("a", F.expr(assign_expr(cb, s))).select(
+                "vec_id", "v", F.col("a.c").alias("j")
+            )
+            rows = (
+                assigned.select(
+                    "j", F.posexplode(F.slice("v", off + 1, PQ_SUBDIM)).alias("pos", "x")
+                )
+                .groupBy("j", "pos")
+                .agg(F.round(F.avg("x"), 4).alias("m"))
+                .collect()
+            )
+            by_j: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_j.setdefault(int(r["j"]), {})[int(r["pos"])] = float(r["m"])
+            cb = [
+                [by_j[j][d] for d in range(PQ_SUBDIM)] if j in by_j else cb[j]
+                for j in range(PQ_K)
+            ]
+        codebooks[s] = cb
+
+    codes = e.withColumns(
+        {f"c{s}": F.expr(assign_expr(codebooks[s], s) + ".c") for s in range(PQ_S)}
+    )
+    probes = e.filter(F.col("vec_id") < N_QUERY_VECS).orderBy("vec_id").collect()
+    parts = []
+    for r in probes:
+        qid = int(r["vec_id"])
+        qv = [float(x) for x in r["v"]]
+        adc = None
+        for s in range(PQ_S):
+            off = s * PQ_SUBDIM
+            tab = []
+            for c in codebooks[s]:
+                t = 0.0
+                for i in range(PQ_SUBDIM):  # left fold — matches list_reduce
+                    t += (qv[off + i] - c[i]) * (qv[off + i] - c[i])
+                tab.append(round(t, 4))
+            term = F.element_at(
+                F.array(*[F.lit(x) for x in tab]), F.col(f"c{s}") + 1
+            )
+            adc = term if adc is None else adc + term
+        parts.append(
+            codes.filter(F.col("vec_id") != qid).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(adc, 4).alias("adc_d2"),
+            )
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionAll(p)
+    w = W.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2", "rk")
+    )

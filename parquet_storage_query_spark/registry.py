@@ -80,6 +80,7 @@ _PRIORITY = [
     "events_attribution_multitouch", "profile_outlier_mad",
     "dedup_simhash_pairs", "events_streaks", "graph_jaccard_edges",
     "agg_exact_median_2pass", "text_bm25_topk", "mm_image_ahash",
+    "sim_pq_topk",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
