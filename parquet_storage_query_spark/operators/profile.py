@@ -563,9 +563,13 @@ def profile_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes and the join run on report-sized data; only the first daily
     rollup touches the corpus (one partial-merge aggregate)."""
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # the report-sized rollup feeds FOUR consumers (med, dev, mad, output)
+    # and Catalyst replays the corpus scan for each — checkpoint once
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     med = daily.groupBy("event_type").agg(
         F.round(4 * F.percentile("n", F.lit(0.5))).cast("long").alias("med4")
     )

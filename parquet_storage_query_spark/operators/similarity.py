@@ -1248,9 +1248,11 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         codebooks[s] = cb
 
+    # encode ONCE — the per-probe scoring arms below would otherwise each
+    # replay the corpus scan + 4 assignments (plan audit: 5 scans → 1)
     codes = e.withColumns(
         {f"c{s}": F.expr(assign_expr(codebooks[s], s) + ".c") for s in range(PQ_S)}
-    )
+    ).drop("v").localCheckpoint(eager=True)
     probes = e.filter(F.col("vec_id") < N_QUERY_VECS).orderBy("vec_id").collect()
     parts = []
     for r in probes:

@@ -230,3 +230,44 @@ def test_sessionize_matches_native_session_window(spark):
         )
     }
     assert ours == native and len(ours) > 100
+
+
+def test_bloom_prefilter_contract(spark):
+    """The Bloom bitmap must have NO false negatives (every dim key
+    probes true — that is why the oracle can be the plain semi-join) and
+    a small false-positive rate (that is why the prefilter pays off:
+    m=65,536 bits / k=2 at smoke-scale occupancy predicts well under 1%;
+    assert a loose 5% so the test pins the mechanism, not the corpus)."""
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.operators.relational import (
+        join_bloom_prefilter,
+    )
+
+    # executing the query memoizes the bitmap; rebuild the probe verdicts
+    join_bloom_prefilter(spark, SF_SMOKE).collect()
+    from parquet_storage_query_spark.cache import session_memo
+
+    words = session_memo(spark, SF_SMOKE, "bloom_building_custkeys", lambda: None)
+    assert words is not None and len(words) == 1024
+    cust = load(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment").collect()
+    import hashlib
+
+    def pos(key: int, salt: str) -> int:
+        h = int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:15], 16)
+        return h % (1024 * 64)
+
+    def hit(key: int) -> bool:
+        ok = True
+        for salt in ("bl-a:", "bl-b:"):
+            p = pos(key, salt)
+            ok = ok and bool((words[p // 64] >> (p % 64)) & 1)
+        return ok
+
+    members = [r["c_custkey"] for r in cust if r["c_mktsegment"] == "BUILDING"]
+    non_members = [r["c_custkey"] for r in cust if r["c_mktsegment"] != "BUILDING"]
+    assert members and non_members
+    assert all(hit(k) for k in members), "false negative — bloom broken"
+    fp = sum(1 for k in non_members if hit(k)) / len(non_members)
+    assert fp < 0.05, f"false-positive rate {fp:.3f} out of bounds"
