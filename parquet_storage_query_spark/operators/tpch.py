@@ -3,10 +3,13 @@
 The reference's query surface (QueryOrchestration.cs:392-470, A1-A7) is
 point/aggregate lookups; a user replacing it with this engine also expects
 the classic warehouse query shapes over the same star schema. This module
-adds the canonical TPC-H patterns adapted to the driver corpus's simplified
-columns (no partsupp table, no l_commitdate/l_receiptdate/l_shipmode, no
-c_phone/o_comment — Q11/Q20/Q21 are therefore not expressible and the
-nearest shapes are noted on each query that adapts).
+adds all 22 canonical TPC-H patterns adapted to the driver corpus's
+simplified columns (no partsupp table, no l_commitdate/l_receiptdate/
+l_shipmode, no c_phone/o_comment). Q11/Q20/Q21's defining predicates name
+absent columns, so those three keep the defining SHAPE — global-threshold
+HAVING subquery, correlated-scalar semi-join chain, double
+EXISTS/NOT-EXISTS self-correlation — over the observed lineitem columns;
+each docstring states its substitution.
 
 Every query carries a full DuckDB oracle (hash-checked by the driver gate)
 and a 100 TB plan note. Common scale themes:
@@ -983,4 +986,235 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: important stock identification (global-threshold HAVING)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey AS p_partkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    ), thr AS (
+        SELECT sum(value_cents) AS total_cents, count(*) AS n_parts FROM val
+    )
+    SELECT p_partkey, value_cents
+    FROM val, thr
+    WHERE value_cents * n_parts > 2 * total_cents
+    ORDER BY value_cents DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp, so observed lineitem value — exact
+    integer cents of extendedprice — stands in for supplycost·availqty):
+    parts whose total value shipped by one nation's suppliers exceeds a
+    global threshold computed as a scalar subquery over the SAME aggregate.
+    TPC-H scales Q11's fraction by 1/SF; this corpus's stand-in is
+    SF-free — "worth more than twice the average part" — so the query is
+    meaningful at every scale without knowing SF (QueryOrchestration.cs:392
+    A-series analogue: grouped value rollup + global-threshold HAVING).
+
+    Plan: nation (25 rows, constant) broadcasts into supplier; the fact
+    joins the nation's supplier slice (corpus-proportional → NO hint; AQE
+    broadcasts while small) and partial-aggregates into ONE partkey-keyed
+    shuffle. The |part|-bounded value table is localCheckpoint-memoized
+    (q15's prepared-view pattern) because it feeds two consumers — its own
+    1-row total and the threshold filter — and Catalyst does not reuse the
+    exchange across them; the scalar total then broadcasts back as a cross
+    join, never a driver collect. Values rank in exact integer cents, so
+    the threshold comparison and the ordering are executor-order exact."""
+    from ..cache import session_memo
+
+    def _val() -> DataFrame:
+        nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+        supp = (
+            load(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey")
+        )
+        li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+        return (
+            li.join(supp, li.l_suppkey == supp.s_suppkey)
+            .groupBy(F.col("l_partkey").alias("p_partkey"))
+            .agg(
+                F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias(
+                    "value_cents"
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    val = session_memo(spark, sf_dir, "q11_value_view", _val)
+    thr = val.agg(
+        F.sum("value_cents").alias("total_cents"), F.count("*").alias("n_parts")
+    )
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("value_cents") * F.col("n_parts") > 2 * F.col("total_cents"))
+        .select("p_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: potential part promotion (correlated scalar + semi-join chain)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%gear%'
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM pq
+        WHERE 2 * qty > (SELECT sum(qty) FROM pq p2
+                         WHERE p2.l_partkey = pq.l_partkey)
+    )
+    ORDER BY s_name
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp availqty, so "has excess stock" becomes
+    the observable twin: SUPPLIES MORE THAN HALF of a part's volume):
+    suppliers who shipped more than 50% of the two-year volume of some
+    'gear' part — the correlated-scalar comparison feeding a semi-join
+    chain up to the supplier list, exactly Q20's nesting.
+
+    Plan: the name/date predicates prune both scans (LIKE prunes part,
+    the ship window prunes the fact); the per-(part, supplier) quantity
+    table is ONE partial-agg'd shuffle. The correlated per-part total is
+    a window over that aggregate partitioned by partkey — |part×supplier|
+    rows, never a second fact scan — and the final IN is a LEFT SEMI join
+    into supplier (dominant-key side is aggregate-sized; AQE broadcasts
+    it). Quantities are integer-valued doubles cast to BIGINT, so the
+    2·qty > total comparison is exact on both engines."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1995-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    pq = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    w = W.partitionBy("l_partkey")
+    dominant = (
+        pq.withColumn("total_qty", F.sum("qty").over(w))
+        .filter(2 * F.col("qty") > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (no l_receiptdate/l_commitdate, so "received after
+    commit" becomes the observable ship lag: shipped more than 90 days
+    after the order date): for finalized orders, suppliers who were the
+    SOLE late shipper on a multi-supplier order — Q21's double correlated
+    EXISTS (another supplier participated) / NOT EXISTS (no other supplier
+    was late), the hardest nesting in the suite.
+
+    Plan: ONE fact shuffle total. The status-filtered orders join keys the
+    fact by orderkey; the per-(order, supplier) late-flag aggregate groups
+    by (orderkey, suppkey), which REUSES the join's orderkey hash
+    partitioning (a subset of the group keys satisfies the clustered
+    distribution — no new exchange), and both correlated EXISTS collapse
+    into counts over a window partitioned by orderkey on the SAME
+    partitioning: n_supps > 1 is the EXISTS, late_supps == 1 is the NOT
+    EXISTS. The final per-supplier census is an aggregate-sized shuffle
+    and the top-100 is TakeOrderedAndProject with the full (numwait desc,
+    name) tiebreak. The oracle states the literal EXISTS/NOT-EXISTS text
+    so the differential proves the window decomposition."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = W.partitionBy("l_orderkey")
+    flagged = per_supp.withColumn("n_supps", F.count("*").over(w)).withColumn(
+        "late_supps", F.sum("late").over(w)
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.filter(
+            (F.col("late") == 1) & (F.col("n_supps") > 1) & (F.col("late_supps") == 1)
+        )
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
     )

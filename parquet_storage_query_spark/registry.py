@@ -81,6 +81,8 @@ _PRIORITY = [
     "dedup_simhash_pairs", "events_streaks", "graph_jaccard_edges",
     "agg_exact_median_2pass", "text_bm25_topk", "mm_image_ahash",
     "sim_pq_topk",
+    # -- round-6 third continuation: TPC-H completion (22/22) + new ops --
+    "q11_important_stock", "q20_dominant_suppliers", "q21_waiting_suppliers",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
