@@ -589,3 +589,111 @@ def profile_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("N"))
         .alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectation suite (Deequ / Great-Expectations shape)
+# ---------------------------------------------------------------------------
+
+# One spec drives BOTH engines: each entry is (check_name, column,
+# SQL condition valid in Spark SQL and DuckDB verbatim). The suite
+# compiles to conditional counts inside ONE aggregate, so adding a
+# constraint never adds a scan — the Deequ design point.
+_EXPECTATIONS = [
+    ("completeness", "o_custkey", "o_custkey IS NOT NULL"),
+    ("in_set", "o_orderstatus", "o_orderstatus IN ('F', 'O', 'P')"),
+    ("positive", "o_totalprice", "o_totalprice > 0"),
+    (
+        "pattern",
+        "o_orderpriority",
+        "substr(o_orderpriority, 1, 1) IN ('1','2','3','4','5')"
+        " AND substr(o_orderpriority, 2, 1) = '-'",
+    ),
+    (
+        "in_range",
+        "o_orderdate",
+        "o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '2002-01-01 00:00:00'",
+    ),
+]
+
+
+def _expectations_oracle() -> str:
+    conds = ",\n           ".join(
+        f"count(*) FILTER ({cond}) AS c{i}" for i, (_, _, cond) in enumerate(_EXPECTATIONS)
+    )
+    arms = [
+        f"SELECT '{name}' AS check_name, '{col}' AS col,\n"
+        f"       (2 * 1000000 * c{i} + n) // (2 * n) AS metric_e6,\n"
+        f"       CASE WHEN c{i} = n THEN 1 ELSE 0 END AS passed FROM m"
+        for i, (name, col, _) in enumerate(_EXPECTATIONS)
+    ]
+    arms.append(
+        "SELECT 'uniqueness', 'o_orderkey', (2 * 1000000 * uq + n) // (2 * n),"
+        " CASE WHEN uq = n THEN 1 ELSE 0 END FROM m"
+    )
+    arms.append(
+        "SELECT 'ref_integrity', 'o_custkey', (2 * 1000000 * ri_ok + n) // (2 * n),"
+        " CASE WHEN ri_ok = n THEN 1 ELSE 0 END FROM m"
+    )
+    union = "\n        UNION ALL ".join(arms)
+    return f"""
+    WITH m AS (
+        SELECT count(*) AS n,
+           {conds},
+           count(DISTINCT o_orderkey) AS uq,
+           count(c_custkey) AS ri_ok
+        FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+    )
+    SELECT check_name, col, metric_e6, passed FROM (
+        {union}
+    ) ORDER BY check_name
+    """
+
+
+@query("profile_expectations", oracle=_expectations_oracle())
+def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite — the Deequ /
+    Great-Expectations pattern (public designs; Schelter et al. VLDB'18
+    describe the Spark-native original): a spec list of named constraints
+    (completeness, set membership, value positivity, format pattern, date
+    range, key uniqueness, referential integrity against customer)
+    compiles into conditional counts inside ONE aggregate over a single
+    orders∪customer left join — adding a constraint adds a projection
+    expression, never a scan. That single-pass compilation is the whole
+    reason Deequ exists instead of running one query per rule, and it is
+    the same partial-merge shape as the reference's per-blob partials
+    (QueryOrchestration.cs:258-265): every conditional count merges
+    map-side at 100 TB.
+
+    The SAME `_EXPECTATIONS` spec generates the DuckDB oracle, so the
+    differential proves the compiled suite, not a transcription. Output
+    is one row per constraint with the satisfaction ratio in integer e6
+    (DIV-rounded — driver-proof BIGINT/STRING schema) and an EXACT pass
+    bit (satisfied rows == rows, not a rounded ratio, so a single bad
+    row fails the check even at 10^8 rows)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.count(F.when(F.expr(cond), 1)).alias(f"c{i}")
+        for i, (_, _, cond) in enumerate(_EXPECTATIONS)
+    ]
+    aggs.append(F.countDistinct("o_orderkey").alias("uq"))
+    aggs.append(F.count("c_custkey").alias("ri_ok"))
+    m = joined.agg(*aggs)
+
+    rows = [
+        (name, col, f"c{i}") for i, (name, col, _) in enumerate(_EXPECTATIONS)
+    ] + [("uniqueness", "o_orderkey", "uq"), ("ref_integrity", "o_custkey", "ri_ok")]
+    stack_args = ", ".join(
+        f"'{name}', '{col}', (2 * 1000000 * {c} + n) DIV (2 * n),"
+        f" CASE WHEN {c} = n THEN 1L ELSE 0L END"
+        for name, col, c in rows
+    )
+    return m.select(
+        F.expr(
+            f"stack({len(rows)}, {stack_args}) AS (check_name, col, metric_e6, passed)"
+        )
+    ).orderBy("check_name")

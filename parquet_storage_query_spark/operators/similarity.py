@@ -1118,14 +1118,14 @@ def _pq_sub_d2_duck(off: int, vexpr: str = "e.v") -> str:
     )
 
 
-def _pq_oracle() -> str:
-    """Replay the FULL PQ pipeline in DuckDB: 4 independent sub-quantizer
-    Lloyd's loops (unrolled CTEs, kmeans-oracle discipline: 4-decimal
-    centroid rounding per iteration, left-fold distances, first(j ORDER
-    BY d2, j) argmin ties), corpus encoding against the final codebooks,
-    per-probe ADC lookup tables (rounded 4), and the table-sum scoring.
-    Equality proves codebooks, codes, and ADC ranks all match bit-for-bit."""
-    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+def _pq_train_ctes() -> list[str]:
+    """CTEs replaying PQ training, encoding, and per-probe ADC tables in
+    DuckDB: 4 independent sub-quantizer Lloyd's loops (unrolled CTEs,
+    kmeans-oracle discipline: 4-decimal centroid rounding per iteration,
+    left-fold distances, first(j ORDER BY d2, j) argmin ties), corpus
+    encoding against the final codebooks, per-probe ADC lookup tables
+    (rounded 4). Shared by the flat-PQ and the IVF+PQ oracles."""
+    ctes = ["e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"]
     for s in range(PQ_S):
         off = s * PQ_SUBDIM
         d2 = _pq_sub_d2_duck(off)
@@ -1159,12 +1159,27 @@ def _pq_oracle() -> str:
                round({_pq_sub_d2_duck(off, 'q.v')}, 4) AS d
         FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERY_VECS}) q
         CROSS JOIN cb{s}_{PQ_ITERS} c)""")
+    return ctes
+
+
+def _pq_join_sql(cand: str, qid: str) -> tuple[str, str]:
+    """(joins, adc-sum) SQL wiring the enc/tab CTEs onto a candidate
+    relation alias and a probe-id expression — the ADC scoring text."""
     joins = " ".join(
-        f"JOIN enc{s} ON enc{s}.vec_id = n.vec_id "
-        f"JOIN tab{s} ON tab{s}.qid = q.vec_id AND tab{s}.j = enc{s}.j"
+        f"JOIN enc{s} ON enc{s}.vec_id = {cand}.vec_id "
+        f"JOIN tab{s} ON tab{s}.qid = {qid} AND tab{s}.j = enc{s}.j"
         for s in range(PQ_S)
     )
     adc = " + ".join(f"tab{s}.d" for s in range(PQ_S))
+    return joins, adc
+
+
+def _pq_oracle() -> str:
+    """Flat PQ over the whole corpus: train/encode/table CTEs + exhaustive
+    ADC scoring. Equality proves codebooks, codes, and ADC ranks match
+    bit-for-bit."""
+    ctes = _pq_train_ctes()
+    joins, adc = _pq_join_sql("n", "q.vec_id")
     return f"""
     WITH {', '.join(ctes)},
     scored AS (
@@ -1179,6 +1194,114 @@ def _pq_oracle() -> str:
         FROM scored)
     WHERE rk <= {TOP_K}
     """
+
+
+def _pq_dlit(x: float) -> str:
+    return repr(float(x)) + "D"
+
+
+def _pq_assign_expr(cb: list[list[float]], s: int) -> str:
+    """Sub-quantizer argmin as ONE SQL text over inlined codewords —
+    min (d2, j) struct = nearest codeword, lowest j on ties, matching
+    the oracle's first(j ORDER BY d2, j). Left-assoc aggregate fold ≙
+    DuckDB's list_reduce."""
+    off = s * PQ_SUBDIM
+    structs = ", ".join(
+        "named_struct('d', aggregate(zip_with(slice(v, %d, %d), array(%s), "
+        "(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 'c', %d)"
+        % (off + 1, PQ_SUBDIM, ", ".join(_pq_dlit(x) for x in c), j)
+        for j, c in enumerate(cb)
+    )
+    return f"array_min(array({structs}))"
+
+
+def _train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """4 sub-quantizer codebooks (PQ_K × PQ_SUBDIM doubles each), trained
+    by PQ_ITERS Lloyd's rounds per subspace: map-side assignment against
+    inlined codewords, per-round 4-decimal centroid rounding so both
+    engines re-enter each round from identical doubles. Session-memoized —
+    the model is ~2k floats and serves every PQ access path."""
+
+    def _train() -> list[list[list[float]]]:
+        e = load_parallel(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+        seeds = e.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+        codebooks: list[list[list[float]]] = [
+            [[float(x) for x in r["v"][s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]] for r in seeds]
+            for s in range(PQ_S)
+        ]
+        for s in range(PQ_S):
+            cb = codebooks[s]
+            off = s * PQ_SUBDIM
+            for _ in range(PQ_ITERS):
+                assigned = e.withColumn("a", F.expr(_pq_assign_expr(cb, s))).select(
+                    "vec_id", "v", F.col("a.c").alias("j")
+                )
+                rows = (
+                    assigned.select(
+                        "j", F.posexplode(F.slice("v", off + 1, PQ_SUBDIM)).alias("pos", "x")
+                    )
+                    .groupBy("j", "pos")
+                    .agg(F.round(F.avg("x"), 4).alias("m"))
+                    .collect()
+                )
+                by_j: dict[int, dict[int, float]] = {}
+                for r in rows:
+                    by_j.setdefault(int(r["j"]), {})[int(r["pos"])] = float(r["m"])
+                cb = [
+                    [by_j[j][d] for d in range(PQ_SUBDIM)] if j in by_j else cb[j]
+                    for j in range(PQ_K)
+                ]
+            codebooks[s] = cb
+        return codebooks
+
+    return session_memo(spark, sf_dir, "pq_codebooks", _train)
+
+
+def _pq_corpus_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE IVF-PQ inverted file as a DataFrame: (vec_id, cell, c0..c3) —
+    coarse IVF cell + 4 PQ codes per corpus vector, computed in ONE map
+    pass against inlined models (no join, no shuffle) and checkpointed
+    once per session. Flat PQ (sim_pq_topk) reads the code columns and
+    ignores `cell`; the IVF composition (sim_ivfpq_topk) prunes on it.
+    At 100 TB this table is what you persist instead of the vectors: 4×3
+    bits + a cell id per row (`write_ann_index`'s band layout shows the
+    partitioned-on-disk form)."""
+
+    def _build() -> DataFrame:
+        codebooks = _train_pq_codebooks(spark, sf_dir)
+        labels, cents, cent_norms = session_memo(
+            spark, sf_dir, "ivf_centroids", lambda: _train_centroids(spark, sf_dir)
+        )
+        e = load_parallel(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        ).withColumn("nv", l2_norm(F.col("v")))
+        negcs = _negcs_sql(labels, cents, cent_norms)
+        return (
+            e.withColumn("cell", F.expr(f"array_min({negcs}).lbl"))
+            .withColumns(
+                {f"c{s}": F.expr(_pq_assign_expr(codebooks[s], s) + ".c") for s in range(PQ_S)}
+            )
+            .select("vec_id", "cell", *[f"c{s}" for s in range(PQ_S)])
+            .localCheckpoint(eager=True)
+        )
+
+    return session_memo(spark, sf_dir, "pq_corpus_index", _build)
+
+
+def _pq_adc_term(qv: list[float], codebooks: list[list[list[float]]], s: int):
+    """One subspace's ADC lookup: the 8-entry table of squared distances
+    from the probe's sub-vector to each codeword (Python left fold —
+    matches list_reduce), indexed by the row's code column."""
+    off = s * PQ_SUBDIM
+    tab = []
+    for c in codebooks[s]:
+        t = 0.0
+        for i in range(PQ_SUBDIM):
+            t += (qv[off + i] - c[i]) * (qv[off + i] - c[i])
+        tab.append(round(t, 4))
+    return F.element_at(F.array(*[F.lit(x) for x in tab]), F.col(f"c{s}") + 1)
 
 
 @query("sim_pq_topk", oracle=_pq_oracle())
@@ -1201,58 +1324,16 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-computed ADC tables per probe (4×8 doubles each, rounded 4),
     scoring = 4 literal-array lookups + a left-assoc sum inside codegen.
     The DuckDB oracle replays training, encoding, tables, and ranking
-    end to end — the strongest hash check in the sim_* family."""
+    end to end — the strongest hash check in the sim_* family. The code
+    table is the shared `_pq_corpus_index` (session-memoized, also the
+    inverted file behind sim_ivfpq_topk — one index, two access paths);
+    flat PQ scores EVERY code row per probe, the IVF composition prunes
+    to probed cells first."""
+    codebooks = _train_pq_codebooks(spark, sf_dir)
+    codes = _pq_corpus_index(spark, sf_dir)
     e = load_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    seeds = e.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
-    codebooks: list[list[list[float]]] = [
-        [[float(x) for x in r["v"][s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]] for r in seeds]
-        for s in range(PQ_S)
-    ]
-
-    def dlit(x: float) -> str:
-        return repr(float(x)) + "D"
-
-    def assign_expr(cb: list[list[float]], s: int) -> str:
-        off = s * PQ_SUBDIM
-        structs = ", ".join(
-            "named_struct('d', aggregate(zip_with(slice(v, %d, %d), array(%s), "
-            "(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 'c', %d)"
-            % (off + 1, PQ_SUBDIM, ", ".join(dlit(x) for x in c), j)
-            for j, c in enumerate(cb)
-        )
-        return f"array_min(array({structs}))"
-
-    for s in range(PQ_S):
-        cb = codebooks[s]
-        off = s * PQ_SUBDIM
-        for _ in range(PQ_ITERS):
-            assigned = e.withColumn("a", F.expr(assign_expr(cb, s))).select(
-                "vec_id", "v", F.col("a.c").alias("j")
-            )
-            rows = (
-                assigned.select(
-                    "j", F.posexplode(F.slice("v", off + 1, PQ_SUBDIM)).alias("pos", "x")
-                )
-                .groupBy("j", "pos")
-                .agg(F.round(F.avg("x"), 4).alias("m"))
-                .collect()
-            )
-            by_j: dict[int, dict[int, float]] = {}
-            for r in rows:
-                by_j.setdefault(int(r["j"]), {})[int(r["pos"])] = float(r["m"])
-            cb = [
-                [by_j[j][d] for d in range(PQ_SUBDIM)] if j in by_j else cb[j]
-                for j in range(PQ_K)
-            ]
-        codebooks[s] = cb
-
-    # encode ONCE — the per-probe scoring arms below would otherwise each
-    # replay the corpus scan + 4 assignments (plan audit: 5 scans → 1)
-    codes = e.withColumns(
-        {f"c{s}": F.expr(assign_expr(codebooks[s], s) + ".c") for s in range(PQ_S)}
-    ).drop("v").localCheckpoint(eager=True)
     probes = e.filter(F.col("vec_id") < N_QUERY_VECS).orderBy("vec_id").collect()
     parts = []
     for r in probes:
@@ -1260,19 +1341,122 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv = [float(x) for x in r["v"]]
         adc = None
         for s in range(PQ_S):
-            off = s * PQ_SUBDIM
-            tab = []
-            for c in codebooks[s]:
-                t = 0.0
-                for i in range(PQ_SUBDIM):  # left fold — matches list_reduce
-                    t += (qv[off + i] - c[i]) * (qv[off + i] - c[i])
-                tab.append(round(t, 4))
-            term = F.element_at(
-                F.array(*[F.lit(x) for x in tab]), F.col(f"c{s}") + 1
-            )
+            term = _pq_adc_term(qv, codebooks, s)
             adc = term if adc is None else adc + term
         parts.append(
             codes.filter(F.col("vec_id") != qid).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(adc, 4).alias("adc_d2"),
+            )
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionAll(p)
+    w = W.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composition — the production ANN shape (FAISS IndexIVFPQ)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    """Compose the two replayed pipelines: the PQ train/encode/table CTEs
+    (shared with the flat-PQ oracle) plus the IVF centroid/assignment/
+    probe CTEs (same text as sim_ivf's oracle), then ADC-score ONLY
+    candidates whose cell is among the probe's N_PROBE nearest cells."""
+    ctes = _pq_train_ctes()
+    ctes.append(
+        f"cent AS (SELECT label AS clabel, [{_IVF_CENT_SQL}]::DOUBLE[] AS c "
+        "FROM e GROUP BY label)"
+    )
+    ctes.append(f"""
+    assigned AS (
+        SELECT e.vec_id,
+               first(clabel ORDER BY {_cos_sql('e.v', 'c')} DESC, clabel) AS cell
+        FROM e CROSS JOIN cent GROUP BY e.vec_id, e.v)""")
+    ctes.append(f"""
+    qprobes AS (
+        SELECT vec_id AS query_id, clabel AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY {_cos_sql('v', 'c')} DESC, clabel) AS crk
+        FROM e CROSS JOIN cent WHERE vec_id < {N_QUERY_VECS})""")
+    joins, adc = _pq_join_sql("a", "p.query_id")
+    return f"""
+    WITH {', '.join(ctes)},
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, round({adc}, 4) AS adc_d2
+        FROM (SELECT query_id, cell FROM qprobes WHERE crk <= {N_PROBE}) p
+        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        {joins})
+    SELECT query_id, neighbor_id, adc_d2, CAST(rk AS INT) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2 ASC, neighbor_id) AS rk
+        FROM scored)
+    WHERE rk <= {TOP_K}
+    """
+
+
+@query("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ — the composition real vector databases ship (FAISS
+    IndexIVFPQ; Jégou/Douze/Schmid TPAMI'11 "IVFADC"): the coarse
+    quantizer prunes the corpus to the probe's N_PROBE nearest cells
+    (N_PROBE/n_cells of the rows), then asymmetric-distance scoring reads
+    ONLY the 4×3-bit PQ codes of the survivors — the scan touches neither
+    the pruned cells nor any original vector. This corpus's PQ is trained
+    globally rather than on per-cell residuals: with only 10 cells the
+    residual rotation buys little, and tools/check_recall_at_scale.py
+    documents why residual training is the production refinement (PQ's
+    codebook must live in the geometry the cell confines it to).
+
+    Dataflow at 100 TB: both models are literals in the plan (10×64
+    centroid doubles, 4×8×16 codeword doubles); the shared
+    `_pq_corpus_index` (vec_id, cell, codes — the inverted file) is one
+    map pass, built once per session and reused by flat PQ; per-probe
+    search is a cell-membership filter + 4 table lookups per surviving
+    row, no shuffle until the |probed rows|-sized top-k window. The
+    DuckDB oracle replays coarse training, PQ training, encoding, cell
+    assignment, probe selection, ADC tables, and ranking end to end."""
+    codebooks = _train_pq_codebooks(spark, sf_dir)
+    index = _pq_corpus_index(spark, sf_dir)
+    labels, cents, cent_norms = session_memo(
+        spark, sf_dir, "ivf_centroids", lambda: _train_centroids(spark, sf_dir)
+    )
+    e = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    negcs = _negcs_sql(labels, cents, cent_norms)
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERY_VECS)
+        .withColumn("nv", l2_norm(F.col("v")))
+        .select(
+            "vec_id",
+            "v",
+            F.expr(
+                f"transform(slice(sort_array({negcs}), 1, {N_PROBE}), s -> s.lbl)"
+            ).alias("cells"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    parts = []
+    for r in probes:
+        qid = int(r["vec_id"])
+        qv = [float(x) for x in r["v"]]
+        cells = [int(c) for c in r["cells"]]
+        adc = None
+        for s in range(PQ_S):
+            term = _pq_adc_term(qv, codebooks, s)
+            adc = term if adc is None else adc + term
+        parts.append(
+            index.filter(F.col("cell").isin(cells) & (F.col("vec_id") != qid)).select(
                 F.lit(qid).cast("long").alias("query_id"),
                 F.col("vec_id").alias("neighbor_id"),
                 F.round(adc, 4).alias("adc_d2"),

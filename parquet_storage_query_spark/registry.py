@@ -83,6 +83,7 @@ _PRIORITY = [
     "sim_pq_topk",
     # -- round-6 third continuation: TPC-H completion (22/22) + new ops --
     "q11_important_stock", "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "profile_expectations", "sim_ivfpq_topk",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",

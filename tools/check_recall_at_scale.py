@@ -38,7 +38,14 @@ from parquet_storage_query_spark.session import get_spark
 # trains PQ within coarse cells for exactly this reason) — but it is a
 # property of the synthetic permutation scaling, not of the operator;
 # ivf/lsh are unaffected because their structures are per-vector.
-FLOORS = {"ivf": 0.5, "lsh": 0.4, "pq": 0.2}
+# IVF+PQ's floor is pinned at pq's: cell confinement can only LOSE
+# candidates vs flat PQ scoring everything, but with N_PROBE=4 of 10
+# cells the measured recall matches flat PQ on this corpus (the true
+# neighbors' cells are almost always probed — cell assignment uses the
+# full vector while PQ quantizes subspaces independently). Both PQ
+# floors are enforced on /root/testdata dirs and report-only on
+# permutation-scaled corpora.
+FLOORS = {"ivf": 0.5, "lsh": 0.4, "pq": 0.2, "ivfpq": 0.2}
 
 
 def topk_sets(df) -> dict[int, set[int]]:
@@ -105,16 +112,19 @@ def main() -> int:
         .filter(F.col("rk") <= TOP_K)
     )
     exact_l2_sets = topk_sets(exact_l2)
-    pq_sets = topk_sets(sim_pq_topk(spark, sf_dir))
     l2_total = sum(len(v) for v in exact_l2_sets.values())
-    hits = sum(len(pq_sets.get(qid, set()) & exact_l2_sets[qid]) for qid in exact_l2_sets)
-    recall = round(hits / l2_total, 4)
-    report["recall_at_5_pq"] = recall
-    report["floor_pq"] = FLOORS["pq"]
+    from parquet_storage_query_spark.operators.similarity import sim_ivfpq_topk
+
     pq_enforced = sf_dir.startswith("/root/testdata")
-    report["pq_floor_enforced"] = pq_enforced
-    if pq_enforced and recall < FLOORS["pq"]:
-        ok = False
+    for name, builder in (("pq", sim_pq_topk), ("ivfpq", sim_ivfpq_topk)):
+        approx = topk_sets(builder(spark, sf_dir))
+        hits = sum(len(approx.get(qid, set()) & exact_l2_sets[qid]) for qid in exact_l2_sets)
+        recall = round(hits / l2_total, 4)
+        report[f"recall_at_5_{name}"] = recall
+        report[f"floor_{name}"] = FLOORS[name]
+        report[f"{name}_floor_enforced"] = pq_enforced
+        if pq_enforced and recall < FLOORS[name]:
+            ok = False
 
     report["ok"] = ok
     line = json.dumps(report)
