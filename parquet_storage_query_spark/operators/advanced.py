@@ -2302,3 +2302,75 @@ def agg_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(k).cast("long").alias("k_rank"),
         "median_cents",
     )
+
+
+EWMA_WINDOW = 16  # days; halving decay → oldest weight 2^0, newest 2^15
+EWMA_DENOM = (1 << EWMA_WINDOW) - 1  # sum of the integer weights
+
+
+@query(
+    "timeseries_forecast_ewma",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+        FROM events GROUP BY 1, 2),
+    lastd AS (SELECT event_type, max(day) AS last_day FROM daily GROUP BY 1),
+    win AS (
+        SELECT d.event_type, l.last_day, d.x,
+               date_diff('day', d.day, l.last_day) AS lag
+        FROM daily d JOIN lastd l USING (event_type)
+        WHERE date_diff('day', d.day, l.last_day) <= {EWMA_WINDOW - 1})
+    SELECT event_type,
+           strftime(CAST(last_day AS DATE), '%Y-%m-%d') AS last_day,
+           count(*) AS n_days,
+           (2 * 1000000 * sum(x * (1 << ({EWMA_WINDOW - 1} - lag))) + {EWMA_DENOM})
+               // (2 * {EWMA_DENOM}) AS forecast_e6
+    FROM win GROUP BY event_type, last_day
+    ORDER BY event_type
+    """,
+)
+def timeseries_forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day volume forecast per event type by exponentially-weighted
+    moving average with halving decay (simple exponential smoothing,
+    alpha = 1/2, truncated at a 16-day window) — the baseline forecast
+    every capacity dashboard runs. The truncation is what makes the
+    operator SCALE-EXACT: the weights become the integer powers
+    2^0..2^15 over the window (a day absent from the series contributes
+    zero, which for a count series is its true value), the numerator is
+    a plain integer sum, and the display is the engine's standard
+    (2·10^6·N + D) DIV (2·D) round-half-up e6 ratio — no float state, so
+    executor merge order can never move the forecast, and no 2^T blowup
+    on an unboundedly long series (untruncated integer SES weights grow
+    with series length; sub-2^-16 weights are sub-ULP noise anyway).
+
+    Plan: one events scan into a (type, day) partial-merged count
+    (O(types×days) rows); the per-type anchor day is an aggregate of
+    THAT table; everything after operates on ≤ 16 rows per type. At
+    100 TB the only corpus-sized step is the first count — the same
+    single-shuffle shape as timeseries_gapfill."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    lastd = daily.groupBy("event_type").agg(F.max("day").alias("last_day"))
+    lag = F.datediff(F.col("last_day"), F.col("day"))
+    weight = F.expr(f"CAST(shiftleft(1, {EWMA_WINDOW - 1} - lag) AS BIGINT)")
+    return (
+        daily.join(lastd, "event_type")
+        .withColumn("lag", lag)
+        .filter(F.col("lag") <= EWMA_WINDOW - 1)
+        .groupBy("event_type", "last_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.col("x") * weight).alias("_n"),
+        )
+        .select(
+            "event_type",
+            F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+            "n_days",
+            F.expr(
+                f"(2 * 1000000 * _n + {EWMA_DENOM}) DIV (2 * {EWMA_DENOM})"
+            ).alias("forecast_e6"),
+        )
+        .orderBy("event_type")
+    )

@@ -429,3 +429,87 @@ def graph_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard_e6").desc(), "part_a", "part_b")
         .limit(25)
     )
+
+LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation: each round every node takes
+    its neighbors' MODE label (ties → smallest label), replayed in DuckDB
+    as a count + row_number pick per round. Integer labels and counts —
+    no float anywhere, so the unrolled replay is exact by construction."""
+    steps = []
+    for i in range(1, LPA_ITERS + 1):
+        steps.append(f"""l{i} AS (
+        SELECT doc, lbl FROM (
+            SELECT e.dst AS doc, p.lbl, count(*) AS c,
+                   row_number() OVER (PARTITION BY e.dst
+                                      ORDER BY count(*) DESC, p.lbl) AS rn
+            FROM sym e JOIN l{i - 1} p ON p.doc = e.src
+            GROUP BY e.dst, p.lbl)
+        WHERE rn = 1)""")
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_pairs_ctes()},
+    l0 AS (SELECT DISTINCT src AS doc, src AS lbl FROM sym),
+    {chain}
+    SELECT lbl AS community, count(*) AS n_docs
+    FROM l{LPA_ITERS}
+    GROUP BY lbl
+    ORDER BY n_docs DESC, community
+    LIMIT 50
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, the standard near-linear community algorithm) over the
+    near-dup graph: every node starts as its own community and each round
+    adopts the most common label among its neighbors (ties → smallest
+    label — the determinism rule that makes synchronous LPA replayable;
+    the textbook's random asynchronous order is not). After 4 rounds the
+    top-50 community census comes out. On a near-dup graph communities
+    are template families — same intent as dedup_clusters' connected
+    components but LOCAL-majority-driven, so a thin bridge edge between
+    two dense families does NOT merge them the way CC must (the reason
+    curation pipelines run both).
+
+    Scale shape: one round = one join of the symmetric edge list with the
+    |V|-row label table (src-keyed shuffle) + a (dst, lbl) partial-merged
+    count + an aggregate-sized argmax; the mode pick is max(struct(count,
+    -label)) — a partial-merge aggregate, no window over raw edges. Edges
+    are localCheckpoint-ed once (pagerank's pattern) so rounds reuse one
+    cached edge RDD. Labels are doc_ids (BIGINT): no float state between
+    rounds at any scale, so unlike pagerank no per-round rounding is even
+    needed for cross-engine exactness."""
+
+    def build() -> DataFrame:
+        from .dedup import dedup_minhash_lsh
+
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+            .localCheckpoint(eager=True)
+        )
+        labels = edges.select(F.col("src").alias("doc")).distinct().withColumn(
+            "lbl", F.col("doc")
+        )
+        for _ in range(LPA_ITERS):
+            labels = (
+                edges.join(labels, edges.src == labels.doc)
+                .groupBy(F.col("dst"), F.col("lbl"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("dst")
+                .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
+                .select(F.col("dst").alias("doc"), (-F.col("m.nl")).alias("lbl"))
+            )
+        return (
+            labels.groupBy(F.col("lbl").alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.col("n_docs").desc(), "community")
+            .limit(50)
+        )
+
+    return session_memo(spark, sf_dir, "graph_label_propagation", build)

@@ -809,3 +809,75 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pngs.mapInPandas(
         ahash, schema="doc_id long, ahash_hi long, ahash_lo long, n_bits long"
     )
+
+
+WAV_FRAME = 100  # samples per analysis frame
+
+
+@query(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, {WAV_N_BASE} + doc_id % {WAV_N_MOD} AS n
+        FROM documents),
+    sm AS (
+        SELECT doc_id,
+               (doc_id * {WAV_A} + {WAV_B} * t.k) % 4001 - 2000 AS s,
+               t.k // {WAV_FRAME} AS win
+        FROM dims, unnest(range(n)) AS t(k)),
+    wins AS (SELECT doc_id, win, sum(s * s) AS energy FROM sm GROUP BY 1, 2)
+    SELECT doc_id,
+           count(*) AS n_frames,
+           CAST(min(energy) AS BIGINT) AS min_energy,
+           CAST(max(energy) AS BIGINT) AS peak_energy,
+           CAST(first(win ORDER BY energy DESC, win) AS BIGINT) AS peak_frame,
+           CAST(sum(energy) AS BIGINT) AS total_energy
+    FROM wins GROUP BY doc_id
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio energy profile — the framing step every speech /
+    VAD / silence-trimming pipeline runs before anything model-shaped:
+    each decoded clip is cut into fixed 100-sample frames and per-frame
+    energy (Σ s², exact int64) rolls up to clip-level loudness features:
+    frame count, min/peak frame energy, WHICH frame peaks (first-frame
+    tie rule = numpy argmax = the oracle's ORDER BY energy DESC, win),
+    total energy. Real decode (the RIFF/PCM16 parser), real framing
+    (np.add.reduceat over frame boundaries, ragged tail frame included);
+    the DuckDB oracle replays the decoded waveform's framed energies in
+    closed form from doc_id — a frame-boundary off-by-one or a partial
+    tail dropped breaks the hash. All-integer output (driver-proof).
+
+    Scale: embarrassingly parallel mapInPandas over the clip table, no
+    shuffle — the per-clip feature row is the only thing that leaves the
+    executor, exactly how a 100 TB audio corpus wants it."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_wav_fixture(spark, sf_dir))
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, wav in zip(pdf["doc_id"], pdf["wav"]):
+                _rate, _ch, samples = decode_audio(bytes(wav))
+                arr = np.asarray(samples, dtype=np.int64)
+                sq = arr * arr
+                bounds = np.arange(0, len(arr), WAV_FRAME)
+                energy = np.add.reduceat(sq, bounds)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_frames": len(energy),
+                        "min_energy": int(energy.min()),
+                        "peak_energy": int(energy.max()),
+                        "peak_frame": int(np.argmax(energy)),
+                        "total_energy": int(energy.sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        frames,
+        schema="doc_id long, n_frames long, min_energy long, peak_energy long, "
+        "peak_frame long, total_energy long",
+    )
