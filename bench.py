@@ -45,6 +45,9 @@ HEADLINE = [
     "q13_customer_distribution",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "q11_important_stock",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
     "join_star_revenue",
     "join_asof",
     "join_bloom_prefilter",
@@ -77,6 +80,10 @@ HEADLINE = [
     "sim_maxsim_topk",
     "sim_persisted_topk",
     "sim_pq_topk",
+    # after sim_pq_topk: codebooks + the (cell, codes) inverted file are
+    # the shared memoized model (pq_codebook_train metric), so IVF+PQ
+    # times the marginal probe-pruned ADC search
+    "sim_ivfpq_topk",
     # after sim_ivf_topk: the shared centroid model trains there (its
     # index_build metric, same attribution as r4), so semantic shows its
     # marginal cell/compare cost
@@ -96,6 +103,7 @@ HEADLINE = [
     "train_curriculum",
     "profile_drift_psi",
     "profile_outlier_mad",
+    "profile_expectations",
     "events_transition_matrix",
     "events_funnel",
     "events_attribution",
@@ -109,15 +117,19 @@ HEADLINE = [
     # these time the marginal triangle/histogram work, not the LSH pipeline
     "graph_triangle_count",
     "graph_degree_histogram",
+    "graph_label_propagation",
     "graph_common_neighbors",
     "graph_jaccard_edges",
     "timeseries_locf",
     "timeseries_ohlc",
+    "timeseries_forecast_ewma",
     "join_interval_bucketed",
     "events_running_distinct",
     "events_rfm_bands",
     "events_error_bursts",
     "events_streaks",
+    "events_activity_heatmap",
+    "text_novelty_curve",
     "dedup_fuzzy_levenshtein",
     "dedup_simhash_pairs",
     "profile_benford",
@@ -136,6 +148,9 @@ HEADLINE = [
     "mm_decode_png",
     "mm_image_ahash",
     "mm_decode_wav",
+    # after mm_decode_wav: the WAV fixture build lands on wav_fixture_build,
+    # so the framing op times decode + reduceat only
+    "mm_audio_energy",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

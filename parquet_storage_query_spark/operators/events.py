@@ -1202,3 +1202,53 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = r.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("streak"))
     m = s.groupBy("user_id").agg(F.max("streak").alias("best_streak"))
     return m.groupBy("best_streak").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "events_activity_heatmap",
+    oracle="""
+    WITH census AS (
+        SELECT date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) % 7 AS dow,
+               hour(ts) AS hour,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+    tot AS (SELECT sum(n_events) AS n FROM census)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n_events,
+           (2 * 1000000 * n_events + n) // (2 * n) AS share_e6
+    FROM census, tot
+    ORDER BY dow, hour
+    """,
+)
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly activity heatmap: the (day-of-week × hour) event census with
+    global share — the seasonality grid behind every ops dashboard and
+    the input to load-aware batch scheduling.
+
+    The day-of-week is deliberately NOT the engines' dayofweek(): Spark
+    counts 1=Sunday, DuckDB 0=Sunday, ISO weeks differ again — the exact
+    cross-engine trap the differential fuzzer's 7th grammar excludes by
+    construction. Instead dow = days-since-a-known-Monday mod 7
+    (0=Monday), pure integer date arithmetic with one convention on both
+    engines — the portable form a multi-engine lakehouse should use
+    anyway. One partial-merged aggregate over the scan into a ≤168-row
+    grid; the global total is a 1-row aggregate of THAT grid broadcast
+    back as a cross join; share is the engine's DIV-rounded e6 integer.
+    Nothing after the first aggregate touches corpus-sized data."""
+    ev = load(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.date_trunc("day", "ts"), F.to_date(F.lit("2024-01-01"))) % 7
+    ).cast("long")
+    census = ev.groupBy(
+        dow.alias("dow"), F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = census.agg(F.sum("n_events").alias("n"))
+    return (
+        census.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            F.expr("(2 * 1000000 * n_events + n) DIV (2 * n)").alias("share_e6"),
+        )
+        .orderBy("dow", "hour")
+    )

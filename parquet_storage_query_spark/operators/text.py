@@ -1276,3 +1276,81 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_e6").desc(), "doc_id")
         .limit(20)
     )
+
+
+def _novelty_oracle() -> str:
+    from .dedup import md5_i64_duck
+
+    h = md5_i64_duck("g")
+    return f"""
+    WITH ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
+                       trim(text) AS t
+                FROM documents),
+    gr AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3
+                       THEN list_transform(range(1, len(w) - 1),
+                                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       ELSE [t] END AS grams
+           FROM ws),
+    hx AS (SELECT doc_id,
+                  list_distinct(list_transform(grams, g -> {h})) AS hs
+           FROM gr),
+    pairs AS (SELECT doc_id, u.h FROM hx, unnest(hs) AS u(h)),
+    fst AS (SELECT h, min(doc_id) AS first_doc FROM pairs GROUP BY h)
+    SELECT p.doc_id,
+           count(*) AS n_shingles,
+           count(*) FILTER (p.doc_id = f.first_doc) AS n_novel,
+           (2 * 1000000 * count(*) FILTER (p.doc_id = f.first_doc) + count(*))
+               // (2 * count(*)) AS novelty_e6
+    FROM pairs p JOIN fst f USING (h)
+    GROUP BY p.doc_id
+    ORDER BY doc_id
+    """
+
+
+@query("text_novelty_curve", oracle=_novelty_oracle())
+def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle NOVELTY against everything that arrived before
+    it (arrival order = doc_id): the fraction of a doc's distinct 3-word
+    shingles whose FIRST corpus occurrence is this doc. Data-curation
+    pipelines plot exactly this curve to decide when a source is mined
+    out — novelty decaying toward 0 means each new batch repeats the
+    corpus (the scaling-laws dedup literature's "fresh tokens" measure);
+    it is the streaming-order complement of the pairwise dedup family
+    (which asks WHO duplicates whom, not WHEN repetition sets in).
+
+    Scale shape: shingles hash to int64 (md5_i64, the engine's shared
+    cross-engine base hash) BEFORE leaving the row, so the single
+    shingle-keyed shuffle moves fixed-width ints, never strings. First
+    occurrence = min(doc_id) per shingle hash — a window over the
+    shingle partitioning, then one doc-keyed partial-merge census. Both
+    shuffles are linear in corpus shingle count; nothing quadratic
+    (novelty needs no pair enumeration — the min is the whole trick).
+    Output integer-only (driver-proof e6 ratio)."""
+    from pyspark.sql import Window as W
+
+    from .dedup import shingle_hashes, shingles_col
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingle_hashes(shingles_col()))).alias("h"),
+    )
+    first = pairs.withColumn("first_doc", F.min("doc_id").over(W.partitionBy("h")))
+    novel = F.count(F.when(F.col("doc_id") == F.col("first_doc"), 1))
+    return (
+        first.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr(
+                "(2 * 1000000 * n_novel + n_shingles) DIV (2 * n_shingles)"
+            ).alias("novelty_e6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -84,7 +84,8 @@ _PRIORITY = [
     # -- round-6 third continuation: TPC-H completion (22/22) + new ops --
     "q11_important_stock", "q20_dominant_suppliers", "q21_waiting_suppliers",
     "profile_expectations", "sim_ivfpq_topk", "graph_label_propagation",
-    "timeseries_forecast_ewma", "mm_audio_energy",
+    "timeseries_forecast_ewma", "mm_audio_energy", "text_novelty_curve",
+    "events_activity_heatmap",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
