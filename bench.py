@@ -120,9 +120,11 @@ HEADLINE = [
     "graph_label_propagation",
     "graph_common_neighbors",
     "graph_jaccard_edges",
+    "graph_kcore",
     "timeseries_locf",
     "timeseries_ohlc",
     "timeseries_forecast_ewma",
+    "timeseries_trend_ols",
     "join_interval_bucketed",
     "events_running_distinct",
     "events_rfm_bands",
@@ -133,6 +135,7 @@ HEADLINE = [
     "dedup_fuzzy_levenshtein",
     "dedup_simhash_pairs",
     "profile_benford",
+    "profile_gini_concentration",
     "text_collocations_pmi",
     # index first, search second: the shared posting build lands on the
     # index metric, search/BM25 time the marginal posting-read serve
@@ -147,6 +150,9 @@ HEADLINE = [
     "source_jsonl_roundtrip",
     "mm_decode_png",
     "mm_image_ahash",
+    # after mm_decode_png: the PNG fixture is the shared committed
+    # artifact, so the histogram times decode + bincount partials only
+    "mm_image_histogram",
     "mm_decode_wav",
     # after mm_decode_wav: the WAV fixture build lands on wav_fixture_build,
     # so the framing op times decode + reduceat only

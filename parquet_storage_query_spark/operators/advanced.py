@@ -2374,3 +2374,100 @@ def timeseries_forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "timeseries_trend_ols",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+               count(*) AS y
+        FROM events GROUP BY 1, 2),
+    s AS (
+        SELECT event_type, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM daily GROUP BY 1),
+    f AS (
+        SELECT event_type, n, sy,
+               (n * sxy - sx * sy)::HUGEINT AS num_s,
+               (n * sxx - sx * sx)::HUGEINT AS den,
+               (n * syy - sy * sy)::HUGEINT AS ss_y,
+               sx::HUGEINT AS sxd
+        FROM s)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(sy AS BIGINT) AS total,
+           CASE WHEN den = 0 THEN NULL ELSE
+               (CASE WHEN num_s < 0 THEN -1 ELSE 1 END)
+               * CAST((2000000 * abs(num_s) + den) // (2 * den) AS BIGINT) END
+               AS slope_e6,
+           CASE WHEN den = 0 THEN NULL ELSE
+               (CASE WHEN sy * den - num_s * sxd < 0 THEN -1 ELSE 1 END)
+               * CAST((2000000 * abs(sy * den - num_s * sxd) + n * den)
+                      // (2 * n * den) AS BIGINT) END AS intercept_e6,
+           CASE WHEN den = 0 OR ss_y = 0 THEN NULL ELSE
+               CAST((2000000 * num_s * num_s + den * ss_y)
+                    // (2 * den * ss_y) AS BIGINT) END AS r2_e6
+    FROM f ORDER BY event_type
+    """,
+)
+def timeseries_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear trend by ordinary least squares over the daily
+    count series — "is this event type growing, and how fast" — with the
+    fit quality (R²) alongside: the workhorse behind every capacity
+    trend line and anomaly baseline.
+
+    OLS is a DISTRIBUTIVE aggregate — slope and intercept are rational
+    functions of (n, Σx, Σy, Σxy, Σx², Σy²), all mergeable partials — so
+    the fit costs one (type, day) count shuffle plus an O(types) second
+    aggregate; no iteration, no solver. Exactness discipline: day index
+    and counts are integers, every moment is an exact integer sum, and
+    the three readouts are signed round-half-up e6 integer divisions in
+    DECIMAL(38,0)/HUGEINT (numerators like Σy·D − numₛ·Σx pass 10¹⁸ at
+    30× — the A/B-z² headroom rule), with the sign split out of the DIV
+    because the engines' integer divisions disagree on negative operands
+    (the documented convention from events_ab_lift). Degenerate series
+    (one day, or constant counts for R²) yield NULL on both engines."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("day", "ts"), F.to_date(F.lit("2024-01-01"))).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    f = s.select(
+        "event_type",
+        "n",
+        "sy",
+        F.expr("CAST(n * sxy - sx * sy AS DECIMAL(38,0))").alias("num_s"),
+        F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").alias("den"),
+        F.expr("CAST(n * syy - sy * sy AS DECIMAL(38,0))").alias("ss_y"),
+        F.expr("CAST(sx AS DECIMAL(38,0))").alias("sxd"),
+    )
+    return f.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sy").cast("long").alias("total"),
+        F.expr(
+            """CASE WHEN den = 0 THEN NULL ELSE
+               (CASE WHEN num_s < 0 THEN -1L ELSE 1L END)
+               * CAST((2000000 * abs(num_s) + den) DIV (2 * den) AS BIGINT) END"""
+        ).alias("slope_e6"),
+        F.expr(
+            """CASE WHEN den = 0 THEN NULL ELSE
+               (CASE WHEN sy * den - num_s * sxd < 0 THEN -1L ELSE 1L END)
+               * CAST((2000000 * abs(sy * den - num_s * sxd) + n * den)
+                      DIV (2 * n * den) AS BIGINT) END"""
+        ).alias("intercept_e6"),
+        F.expr(
+            """CASE WHEN den = 0 OR ss_y = 0 THEN NULL ELSE
+               CAST((2000000 * num_s * num_s + den * ss_y)
+                    DIV (2 * den * ss_y) AS BIGINT) END"""
+        ).alias("r2_e6"),
+    ).orderBy("event_type")

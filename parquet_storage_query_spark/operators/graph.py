@@ -513,3 +513,93 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return session_memo(spark, sf_dir, "graph_label_propagation", build)
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling: each round drops nodes of degree < K and the
+    edges touching them; the census row per round is the convergence
+    trace (fixed point reached when two consecutive rows match)."""
+    ctes = [f"e0 AS (SELECT src, dst FROM sym)"]
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"d{i} AS (SELECT src, count(*) AS d FROM e{i - 1} GROUP BY src)"
+        )
+        ctes.append(f"k{i} AS (SELECT src FROM d{i} WHERE d >= {KCORE_K})")
+        ctes.append(
+            f"e{i} AS (SELECT e.src, e.dst FROM e{i - 1} e "
+            f"JOIN k{i} a ON a.src = e.src JOIN k{i} b ON b.src = e.dst)"
+        )
+    arms = "\n        UNION ALL ".join(
+        f"SELECT {i} AS round, (SELECT count(DISTINCT src) FROM e{i}) AS n_nodes, "
+        f"(SELECT count(*) FROM e{i}) // 2 AS n_edges"
+        for i in range(KCORE_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_pairs_ctes()},
+    {', '.join(ctes)}
+    SELECT CAST(round AS BIGINT) AS round, n_nodes, n_edges FROM (
+        {arms}
+    ) ORDER BY round
+    """
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k=3) of the near-dup graph by iterative
+    peeling — strip nodes with fewer than 3 surviving neighbors until a
+    fixed point; what remains is the graph's DENSE core (for a near-dup
+    graph: the heavily-templated families worth a human look, with the
+    loose chains and stray pairs peeled away). The per-round census
+    (nodes, edges remaining) is the output — the convergence trace
+    itself, which is also how you read off whether ROUNDS sufficed
+    (two equal consecutive rows = fixed point; this corpus's clique-like
+    components converge in 1-2 rounds at every SF).
+
+    Scale shape: a peel round = one degree aggregate (src-keyed
+    partial-merge) + two semi-joins of the edge list against the ≥k node
+    set — all linear keyed shuffles; each round's edge list is
+    localCheckpoint-ed so round r+1 scans a cached RDD instead of
+    replaying rounds 1..r (pagerank's iteration discipline). Census rows
+    are 1-row aggregates unioned after the loop. Integer-only output."""
+
+    def build() -> DataFrame:
+        from .dedup import dedup_minhash_lsh
+
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+            .localCheckpoint(eager=True)
+        )
+        census = []
+        cur = edges
+        for i in range(KCORE_ROUNDS + 1):
+            census.append(
+                cur.agg(
+                    F.countDistinct("src").alias("n_nodes"),
+                    (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+                ).select(F.lit(i).cast("long").alias("round"), "n_nodes", "n_edges")
+            )
+            if i == KCORE_ROUNDS:
+                break
+            keep = (
+                cur.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= KCORE_K)
+                .select("src")
+            )
+            cur = (
+                cur.join(keep, "src", "left_semi")
+                .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+        out = census[0]
+        for c in census[1:]:
+            out = out.unionAll(c)
+        return out.orderBy("round")
+
+    return session_memo(spark, sf_dir, "graph_kcore", build)

@@ -881,3 +881,71 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_frames long, min_energy long, peak_energy long, "
         "peak_frame long, total_energy long",
     )
+
+
+@query(
+    "mm_image_histogram",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {PNG_BASE} + doc_id % {PNG_W_MOD} AS w,
+               {PNG_BASE} + doc_id % {PNG_H_MOD} AS h
+        FROM documents),
+    lum AS (
+        SELECT ((doc_id * {PNG_A} + {PNG_B} * (3 * t.p)) % 256
+                + (doc_id * {PNG_A} + {PNG_B} * (3 * t.p + 1)) % 256
+                + (doc_id * {PNG_A} + {PNG_B} * (3 * t.p + 2)) % 256) // 3 AS y
+        FROM dims, unnest(range(w * h)) AS t(p)),
+    hist AS (SELECT y // 16 AS bucket, count(*) AS n_px FROM lum GROUP BY 1),
+    tot AS (SELECT sum(n_px) AS n FROM hist)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_px AS BIGINT) AS n_px,
+           (2 * 1000000 * n_px + n) // (2 * n) AS share_e6
+    FROM hist, tot
+    ORDER BY bucket
+    """,
+)
+def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide luminance exposure histogram over REAL decoded PNGs —
+    the decode → per-item feature → corpus rollup pipeline in one query
+    (the shape of every dataset-level image audit: exposure balance,
+    dead-pixel screening, domain shift between image sources). Each image
+    decodes in Arrow-batched mapInPandas (the stdlib zlib/unfilter
+    decoder), per-pixel integer luminance (R+G+B)//3 buckets into 16
+    bins VECTORIZED (np.bincount per image), and each image emits only
+    its 16-row partial — the executor-to-shuffle traffic is 16 ints per
+    image regardless of resolution, which is the whole design at 100 TB.
+    One bucket-keyed partial-merge aggregate finishes; global share uses
+    the DIV e6 integer policy. The DuckDB oracle replays the DECODED
+    per-pixel luminance from the fixture's closed form — an off-by-one
+    in channel interleave, integer-mean truncation, or bucketing breaks
+    the hash."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_png_fixture(spark, sf_dir))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc = np.zeros(16, dtype=np.int64)
+            for png in pdf["png"]:
+                _w, _h, ch, px = decode_image(bytes(png))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                y = (arr[0::ch] + arr[1::ch] + arr[2::ch]) // 3
+                acc += np.bincount(y >> 4, minlength=16)
+            yield pd.DataFrame({"bucket": np.arange(16), "n_px": acc})
+
+    hist = (
+        src.mapInPandas(partials, schema="bucket long, n_px long")
+        .groupBy("bucket")
+        .agg(F.sum("n_px").alias("n_px"))
+        .filter(F.col("n_px") > 0)
+    )
+    tot = hist.agg(F.sum("n_px").alias("n"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_px",
+            F.expr("(2 * 1000000 * n_px + n) DIV (2 * n)").alias("share_e6"),
+        )
+        .orderBy("bucket")
+    )

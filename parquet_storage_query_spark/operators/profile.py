@@ -697,3 +697,109 @@ def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(rows)}, {stack_args}) AS (check_name, col, metric_e6, passed)"
         )
     ).orderBy("check_name")
+
+
+_GINI_BUCKETS = 32
+
+
+@query(
+    "profile_gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1),
+    r AS (SELECT cents,
+                 row_number() OVER (ORDER BY cents, o_custkey) AS rn
+          FROM rev),
+    agg AS (SELECT count(*) AS n, sum(cents)::HUGEINT AS tot,
+                   sum(rn::HUGEINT * cents) AS s1
+            FROM r),
+    tops AS (SELECT sum(CASE WHEN rn > n - (n + 99) // 100 THEN cents END)::HUGEINT AS t1,
+                    sum(CASE WHEN rn > n - (n + 9) // 10 THEN cents END)::HUGEINT AS t10
+             FROM r, agg)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(tot AS BIGINT) AS total_cents,
+           CAST((2000000 * (2 * s1 - (n + 1) * tot) + n * tot)
+                // (2 * n * tot) AS BIGINT) AS gini_e6,
+           CAST((2000000 * t1 + tot) // (2 * tot) AS BIGINT) AS top1_share_e6,
+           CAST((2000000 * t10 + tot) // (2 * tot) AS BIGINT) AS top10_share_e6
+    FROM agg, tops
+    """,
+)
+def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration audit: exact Gini coefficient plus top-1% /
+    top-10% revenue shares across customers — the whale-dependence
+    numbers every marketplace health review and every training-data
+    source-balance audit wants (swap customers for domains and cents for
+    tokens and this is "how concentrated is my corpus").
+
+    Gini needs a GLOBAL value-ordered rank (G = (2·Σ rank·y − (n+1)·Σy)
+    / (n·Σy)), and a global ORDER BY window is the one shape that cannot
+    scale (Exchange SinglePartition). This reuses window_global_prefix's
+    two-phase decomposition, but bucketed by VALUE instead of key — the
+    bucket id is pure arithmetic (cents DIV span, span from a 1-row max
+    aggregate), which is ORDER-CONSISTENT: equal values land in one
+    bucket, so (bucket, cents, custkey) is the same total order as
+    (cents, custkey). Per-bucket ranks + B collected (count) offsets
+    give exact global ranks with O(B) driver state; Σ rank·y folds in
+    the same pass. All sums are integer cents lifted to DECIMAL(38,0)/
+    HUGEINT for the e6 readouts (Σ rank·cents passes 10¹⁸ well before
+    10⁹ customers — the documented headroom rule)."""
+    from ..cache import session_memo
+
+    def _rev() -> DataFrame:
+        return (
+            load(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                    "cents"
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    rev = session_memo(spark, sf_dir, "gini_revenue_view", _rev)
+    max_cents = int(rev.agg(F.max("cents")).collect()[0][0])
+    span = max(1, -(-(max_cents + 1) // _GINI_BUCKETS))
+    bucketed = rev.withColumn("bucket", (F.col("cents") / span).cast("long"))
+    w = W.partitionBy("bucket").orderBy("cents", "o_custkey")
+    local = bucketed.select(
+        "cents", "bucket", F.row_number().over(w).cast("long").alias("rn_local")
+    )
+    totals = sorted(
+        bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect(),
+        key=lambda r: r["bucket"],
+    )
+    off, offsets = 0, []
+    for r in totals:
+        offsets.append((int(r["bucket"]), off))
+        off += int(r["n"])
+    off_df = spark.createDataFrame(offsets, "bucket long, off_n long")
+    ranked = local.join(F.broadcast(off_df), "bucket").select(
+        "cents", (F.col("rn_local") + F.col("off_n")).alias("rn")
+    )
+    n = off  # exact row count, already folded on the driver (B partials)
+    k1, k10 = (n + 99) // 100, (n + 9) // 10
+    agg = ranked.agg(
+        F.sum("cents").alias("tot"),
+        F.sum(F.expr("CAST(rn AS DECIMAL(38,0)) * cents")).alias("s1"),
+        F.sum(F.when(F.col("rn") > n - k1, F.col("cents"))).alias("t1"),
+        F.sum(F.when(F.col("rn") > n - k10, F.col("cents"))).alias("t10"),
+    )
+    return agg.select(
+        F.lit(n).cast("long").alias("n_customers"),
+        F.col("tot").cast("long").alias("total_cents"),
+        F.expr(
+            f"CAST((2000000 * (2 * s1 - ({n} + 1) * CAST(tot AS DECIMAL(38,0)))"
+            f" + {n} * CAST(tot AS DECIMAL(38,0)))"
+            f" DIV (2 * {n} * CAST(tot AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("gini_e6"),
+        F.expr(
+            "CAST((2000000 * CAST(t1 AS DECIMAL(38,0)) + tot) DIV (2 * CAST(tot AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("top1_share_e6"),
+        F.expr(
+            "CAST((2000000 * CAST(t10 AS DECIMAL(38,0)) + tot) DIV (2 * CAST(tot AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("top10_share_e6"),
+    )
