@@ -125,6 +125,7 @@ HEADLINE = [
     "timeseries_ohlc",
     "timeseries_forecast_ewma",
     "timeseries_trend_ols",
+    "timeseries_seasonality",
     "join_interval_bucketed",
     "events_running_distinct",
     "events_rfm_bands",
@@ -132,6 +133,7 @@ HEADLINE = [
     "events_streaks",
     "events_activity_heatmap",
     "text_novelty_curve",
+    "text_vocab_growth",
     "dedup_fuzzy_levenshtein",
     "dedup_simhash_pairs",
     "profile_benford",
@@ -157,6 +159,7 @@ HEADLINE = [
     # after mm_decode_wav: the WAV fixture build lands on wav_fixture_build,
     # so the framing op times decode + reduceat only
     "mm_audio_energy",
+    "mm_audio_vad",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

@@ -2471,3 +2471,90 @@ def timeseries_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
                     DIV (2 * den * ss_y) AS BIGINT) END"""
         ).alias("r2_e6"),
     ).orderBy("event_type")
+
+
+@query(
+    "timeseries_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+    ext AS (SELECT min(x) AS lo, max(x) AS hi FROM daily),
+    grid AS (
+        SELECT t.w AS dow,
+               CASE WHEN lo + ((t.w - lo) % 7 + 7) % 7 > hi THEN 0
+                    ELSE (hi - (lo + ((t.w - lo) % 7 + 7) % 7)) // 7 + 1
+               END AS n_days,
+               hi - lo + 1 AS span_days
+        FROM ext, unnest(range(7)) AS t(w)),
+    census AS (
+        SELECT event_type, x % 7 AS dow, sum(n) AS n_events
+        FROM daily GROUP BY 1, 2),
+    tot AS (SELECT event_type, sum(n_events) AS total FROM census GROUP BY 1)
+    SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow,
+           CAST(c.n_events AS BIGINT) AS n_events,
+           CAST(g.n_days AS BIGINT) AS n_days,
+           CAST((2000000 * c.n_events::HUGEINT * g.span_days
+                 + g.n_days * t.total)
+                // (2 * g.n_days * t.total::HUGEINT) AS BIGINT) AS index_e6
+    FROM census c JOIN grid g USING (dow) JOIN tot t USING (event_type)
+    ORDER BY event_type, dow
+    """,
+)
+def timeseries_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices per event type — the multiplicative
+    seasonality table (index 1.0 = an average day, e6 integer units)
+    that turns the EWMA level forecast into a calendar-aware one and
+    tells every capacity planner which weekday carries the load. The
+    denominator is CALENDAR-correct: each dow's mean divides by how many
+    of that weekday actually fall inside the observed [min_day, max_day]
+    span (a 45-day window does not hold equal counts of each weekday),
+    and the day-count comes from pure arithmetic on the span endpoints —
+    no calendar grid is ever materialized on either engine.
+
+    Scale shape: ONE (type, day) count shuffle (partial-merged), then
+    O(types×7) rollups; the span endpoints are a 1-row aggregate
+    collected as two scalars and the 7-row dow grid is computed on the
+    driver and broadcast. Weekday convention: days-since-Monday-epoch
+    mod 7 (2024-01-01 is a Monday), the events_activity_heatmap
+    convention that sidesteps the engines' dayofweek() trap. The index
+    display is the round-half-up e6 integer DIV in DECIMAL(38,0) —
+    driver-proof integer/string cells only."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts"), F.to_date(F.lit("2024-01-01"))
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = daily.localCheckpoint(eager=True)  # shared by ext + census
+    r = daily.agg(F.min("x").alias("lo"), F.max("x").alias("hi")).collect()[0]
+    lo, hi = int(r["lo"]), int(r["hi"])
+    span = hi - lo + 1
+    grid = []
+    for wday in range(7):
+        first = lo + ((wday - lo) % 7 + 7) % 7
+        grid.append((wday, 0 if first > hi else (hi - first) // 7 + 1))
+    grid_df = spark.createDataFrame(grid, "dow long, n_days long")
+    census = daily.groupBy(
+        "event_type", (F.col("x") % 7).alias("dow")
+    ).agg(F.sum("n").alias("n_events"))
+    tot = census.groupBy("event_type").agg(F.sum("n_events").alias("total"))
+    return (
+        census.join(F.broadcast(grid_df), "dow")
+        .join(tot, "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "n_days",
+            F.expr(
+                f"CAST((2000000 * CAST(n_events AS DECIMAL(38,0)) * {span}"
+                " + n_days * total)"
+                " DIV (2 * n_days * CAST(total AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("index_e6"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -949,3 +949,102 @@ def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Frame-energy threshold for voice-activity detection: the fixture's
+# samples are ~uniform over [-2000, 2000] (E[s^2] per 100-sample frame
+# ~1.33e8), so this splits frames into active/silent non-degenerately.
+VAD_THRESHOLD = 133_000_000
+
+
+@query(
+    "mm_audio_vad",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, {WAV_N_BASE} + doc_id % {WAV_N_MOD} AS n
+        FROM documents),
+    sm AS (
+        SELECT doc_id,
+               (doc_id * {WAV_A} + {WAV_B} * t.k) % 4001 - 2000 AS s,
+               t.k // {WAV_FRAME} AS win
+        FROM dims, unnest(range(n)) AS t(k)),
+    wins AS (SELECT doc_id, win, sum(s * s) AS energy FROM sm GROUP BY 1, 2),
+    act AS (
+        SELECT doc_id, win,
+               win - row_number() OVER (PARTITION BY doc_id ORDER BY win)
+                   AS grp
+        FROM wins WHERE energy > {VAD_THRESHOLD}),
+    runs AS (SELECT doc_id, count(*) AS run_len
+             FROM act GROUP BY doc_id, grp),
+    per AS (SELECT doc_id, count(*) AS n_segments, sum(run_len) AS n_active,
+                   max(run_len) AS longest_run
+            FROM runs GROUP BY doc_id),
+    frames AS (SELECT doc_id, count(*) AS n_frames FROM wins GROUP BY doc_id)
+    SELECT f.doc_id, f.n_frames,
+           coalesce(p.n_active, 0) AS n_active,
+           coalesce(p.n_segments, 0) AS n_segments,
+           coalesce(p.longest_run, 0) AS longest_run,
+           (2 * 1000000 * coalesce(p.n_active, 0) + f.n_frames)
+               // (2 * f.n_frames) AS active_e6
+    FROM frames f LEFT JOIN per p USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection over REAL decoded PCM16
+    clips — the silence-trimming / speech-segmentation step every audio
+    curation pipeline runs before transcription or training-clip
+    selection: frame the waveform, threshold per-frame energy, and
+    report each clip's activity profile (active frames, number of
+    contiguous active segments, longest segment, active share). A clip
+    that is all silence or all noise is a drop candidate; the segment
+    census is what feeds clip-splitting.
+
+    Scale shape: decode + framing + run detection all happen INSIDE the
+    clip in one Arrow-batched mapInPandas pass (np.add.reduceat frame
+    energies, then vectorized run extraction off the padded diff of the
+    active mask) — per clip only a 6-int feature row leaves the
+    executor, and there is NO shuffle at all (the output is per-clip).
+    The DuckDB oracle replays the decoded frame energies in closed form
+    from doc_id and re-derives the segments with gaps-and-islands SQL —
+    a frame off-by-one, a threshold boundary (> vs >=), or a dropped
+    ragged tail frame breaks the hash. Integer-only output."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_wav_fixture(spark, sf_dir))
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, wav in zip(pdf["doc_id"], pdf["wav"]):
+                _rate, _ch, samples = decode_audio(bytes(wav))
+                arr = np.asarray(samples, dtype=np.int64)
+                sq = arr * arr
+                bounds = np.arange(0, len(arr), WAV_FRAME)
+                energy = np.add.reduceat(sq, bounds)
+                active = energy > VAD_THRESHOLD
+                padded = np.concatenate(([False], active, [False]))
+                d = np.diff(padded.astype(np.int8))
+                starts = np.flatnonzero(d == 1)
+                ends = np.flatnonzero(d == -1)
+                lens = ends - starts
+                n_frames = len(energy)
+                n_active = int(active.sum())
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_frames": n_frames,
+                        "n_active": n_active,
+                        "n_segments": len(lens),
+                        "longest_run": int(lens.max()) if len(lens) else 0,
+                        "active_e6": (2 * 1_000_000 * n_active + n_frames)
+                        // (2 * n_frames),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        vad,
+        schema="doc_id long, n_frames long, n_active long, n_segments long, "
+        "longest_run long, active_e6 long",
+    ).orderBy("doc_id")

@@ -1354,3 +1354,101 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+VOCAB_CHUNKS = 10
+
+
+def _vocab_growth_oracle() -> str:
+    from .dedup import md5_i64_duck
+
+    h = md5_i64_duck("w")
+    c = VOCAB_CHUNKS
+    return f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    words AS (
+        SELECT doc_id, (doc_id * {c}) // (m + 1) AS chunk, u.w
+        FROM documents, mx, unnest(string_split(trim(text), ' ')) AS u(w)),
+    toks AS (SELECT chunk, count(*) AS n_tokens FROM words GROUP BY 1),
+    docs AS (SELECT (doc_id * {c}) // (m + 1) AS chunk, count(*) AS n_docs
+             FROM documents, mx GROUP BY 1),
+    firsts AS (SELECT {h} AS hw, min(doc_id) AS first_doc
+               FROM words GROUP BY 1),
+    fresh AS (SELECT (first_doc * {c}) // (m + 1) AS chunk,
+                     count(*) AS new_words
+              FROM firsts, mx GROUP BY 1)
+    SELECT CAST(d.chunk AS BIGINT) AS chunk, d.n_docs, t.n_tokens,
+           coalesce(f.new_words, 0) AS new_words,
+           CAST(sum(t.n_tokens) OVER (ORDER BY d.chunk) AS BIGINT)
+               AS cum_tokens,
+           CAST(sum(coalesce(f.new_words, 0)) OVER (ORDER BY d.chunk)
+               AS BIGINT) AS cum_vocab
+    FROM docs d JOIN toks t USING (chunk) LEFT JOIN fresh f USING (chunk)
+    ORDER BY chunk
+    """
+
+
+@query("text_vocab_growth", oracle=_vocab_growth_oracle())
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-word vocabulary size
+    as a function of cumulative tokens ingested, reported per arrival
+    decile (arrival order = doc_id, the text_novelty_curve convention).
+    This is THE corpus-planning chart — sublinear vocabulary growth
+    V(n) ~ K·n^beta tells you how much new-token coverage the next 10%
+    of a source buys, and a flattening curve is the same mined-out
+    signal novelty measures, but at the token level where tokenizer
+    and embedding-table sizing live.
+
+    Scale shape: the cumulative-distinct problem decomposes by FIRST
+    occurrence (a word enters the vocabulary exactly once, in the chunk
+    of its first document) — so the whole curve costs one word-hash
+    keyed min-aggregate (fixed-width int64 hashes ride the shuffle,
+    md5_i64 applied before leaving the row) plus O(chunks) rollups;
+    never a growing distinct-set per prefix. The chunk id is pure
+    arithmetic on doc_id ((doc_id·C) DIV (max+1)) — no global rank, no
+    single-partition window over the corpus; the only ORDER BY window
+    runs over the C=10 chunk rows. Integer-only output."""
+    from pyspark.sql import Window as W
+
+    from .dedup import md5_i64
+
+    c = VOCAB_CHUNKS
+    docs = load(spark, sf_dir, "documents")
+    m = int(docs.agg(F.max("doc_id")).collect()[0][0])  # 1 scalar
+    chunk_of = lambda col: F.expr(f"({col} * {c}) DIV {m + 1}")  # noqa: E731
+    words = docs.select(
+        "doc_id",
+        chunk_of("doc_id").alias("chunk"),
+        F.explode(words_col("text")).alias("w"),
+    )
+    # n_docs folds into the token rollup as a distinct-aggregate (every
+    # doc emits >= 1 token, split('') = ['']) — one scan instead of two;
+    # the distinct expansion partial-aggregates map-side to ~n_docs rows.
+    toks = words.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    firsts = words.groupBy(md5_i64(F.col("w")).alias("hw")).agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    fresh = firsts.groupBy(chunk_of("first_doc").alias("chunk")).agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    cur = (
+        toks.join(fresh, "chunk", "left")
+        .select(
+            F.col("chunk").cast("long").alias("chunk"),
+            "n_docs",
+            "n_tokens",
+            F.coalesce("new_words", F.lit(0)).alias("new_words"),
+        )
+    )
+    w = W.orderBy("chunk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return cur.select(
+        "chunk",
+        "n_docs",
+        "n_tokens",
+        "new_words",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
+    ).orderBy("chunk")
