@@ -54,6 +54,7 @@ HEADLINE = [
     "agg_count_distinct",
     "agg_bitmap_distinct",
     "agg_exact_median_2pass",
+    "agg_grouped_median",
     "topk_orders",
     "window_topk_per_group",
     "window_sessionize",
@@ -101,6 +102,7 @@ HEADLINE = [
     "pipeline_training_shard",
     "train_domain_mixture",
     "train_curriculum",
+    "train_shard_manifest",
     "profile_drift_psi",
     "profile_outlier_mad",
     "profile_expectations",
@@ -121,6 +123,7 @@ HEADLINE = [
     "graph_common_neighbors",
     "graph_jaccard_edges",
     "graph_kcore",
+    "graph_bfs_layers",
     "timeseries_locf",
     "timeseries_ohlc",
     "timeseries_forecast_ewma",
@@ -131,6 +134,7 @@ HEADLINE = [
     "events_rfm_bands",
     "events_error_bursts",
     "events_streaks",
+    "events_survival_curve",
     "events_activity_heatmap",
     "text_novelty_curve",
     "text_vocab_growth",

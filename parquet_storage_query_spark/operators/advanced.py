@@ -2558,3 +2558,105 @@ def timeseries_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+GM_BUCKETS = 1024
+
+
+@query(
+    "agg_grouped_median",
+    oracle="""
+    WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM v)
+    SELECT event_type, CAST(n AS BIGINT) AS n_values, cents AS median_cents
+    FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type
+    """,
+)
+def agg_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact median (lower median, k = (n+1) DIV 2) of event
+    value-cents — the grouped generalization of agg_exact_median_2pass.
+    The naive per-group sort is exactly what cannot scale when group
+    cardinality is corpus-proportional (a per-group ORDER BY window
+    sorts each group on one task); this keeps the histogram-selection
+    decomposition but keys every phase by group: (1) per-group count +
+    extent (O(G) driver rows), (2) ONE (group, bucket) histogram pass
+    with per-group bucket spans (O(G×B) driver state, corpus-
+    independent), (3) the driver locates each group's median bucket and
+    residual rank, and a single filtered pass ranks only the target
+    slices (~n/B rows per group). Three scans of a checkpointed
+    cents-only projection, zero corpus-sized sorts, and the heavy
+    phases are all partial-merged aggregates.
+
+    The oracle is the direct per-group ranked definition — DuckDB can
+    afford the full sort at gate scale, which is the point of the
+    differential: same answer, scalable plan."""
+    from ..cache import session_memo
+
+    def base() -> DataFrame:
+        return (
+            load(spark, sf_dir, "events")
+            .select(
+                "event_type",
+                F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    t = session_memo(spark, sf_dir, "grouped_median_values", base)
+    stats = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    ).collect()  # O(groups) driver rows
+    meta = [
+        (
+            r["event_type"],
+            int(r["n"]),
+            int(r["lo"]),
+            max(1, -(-(int(r["hi"]) - int(r["lo"]) + 1) // GM_BUCKETS)),
+        )
+        for r in stats
+    ]
+    meta_df = spark.createDataFrame(
+        meta, "event_type string, n long, lo long, span long"
+    )
+    bucketed = t.join(F.broadcast(meta_df), "event_type").withColumn(
+        "b", ((F.col("cents") - F.col("lo")) / F.col("span")).cast("long")
+    )
+    hist = bucketed.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    ).collect()  # O(groups x buckets), corpus-independent
+    by_type: dict[str, list] = {}
+    for r in hist:
+        by_type.setdefault(r["event_type"], []).append((int(r["b"]), int(r["c"])))
+    targets = []
+    for etype, n, _lo, _span in meta:
+        k = (n + 1) // 2
+        cum = 0
+        for b, c in sorted(by_type[etype]):
+            if cum + c >= k:
+                targets.append((etype, b, k - cum))
+                break
+            cum += c
+    t_df = spark.createDataFrame(
+        targets, "event_type string, tb long, k_local long"
+    )
+    sliced = bucketed.join(F.broadcast(t_df), "event_type").filter(
+        F.col("b") == F.col("tb")
+    )
+    w = W.partitionBy("event_type").orderBy("cents")
+    return (
+        sliced.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("k_local"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_values"),
+            F.col("cents").alias("median_cents"),
+        )
+        .orderBy("event_type")
+    )

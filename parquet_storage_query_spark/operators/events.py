@@ -1252,3 +1252,69 @@ def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+SURVIVAL_HORIZON = 14  # days
+
+
+@query(
+    "events_survival_curve",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id,
+               date_diff('day', min(date_trunc('day', ts)),
+                         max(date_trunc('day', ts))) AS lifespan
+        FROM events GROUP BY 1),
+    hist AS (SELECT lifespan, count(*) AS n_users FROM spans GROUP BY 1),
+    tot AS (SELECT sum(n_users) AS total FROM hist),
+    curve AS (
+        SELECT t.n AS day_n,
+               coalesce(sum(CASE WHEN h.lifespan >= t.n
+                                 THEN h.n_users END), 0) AS survivors
+        FROM unnest(range({SURVIVAL_HORIZON + 1})) AS t(n) CROSS JOIN hist h
+        GROUP BY t.n)
+    SELECT CAST(day_n AS BIGINT) AS day_n,
+           CAST(survivors AS BIGINT) AS survivors,
+           (2 * 1000000 * survivors + total) // (2 * total) AS survival_e6
+    FROM curve, tot ORDER BY day_n
+    """,
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User survival curve — the retention chart product reviews open
+    with: for each day N in 0..14, the fraction of users still active N
+    or more days after their first event (lifespan = last-day minus
+    first-day). Monotone by construction; where it cliffs is where the
+    product loses people. The cohort-retention triangle
+    (events_retention_cohorts) slices this same quantity per signup
+    cohort; this is the corpus-wide marginal curve.
+
+    Scale shape: lifespans fold in ONE user-keyed min/max aggregate
+    (partial-merged; the only corpus-sized shuffle), then collapse to a
+    lifespan histogram of O(observed-span) rows; the 15-point curve is a
+    range-join of the broadcast horizon grid against that tiny histogram
+    — the survivors-at-N sum never rescans users. Integer-only output
+    (round-half-up e6 shares)."""
+    ev = load(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.date_trunc("day", "ts")), F.min(F.date_trunc("day", "ts"))
+        ).alias("lifespan")
+    )
+    hist = spans.groupBy("lifespan").agg(F.count(F.lit(1)).alias("n_users"))
+    tot = hist.agg(F.sum("n_users").alias("total"))
+    grid = spark.range(SURVIVAL_HORIZON + 1).select(F.col("id").alias("day_n"))
+    return (
+        F.broadcast(grid)
+        .join(hist, F.col("lifespan") >= F.col("day_n"), "left")
+        .groupBy("day_n")
+        .agg(F.coalesce(F.sum("n_users"), F.lit(0)).alias("survivors"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("day_n").cast("long").alias("day_n"),
+            F.col("survivors").cast("long").alias("survivors"),
+            F.expr(
+                "(2 * 1000000 * survivors + total) DIV (2 * total)"
+            ).alias("survival_e6"),
+        )
+        .orderBy("day_n")
+    )

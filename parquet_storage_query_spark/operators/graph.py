@@ -603,3 +603,112 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("round")
 
     return session_memo(spark, sf_dir, "graph_kcore", build)
+
+BFS_ROUNDS = 4
+BFS_SEED_MOD = 10  # seeds: near-dup-graph nodes with doc_id % 10 == 0
+# (mod 10, not 100: the near-dup graph has only ~50 nodes at the sf0.01
+#  gate scale — a sparser seed rule leaves the seed set EMPTY there and
+#  the hash check would never exercise the traversal, only the
+#  unreached remainder)
+
+
+def _bfs_oracle() -> str:
+    """Unrolled multi-source BFS: layer r = neighbors of layer r-1 not
+    yet reached; the census counts nodes per layer plus the unreached
+    remainder (-1)."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and every
+    # d{r} references d{r-1} twice plus sym once — inlined, the chain
+    # re-expands the whole MinHash pipeline ~3^rounds times (measured
+    # ~90 s at ANY scale; materialized it is sub-second).
+    ctes = [
+        "symm AS MATERIALIZED (SELECT src, dst FROM sym)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src FROM symm)",
+        "d0 AS MATERIALIZED "
+        f"(SELECT src, 0 AS d FROM nodes WHERE src % {BFS_SEED_MOD} = 0)",
+    ]
+    for r in range(1, BFS_ROUNDS + 1):
+        ctes.append(
+            f"f{r} AS MATERIALIZED (SELECT DISTINCT e.dst AS src FROM symm e "
+            f"JOIN d{r - 1} p ON p.src = e.src AND p.d = {r - 1} "
+            f"WHERE e.dst NOT IN (SELECT src FROM d{r - 1}))"
+        )
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT src, d FROM d{r - 1} "
+            f"UNION ALL SELECT src, {r} FROM f{r})"
+        )
+    return f"""
+    WITH {_pairs_ctes()},
+    {', '.join(ctes)}
+    SELECT CAST(layer AS BIGINT) AS layer, CAST(n_nodes AS BIGINT) AS n_nodes
+    FROM (
+        SELECT d AS layer, count(*) AS n_nodes FROM d{BFS_ROUNDS} GROUP BY d
+        UNION ALL
+        SELECT -1, count(*) FROM nodes
+        WHERE src NOT IN (SELECT src FROM d{BFS_ROUNDS})
+    ) WHERE n_nodes > 0 ORDER BY layer
+    """
+
+
+@query("graph_bfs_layers", oracle=_bfs_oracle())
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS layer census over the near-dup graph: distance
+    from a deterministic seed set (doc_id % 10 == 0) to every reachable
+    node, bounded at 4 hops — "how far does contamination propagate":
+    if a seed doc is bad (spam template, leaked eval data), layer r
+    counts the docs reachable through r near-dup links, and the
+    unreached remainder (-1) is the clean mass. Multi-source is the
+    production shape: one pass gives distance-to-NEAREST-seed for the
+    whole seed set, not one traversal per seed.
+
+    Scale shape: textbook distributed frontier expansion — each round is
+    ONE edge⋈frontier equi-join + an anti-join against the visited set +
+    a distinct, all linear keyed shuffles; visited and frontier are
+    localCheckpoint-ed so round r never replays rounds 1..r-1 (the
+    pagerank/kcore iteration discipline). Frontiers shrink as the
+    components saturate (near-dup components are clique-like, diameter
+    2-3), so later rounds cost ~nothing. Census output is O(rounds)."""
+
+    def build() -> DataFrame:
+        from .dedup import dedup_minhash_lsh
+
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .unionAll(
+                pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        nodes = edges.select("src").distinct().localCheckpoint(eager=True)
+        visited = nodes.filter(F.col("src") % BFS_SEED_MOD == 0).select(
+            "src", F.lit(0).alias("d")
+        ).localCheckpoint(eager=True)
+        frontier = visited.select("src")
+        for r in range(1, BFS_ROUNDS + 1):
+            reached = (
+                edges.join(frontier, "src")
+                .select(F.col("dst").alias("src"))
+                .distinct()
+                .join(visited.select("src"), "src", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            visited = visited.unionAll(
+                reached.select("src", F.lit(r).alias("d"))
+            ).localCheckpoint(eager=True)
+            frontier = reached
+        census = visited.groupBy(F.col("d").alias("layer")).agg(
+            F.count(F.lit(1)).alias("n_nodes")
+        )
+        unreached = (
+            nodes.join(visited.select("src"), "src", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .select(F.lit(-1).alias("layer"), "n_nodes")
+        )
+        return (
+            census.unionAll(unreached)
+            .filter(F.col("n_nodes") > 0)
+            .select(F.col("layer").cast("long"), F.col("n_nodes").cast("long"))
+            .orderBy("layer")
+        )
+
+    return session_memo(spark, sf_dir, "graph_bfs_layers", build)

@@ -578,3 +578,74 @@ def train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         heads.select("epoch", F.row_number().over(w).alias("position"), "doc_id")
         .orderBy("epoch", "position")
     )
+
+
+N_SHARDS = 16
+CKSUM_MOD = 1 << 60  # checksum lives comfortably in int64
+
+
+@query(
+    "train_shard_manifest",
+    oracle=f"""
+    WITH rows_ AS (
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % {N_SHARDS} AS shard,
+               doc_id,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS digest
+        FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc,
+           CAST(sum(digest)::HUGEINT % {CKSUM_MOD} AS BIGINT) AS checksum
+    FROM rows_ GROUP BY shard ORDER BY shard
+    """,
+)
+def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest with ORDER-INDEPENDENT content checksums — the
+    reproducibility contract a training run ships alongside its data:
+    per deterministic shard (id-hash, stable under re-partitioning and
+    content revision), the row count, token count, id range, and a
+    commutative checksum (sum of per-row content digests mod 2^60) that
+    any engine can recompute to verify the shard it read is byte-for-
+    byte the shard that was published. Commutativity is the point: the
+    checksum is invariant to row order, file split, and executor
+    scheduling, so it composes under merge (partial-aggregate friendly)
+    and never needs a sort — the property that makes it usable as a
+    fast integrity gate at 100 TB (compare 16 ints, not 16 TB).
+
+    Scale shape: one map-side pass computes shard id, token count, and
+    digest per row (documents' text never rides the shuffle — only the
+    int64 digest does), then ONE shard-keyed partial-merged aggregate;
+    the modulo lives in DECIMAL(38,0) until the final cast because the
+    digest sum passes int64 at ~10^4 docs per shard."""
+    from .dedup import md5_i64
+
+    docs = load(spark, sf_dir, "documents")
+    rows = docs.select(
+        _md5_bucket(F.col("doc_id").cast("string"), N_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(words_col("text")).alias("n_tokens"),
+        md5_i64(F.col("text")).alias("digest"),
+    )
+    return (
+        rows.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum(F.col("digest").cast("decimal(38,0)")).alias("s"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "n_tokens",
+            "min_doc",
+            "max_doc",
+            F.expr(f"CAST(s % {CKSUM_MOD} AS BIGINT)").alias("checksum"),
+        )
+        .orderBy("shard")
+    )
