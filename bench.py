@@ -78,6 +78,7 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_kmeans_train",
+    "sim_power_iteration",
     "sim_maxsim_topk",
     "sim_persisted_topk",
     "sim_pq_topk",
@@ -105,6 +106,8 @@ HEADLINE = [
     "train_shard_manifest",
     "profile_drift_psi",
     "profile_outlier_mad",
+    "profile_ks_test",
+    "profile_chi2",
     "profile_expectations",
     "events_transition_matrix",
     "events_funnel",
@@ -124,20 +127,24 @@ HEADLINE = [
     "graph_jaccard_edges",
     "graph_kcore",
     "graph_bfs_layers",
+    "graph_degree_assortativity",
     "timeseries_locf",
     "timeseries_ohlc",
     "timeseries_forecast_ewma",
     "timeseries_trend_ols",
     "timeseries_seasonality",
+    "timeseries_acf",
     "join_interval_bucketed",
     "events_running_distinct",
     "events_rfm_bands",
     "events_error_bursts",
     "events_streaks",
     "events_survival_curve",
+    "events_sequence_pattern",
     "events_activity_heatmap",
     "text_novelty_curve",
     "text_vocab_growth",
+    "text_token_diversity",
     "dedup_fuzzy_levenshtein",
     "dedup_simhash_pairs",
     "profile_benford",
@@ -159,6 +166,7 @@ HEADLINE = [
     # after mm_decode_png: the PNG fixture is the shared committed
     # artifact, so the histogram times decode + bincount partials only
     "mm_image_histogram",
+    "mm_image_edge_density",
     "mm_decode_wav",
     # after mm_decode_wav: the WAV fixture build lands on wav_fixture_build,
     # so the framing op times decode + reduceat only

@@ -2660,3 +2660,116 @@ def agg_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+ACF_MAX_LAG = 7
+
+
+@query(
+    "timeseries_acf",
+    oracle=f"""
+    WITH daily0 AS (
+        SELECT date_diff('day', DATE '1995-01-01',
+                         date_trunc('day', o_orderdate)) AS t,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY 1),
+    ext AS (SELECT min(t) AS lo, max(t) AS hi FROM daily0),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS t FROM ext),
+    daily AS (
+        SELECT g.t, coalesce(d.x, 0) AS x
+        FROM grid g LEFT JOIN daily0 d USING (t)),
+    s AS (SELECT count(*) AS n, sum(x) AS sx FROM daily),
+    y AS (SELECT t, CAST(n * x - sx AS HUGEINT) AS y FROM daily, s),
+    den AS (SELECT sum(y * y) AS den FROM y),
+    num AS (
+        SELECT l.k AS lag, count(*) AS n_pairs, sum(a.y * b.y) AS num
+        FROM range(1, {ACF_MAX_LAG + 1}) l(k)
+        JOIN y a ON TRUE
+        JOIN y b ON b.t = a.t + l.k
+        GROUP BY l.k)
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CASE WHEN den = 0 THEN NULL ELSE
+               (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+               * CAST((2000000 * abs(num) + den) // (2 * den) AS BIGINT) END
+               AS acf_e6
+    FROM num, den ORDER BY lag
+    """,
+)
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags 1..7
+    — "does revenue remember itself, and on what cycle": the spike at
+    lag 7 is the weekly rhythm (complementing timeseries_seasonality's
+    per-weekday indices with the time-domain view), decay across lags
+    1..3 is momentum, and ≈0 everywhere says the series is noise around
+    its mean — the first diagnostic before fitting any forecast model.
+
+    Exactness: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² has the mean —
+    a rational — inside every term, so both sides scale by n²: with
+    y_t = n·x_t − Σx (exact BIGINT; cents are integers), r_k =
+    Σ y_t·y_{t+k} / Σ y_t², all products and sums exact DECIMAL(38,0)/
+    HUGEINT, readout the signed round-half-up e6 DIV (sign split out —
+    the engines' integer divisions disagree on negatives). Zero-filled
+    day grid (sequence over the observed extent) so lag-k alignment is
+    calendar-true across gap days.
+
+    Shape: the corpus-sized step is ONE (day) partial-merged sum,
+    checkpointed at O(days) rows (the daily table fans out to six
+    consumers — extent, grid fill, moments, both self-join sides — and
+    without the checkpoint each re-expands to its own corpus scan); the
+    series after it is calendar-bounded (corpus-INDEPENDENT), so the
+    1-row (n, Σx) scalar broadcast, the lag-grid explode (7 rows/day)
+    and the self-join on t+k all run on O(days) rows. At 100 TB the
+    scan dominates and the ACF itself is free."""
+    from ..cache import session_memo
+
+    def _daily0() -> DataFrame:
+        return (
+            load(spark, sf_dir, "orders")
+            .groupBy(
+                F.datediff(
+                    F.date_trunc("day", "o_orderdate"), F.to_date(F.lit("1995-01-01"))
+                ).alias("t")
+            )
+            .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("x"))
+            .localCheckpoint(eager=True)  # O(days) rows: ONE corpus scan feeds all
+        )
+
+    daily0 = session_memo(spark, sf_dir, "acf_daily_revenue", _daily0)
+    ext = daily0.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    grid = ext.select(F.explode(F.expr("sequence(lo, hi)")).alias("t"))
+    daily = grid.join(daily0, "t", "left").select(
+        "t", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    s = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+    y = daily.crossJoin(s).select(  # 1-row scalar broadcast
+        "t", F.expr("CAST(n * x - sx AS DECIMAL(38,0))").alias("y")
+    )
+    den = y.agg(F.sum(F.expr("y * y")).alias("den"))
+    a = y.select(
+        F.col("t").alias("ta"),
+        F.col("y").alias("ya"),
+        F.explode(F.expr(f"sequence(1, {ACF_MAX_LAG})")).alias("lag"),
+    )
+    b = y.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    num = (
+        a.join(b, F.col("ta") + F.col("lag") == F.col("tb"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.expr("ya * yb")).alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(den)  # 1-row scalar broadcast
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.expr(
+                """CASE WHEN den = 0 THEN NULL ELSE
+                   (CASE WHEN num < 0 THEN -1L ELSE 1L END)
+                   * CAST((2000000 * abs(num) + den) DIV (2 * den) AS BIGINT) END"""
+            ).alias("acf_e6"),
+        )
+        .orderBy("lag")
+    )

@@ -1318,3 +1318,104 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_n")
     )
+
+
+# (pattern name, regex over the 1-char event codes c/e/p/s/v) — FIRST match
+# wins, so order is load-bearing. Constructs are the portable common core of
+# Java regex and RE2: anchors, classes, bounded/unbounded repetition.
+_JOURNEY_PATTERNS = [
+    ("instant_buyer", "^.{0,2}p"),       # purchase within the first 3 events
+    ("research_buyer", "^[vc]+p"),       # only views/clicks, then purchase
+    ("error_recovery", "e.*p"),          # bought despite an earlier error
+    ("churned_after_error", "e[^p]*$"),  # an error never followed by purchase
+    ("window_shopper", "^[vc]+$"),       # browsed only, never converted
+    ("converter_other", "p"),            # remaining purchase journeys
+]
+
+_JOURNEY_CAP = 6  # onboarding prefix: the user's first 6 events
+
+
+@query(
+    "events_sequence_pattern",
+    oracle=f"""
+    WITH j AS (
+        SELECT user_id,
+               left(string_agg(left(event_type, 1), '' ORDER BY ts, event_id),
+                    {_JOURNEY_CAP}) AS journey
+        FROM events GROUP BY user_id),
+    c AS (
+        SELECT CASE
+            {' '.join(f"WHEN regexp_matches(journey, '{rx}') THEN '{name}'"
+                      for name, rx in _JOURNEY_PATTERNS)}
+            ELSE 'other' END AS pattern
+        FROM j),
+    n AS (SELECT count(*) AS total FROM c)
+    SELECT pattern, count(*) AS n_users,
+           CAST((2000000 * count(*) + total) // (2 * total) AS BIGINT)
+               AS share_e6
+    FROM c, n GROUP BY pattern, total ORDER BY pattern
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern classification of each
+    user's ONBOARDING journey: the first {_JOURNEY_CAP} events become a
+    code string (one deterministic char per event — the five event types
+    have unique initials), and a first-match-wins regex panel assigns
+    every user a behavioral class (instant buyer / research-then-buy /
+    error recovery / churned after error / window shopper). Row-pattern
+    matching is the one sequence operator SQL engines bolt on as special
+    syntax (MATCH_RECOGNIZE); over a bounded alphabet it is exactly
+    regular-language matching, so the portable formulation IS a regex
+    over the code string — the same panel runs unchanged on both
+    engines, making an order-sensitive sequence operator hash-checkable.
+    (The prefix is the right unit too: full-lifetime strings converge to
+    "contains everything" — measured: 66-event mean journeys collapse
+    the panel to 3 classes; the 6-event prefix populates all 7.)
+
+    Shape: ONE user-keyed window ranks events in time (ts, event_id —
+    total order), the prefix filter keeps ≤{_JOURNEY_CAP} rows per user
+    BEFORE the collect (a firehose user costs the window pass, never an
+    unbounded string), array_sort makes collect order irrelevant, and
+    the regex panel is a map-side CASE. The census is O(patterns); the
+    events scan dominates at 100 TB."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    j = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("substring(event_type, 1, 1)").alias("code"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= _JOURNEY_CAP)
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(rn, code))), x -> x.code), '')"
+            ).alias("journey")
+        )
+    )
+    case = " ".join(
+        f"WHEN journey RLIKE '{rx}' THEN '{name}'" for name, rx in _JOURNEY_PATTERNS
+    )
+    census = (
+        j.select(F.expr(f"CASE {case} ELSE 'other' END").alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .localCheckpoint(eager=True)  # O(patterns) rows: the census feeds
+        # both the share denominator and the output — one corpus scan total
+    )
+    n = census.agg(F.sum("n_users").alias("total"))
+    return (
+        census.crossJoin(n)  # 1-row scalar broadcast
+        .select(
+            "pattern",
+            "n_users",
+            F.expr(
+                "CAST((2000000 * n_users + total) DIV (2 * total) AS BIGINT)"
+            ).alias("share_e6"),
+        )
+        .orderBy("pattern")
+    )

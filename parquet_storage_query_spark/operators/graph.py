@@ -712,3 +712,106 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return session_memo(spark, sf_dir, "graph_bfs_layers", build)
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_CO_KNN_CTES},
+    indeg AS (SELECT p2 AS node, count(*) AS ind FROM knn GROUP BY 1),
+    e AS (
+        SELECT coalesce(a.ind, 0) AS x, coalesce(b.ind, 0) AS y
+        FROM knn LEFT JOIN indeg a ON a.node = knn.p1
+                 LEFT JOIN indeg b ON b.node = knn.p2),
+    m AS (
+        SELECT count(*) AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x * y)::HUGEINT AS sxy,
+               sum(x * x)::HUGEINT AS sxx, sum(y * y)::HUGEINT AS syy
+        FROM e),
+    f AS (
+        SELECT n, sx, sy,
+               n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS dx,
+               n * syy - sy * sy AS dy
+        FROM m)
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           CAST((2 * 1000000 * sx + n) // (2 * n) AS BIGINT) AS src_deg_e6,
+           CAST((2 * 1000000 * sy + n) // (2 * n) AS BIGINT) AS dst_deg_e6,
+           CASE WHEN dx = 0 OR dy = 0 THEN NULL ELSE
+               (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+               * CAST((2 * 1000000 * num * num + dx * dy)
+                      // (2 * dx * dy) AS BIGINT) END AS assort_r2_e6
+    FROM f
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase kNN digraph — "do popular
+    parts point at popular parts": the Pearson correlation of in-degrees
+    across edge endpoints (Newman 2002), the one-number summary that
+    separates hub-to-hub cores (assortative, r>0) from hub-and-spoke
+    star topologies (disassortative, r<0) — which decides whether
+    recommendation walks concentrate or diffuse. In-degree is the
+    meaningful side on a top-M kNN graph (out-degree is truncation-
+    constant by construction — correlating it would be vacuous).
+
+    Pearson r is a DISTRIBUTIVE aggregate (the timeseries_trend_ols
+    moment trick): one pass over edges with in-degrees joined on both
+    endpoints folds (n, Σx, Σy, Σxy, Σx², Σy²), and the readout is the
+    SIGNED r² in e6 (the events_ab_lift z² convention — r² = num²/(dx·dy)
+    is exactly rational; r itself needs a sqrt, which has no place in a
+    checked output). num² passes 10³⁴ at 30× — DECIMAL(38,0)/HUGEINT
+    everywhere, sign split out of the DIV. Shape: the session-shared
+    co-table (one lineitem self-join) → top-M window → one in-degree
+    rollup broadcast-joined back to the ≤10·n edge list; every step is
+    bounded by the kNN truncation, never by the raw co-occurrence fan."""
+    from pyspark.sql import Window as W
+
+    co = _co_table(spark, sf_dir)
+    rn = F.row_number().over(W.partitionBy("p1").orderBy(F.col("n_co").desc(), "p2"))
+    knn = co.withColumn("rn", rn).filter(F.col("rn") <= 10).select("p1", "p2")
+    indeg = knn.groupBy(F.col("p2").alias("node")).agg(F.count(F.lit(1)).alias("ind"))
+    e = (
+        knn.join(indeg.withColumnRenamed("node", "p1"), "p1", "left")
+        .withColumnRenamed("ind", "x0")
+        .join(
+            indeg.withColumnRenamed("node", "p2").withColumnRenamed("ind", "y0"),
+            "p2",
+            "left",
+        )
+        .select(
+            F.coalesce("x0", F.lit(0)).alias("x"),
+            F.coalesce("y0", F.lit(0)).alias("y"),
+        )
+    )
+    m = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    f = m.select(
+        "n",
+        F.expr("CAST(sx AS DECIMAL(38,0))").alias("sxd"),
+        F.expr("CAST(sy AS DECIMAL(38,0))").alias("syd"),
+        F.expr("CAST(n * sxy - sx * sy AS DECIMAL(38,0))").alias("num"),
+        F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").alias("dx"),
+        F.expr("CAST(n * syy - sy * sy AS DECIMAL(38,0))").alias("dy"),
+    )
+    return f.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.expr("CAST((2 * 1000000 * sxd + n) DIV (2 * n) AS BIGINT)").alias(
+            "src_deg_e6"
+        ),
+        F.expr("CAST((2 * 1000000 * syd + n) DIV (2 * n) AS BIGINT)").alias(
+            "dst_deg_e6"
+        ),
+        F.expr(
+            """CASE WHEN dx = 0 OR dy = 0 THEN NULL ELSE
+               (CASE WHEN num < 0 THEN -1L ELSE 1L END)
+               * CAST((2 * 1000000 * num * num + dx * dy)
+                      DIV (2 * dx * dy) AS BIGINT) END"""
+        ).alias("assort_r2_e6"),
+    )

@@ -1048,3 +1048,101 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_frames long, n_active long, n_segments long, "
         "longest_run long, active_e6 long",
     ).orderBy("doc_id")
+
+
+# Gradient threshold for the edge census: the fixture's channel ramp is
+# +21 mod 256 per pixel, so non-wrapping neighbors differ in luminance by
+# ~21 (below 32) and any channel wrap jumps ~64-85 — the threshold splits
+# the two regimes non-degenerately at every image size.
+EDGE_T = 32
+
+
+def _edge_oracle() -> str:
+    def lum(p: str) -> str:
+        return (
+            f"(((doc_id * {PNG_A} + {PNG_B} * (3 * ({p}))) % 256"
+            f" + (doc_id * {PNG_A} + {PNG_B} * (3 * ({p}) + 1)) % 256"
+            f" + (doc_id * {PNG_A} + {PNG_B} * (3 * ({p}) + 2)) % 256) // 3)"
+        )
+
+    return f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {PNG_BASE} + doc_id % {PNG_W_MOD} AS w,
+               {PNG_BASE} + doc_id % {PNG_H_MOD} AS h
+        FROM documents),
+    g AS (
+        SELECT doc_id, w, h,
+               CASE WHEN t.p % w < w - 1
+                     AND abs({lum('t.p + 1')} - {lum('t.p')}) >= {EDGE_T}
+                    THEN 1 ELSE 0 END AS he,
+               CASE WHEN t.p // w < h - 1
+                     AND abs({lum('t.p + w')} - {lum('t.p')}) >= {EDGE_T}
+                    THEN 1 ELSE 0 END AS ve
+        FROM dims, unnest(range(w * h)) AS t(p))
+    SELECT doc_id,
+           CAST((w - 1) * h + w * (h - 1) AS BIGINT) AS n_gradients,
+           CAST(sum(he) AS BIGINT) AS n_h_edges,
+           CAST(sum(ve) AS BIGINT) AS n_v_edges,
+           CAST((2 * 1000000 * (sum(he) + sum(ve)) + (w - 1) * h + w * (h - 1))
+                // (2 * ((w - 1) * h + w * (h - 1))) AS BIGINT) AS edge_share_e6
+    FROM g GROUP BY doc_id, w, h ORDER BY doc_id
+    """
+
+
+@query("mm_image_edge_density", oracle=_edge_oracle())
+def mm_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order EDGE census over REAL decoded PNGs — the simplest
+    convolutional feature (|∇y| thresholded, the building block of blur
+    detection, duplicate-screenshot screening, and "is this image blank"
+    corpus triage): per image, count horizontal and vertical luminance
+    gradients ≥ {EDGE_T} and the edge share of all gradient positions.
+
+    This is the multimodal family's first NEIGHBORHOOD operator — the
+    histogram/ahash/luminance ops are pointwise, so they could never
+    catch a decoder defect that permutes pixel POSITIONS within a
+    scanline; a gradient census breaks if any pixel lands one slot off
+    (the Sub/Average/Paeth filter reversals are exactly position
+    arithmetic). Decode runs in Arrow-batched mapInPandas (stdlib zlib +
+    unfilter), gradients are two vectorized np.diff passes, and each
+    image ships ONLY its 4-int partial to the shuffle — O(1) traffic per
+    image at any resolution. The DuckDB oracle replays the DECODED
+    gradients from the fixture's closed pixel form without touching a
+    byte of PNG: an off-by-one in unfiltering, channel interleave, or
+    the (R+G+B)//3 truncation flips some edge count."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_png_fixture(spark, sf_dir))
+
+    def census(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_gradients": [], "n_h_edges": [], "n_v_edges": []}
+            for did, png in zip(pdf["doc_id"], pdf["png"]):
+                w, h, ch, px = decode_image(bytes(png))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                y = ((arr[0::ch] + arr[1::ch] + arr[2::ch]) // 3).reshape(h, w)
+                nh = int((np.abs(np.diff(y, axis=1)) >= EDGE_T).sum())
+                nv = int((np.abs(np.diff(y, axis=0)) >= EDGE_T).sum())
+                out["doc_id"].append(int(did))
+                out["n_gradients"].append((w - 1) * h + w * (h - 1))
+                out["n_h_edges"].append(nh)
+                out["n_v_edges"].append(nv)
+            yield pd.DataFrame(out)
+
+    return (
+        src.mapInPandas(
+            census,
+            schema="doc_id long, n_gradients long, n_h_edges long, n_v_edges long",
+        )
+        .select(
+            "doc_id",
+            "n_gradients",
+            "n_h_edges",
+            "n_v_edges",
+            F.expr(
+                "CAST((2 * 1000000 * (n_h_edges + n_v_edges) + n_gradients)"
+                " DIV (2 * n_gradients) AS BIGINT)"
+            ).alias("edge_share_e6"),
+        )
+        .orderBy("doc_id")
+    )

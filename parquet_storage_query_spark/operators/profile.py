@@ -803,3 +803,218 @@ def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2000000 * CAST(t10 AS DECIMAL(38,0)) + tot) DIV (2 * CAST(tot AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("top10_share_e6"),
     )
+
+
+_KS_BUCKETS = 32
+
+
+@query(
+    "profile_ks_test",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')),
+    census AS (
+        SELECT cents,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)    AS c2
+        FROM v GROUP BY cents),
+    n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM census),
+    cum AS (
+        SELECT cents,
+               sum(c1) OVER (ORDER BY cents) AS c1c,
+               sum(c2) OVER (ORDER BY cents) AS c2c
+        FROM census),
+    d AS (SELECT cents, abs(c1c * n2 - c2c * n1) AS dd FROM cum, n),
+    mx AS (SELECT max(dd) AS d_max FROM d)
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(d_max AS BIGINT) AS d_num,
+           CAST(min(cents) AS BIGINT) AS at_cents,
+           CAST((2000000 * d_max + n1 * n2) // (2 * n1 * n2) AS BIGINT) AS ks_e6
+    FROM d, mx, n WHERE dd = d_max GROUP BY n1, n2, d_max
+    """,
+)
+def profile_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the purchase and
+    click value distributions — "did these two cohorts draw from the same
+    distribution", the drift test that (unlike profile_drift_psi's binned
+    divergence) is binning-free and sensitive to ANY distributional
+    difference: D = sup_x |F̂₁(x) − F̂₂(x)|.
+
+    Exact and distributed: the sup runs over the DISTINCT-cents census
+    (one corpus scan, one partial-merged groupBy(cents) — the census is
+    value-domain-bounded, corpus-independent), the two ECDFs are
+    cumulative counts via window_global_prefix's two-phase decomposition
+    (value-range buckets by pure arithmetic, per-bucket windows, ≤B
+    collected offsets — no Exchange SinglePartition at any scale), and
+    the ECDF difference cross-multiplies to the integer lattice:
+    D·n₁·n₂ = max |c1c·n₂ − c2c·n₁|, all BIGINT, no division until the
+    final round-half-up e6 readout. `at_cents` (the smallest value where
+    the sup is attained, min-tiebroken) makes the statistic auditable.
+    The critical-value comparison c(α)·√((n₁+n₂)/(n₁n₂)) stays with the
+    caller — a sqrt has no place in a checked output."""
+    from ..cache import session_memo
+
+    def _census() -> DataFrame:
+        return (
+            load(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("purchase", "click"))
+            .select(
+                "event_type",
+                F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            )
+            .groupBy("cents")
+            .agg(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).alias("c1"),
+                F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                    "c2"
+                ),
+            )
+            .localCheckpoint(eager=True)  # domain-bounded: ≤ distinct cents rows
+        )
+
+    census = session_memo(spark, sf_dir, "ks_census_purchase_click", _census)
+    max_cents = int(census.agg(F.max("cents")).collect()[0][0])
+    span = max(1, -(-(max_cents + 1) // _KS_BUCKETS))
+    bucketed = census.withColumn("bucket", (F.col("cents") / span).cast("long"))
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = bucketed.select(
+        "cents",
+        "bucket",
+        F.sum("c1").over(w).alias("c1_local"),
+        F.sum("c2").over(w).alias("c2_local"),
+    )
+    totals = sorted(
+        bucketed.groupBy("bucket")
+        .agg(F.sum("c1").alias("s1"), F.sum("c2").alias("s2"))
+        .collect(),
+        key=lambda r: r["bucket"],
+    )  # ≤ B rows — fixed driver state
+    o1, o2, offsets = 0, 0, []
+    for r in totals:
+        offsets.append((int(r["bucket"]), o1, o2))
+        o1 += int(r["s1"])
+        o2 += int(r["s2"])
+    n1, n2 = o1, o2  # exact sample sizes, folded from B partials
+    off_df = spark.createDataFrame(offsets, "bucket long, off1 long, off2 long")
+    d = local.join(F.broadcast(off_df), "bucket").select(
+        "cents",
+        F.abs(
+            (F.col("c1_local") + F.col("off1")) * F.lit(n2)
+            - (F.col("c2_local") + F.col("off2")) * F.lit(n1)
+        ).alias("dd"),
+    )
+    mx = d.agg(F.max("dd").alias("d_max"))
+    return (
+        d.crossJoin(mx)  # 1-row scalar broadcast
+        .filter(F.col("dd") == F.col("d_max"))
+        .groupBy("d_max")
+        .agg(F.min("cents").alias("at_cents"))
+        .select(
+            F.lit(n1).cast("long").alias("n1"),
+            F.lit(n2).cast("long").alias("n2"),
+            F.col("d_max").cast("long").alias("d_num"),
+            F.col("at_cents").cast("long").alias("at_cents"),
+            F.expr(
+                f"CAST((2000000 * d_max + {n1}L * {n2}L) "
+                f"DIV (2 * {n1}L * {n2}L) AS BIGINT)"
+            ).alias("ks_e6"),
+        )
+    )
+
+
+@query(
+    "profile_chi2",
+    oracle="""
+    WITH o AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) % 7
+                   AS dow,
+               count(*) AS obs
+        FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, sum(obs) AS rt FROM o GROUP BY 1),
+    c AS (SELECT dow, sum(obs) AS ct FROM o GROUP BY 1),
+    n AS (SELECT sum(obs) AS n FROM o)
+    SELECT o.event_type, CAST(o.dow AS BIGINT) AS dow,
+           CAST(o.obs AS BIGINT) AS observed,
+           CAST((2 * 1000000 * rt * ct + n) // (2 * n) AS BIGINT)
+               AS expected_e6,
+           CAST((2 * 1000000 * (o.obs * n - rt * ct)::HUGEINT
+                             * (o.obs * n - rt * ct)::HUGEINT
+                 + n::HUGEINT * rt * ct)
+                // (2 * n::HUGEINT * rt * ct) AS BIGINT) AS contrib_e6
+    FROM o JOIN r USING (event_type) JOIN c USING (dow), n
+    ORDER BY event_type, dow
+    """,
+)
+def profile_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence audit of event_type × weekday — "does
+    behavior depend on the day of week", the categorical counterpart to
+    profile_ks_test's continuous two-sample test and the standard check
+    before trusting any per-weekday rollup. Output is the full
+    contingency diagnosis: per cell, the observed count, the
+    independence-expected count, and the cell's χ² contribution
+    (O−E)²/E — the standardized residual table that says WHICH cells
+    drive the dependence, not just that it exists. The total statistic
+    is the sum of the contrib column (each cell rounds independently —
+    summing after rounding keeps the total engine-exact by
+    construction; the bias is ≤ cells·0.5e-6).
+
+    All exact: weekday is day-index mod 7 from the fixed anchor (never
+    the engines' dayofweek, whose week origin disagrees), expectations
+    stay rational — E = R·C/N reads out as a round-half-up e6 DIV, and
+    (O·N − R·C)²/(N·R·C) evaluates in DECIMAL(38,0)/HUGEINT (the
+    squared numerator passes 10²³ at 30× — integer headroom, no float
+    anywhere). Shape: ONE corpus scan into the O(types×7) contingency
+    census; margins and total fold from the census, not the corpus."""
+    from ..cache import session_memo
+
+    def _census() -> DataFrame:
+        return (
+            load(spark, sf_dir, "events")
+            .groupBy(
+                "event_type",
+                (
+                    F.datediff(
+                        F.date_trunc("day", "ts"), F.to_date(F.lit("2024-01-01"))
+                    )
+                    % 7
+                ).alias("dow"),
+            )
+            .agg(F.count(F.lit(1)).alias("obs"))
+            .localCheckpoint(eager=True)  # O(types×7) rows: one corpus scan
+        )
+
+    o = session_memo(spark, sf_dir, "chi2_contingency_census", _census)
+    r = o.groupBy("event_type").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("dow").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("n"))
+    return (
+        o.join(r, "event_type")
+        .join(c, "dow")
+        .crossJoin(n)  # 1-row scalar broadcast over the bounded census
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("obs").cast("long").alias("observed"),
+            F.expr(
+                "CAST((2 * 1000000 * rt * ct + n) DIV (2 * n) AS BIGINT)"
+            ).alias("expected_e6"),
+            F.expr(
+                """CAST((2 * 1000000
+                         * CAST(obs * n - rt * ct AS DECIMAL(38,0))
+                         * CAST(obs * n - rt * ct AS DECIMAL(38,0))
+                         + CAST(n AS DECIMAL(38,0)) * rt * ct)
+                        DIV (2 * CAST(n AS DECIMAL(38,0)) * rt * ct)
+                        AS BIGINT)"""
+            ).alias("contrib_e6"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -1471,3 +1471,131 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "adc_d2", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral: dominant eigenvector by distributed power iteration
+# ---------------------------------------------------------------------------
+
+POWER_ITERS = 4  # fixed unrolled rounds; e6 lattice converges fast on 64 dims
+
+
+def _power_oracle() -> str:
+    """Replay the whole power iteration in DuckDB — the rounds unrolled as
+    MATERIALIZED CTEs (each w{k} is referenced twice: once for the vector,
+    once for its max-abs; without MATERIALIZED, DuckDB inlines the chain
+    and re-expands the corpus pipeline 2^k times — the graph_bfs_layers
+    lesson). All arithmetic is integer (BIGINT products, HUGEINT sums,
+    floor division on non-negative operands), so the replay is bitwise."""
+    ctes = [
+        "vq AS MATERIALIZED (SELECT vec_id, t.i AS pos, "
+        "CAST(round(embedding[t.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q "
+        f"FROM embeddings, range({DIM}) t(i))",
+        f"u0 AS (SELECT t.i AS pos, CAST(1000000 AS HUGEINT) AS val FROM range({DIM}) t(i))",
+    ]
+    for k in range(1, POWER_ITERS + 1):
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT vec_id, sum(q * u.val) AS s "
+            f"FROM vq JOIN u{k - 1} u USING (pos) GROUP BY vec_id)"
+        )
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT pos, sum(CAST(q AS HUGEINT) * s) AS w "
+            f"FROM vq JOIN s{k} USING (vec_id) GROUP BY pos)"
+        )
+        if k < POWER_ITERS:
+            ctes.append(
+                f"u{k} AS (SELECT pos, CASE WHEN w < 0 "
+                "THEN -((2 * 1000000 * (-w) + m) // (2 * m)) "
+                "ELSE (2 * 1000000 * w + m) // (2 * m) END AS val "
+                f"FROM w{k}, (SELECT max(abs(w)) AS m FROM w{k}))"
+            )
+    last = POWER_ITERS
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(CASE WHEN w < 0
+                THEN -((2 * 1000000 * (-w) + m) // (2 * m))
+                ELSE (2 * 1000000 * w + m) // (2 * m) END AS BIGINT) AS eig_e6
+    FROM w{last}, (SELECT max(abs(w)) AS m FROM w{last})
+    ORDER BY pos
+    """
+
+
+@query("sim_power_iteration", oracle=_power_oracle())
+@prepared("sim_power_query")
+def sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the corpus second-moment matrix M = Σ v·vᵀ
+    by POWER ITERATION — the spectral primitive behind PCA whitening,
+    spectral clustering, and embedding-drift monitors — without ever
+    materializing M: each round computes M·u as Σᵢ vᵢ·(vᵢᵀu), i.e. ONE
+    map pass (per-vector dot against the broadcast-inlined u, the
+    sim_ivf_topk literal-model trick) plus ONE posexplode partial-merged
+    groupBy(pos) — dim rows out, no dim² anything, no join, no corpus
+    shuffle. The driver state per round is 64 integers.
+
+    Exactness is the novel part: textbook power iteration L2-normalizes
+    (a sqrt — libm, unverifiable), so this uses MAX-ABS normalization
+    (rational, scale-free for eigen directions) on an e6 integer lattice:
+    components quantize once per vector (round(v·10⁶), within-vector and
+    engine-identical), dots are exact BIGINT folds, the Σᵢ accumulation
+    is exact DECIMAL(38,0)/HUGEINT (order-free), and each round re-enters
+    from round-half-up integer DIV — zero floats end to end, so
+    executor merge order can never move a bit. Deterministic all-ones
+    init; {POWER_ITERS} fixed rounds; the final round's normalization
+    happens IN Spark (64-row max-abs cross join, the blessed 1-row
+    scalar-broadcast shape) so the returned plan still carries the
+    corpus pass. Oracle replays every round bitwise."""
+
+    def base() -> DataFrame:
+        return (
+            load_parallel(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id",
+                F.expr(
+                    "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+                    "x -> CAST(round(x * 1000000) AS BIGINT))"
+                ).alias("vq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    vq = session_memo(spark, sf_dir, "power_iter_vq", base)
+
+    def w_of(u: list[int]) -> DataFrame:
+        ulit = "array(" + ", ".join(f"{x}L" for x in u) + ")"
+        s_expr = (
+            f"aggregate(zip_with(vq, {ulit}, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+        )
+        return (
+            vq.select(F.expr(s_expr).alias("s"), F.posexplode("vq").alias("pos", "qd"))
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.expr("CAST(qd AS DECIMAL(8,0)) * CAST(s AS DECIMAL(16,0))")
+                ).alias("w")
+            )
+        )
+
+    u = [1_000_000] * DIM
+    for _ in range(POWER_ITERS - 1):
+        rows = w_of(u).collect()  # O(dim) driver state per round
+        w = {int(r["pos"]): int(r["w"]) for r in rows}
+        m = max(abs(x) for x in w.values())
+        u = [
+            (-1 if w[d] < 0 else 1) * ((2 * 1_000_000 * abs(w[d]) + m) // (2 * m))
+            for d in range(DIM)
+        ]
+    final = w_of(u)
+    mx = final.agg(F.max(F.abs(F.col("w"))).alias("m"))
+    return (
+        final.crossJoin(mx)
+        .select(
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(
+                """CASE WHEN w < 0
+                   THEN -CAST((2 * 1000000 * (-w) + m) DIV (2 * m) AS BIGINT)
+                   ELSE CAST((2 * 1000000 * w + m) DIV (2 * m) AS BIGINT) END"""
+            ).alias("eig_e6"),
+        )
+        .orderBy("pos")
+    )

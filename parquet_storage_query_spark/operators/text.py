@@ -1452,3 +1452,68 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
         F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
     ).orderBy("chunk")
+
+
+@query(
+    "text_token_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents),
+    tf AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2),
+    s AS (SELECT lang, sum(n) AS nt, count(*) AS types,
+                 sum(n::HUGEINT * (n - 1)) AS coll
+          FROM tf GROUP BY 1)
+    SELECT lang, CAST(nt AS BIGINT) AS n_tokens, CAST(types AS BIGINT)
+               AS n_types,
+           CAST((2 * 1000000 * types + nt) // (2 * nt) AS BIGINT) AS ttr_e6,
+           CASE WHEN nt < 2 THEN NULL ELSE
+               CAST((2 * 1000000 * coll + nt::HUGEINT * (nt - 1))
+                    // (2 * nt::HUGEINT * (nt - 1)) AS BIGINT) END
+               AS simpson_e6
+    FROM s ORDER BY lang
+    """,
+)
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per language: type-token ratio and Simpson's
+    repeat-rate D = Σnᵢ(nᵢ−1)/(N(N−1)) — the probability two tokens drawn
+    without replacement coincide. The pair (TTR falls with corpus size,
+    Simpson is size-stable) is the standard corpus-health readout next
+    to text_vocab_growth's Heaps fit: a language slice whose Simpson
+    spikes is template/boilerplate-heavy even when its raw vocabulary
+    looks fine — exactly the slices to down-weight before training.
+
+    Both indices are exact rationals of the term-frequency census (the
+    same whitespace tokenization every text op shares): one explode +
+    one (lang, token)-keyed partial-merged count, then an O(types)
+    per-lang fold of (N, |V|, Σn(n−1)) — all integers, with the Σn(n−1)
+    and N(N−1) products in DECIMAL(38,0)/HUGEINT (they pass 10¹⁸ within
+    one 10⁸-token language slice) and round-half-up e6 DIV readouts.
+    Degenerate slices (N < 2) yield NULL on both engines. The heavy
+    shuffle is the tf census; everything after is O(languages)."""
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = tf.groupBy("lang").agg(
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("types"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1)")).alias("coll"),
+    )
+    return s.select(
+        "lang",
+        F.col("nt").cast("long").alias("n_tokens"),
+        F.col("types").cast("long").alias("n_types"),
+        F.expr("CAST((2 * 1000000 * types + nt) DIV (2 * nt) AS BIGINT)").alias(
+            "ttr_e6"
+        ),
+        F.expr(
+            """CASE WHEN nt < 2 THEN NULL ELSE
+               CAST((2 * 1000000 * coll
+                     + CAST(nt AS DECIMAL(38,0)) * (nt - 1))
+                    DIV (2 * CAST(nt AS DECIMAL(38,0)) * (nt - 1)) AS BIGINT)
+               END"""
+        ).alias("simpson_e6"),
+    ).orderBy("lang")

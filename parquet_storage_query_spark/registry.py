@@ -86,6 +86,11 @@ _PRIORITY = [
     "profile_expectations", "sim_ivfpq_topk", "graph_label_propagation",
     "timeseries_forecast_ewma", "mm_audio_energy", "text_novelty_curve",
     "events_activity_heatmap",
+    # -- round-6 fourth continuation: spectral / stat-test / sequence ops --
+    "sim_power_iteration", "profile_ks_test", "events_sequence_pattern",
+    "timeseries_acf", "agg_grouped_median", "events_survival_curve",
+    "graph_bfs_layers", "train_shard_manifest", "mm_image_edge_density",
+    "profile_chi2", "text_token_diversity", "graph_degree_assortativity",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
