@@ -79,6 +79,8 @@ HEADLINE = [
     "sim_ivf_topk",
     "sim_kmeans_train",
     "sim_power_iteration",
+    "sim_random_projection",
+    "sim_mmr_rerank",
     "sim_maxsim_topk",
     "sim_persisted_topk",
     "sim_pq_topk",
@@ -134,6 +136,8 @@ HEADLINE = [
     "timeseries_trend_ols",
     "timeseries_seasonality",
     "timeseries_acf",
+    "timeseries_changepoint_cusum",
+    "timeseries_seasonal_decompose",
     "join_interval_bucketed",
     "events_running_distinct",
     "events_rfm_bands",
@@ -141,6 +145,7 @@ HEADLINE = [
     "events_streaks",
     "events_survival_curve",
     "events_sequence_pattern",
+    "events_interarrival_dispersion",
     "events_activity_heatmap",
     "text_novelty_curve",
     "text_vocab_growth",

@@ -2665,6 +2665,27 @@ def agg_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 ACF_MAX_LAG = 7
 
 
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order-revenue cents keyed by day index from the 1995-01-01
+    anchor — ONE corpus scan checkpointed at O(days) rows, session-shared
+    by timeseries_acf and timeseries_changepoint_cusum."""
+    from ..cache import session_memo
+
+    def build() -> DataFrame:
+        return (
+            load(spark, sf_dir, "orders")
+            .groupBy(
+                F.datediff(
+                    F.date_trunc("day", "o_orderdate"), F.to_date(F.lit("1995-01-01"))
+                ).alias("t")
+            )
+            .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+
+    return session_memo(spark, sf_dir, "acf_daily_revenue", build)
+
+
 @query(
     "timeseries_acf",
     oracle=f"""
@@ -2721,21 +2742,7 @@ def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row (n, Σx) scalar broadcast, the lag-grid explode (7 rows/day)
     and the self-join on t+k all run on O(days) rows. At 100 TB the
     scan dominates and the ACF itself is free."""
-    from ..cache import session_memo
-
-    def _daily0() -> DataFrame:
-        return (
-            load(spark, sf_dir, "orders")
-            .groupBy(
-                F.datediff(
-                    F.date_trunc("day", "o_orderdate"), F.to_date(F.lit("1995-01-01"))
-                ).alias("t")
-            )
-            .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("x"))
-            .localCheckpoint(eager=True)  # O(days) rows: ONE corpus scan feeds all
-        )
-
-    daily0 = session_memo(spark, sf_dir, "acf_daily_revenue", _daily0)
+    daily0 = _daily_revenue(spark, sf_dir)
     ext = daily0.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
     grid = ext.select(F.explode(F.expr("sequence(lo, hi)")).alias("t"))
     daily = grid.join(daily0, "t", "left").select(
@@ -2773,3 +2780,216 @@ def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+CUSUM_BUCKETS = 32
+
+
+@query(
+    "timeseries_changepoint_cusum",
+    oracle="""
+    WITH daily0 AS (
+        SELECT date_diff('day', DATE '1995-01-01',
+                         date_trunc('day', o_orderdate)) AS t,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY 1),
+    ext AS (SELECT min(t) AS lo, max(t) AS hi FROM daily0),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS t FROM ext),
+    daily AS (SELECT g.t, coalesce(d.x, 0) AS x
+              FROM grid g LEFT JOIN daily0 d USING (t)),
+    s AS (SELECT count(*) AS n, sum(x) AS sx FROM daily),
+    c AS (SELECT t, sum(CAST(n * x - sx AS HUGEINT))
+                      OVER (ORDER BY t) AS cus
+          FROM daily, s),
+    mx AS (SELECT max(abs(cus)) AS cmax FROM c),
+    cp AS (SELECT min(t) AS cp_t FROM c, mx WHERE abs(cus) = cmax),
+    seg AS (
+        SELECT count(CASE WHEN t <= cp_t THEN 1 END) AS nb,
+               sum(CASE WHEN t <= cp_t THEN x END) AS sb,
+               count(CASE WHEN t > cp_t THEN 1 END) AS na,
+               sum(CASE WHEN t > cp_t THEN x END) AS sa
+        FROM daily, cp)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           strftime(DATE '1995-01-01' + INTERVAL (cp_t) DAY, '%Y-%m-%d')
+               AS cp_day,
+           CAST(cmax // n AS BIGINT) AS max_dev_cents,
+           CAST((2 * sb + nb) // (2 * nb) AS BIGINT) AS before_mean_cents,
+           CASE WHEN na = 0 THEN NULL ELSE
+               CAST((2 * sa + na) // (2 * na) AS BIGINT) END
+               AS after_mean_cents
+    FROM s, cp, mx, seg
+    """,
+)
+def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily-revenue series — "WHEN
+    did the level shift": the day maximizing |Σ_{i≤t}(x_i − x̄)|, the
+    classic cumulative-deviation changepoint (the argmax of the CUSUM
+    statistic), plus the before/after segment means that quantify the
+    shift. Complements timeseries_acf (is there structure) and
+    trend_ols (global slope) with WHERE the structure breaks.
+
+    Exactness: deviations clear the rational mean to the integer
+    lattice (y = n·x − Σx), the cumulative sum is exact HUGEINT/
+    DECIMAL(38,0), the argmax tiebreak is min-day, and the readouts are
+    round-half-up integer DIVs (max deviation re-scaled by n back to
+    cents). Shape: the corpus-sized step is the shared checkpointed
+    (day, cents) rollup (ONE scan, reused by timeseries_acf in the same
+    session); the CUSUM runs over the calendar-bounded series via the
+    window_global_prefix bucket decomposition — per-bucket running sums
+    + ≤B collected offsets, no Exchange SinglePartition at any scale."""
+    from pyspark.sql import Window as W
+
+    daily0 = _daily_revenue(spark, sf_dir)
+    ext = daily0.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    grid = ext.select(F.explode(F.expr("sequence(lo, hi)")).alias("t"))
+    daily = (
+        grid.join(daily0, "t", "left")
+        .select("t", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)  # O(days): feeds cusum + both segments
+    )
+    s = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+    y = daily.crossJoin(s).select(  # 1-row scalar broadcast
+        "t", "x", "n", F.expr("CAST(n * x - sx AS DECIMAL(38,0))").alias("y")
+    )
+    lo, hi = daily.agg(F.min("t"), F.max("t")).collect()[0]
+    span = max(1, -(-(int(hi) - int(lo) + 1) // CUSUM_BUCKETS))
+    bucketed = y.withColumn("bucket", ((F.col("t") - int(lo)) / span).cast("long"))
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = bucketed.select(
+        "t", "x", "n", "bucket", F.sum("y").over(w).alias("cus_local")
+    )
+    totals = sorted(
+        bucketed.groupBy("bucket").agg(F.sum("y").alias("sy")).collect(),
+        key=lambda r: r["bucket"],
+    )  # ≤ B rows — fixed driver state
+    off, offsets = 0, []
+    for r in totals:
+        offsets.append((int(r["bucket"]), str(off)))
+        off += int(r["sy"])
+    off_df = spark.createDataFrame(offsets, "bucket long, off string").select(
+        "bucket", F.col("off").cast("decimal(38,0)").alias("off")
+    )
+    c = local.join(F.broadcast(off_df), "bucket").select(
+        "t", "x", "n", (F.col("cus_local") + F.col("off")).alias("cus")
+    )
+    mx = c.agg(F.max(F.abs(F.col("cus"))).alias("cmax"))
+    cp = (
+        c.crossJoin(mx)
+        .filter(F.abs(F.col("cus")) == F.col("cmax"))
+        .agg(F.min("t").alias("cp_t"))
+    )
+    seg = (
+        c.crossJoin(cp)  # 1-row scalar broadcast over the bounded series
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.col("cp_t")).alias("cp_t"),
+            F.count(F.when(F.col("t") <= F.col("cp_t"), 1)).alias("nb"),
+            F.sum(F.when(F.col("t") <= F.col("cp_t"), F.col("x"))).alias("sb"),
+            F.count(F.when(F.col("t") > F.col("cp_t"), 1)).alias("na"),
+            F.sum(F.when(F.col("t") > F.col("cp_t"), F.col("x"))).alias("sa"),
+        )
+    )
+    return seg.crossJoin(mx).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "date_format(date_add(to_date('1995-01-01'), CAST(cp_t AS INT)), "
+            "'yyyy-MM-dd')"
+        ).alias("cp_day"),
+        F.expr("CAST(cmax DIV n AS BIGINT)").alias("max_dev_cents"),
+        F.expr(
+            "CAST((2 * CAST(sb AS DECIMAL(38,0)) + nb) DIV (2 * nb) AS BIGINT)"
+        ).alias("before_mean_cents"),
+        F.expr(
+            """CASE WHEN na = 0 THEN NULL ELSE
+               CAST((2 * CAST(sa AS DECIMAL(38,0)) + na) DIV (2 * na) AS BIGINT)
+               END"""
+        ).alias("after_mean_cents"),
+    )
+
+
+@query(
+    "timeseries_seasonal_decompose",
+    oracle="""
+    WITH daily0 AS (
+        SELECT date_diff('day', DATE '1995-01-01',
+                         date_trunc('day', o_orderdate)) AS t,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY 1),
+    ext AS (SELECT min(t) AS lo, max(t) AS hi FROM daily0),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS t FROM ext),
+    daily AS (SELECT g.t, coalesce(d.x, 0) AS x
+              FROM grid g LEFT JOIN daily0 d USING (t)),
+    ma AS (
+        SELECT a.t, a.x, sum(b.x) AS sum7, count(*) AS n7
+        FROM daily a
+        JOIN unnest(range(-3, 4)) o(off) ON TRUE
+        JOIN daily b ON b.t = a.t + o.off
+        GROUP BY a.t, a.x),
+    d AS (SELECT t % 7 AS weekday, 7 * x - sum7 AS d7
+          FROM ma WHERE n7 = 7),
+    s AS (SELECT weekday, count(*) AS n_days, sum(d7::HUGEINT) AS sd7
+          FROM d GROUP BY 1)
+    SELECT CAST(weekday AS BIGINT) AS weekday,
+           CAST(n_days AS BIGINT) AS n_days,
+           (CASE WHEN sd7 < 0 THEN -1 ELSE 1 END)
+           * CAST((2 * abs(sd7) + 7 * n_days) // (2 * 7 * n_days) AS BIGINT)
+               AS seasonal_cents
+    FROM s ORDER BY weekday
+    """,
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue — the STL shape
+    on an exact lattice: a centered 7-day moving average estimates the
+    trend, and the mean DETRENDED deviation per weekday is the additive
+    seasonal component in cents ("Mondays run $X below trend").
+    Complements timeseries_seasonality (multiplicative index on raw
+    counts — a trending series biases it) by removing the trend first,
+    which is the decomposition every forecast residual check wants.
+
+    Exactness: the MA is rational (Σ₇/7), so deviations clear to the
+    integer lattice d₇ = 7·x_t − Σ₇ exactly; per-weekday means read out
+    as one signed round-half-up DIV by 7·n_w (HUGEINT/DECIMAL sums).
+    Edge days without a full ±3-day window are excluded on both engines
+    (n₇ = 7), and weekday is day-index mod 7 from the anchor — never
+    the engines' dayofweek. Shape: the shared checkpointed daily rollup
+    (ONE corpus scan, reused by ACF/CUSUM in-session), a 7-offset
+    explode + self-join on the O(days) series, then an O(7) fold."""
+    daily0 = _daily_revenue(spark, sf_dir)
+    ext = daily0.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    grid = ext.select(F.explode(F.expr("sequence(lo, hi)")).alias("t"))
+    daily = (
+        grid.join(daily0, "t", "left")
+        .select("t", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)  # O(days): both self-join sides
+    )
+    a = daily.select(
+        F.col("t").alias("ta"),
+        F.col("x").alias("xa"),
+        F.explode(F.expr("sequence(-3, 3)")).alias("off"),
+    )
+    b = daily.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    ma = (
+        a.join(b, F.col("ta") + F.col("off") == F.col("tb"))
+        .groupBy("ta", "xa")
+        .agg(F.sum("xb").alias("sum7"), F.count(F.lit(1)).alias("n7"))
+        .filter(F.col("n7") == 7)
+    )
+    s = ma.select(
+        (F.col("ta") % 7).alias("weekday"),
+        F.expr("CAST(7 * xa - sum7 AS DECIMAL(38,0))").alias("d7"),
+    ).groupBy("weekday").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("d7").alias("sd7")
+    )
+    return s.select(
+        F.col("weekday").cast("long").alias("weekday"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.expr(
+            """(CASE WHEN sd7 < 0 THEN -1L ELSE 1L END)
+               * CAST((2 * abs(sd7) + 7 * n_days)
+                      DIV (2 * 7 * n_days) AS BIGINT)"""
+        ).alias("seasonal_cents"),
+    ).orderBy("weekday")

@@ -1419,3 +1419,70 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+@query(
+    "events_interarrival_dispersion",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) // 1000 AS gap_ms
+        FROM events),
+    m AS (
+        SELECT event_type, count(*) AS n,
+               sum(gap_ms)::HUGEINT AS sx,
+               sum(gap_ms::HUGEINT * gap_ms) AS sxx
+        FROM g WHERE gap_ms IS NOT NULL GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           CAST((2 * sx + n) // (2 * n) AS BIGINT) AS mean_gap_ms,
+           CASE WHEN sx = 0 THEN NULL ELSE
+               CAST((2 * 1000000 * (n * sxx - sx * sx) + sx * sx)
+                    // (2 * sx * sx) AS BIGINT) END AS cv2_e6
+    FROM m ORDER BY event_type
+    """,
+)
+def events_interarrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness diagnosis of each event stream: the squared coefficient
+    of variation CV² = Var/Mean² of per-user interarrival gaps. CV² = 1
+    is the memoryless (Poisson) baseline, < 1 means regular/heartbeat
+    traffic, > 1 means bursty sessions — the number that decides whether
+    rate limits, anomaly baselines, and capacity plans can assume
+    exponential arrivals (events_anomaly_zscore's z-model quietly does).
+
+    CV² is dimensionless and a pure rational of three distributive
+    moments: (n·Σx² − (Σx)²)/(Σx)², folded in ONE pass over the gaps.
+    Gaps are exact integers (epoch-microseconds differenced per
+    (user, type) — both engines' µs renderings of the same parquet
+    values — floor-divided to ms, keeping n·Σx² inside DECIMAL(38,0)/
+    HUGEINT at 30×), and the readout is the round-half-up e6 DIV.
+    Shape: one (user_id, event_type)-keyed window — the stream's
+    natural partitioning — then an O(types) moment fold; degenerate
+    streams (all-zero gaps) yield NULL on both engines."""
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts)").alias("us"),
+            F.lag(F.expr("unix_micros(ts)")).over(w).alias("prev_us"),
+        )
+        .filter(F.col("prev_us").isNotNull())
+        .select("event_type", F.expr("(us - prev_us) DIV 1000").alias("gap_ms"))
+    )
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(gap_ms AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(gap_ms AS DECIMAL(38,0)) * gap_ms")).alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.expr("CAST((2 * sx + n) DIV (2 * n) AS BIGINT)").alias("mean_gap_ms"),
+        F.expr(
+            """CASE WHEN sx = 0 THEN NULL ELSE
+               CAST((2 * 1000000 * (n * sxx - sx * sx) + sx * sx)
+                    DIV (2 * sx * sx) AS BIGINT) END"""
+        ).alias("cv2_e6"),
+    ).orderBy("event_type")

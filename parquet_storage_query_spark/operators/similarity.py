@@ -1599,3 +1599,305 @@ def sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+RP_K = 8  # projected dimensions
+
+
+def _rp_sign(j: int, d: int) -> int:
+    """Deterministic Rademacher ±1 sign for projected dim j, input dim d —
+    md5-seeded the same way every seeded operator in this repo is, but
+    evaluated ONCE in Python (512 constants) and inlined as literals on
+    both engines, so neither engine's md5/conv builtins are even in play."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1
+
+
+_RP_SIGNS = [[_rp_sign(j, d) for d in range(DIM)] for j in range(RP_K)]
+
+
+def _rp_oracle() -> str:
+    zs = ", ".join(
+        f"list_reduce(list_transform(range({DIM}), i -> q[i+1] * ({_RP_SIGNS[j]}[i+1])::BIGINT), (a, b) -> a + b) AS z{j}"
+        for j in range(RP_K)
+    )
+    dp2 = " + ".join(f"(p.z{j} - c.z{j}) * (p.z{j} - c.z{j})" for j in range(RP_K))
+    return f"""
+    WITH vq AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+        FROM embeddings),
+    z AS MATERIALIZED (SELECT vec_id, q, {zs} FROM vq),
+    pairs AS (
+        SELECT list_reduce(list_transform(range({DIM}),
+                   i -> (p.q[i+1] - c.q[i+1]) * (p.q[i+1] - c.q[i+1])),
+                   (a, b) -> a + b) AS d2,
+               {dp2} AS dp2
+        FROM z p JOIN z c ON p.vec_id < {N_QUERY_VECS}),
+    r AS (
+        SELECT (2 * 1000000 * dp2::HUGEINT + {RP_K} * d2)
+                   // (2 * {RP_K} * d2::HUGEINT) AS ratio_e6
+        FROM pairs WHERE d2 > 0)
+    SELECT CAST(ratio_e6 // 100000 AS BIGINT) AS bucket,
+           count(*) AS n_pairs,
+           CAST(min(ratio_e6) AS BIGINT) AS min_ratio_e6,
+           CAST(max(ratio_e6) AS BIGINT) AS max_ratio_e6
+    FROM r GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("sim_random_projection", oracle=_rp_oracle())
+@prepared("sim_rp_query")
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection, AUDITED: project the
+    64-dim corpus to {RP_K} dims with a deterministic Rademacher ±1
+    matrix and measure how well probe↔corpus squared distances survive
+    (E[‖Rx‖²] = k·‖x‖², so dproj²/(k·dorig²) concentrates around 1).
+    The output is the distortion-ratio histogram in 0.1-wide buckets
+    with per-bucket extremes — the empirical JL audit that tells you
+    whether k dims suffice BEFORE you rebuild an ANN index on the
+    projection (sketch-then-index is the standard way to take a 100 TB
+    embedding corpus down to shuffle-able width).
+
+    Exactness: the sign matrix is 512 md5-seeded ±1 LITERALS evaluated
+    once in Python and inlined on both engines; components quantize to
+    the e6 integer lattice once per vector, so projections, squared
+    distances (dp2 passes 2⁵³ — BIGINT, never a double fold), and the
+    e6 ratio DIV are integer end-to-end. Shape: projections are {RP_K}
+    map-side zip_with folds (no shuffle); the 5 probes inline as
+    literal arrays (the kmeans trick), so the whole audit is ONE corpus
+    scan + one O(buckets) aggregate. Zero-distance pairs (exact
+    duplicates of a probe) are excluded on both engines — ratio
+    undefined."""
+    vq = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "x -> CAST(round(x * 1000000) AS BIGINT))"
+        ).alias("vq"),
+    )
+
+    def z_expr(j: int) -> str:
+        s = "array(" + ", ".join(f"{x}L" for x in _RP_SIGNS[j]) + ")"
+        return f"aggregate(zip_with(vq, {s}, (x, y) -> x * y), 0L, (a, b) -> a + b)"
+
+    z = vq.select(
+        "vec_id", "vq", *[F.expr(z_expr(j)).alias(f"z{j}") for j in range(RP_K)]
+    )
+    probes = z.filter(F.col("vec_id") < N_QUERY_VECS).orderBy("vec_id").collect()
+
+    def pair_struct(r) -> str:
+        pv = "array(" + ", ".join(f"{int(x)}L" for x in r["vq"]) + ")"
+        d2 = (
+            f"aggregate(zip_with(vq, {pv}, (x, y) -> (x - y) * (x - y)), "
+            "0L, (a, b) -> a + b)"
+        )
+        dp2 = " + ".join(
+            f"(z{j} - {int(r[f'z{j}'])}L) * (z{j} - {int(r[f'z{j}'])}L)"
+            for j in range(RP_K)
+        )
+        return f"named_struct('d2', {d2}, 'dp2', {dp2})"
+
+    structs = ", ".join(pair_struct(r) for r in probes)
+    r = (
+        z.select(F.explode(F.expr(f"array({structs})")).alias("p"))
+        .filter(F.col("p.d2") > 0)
+        .select(
+            F.expr(
+                f"CAST((2 * 1000000 * CAST(p.dp2 AS DECIMAL(38,0)) + {RP_K} * p.d2)"
+                f" DIV (2 * {RP_K} * CAST(p.d2 AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("ratio_e6")
+        )
+    )
+    return (
+        r.groupBy(F.expr("ratio_e6 DIV 100000").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("ratio_e6").alias("min_ratio_e6"),
+            F.max("ratio_e6").alias("max_ratio_e6"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 20  # relevance candidates per probe
+MMR_K = 5      # diversified results per probe
+# λ = 0.7 as the integer split 7·rel − 3·redundancy (no float weights)
+
+
+def _mmr_oracle() -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cand AS MATERIALIZED (
+        SELECT query_id, vec_id, v, rel_e6 FROM (
+            SELECT q.vec_id AS query_id, c.vec_id, c.v,
+                   CAST(round(1000000 * ({cos.format(a='q.v', b='c.v')}))
+                        AS BIGINT) AS rel_e6,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cos.format(a='q.v', b='c.v')} DESC, c.vec_id)
+                       AS rn
+            FROM e q JOIN e c
+              ON q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id)
+        WHERE rn <= {MMR_POOL})""",
+        f"""pairs AS MATERIALIZED (
+        SELECT a.query_id, a.vec_id AS pa, b.vec_id AS pb,
+               CAST(round(1000000 * ({cos.format(a='a.v', b='b.v')}))
+                    AS BIGINT) AS sim_e6
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.vec_id <> b.vec_id)""",
+        """sel1 AS (
+        SELECT query_id, vec_id, rel_e6, 7 * rel_e6 AS mmr_e7 FROM (
+            SELECT query_id, vec_id, rel_e6,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel_e6 DESC, vec_id) AS rn
+            FROM cand) WHERE rn = 1)""",
+        "selall1 AS (SELECT query_id, vec_id FROM sel1)",
+    ]
+    for k in range(2, MMR_K + 1):
+        ctes.append(f"""ms{k} AS (
+        SELECT p.query_id, p.pa AS vec_id, max(p.sim_e6) AS ms
+        FROM pairs p JOIN selall{k - 1} s
+          ON s.query_id = p.query_id AND s.vec_id = p.pb
+        WHERE NOT EXISTS (SELECT 1 FROM selall{k - 1} x
+                          WHERE x.query_id = p.query_id
+                            AND x.vec_id = p.pa)
+        GROUP BY 1, 2)""")
+        ctes.append(f"""sel{k} AS (
+        SELECT query_id, vec_id, rel_e6, mmr_e7 FROM (
+            SELECT c.query_id, c.vec_id, c.rel_e6,
+                   7 * c.rel_e6 - 3 * m.ms AS mmr_e7,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY 7 * c.rel_e6 - 3 * m.ms DESC, c.vec_id) AS rn
+            FROM ms{k} m JOIN cand c
+              ON c.query_id = m.query_id AND c.vec_id = m.vec_id)
+        WHERE rn = 1)""")
+        ctes.append(
+            f"selall{k} AS (SELECT query_id, vec_id FROM selall{k - 1} "
+            f"UNION ALL SELECT query_id, vec_id FROM sel{k})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, {k} AS rk, vec_id AS neighbor_id, rel_e6, mmr_e7 FROM sel{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, rel_e6, mmr_e7
+    FROM ({union}) ORDER BY query_id, rk
+    """
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+@prepared("sim_mmr_query")
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98):
+    from each probe's top-{MMR_POOL} relevance pool, greedily pick
+    {MMR_K} results maximizing 7·relevance − 3·max-similarity-to-already-
+    picked — the diversification pass every RAG retriever and
+    recommendation surface runs AFTER ANN search, so near-duplicate
+    hits (which this corpus's banded index surfaces constantly) don't
+    fill the whole result page with one document's clones.
+
+    Determinism discipline: relevance and redundancy quantize to e6
+    integers (the same pinned-fold cosine every sim_* op shares — both
+    engines produce bitwise-identical doubles, so identical roundings),
+    the MMR trade-off is the INTEGER split 7·rel − 3·sim (λ=0.7 with no
+    float weights), and every greedy argmax tiebreaks on vec_id — the
+    oracle replays all {MMR_K} greedy steps as unrolled CTEs. Shape:
+    candidate generation is the broadcast-probe corpus scan + top-k
+    window (the bruteforce serving shape); everything after — the
+    {MMR_POOL}²-pair similarity table and the greedy loop — runs on
+    O(|Q|·k²) rows, collected driver-side as a model-sized artifact
+    (the kmeans/PQ convention). The returned plan still carries the
+    corpus-scan candidate pipeline."""
+    e = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    cand = (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos_raw", cosine(F.col("qv"), F.col("v")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select(
+            "query_id",
+            "vec_id",
+            "v",
+            F.expr("CAST(round(1000000 * cos_raw) AS BIGINT)").alias("rel_e6"),
+        )
+        .localCheckpoint(eager=True)  # O(|Q|·pool) rows
+    )
+    a = cand.select("query_id", F.col("vec_id").alias("pa"), F.col("v").alias("va"))
+    b = cand.select("query_id", F.col("vec_id").alias("pb"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(
+            "query_id",
+            "pa",
+            "pb",
+            F.expr(
+                "CAST(round(1000000 * (aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                " 0D, (s, x) -> s + x)"
+                " / (sqrt(aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (s, x) -> s + x))"
+                " * sqrt(aggregate(zip_with(vb, vb, (x, y) -> x * y), 0D, (s, x) -> s + x)))))"
+                " AS BIGINT)"
+            ).alias("sim_e6"),
+        )
+    )
+    rel: dict[int, dict[int, int]] = {}
+    for r in cand.select("query_id", "vec_id", "rel_e6").collect():
+        rel.setdefault(int(r["query_id"]), {})[int(r["vec_id"])] = int(r["rel_e6"])
+    sim: dict[tuple[int, int, int], int] = {}
+    for r in pairs.collect():  # O(|Q|·pool²) — model-sized by construction
+        sim[(int(r["query_id"]), int(r["pa"]), int(r["pb"]))] = int(r["sim_e6"])
+    sel_rows = []
+    for qid, rels in sorted(rel.items()):
+        picked: list[int] = []
+        for rk in range(1, MMR_K + 1):
+            best = None
+            for vid, rv in rels.items():
+                if vid in picked:
+                    continue
+                score = (
+                    7 * rv
+                    if not picked
+                    else 7 * rv - 3 * max(sim[(qid, vid, s)] for s in picked)
+                )
+                key = (-score, vid)
+                if best is None or key < best[0]:
+                    best = (key, vid, score)
+            picked.append(best[1])
+            sel_rows.append((qid, rk, best[1], best[2]))
+    sel = spark.createDataFrame(
+        sel_rows, "query_id long, rk long, vec_id long, mmr_e7 long"
+    )
+    return (
+        cand.join(F.broadcast(sel), ["query_id", "vec_id"])  # O(|Q|·k) side
+        .select(
+            "query_id",
+            "rk",
+            F.col("vec_id").alias("neighbor_id"),
+            "rel_e6",
+            "mmr_e7",
+        )
+        .orderBy("query_id", "rk")
+    )

@@ -91,6 +91,9 @@ _PRIORITY = [
     "timeseries_acf", "agg_grouped_median", "events_survival_curve",
     "graph_bfs_layers", "train_shard_manifest", "mm_image_edge_density",
     "profile_chi2", "text_token_diversity", "graph_degree_assortativity",
+    "sim_random_projection", "timeseries_changepoint_cusum",
+    "events_interarrival_dispersion", "sim_mmr_rerank",
+    "timeseries_seasonal_decompose",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
