@@ -201,3 +201,96 @@ def streaming_error_bursts(
     return final.filter(F.col("s.n_bursts") > 0).select(
         "user_id", "s.n_bursts", "s.longest_burst", "s.total_burst_errors"
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-sensitive stateful operator: live onboarding-journey classification
+# ---------------------------------------------------------------------------
+
+_SEQ_OUT = "user_id LONG, seen LONG, journey STRING"
+_SEQ_STATE = "journey STRING, seen LONG"
+
+
+def _fold_journey(
+    key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental onboarding-prefix fold: per user, the state is the
+    first-N event-code string (monotone — it only APPENDS until full,
+    then never changes) plus the seen count. The prefix is the
+    error-bursts shape taken to its simplest extreme: O(cap) state, and
+    once the prefix is full every later event is a pure counter bump —
+    the state-store write amortizes to nothing for mature users.
+    Ordering contract matches _fold_error_bursts: rows sorted
+    (ts, event_id) within each batch; micro-batches delivered in time
+    order."""
+    from ..operators.events import _JOURNEY_CAP
+
+    journey, seen = state.get if state.exists else ("", 0)
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for code in pdf["code"].tolist():
+            if len(journey) < _JOURNEY_CAP:
+                journey += code
+            seen += 1
+    state.update((journey, seen))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "seen": [seen], "journey": [journey]}
+    )
+
+
+def streaming_sequence_pattern(
+    spark: SparkSession, sf_dir: str, stream: DataFrame | None = None
+) -> DataFrame:
+    """Live twin of `events_sequence_pattern` (operators/events.py): the
+    per-user onboarding journey maintained incrementally, the same regex
+    panel classifying the final snapshot, the same census/share output.
+    Update-mode emissions are monotone in `seen`, so the final journey
+    per user is the row with the highest seen. The regex CASE and the
+    e6 share arithmetic are imported from the batch twin — one panel,
+    two execution modes."""
+    from ..operators.events import _JOURNEY_PATTERNS
+
+    if stream is None:
+        stream = read_events_stream(spark, sf_dir)
+    ev = stream.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("substring(event_type, 1, 1)").alias("code"),
+    )
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        _fold_journey,
+        outputStructType=_SEQ_OUT,
+        stateStructType=_SEQ_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from .windows import _run_to_memory
+
+    all_updates = _run_to_memory(updates, "stream_seq_pattern_out", "update")
+    final = all_updates.groupBy("user_id").agg(
+        F.max_by("journey", "seen").alias("journey")
+    )
+    case = " ".join(
+        f"WHEN journey RLIKE '{rx}' THEN '{name}'" for name, rx in _JOURNEY_PATTERNS
+    )
+    census = (
+        final.select(F.expr(f"CASE {case} ELSE 'other' END").alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .localCheckpoint(eager=True)
+    )
+    n = census.agg(F.sum("n_users").alias("total"))
+    return (
+        census.crossJoin(n)
+        .select(
+            "pattern",
+            "n_users",
+            F.expr(
+                "CAST((2000000 * n_users + total) DIV (2 * total) AS BIGINT)"
+            ).alias("share_e6"),
+        )
+        .orderBy("pattern")
+    )

@@ -628,3 +628,77 @@ def test_streaming_bitmap_distinct_matches_batch(spark):
     got = sw.streaming_bitmap_distinct(spark, SF_SMOKE)
     want = agg_bitmap_distinct(spark, SF_SMOKE)
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_sequence_pattern_match_batch(spark):
+    """The monotone prefix fold over the real sf0.001 corpus must yield
+    the exact batch census (pattern, n_users, share_e6)."""
+    from parquet_storage_query_spark.operators.events import events_sequence_pattern
+    from parquet_storage_query_spark.streaming.stateful import (
+        streaming_sequence_pattern,
+    )
+
+    got = _rows(streaming_sequence_pattern(spark, SF_SMOKE))
+    want = _rows(events_sequence_pattern(spark, SF_SMOKE))
+    assert got == want and len(got) >= 2
+
+
+def test_streaming_sequence_pattern_across_micro_batches(spark, tmp_path):
+    """A user's first-6 prefix SPANNING micro-batch boundaries is the
+    state the fold must carry: u1's purchase arrives in file 2 (making
+    an error_recovery journey 'vep...'), u2 fills its prefix in file 1
+    and file 3's extra events must NOT change it, u3 appears only in
+    file 3. Census must equal the batch operator on the union corpus."""
+    import datetime as dt
+    import time
+
+    from parquet_storage_query_spark.operators.events import events_sequence_pattern
+    from parquet_storage_query_spark.streaming.stateful import (
+        streaming_sequence_pattern,
+    )
+
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    t = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    f1 = [
+        (1, t + 0 * m, 1, "view", 0.0, "{}"),
+        (12, t + 1 * m, 1, "click", 0.0, "{}"),
+        (2, t + 2 * m, 1, "error", 0.0, "{}"),
+        (3, t + 0 * m, 2, "view", 0.0, "{}"),
+        (4, t + 1 * m, 2, "click", 0.0, "{}"),
+        (5, t + 2 * m, 2, "view", 0.0, "{}"),
+        (6, t + 3 * m, 2, "click", 0.0, "{}"),
+        (7, t + 4 * m, 2, "view", 0.0, "{}"),
+        (8, t + 5 * m, 2, "click", 0.0, "{}"),  # u2 prefix full: vcvcvc
+    ]
+    f2 = [
+        (9, t + 3 * m, 1, "purchase", 9.0, "{}"),  # u1 -> 'vcep' = error_recovery
+        # (p is 4th: not instant_buyer; e precedes p: not research_buyer)
+    ]
+    f3 = [
+        (10, t + 9 * m, 2, "purchase", 9.0, "{}"),  # beyond u2's full prefix
+        (11, t + 0 * m, 3, "purchase", 5.0, "{}"),  # u3: instant_buyer
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    fed = []
+    for name, rows in [("f1", f1), ("f2", f2), ("f3", f3)]:
+        fed.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+        time.sleep(1.1)  # strictly increasing mtimes -> deterministic order
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    got = _rows(streaming_sequence_pattern(spark, str(tmp_path), stream=stream))
+
+    batch_sf = tmp_path / "batch_sf"
+    batch_sf.mkdir()
+    spark.createDataFrame(fed, schema).coalesce(1).write.parquet(
+        str(batch_sf / "events.parquet")
+    )
+    want = _rows(events_sequence_pattern(spark, str(batch_sf)))
+    assert got == want
+    pats = {r[0] for r in got}
+    assert {"error_recovery", "window_shopper", "instant_buyer"} <= pats
