@@ -55,6 +55,8 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "agg_exact_median_2pass",
     "agg_grouped_median",
+    "agg_mode_exact",
+    "subq_lateral_topn",
     "topk_orders",
     "window_topk_per_group",
     "window_sessionize",
@@ -81,6 +83,7 @@ HEADLINE = [
     "sim_power_iteration",
     "sim_random_projection",
     "sim_mmr_rerank",
+    "sim_centroid_drift",
     "sim_maxsim_topk",
     "sim_persisted_topk",
     "sim_pq_topk",
@@ -102,6 +105,7 @@ HEADLINE = [
     "prep_scd2_history",
     "prep_user_erasure",
     "prep_zorder_layout",
+    "prep_prune_audit",
     "pipeline_training_shard",
     "train_domain_mixture",
     "train_curriculum",
@@ -130,6 +134,7 @@ HEADLINE = [
     "graph_kcore",
     "graph_bfs_layers",
     "graph_degree_assortativity",
+    "graph_hits",
     "timeseries_locf",
     "timeseries_ohlc",
     "timeseries_forecast_ewma",
@@ -144,6 +149,7 @@ HEADLINE = [
     "events_error_bursts",
     "events_streaks",
     "events_survival_curve",
+    "events_hazard_rate",
     "events_sequence_pattern",
     "events_interarrival_dispersion",
     "events_activity_heatmap",

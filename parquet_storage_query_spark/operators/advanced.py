@@ -2993,3 +2993,343 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
                       DIV (2 * 7 * n_days) AS BIGINT)"""
         ).alias("seasonal_cents"),
     ).orderBy("weekday")
+
+
+# Prune-audit predicate: one 24-hour slice of the 3-hour-bucket dimension
+# (buckets 80..87 = day 11 of the month) — a selective box on the SECOND
+# z-dimension, the case single-column sorting cannot prune.
+PRUNE_LO, PRUNE_HI = 80, 87
+
+
+def ensure_zordered_events(spark: SparkSession, sf_dir: str) -> str:
+    """Physically z-ordered events layout (committed-artifact protocol):
+    one parquet directory per z-prefix bucket — the DETERMINISTIC twin of
+    prep.rewrite_zorder's sampled repartitionByRange (sampled boundaries
+    shift run-to-run; an auditable layout needs arithmetic bucketing, the
+    window_global_prefix lesson applied to files). The time bucket rides
+    along as a materialized column (Delta's generated-column pattern) so
+    parquet footers carry prunable stats for the time dimension."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ev = load(spark, sf_dir, "events")
+        x = F.col("user_id")
+        y = F.floor(((F.dayofmonth("ts") - 1) * 24 + F.hour("ts")) / 3.0).cast(
+            "long"
+        )
+        z = _z_value(x, y)
+        (
+            ev.select(
+                "event_id",
+                "user_id",
+                y.alias("tb"),
+                F.shiftrightunsigned(z, 12).cast("long").alias("file_id"),
+            )
+            .repartition("file_id")  # each bucket lands whole in one task
+            .write.partitionBy("file_id")
+            .mode("overwrite")
+            .parquet(dest)
+        )
+
+    return ensure_artifact(
+        spark,
+        sf_dir,
+        "zorder_events_physical",
+        "v1",
+        [table_path(sf_dir, "events")],
+        build,
+    )
+
+
+@query(
+    "prep_prune_audit",
+    oracle=f"""
+    WITH dims AS (
+        SELECT user_id AS x,
+               CAST(floor(((dayofmonth(ts) - 1) * 24 + hour(ts)) / 3.0)
+                    AS BIGINT) AS y
+        FROM events),
+    z AS (SELECT x, y, ({_z_sql('x', 'y')}) >> 12 AS file_id FROM dims),
+    b AS (
+        SELECT file_id, count(*) AS n_rows,
+               min(y) AS tb_min, max(y) AS tb_max,
+               sum(CASE WHEN y BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+                        THEN 1 ELSE 0 END) AS n_match
+        FROM z GROUP BY 1)
+    SELECT file_id, CAST(n_rows AS BIGINT) AS n_rows,
+           tb_min, tb_max,
+           CASE WHEN tb_max < {PRUNE_LO} OR tb_min > {PRUNE_HI}
+                THEN 'pruned' ELSE 'scanned' END AS status,
+           CAST(n_match AS BIGINT) AS n_match
+    FROM b ORDER BY file_id
+    """,
+)
+def prep_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit with PHYSICAL evidence — the Iceberg/Delta
+    file-pruning story measured end to end: events are physically
+    rewritten into z-prefix bucket directories (committed artifact), and
+    this query reads the written files' parquet FOOTERS (pyarrow on
+    executors, the prep_table_stats shape) to report, per file: row count
+    and time-bucket extents AS THE FOOTERS STATE THEM, the prune/scan
+    verdict a stats-based planner would reach for a one-day predicate on
+    the time dimension, and the true matching rows (the false-positive
+    gap between 'scanned' and 'matching' is the clustering quality).
+
+    The check is the strong part: the DuckDB oracle NEVER sees the
+    artifact — it replays the z-assignment semantically from raw events
+    and predicts what every footer MUST contain. A row lost in the
+    rewrite, a mis-bucketed z-value, or a wrong footer statistic breaks
+    the hash — physical layout verified against declarative semantics.
+    Shape: the rewrite is one shuffle (once per corpus version, then
+    served from the committed artifact); the audit is O(files) footer
+    reads + one artifact-only scan for match counts. At 100 TB the
+    footer pass touches KBs per file — the planner's own cost."""
+    import os
+
+    root = ensure_zordered_events(spark, sf_dir)
+    dirs = [
+        (int(d.split("=")[1]), os.path.join(root, d, f))
+        for d in os.listdir(root)
+        if d.startswith("file_id=")
+        for f in os.listdir(os.path.join(root, d))
+        if f.endswith(".parquet")
+    ]
+    paths = spark.createDataFrame(dirs, "file_id long, path string").repartition(
+        max(1, len(dirs))
+    )
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fid, path in zip(pdf["file_id"], pdf["path"]):
+                md = pq.ParquetFile(path).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+                    "tb"
+                ]
+                lo, hi, n = None, None, 0
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                    n += md.row_group(g).num_rows
+                rows.append(
+                    {"file_id": int(fid), "n_rows": n, "tb_min": lo, "tb_max": hi}
+                )
+            yield pd.DataFrame(rows)
+
+    import pandas as pd  # noqa: F401 (mapInPandas batch type)
+
+    footer = (
+        paths.mapInPandas(
+            read_footers,
+            schema="file_id long, n_rows long, tb_min long, tb_max long",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("tb_min").alias("tb_min"),
+            F.max("tb_max").alias("tb_max"),
+        )
+    )
+    match = (
+        spark.read.parquet(root)
+        .filter(F.col("tb").between(PRUNE_LO, PRUNE_HI))
+        .groupBy("file_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    return (
+        footer.join(match, "file_id", "left")
+        .select(
+            F.col("file_id").cast("long").alias("file_id"),
+            "n_rows",
+            "tb_min",
+            "tb_max",
+            F.expr(
+                f"CASE WHEN tb_max < {PRUNE_LO} OR tb_min > {PRUNE_HI} "
+                "THEN 'pruned' ELSE 'scanned' END"
+            ).alias("status"),
+            F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
+        )
+        .orderBy("file_id")
+    )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    WITH tf AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, sum(n) AS n_values FROM tf GROUP BY 1),
+    r AS (SELECT event_type, cents, n,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY n DESC, cents) AS rn
+          FROM tf)
+    SELECT r.event_type, r.cents AS mode_cents, CAST(r.n AS BIGINT) AS n_mode,
+           CAST(t.n_values AS BIGINT) AS n_values,
+           CAST((2000000 * r.n + t.n_values) // (2 * t.n_values) AS BIGINT)
+               AS share_e6
+    FROM r JOIN tot t USING (event_type)
+    WHERE rn = 1 ORDER BY r.event_type
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group mode — the most frequent value-cents per event
+    type with its frequency share: the third leg of the central-tendency
+    triptych (mean: profile_numeric_stats; exact median:
+    agg_grouped_median; mode: here). Unlike mean/median, the mode needs
+    the full value census — which is exactly why approximate engines
+    reach for CMS heavy-hitters (agg_countmin_heavy_hitters is this
+    op's sketch twin); on a BOUNDED value domain (cents here) the exact
+    census is one partial-merged (group, value) count, corpus-
+    independent after the shuffle, and the argmax is a per-group window
+    over that census with the deterministic (count DESC, cents ASC)
+    tiebreak both engines replay. Never a per-group sort of raw rows."""
+    tf = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # domain-bounded census, two consumers
+    )
+    tot = tf.groupBy("event_type").agg(F.sum("n").alias("n_values"))
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc(), "cents")
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(tot, "event_type")
+        .select(
+            "event_type",
+            F.col("cents").alias("mode_cents"),
+            F.col("n").cast("long").alias("n_mode"),
+            F.col("n_values").cast("long").alias("n_values"),
+            F.expr(
+                "CAST((2000000 * n + n_values) DIV (2 * n_values) AS BIGINT)"
+            ).alias("share_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_custkey, t.bal_cents
+    FROM nation n,
+    LATERAL (
+        SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 3
+    ) t
+    ORDER BY n.n_name, t.bal_cents DESC, t.c_custkey
+"""
+
+
+@query("subq_lateral_topn", oracle=_LATERAL_SQL)
+def subq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-3 customers by balance PER
+    nation, written as the SQL-standard lateral derived table (the form
+    every "top-n per group" migration guide starts from) and executed
+    VERBATIM on both engines: this op completes the subquery surface
+    (scalar / IN / correlated-scalar / lateral) and pins that Spark's
+    decorrelation handles the hard case — a correlated subquery with
+    ORDER BY + LIMIT, which naive engines re-execute once per outer row.
+
+    Catalyst rewrites the lateral into a join + per-key ranking (a
+    DomainJoin-decorrelated window), so the plan is one customer scan,
+    one nation-keyed ranking, one broadcast join — the same physical
+    shape window_topk_per_group declares directly with the DataFrame
+    API — modulo one extra customer scan the decorrelator plans for the
+    subquery domain (plan-audited: 2 scans; the DataFrame form costs 1,
+    which is why this repo's hot paths use it). Integer cents keep the
+    output driver-proof."""
+    register_all(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "events_hazard_rate",
+    oracle="""
+    WITH span AS (
+        SELECT user_id,
+               date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+                   AS lifespan
+        FROM events GROUP BY 1),
+    n AS (SELECT count(*) AS total FROM span),
+    grid AS (SELECT unnest(range(0, 15)) AS day),
+    ended AS (SELECT lifespan AS day, count(*) AS n_ended
+              FROM span WHERE lifespan < 14 GROUP BY 1),
+    risk AS (
+        SELECT g.day,
+               (SELECT count(*) FROM span s WHERE s.lifespan >= g.day)
+                   AS at_risk
+        FROM grid g)
+    SELECT r.day, CAST(r.at_risk AS BIGINT) AS at_risk,
+           CAST(coalesce(e.n_ended, 0) AS BIGINT) AS n_ended,
+           CASE WHEN r.at_risk = 0 THEN NULL ELSE
+               CAST((2000000 * coalesce(e.n_ended, 0) + r.at_risk)
+                    // (2 * r.at_risk) AS BIGINT) END AS hazard_e6
+    FROM risk r LEFT JOIN ended e USING (day)
+    WHERE r.day <= 14 ORDER BY r.day
+    """,
+)
+def events_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard rate h(t) = users whose observed lifespan
+    ENDED on day t ÷ users still at risk entering day t, for t = 0..14 —
+    the derivative twin of events_survival_curve (survival says how many
+    remain; hazard says WHEN the risk spikes: a hump at day 1 is an
+    onboarding cliff, a flat tail is steady attrition — the shape
+    retention interventions are aimed at). Users whose lifespan reaches
+    the 14-day horizon are censored (at risk, never 'ended') — the
+    standard Kaplan–Meier right-censoring convention.
+
+    Shape: ONE user-keyed min/max aggregate reduces the corpus to a
+    lifespan per user (the survival curve's same first pass), then the
+    day-grid census is a bounded 15-row range join over the O(users)
+    lifespan table folded to an O(15) histogram first — at-risk counts
+    are a suffix sum of the histogram, never a per-day corpus rescan.
+    Integer day arithmetic; hazard reads out as the e6 DIV."""
+    span = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.to_date("ts")), F.min(F.to_date("ts"))
+            ).alias("lifespan")
+        )
+    )
+    hist = (
+        span.groupBy("lifespan")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # O(distinct lifespans): both consumers
+    )
+    grid = spark.range(0, 15).select(F.col("id").alias("day"))
+    risk = (
+        grid.join(hist, hist["lifespan"] >= grid["day"])
+        .groupBy("day")
+        .agg(F.sum("n").alias("at_risk"))
+    )
+    ended = (
+        hist.filter(F.col("lifespan") < 14)
+        .select(F.col("lifespan").alias("day"), F.col("n").alias("n_ended"))
+    )
+    return (
+        risk.join(ended, "day", "left")
+        .select(
+            "day",
+            F.col("at_risk").cast("long").alias("at_risk"),
+            F.coalesce("n_ended", F.lit(0)).cast("long").alias("n_ended"),
+            F.expr(
+                """CASE WHEN at_risk = 0 THEN NULL ELSE
+                   CAST((2000000 * coalesce(n_ended, 0) + at_risk)
+                        DIV (2 * at_risk) AS BIGINT) END"""
+            ).alias("hazard_e6"),
+        )
+        .orderBy("day")
+    )

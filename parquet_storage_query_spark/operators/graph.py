@@ -815,3 +815,124 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       DIV (2 * dx * dy) AS BIGINT) END"""
         ).alias("assort_r2_e6"),
     )
+
+
+HITS_ROUNDS = 3
+HITS_TOPK = 15
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        _CO_KNN_CTES.strip().rstrip(","),
+        """n0 AS (SELECT DISTINCT p1 AS node FROM knn
+             UNION SELECT DISTINCT p2 FROM knn)""",
+        "h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM n0)",
+    ]
+    for r in range(1, HITS_ROUNDS + 1):
+        ctes.append(
+            f"a{r}r AS MATERIALIZED (SELECT k.p2 AS node, sum(h.s) AS s "
+            f"FROM knn k JOIN h{r - 1} h ON h.node = k.p1 GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT node, (2 * 1000000 * s + m) // (2 * m) AS s "
+            f"FROM a{r}r, (SELECT max(s) AS m FROM a{r}r))"
+        )
+        ctes.append(
+            f"h{r}r AS MATERIALIZED (SELECT k.p1 AS node, sum(a.s) AS s "
+            f"FROM knn k JOIN a{r} a ON a.node = k.p2 GROUP BY 1)"
+        )
+        ctes.append(
+            f"h{r} AS MATERIALIZED (SELECT node, (2 * 1000000 * s + m) // (2 * m) AS s "
+            f"FROM h{r}r, (SELECT max(s) AS m FROM h{r}r))"
+        )
+    last = HITS_ROUNDS
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT node, auth_e6, hub_e6, rk FROM (
+        SELECT a.node, a.s AS auth_e6, coalesce(h.s, 0) AS hub_e6,
+               row_number() OVER (ORDER BY a.s DESC, a.node) AS rk
+        FROM a{last} a LEFT JOIN h{last} h USING (node))
+    WHERE rk <= {HITS_TOPK} ORDER BY rk
+    """
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg '99) on the co-purchase kNN
+    digraph: authorities are parts many top-10 partner lists POINT AT
+    (the staples everything co-sells with), hubs are parts whose lists
+    point at strong authorities (the basket-connectors). PageRank on
+    this repo ranks by a single diffusion; HITS separates the two roles
+    via the ALTERNATING fixpoint a = Aᵀh, h = A·a — the second iterative
+    spectral operator, and the mutually-recursive one.
+
+    Same exactness discipline as sim_power_iteration: scores live on an
+    e6 integer lattice, every half-round is one edge⋈score equi-join +
+    one partial-merged sum (exact BIGINT — scores ≤ 10⁶, fan-in bounded
+    by the kNN truncation), and the max-abs normalization is a 1-row
+    aggregate broadcast into the plan with round-half-up DIV (all
+    nonnegative — no sign cases). {HITS_ROUNDS} rounds unrolled in the
+    DuckDB oracle, bitwise. Per round the only shuffles are the two
+    keyed joins over the ≤10·n edge list; score tables checkpoint at
+    O(nodes) so round k never replays round k−1's lineage."""
+    from pyspark.sql import Window as W
+
+    co = _co_table(spark, sf_dir)
+    rn = F.row_number().over(W.partitionBy("p1").orderBy(F.col("n_co").desc(), "p2"))
+    knn = (
+        co.withColumn("rn", rn)
+        .filter(F.col("rn") <= 10)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        knn.select(F.col("p1").alias("node"))
+        .union(knn.select(F.col("p2").alias("node")))
+        .distinct()
+    )
+    h = nodes.select("node", F.lit(1_000_000).cast("long").alias("s"))
+    a = None
+    for _ in range(HITS_ROUNDS):
+        a_raw = (
+            knn.join(h.withColumnRenamed("node", "p1"), "p1")
+            .groupBy("p2")
+            .agg(F.sum("s").alias("sr"))
+        )
+        am = a_raw.agg(F.max("sr").alias("m"))
+        a = (
+            a_raw.crossJoin(F.broadcast(am))  # 1-row scalar broadcast
+            .select(
+                F.col("p2").alias("node"),
+                F.expr("(2 * 1000000 * sr + m) DIV (2 * m)").alias("s"),
+            )
+            .localCheckpoint(eager=True)  # O(nodes)
+        )
+        h_raw = (
+            knn.join(a.withColumnRenamed("node", "p2"), "p2")
+            .groupBy("p1")
+            .agg(F.sum("s").alias("sr"))
+        )
+        hm = h_raw.agg(F.max("sr").alias("m"))
+        h = (
+            h_raw.crossJoin(F.broadcast(hm))
+            .select(
+                F.col("p1").alias("node"),
+                F.expr("(2 * 1000000 * sr + m) DIV (2 * m)").alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    top = (
+        a.withColumnRenamed("s", "auth_e6")
+        .join(h.withColumnRenamed("s", "hub_e6"), "node", "left")
+        .select(
+            "node", "auth_e6", F.coalesce("hub_e6", F.lit(0)).alias("hub_e6")
+        )
+        .orderBy(F.col("auth_e6").desc(), "node")
+        .limit(HITS_TOPK)  # TakeOrdered heap — never a global sort
+    )
+    w = W.orderBy(F.col("auth_e6").desc(), "node")  # over ≤{k} rows post-limit
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
+        .select("node", "auth_e6", "hub_e6", "rk")
+        .orderBy("rk")
+    )

@@ -1901,3 +1901,96 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift calibration (A/A split)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_centroid_drift",
+    oracle=f"""
+    WITH vq AS (
+        SELECT vec_id, label, vec_id % 2 AS half, t.i AS pos,
+               CAST(round(embedding[t.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+        FROM embeddings, range({DIM}) t(i)),
+    s AS (
+        SELECT label, half, pos, sum(q) AS sq, count(*) AS n
+        FROM vq GROUP BY 1, 2, 3),
+    d AS (
+        SELECT a.label, a.pos, any_value(a.n) AS n1, any_value(b.n) AS n2,
+               any_value(b.n * a.sq - a.n * b.sq) AS dnum
+        FROM s a JOIN s b ON a.label = b.label AND a.pos = b.pos
+                         AND a.half = 0 AND b.half = 1
+        GROUP BY 1, 2),
+    agg AS (
+        SELECT label, any_value(n1) AS n1, any_value(n2) AS n2,
+               sum(dnum::HUGEINT * dnum) AS sd2
+        FROM d GROUP BY 1)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(n1 AS BIGINT) AS n_even, CAST(n2 AS BIGINT) AS n_odd,
+           CAST((2 * sd2 + (n1::HUGEINT * n2) * (n1 * n2))
+                // (2 * (n1::HUGEINT * n2) * (n1 * n2)) AS BIGINT)
+               AS drift2_e12
+    FROM agg ORDER BY label
+    """,
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift between the corpus's even and
+    odd halves (vec_id parity) — the A/A CALIBRATION for drift monitors:
+    a deterministic null split whose measured centroid distance is the
+    sampling-noise floor (≈ Σσ²_d·(1/n₁+1/n₂)); a production monitor
+    comparing week-over-week centroids alarms only when its drift² beats
+    this floor. Parity is the one split that stays deterministic under
+    any reshuffle/rescale of the corpus.
+
+    Exactness: centroids are rationals (Σq/n on the e6 lattice), so the
+    per-dimension difference clears denominators — d_num = n₂·S1_d −
+    n₁·S2_d exactly — and drift² = Σd_num²/(n₁n₂)² reads out as one
+    round-half-up DIV in DECIMAL(38,0)/HUGEINT (e12 units: the square
+    of the e6 lattice). Shape: ONE posexplode partial-merge per
+    (label, half, dim) — O(labels·2·64) rows out of the shuffle — then
+    an O(labels·dim) join-and-fold. No per-pair work anywhere."""
+    vq = load_parallel(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.expr(
+                "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+                "x -> CAST(round(x * 1000000) AS BIGINT))"
+            )
+        ).alias("pos", "q"),
+    )
+    s = (
+        vq.groupBy("label", "half", "pos")
+        .agg(F.sum("q").alias("sq"), (F.count(F.lit(1))).alias("n"))
+        .localCheckpoint(eager=True)  # O(labels·2·dim): both halves read it
+    )
+    a = s.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("sq").alias("s1"), F.col("n").alias("n1")
+    )
+    b = s.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("sq").alias("s2"), F.col("n").alias("n2")
+    )
+    d = a.join(b, ["label", "pos"]).select(
+        "label",
+        "n1",
+        "n2",
+        F.expr("CAST(n2 * s1 - n1 * s2 AS DECIMAL(38,0))").alias("dnum"),
+    )
+    agg = d.groupBy("label").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(F.expr("dnum * dnum")).alias("sd2"),
+    )
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n1").cast("long").alias("n_even"),
+        F.col("n2").cast("long").alias("n_odd"),
+        F.expr(
+            """CAST((2 * sd2 + CAST(n1 AS DECIMAL(38,0)) * n2 * n1 * n2)
+                    DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n2 * n1 * n2)
+                    AS BIGINT)"""
+        ).alias("drift2_e12"),
+    ).orderBy("label")

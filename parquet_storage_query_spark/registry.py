@@ -93,7 +93,9 @@ _PRIORITY = [
     "profile_chi2", "text_token_diversity", "graph_degree_assortativity",
     "sim_random_projection", "timeseries_changepoint_cusum",
     "events_interarrival_dispersion", "sim_mmr_rerank",
-    "timeseries_seasonal_decompose",
+    "timeseries_seasonal_decompose", "prep_prune_audit", "graph_hits",
+    "agg_mode_exact", "sim_centroid_drift", "subq_lateral_topn",
+    "events_hazard_rate",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
