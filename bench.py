@@ -143,6 +143,7 @@ HEADLINE = [
     "timeseries_acf",
     "timeseries_changepoint_cusum",
     "timeseries_seasonal_decompose",
+    "timeseries_rolling_median",
     "join_interval_bucketed",
     "events_running_distinct",
     "events_rfm_bands",
@@ -156,6 +157,7 @@ HEADLINE = [
     "text_novelty_curve",
     "text_vocab_growth",
     "text_token_diversity",
+    "text_langid_confusion",
     "dedup_fuzzy_levenshtein",
     "dedup_simhash_pairs",
     "profile_benford",
@@ -183,6 +185,7 @@ HEADLINE = [
     # so the framing op times decode + reduceat only
     "mm_audio_energy",
     "mm_audio_vad",
+    "mm_audio_zero_crossings",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to
@@ -252,6 +255,9 @@ def main() -> None:
         "text_inverted_index": "postings_build",
         "agg_exact_median_2pass": "median_hist_build",
         "sim_pq_topk": "pq_codebook_train",
+        # first call writes the committed z-ordered layout; serving reads
+        # footers + the artifact only
+        "prep_prune_audit": "zorder_rewrite_build",
     }
 
     timings: dict[str, float] = {}

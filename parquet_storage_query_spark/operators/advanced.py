@@ -3333,3 +3333,70 @@ def events_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "timeseries_rolling_median",
+    oracle="""
+    WITH daily0 AS (
+        SELECT date_diff('day', DATE '1995-01-01',
+                         date_trunc('day', o_orderdate)) AS t,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY 1),
+    ext AS (SELECT min(t) AS lo, max(t) AS hi FROM daily0),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS t FROM ext),
+    daily AS (SELECT g.t, coalesce(d.x, 0) AS x
+              FROM grid g LEFT JOIN daily0 d USING (t)),
+    win AS (
+        SELECT a.t, list_sort(list(b.x))[4] AS med, count(*) AS n7
+        FROM daily a
+        JOIN unnest(range(-6, 1)) o(off) ON TRUE
+        JOIN daily b ON b.t = a.t + o.off
+        GROUP BY a.t)
+    SELECT t, CAST(med AS BIGINT) AS median_cents
+    FROM win WHERE n7 = 7 ORDER BY t LIMIT 60
+    """,
+)
+def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day ROLLING MEDIAN of daily revenue — the robust trend
+    line (one whale order drags a rolling mean for a week; the median
+    shrugs): the standard smoother behind revenue dashboards and the
+    robust baseline profile_outlier_mad-style monitors difference
+    against. First 60 full windows (corpus-stable slice: the series
+    extent is calendar-fixed, so LIMIT over ORDER BY t is deterministic
+    at every scale).
+
+    Exactness needs no rounding at all: a 7-element window has an ODD
+    count, so the median IS the 4th order statistic — both engines sort
+    the same 7 integers and take the same element (element_at ∘
+    sort_array ≙ list_sort[4]); no interpolation, no float percentile.
+    Shape: the shared checkpointed daily rollup (ONE corpus scan),
+    a 7-offset explode + self-join over the O(days) series — each
+    window materializes exactly 7 rows, never a growing state."""
+    daily0 = _daily_revenue(spark, sf_dir)
+    ext = daily0.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    grid = ext.select(F.explode(F.expr("sequence(lo, hi)")).alias("t"))
+    daily = (
+        grid.join(daily0, "t", "left")
+        .select("t", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)  # O(days): both self-join sides
+    )
+    a = daily.select(
+        F.col("t").alias("ta"), F.explode(F.expr("sequence(-6, 0)")).alias("off")
+    )
+    b = daily.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    win = (
+        a.join(b, F.col("ta") + F.col("off") == F.col("tb"))
+        .groupBy("ta")
+        .agg(
+            F.expr("try_element_at(sort_array(collect_list(xb)), 4)").alias("med"),
+            # try_: edge windows (<7 rows) evaluate before the n7 filter
+            F.count(F.lit(1)).alias("n7"),
+        )
+        .filter(F.col("n7") == 7)
+    )
+    return (
+        win.select(F.col("ta").alias("t"), F.col("med").cast("long").alias("median_cents"))
+        .orderBy("t")
+        .limit(60)
+    )

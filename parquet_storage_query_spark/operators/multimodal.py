@@ -1146,3 +1146,70 @@ def mm_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mm_audio_zero_crossings",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, {WAV_N_BASE} + doc_id % {WAV_N_MOD} AS n
+        FROM documents),
+    x AS (
+        SELECT doc_id, n,
+               CASE WHEN ((doc_id * {WAV_A} + {WAV_B} * (t.k - 1)) % 4001 - 2000)
+                         * ((doc_id * {WAV_A} + {WAV_B} * t.k) % 4001 - 2000) < 0
+                    THEN 1 ELSE 0 END AS c
+        FROM dims, unnest(range(1, n)) AS t(k))
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(c) AS BIGINT) AS n_crossings,
+           CAST((2 * 1000000 * sum(c) + (n - 1)) // (2 * (n - 1)) AS BIGINT)
+               AS zcr_e6
+    FROM x GROUP BY doc_id, n ORDER BY doc_id
+    """,
+)
+def mm_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate over REAL decoded PCM16 — the classic cheap
+    pitch/noisiness proxy (speech ZCR is low, fricatives and hiss are
+    high), and the audio family's NEIGHBORHOOD operator: like
+    mm_image_edge_density for images, a sign change depends on
+    consecutive-sample ORDER, so a decoder defect that permutes or
+    drops samples (chunk-walk off-by-one, wrong word alignment) breaks
+    this census where per-clip energy sums cannot see it. A crossing is
+    s_{{k-1}}·s_k < 0 — the strict-product convention, identical
+    integer arithmetic on both engines.
+
+    Shape: decode in Arrow-batched mapInPandas, the crossing count is
+    one vectorized sign-product pass (np), and each clip ships a 3-int
+    partial — O(1) shuffle traffic per clip. The DuckDB oracle replays
+    the DECODED sample stream from the fixture's closed form without
+    parsing a byte of RIFF."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_wav_fixture(spark, sf_dir))
+
+    def census(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "n_crossings": []}
+            for did, wav in zip(pdf["doc_id"], pdf["wav"]):
+                _rate, _n, samples = decode_audio(bytes(wav))
+                s = np.asarray(samples, dtype=np.int64)
+                out["doc_id"].append(int(did))
+                out["n_samples"].append(len(s))
+                out["n_crossings"].append(int(((s[:-1] * s[1:]) < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return (
+        src.mapInPandas(
+            census, schema="doc_id long, n_samples long, n_crossings long"
+        )
+        .select(
+            "doc_id",
+            "n_samples",
+            "n_crossings",
+            F.expr(
+                "CAST((2 * 1000000 * n_crossings + (n_samples - 1))"
+                " DIV (2 * (n_samples - 1)) AS BIGINT)"
+            ).alias("zcr_e6"),
+        )
+        .orderBy("doc_id")
+    )

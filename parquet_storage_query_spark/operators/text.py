@@ -1517,3 +1517,54 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                END"""
         ).alias("simpson_e6"),
     ).orderBy("lang")
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH p AS (
+        SELECT lang AS labeled_lang, {_lang_case_sql()} AS detected_lang
+        FROM documents),
+    c AS (SELECT labeled_lang, detected_lang, count(*) AS n_docs
+          FROM p GROUP BY 1, 2),
+    r AS (SELECT labeled_lang, sum(n_docs) AS row_n FROM c GROUP BY 1)
+    SELECT c.labeled_lang, c.detected_lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST((2000000 * c.n_docs + row_n) // (2 * row_n) AS BIGINT)
+               AS row_share_e6
+    FROM c JOIN r USING (labeled_lang)
+    ORDER BY c.labeled_lang, c.detected_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language-ID heuristic against the
+    corpus's declared lang labels — the EVALUATION every classifier in a
+    data pipeline owes its users (text_lang_id emits predictions;
+    this measures them): per (declared, detected) cell the doc count and
+    its share of the declared row, so the diagonal is per-language
+    recall and the off-diagonal cells name the confusions (and the
+    'unknown' column the abstentions) — which decides whether lang-based
+    corpus routing can be trusted before training on it.
+
+    Shape: the per-doc prediction is the same map-side lexicon-hit
+    arg-max the lang-ID op runs (one corpus scan), the matrix is one
+    partial-merged count to O(langs²) cells, and row shares fold from
+    the matrix — the corpus is never rescanned. Exact e6 DIV shares."""
+    pred = text_lang_id(spark, sf_dir).select("labeled_lang", "detected_lang")
+    c = (
+        pred.groupBy("labeled_lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=True)  # O(langs²): matrix + row margins
+    )
+    r = c.groupBy("labeled_lang").agg(F.sum("n_docs").alias("row_n"))
+    return (
+        c.join(r, "labeled_lang")
+        .select(
+            "labeled_lang",
+            "detected_lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST((2000000 * n_docs + row_n) DIV (2 * row_n) AS BIGINT)"
+            ).alias("row_share_e6"),
+        )
+        .orderBy("labeled_lang", "detected_lang")
+    )

@@ -68,6 +68,11 @@ _PRIORITY = [
     "q3_shipping_priority", "stream_enrich_static",
     "pipeline_dedup_consensus", "mm_feature_extract", "agg_windowed_hll",
     "agg_kmv_difference", "events_cohort_ltv", "events_conversion_lag",
+    # -- round-6 fourth continuation: new operator CLASSES (spectral /
+    #    physical prune audit / sequence regex / stat test / neighborhood
+    #    features) — promoted for first driver rows --
+    "sim_power_iteration", "prep_prune_audit", "events_sequence_pattern",
+    "mm_image_edge_density", "graph_hits", "profile_ks_test",
     # -- round-6 continuation: new operators needing first driver rows --
     "timeseries_locf", "join_interval_bucketed", "events_running_distinct",
     "events_rfm_bands", "dedup_fuzzy_levenshtein", "profile_benford",
@@ -86,16 +91,17 @@ _PRIORITY = [
     "profile_expectations", "sim_ivfpq_topk", "graph_label_propagation",
     "timeseries_forecast_ewma", "mm_audio_energy", "text_novelty_curve",
     "events_activity_heatmap",
-    # -- round-6 fourth continuation: spectral / stat-test / sequence ops --
-    "sim_power_iteration", "profile_ks_test", "events_sequence_pattern",
+    # -- round-6 fourth continuation (remainder; six representatives are
+    #    promoted into the ~50-row driver window above) --
     "timeseries_acf", "agg_grouped_median", "events_survival_curve",
-    "graph_bfs_layers", "train_shard_manifest", "mm_image_edge_density",
+    "graph_bfs_layers", "train_shard_manifest",
     "profile_chi2", "text_token_diversity", "graph_degree_assortativity",
     "sim_random_projection", "timeseries_changepoint_cusum",
     "events_interarrival_dispersion", "sim_mmr_rerank",
     "timeseries_seasonal_decompose", "prep_prune_audit", "graph_hits",
     "agg_mode_exact", "sim_centroid_drift", "subq_lateral_topn",
-    "events_hazard_rate",
+    "events_hazard_rate", "text_langid_confusion",
+    "timeseries_rolling_median", "mm_audio_zero_crossings",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
