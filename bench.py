@@ -50,6 +50,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "join_star_revenue",
     "join_asof",
+    "join_asof_nearest",
     "join_bloom_prefilter",
     "agg_count_distinct",
     "agg_bitmap_distinct",
@@ -64,6 +65,7 @@ HEADLINE = [
     "rollup_time_hierarchy",
     "stream_tumbling_counts",
     "stream_enrich_static",
+    "stream_watermark_audit",
     "text_quality_score",
     "text_quality_classifier",
     "text_tfidf_keywords",
@@ -113,6 +115,7 @@ HEADLINE = [
     "profile_drift_psi",
     "profile_outlier_mad",
     "profile_ks_test",
+    "profile_functional_deps",
     "profile_chi2",
     "profile_expectations",
     "events_transition_matrix",

@@ -3400,3 +3400,127 @@ def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t")
         .limit(60)
     )
+
+
+ASOF_NEAREST_TOL_US = 3600 * 1_000_000  # ±1 h match tolerance
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us
+               FROM events WHERE event_type = 'click'),
+    v AS (SELECT event_id AS vid, user_id, ts AS vts, epoch_us(ts) AS vus
+          FROM events WHERE event_type = 'view'),
+    bef AS (
+        SELECT event_id, vts, vus, vid FROM (
+            SELECT c.event_id, v.vts, v.vus, v.vid,
+                   row_number() OVER (PARTITION BY c.event_id
+                                      ORDER BY v.vus DESC, v.vid DESC) AS rn
+            FROM c JOIN v ON v.user_id = c.user_id
+                         AND v.vus <= c.us
+                         AND c.us - v.vus <= {ASOF_NEAREST_TOL_US})
+        WHERE rn = 1),
+    aft AS (
+        SELECT event_id, vts, vus, vid FROM (
+            SELECT c.event_id, v.vts, v.vus, v.vid,
+                   row_number() OVER (PARTITION BY c.event_id
+                                      ORDER BY v.vus ASC, v.vid ASC) AS rn
+            FROM c JOIN v ON v.user_id = c.user_id
+                         AND v.vus >= c.us
+                         AND v.vus - c.us <= {ASOF_NEAREST_TOL_US})
+        WHERE rn = 1)
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           CASE WHEN b.vus IS NOT NULL
+                 AND (a.vus IS NULL OR c.us - b.vus <= a.vus - c.us)
+                THEN b.vts ELSE a.vts END AS view_ts,
+           CASE WHEN b.vus IS NOT NULL
+                 AND (a.vus IS NULL OR c.us - b.vus <= a.vus - c.us)
+                THEN 'before' ELSE 'after' END AS direction,
+           CASE WHEN b.vus IS NOT NULL
+                 AND (a.vus IS NULL OR c.us - b.vus <= a.vus - c.us)
+                THEN c.us - b.vus ELSE a.vus - c.us END AS gap_us
+    FROM c LEFT JOIN bef b USING (event_id) LEFT JOIN aft a USING (event_id)
+    WHERE b.vus IS NOT NULL OR a.vus IS NOT NULL
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join with tolerance: each click matched to the
+    closest view in EITHER time direction within ±1 h (ties prefer the
+    earlier view) — the sensor-fusion / feature-alignment variant of
+    join_asof (pandas merge_asof direction='nearest'), which backward-
+    only as-of cannot express and engines without it emulate with an
+    O(clicks×views) inequality join.
+
+    Spark-first plan — the same union-tag trick as join_asof run in BOTH
+    directions: ONE user-keyed shuffle, one ascending window carries the
+    latest at-or-before view, one descending window carries the earliest
+    at-or-after view (at equal ts the sort puts views before clicks, so
+    same-instant views are visible both ways; within-instant ties are
+    pinned by event_id so both engines pick the same view), then a
+    map-side choice of the nearer valid side. Tolerance makes the inner
+    semantics honest (unmatched clicks drop); gaps are exact integer µs.
+    The DuckDB oracle is the quadratic per-side argmin this plan
+    replaces."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.expr("unix_micros(ts)").alias("us"), F.lit(1).alias("side"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts",
+        F.expr("unix_micros(ts)").alias("us"), F.lit(0).alias("side"),
+    )
+    tagged = clicks.unionByName(views)
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("us", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wa = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("us").desc(), F.col("side").asc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    vstruct = F.when(F.col("side") == 0, F.struct("us", "event_id", "ts"))
+    carried = tagged.withColumn(
+        "bef", F.last(vstruct, ignorenulls=True).over(wb)
+    ).withColumn("aft", F.last(vstruct, ignorenulls=True).over(wa))
+    c = carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "us",
+        F.when(
+            F.col("bef").isNotNull()
+            & ((F.col("us") - F.col("bef.us")) <= ASOF_NEAREST_TOL_US),
+            F.col("bef"),
+        ).alias("b"),
+        F.when(
+            F.col("aft").isNotNull()
+            & ((F.col("aft.us") - F.col("us")) <= ASOF_NEAREST_TOL_US),
+            F.col("aft"),
+        ).alias("a"),
+    )
+    pick_before = F.col("b").isNotNull() & (
+        F.col("a").isNull()
+        | ((F.col("us") - F.col("b.us")) <= (F.col("a.us") - F.col("us")))
+    )
+    return (
+        c.filter(F.col("b").isNotNull() | F.col("a").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "click_ts",
+            F.when(pick_before, F.col("b.ts")).otherwise(F.col("a.ts")).alias(
+                "view_ts"
+            ),
+            F.when(pick_before, F.lit("before")).otherwise(F.lit("after")).alias(
+                "direction"
+            ),
+            F.when(pick_before, F.col("us") - F.col("b.us"))
+            .otherwise(F.col("a.us") - F.col("us"))
+            .cast("long")
+            .alias("gap_us"),
+        )
+    )

@@ -1486,3 +1486,137 @@ def events_interarrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFram
                     DIV (2 * sx * sx) AS BIGINT) END"""
         ).alias("cv2_e6"),
     ).orderBy("event_type")
+
+
+_WM_THRESHOLDS_S = (0, 60, 300, 3600)
+_WM_BUCKETS = 32
+_WM_MAX_DELAY_S = 7200  # simulated upload delay range [0, 2h)
+
+
+@query(
+    "stream_watermark_audit",
+    oracle=f"""
+    WITH arr AS (
+        SELECT event_id, epoch_us(ts) AS us,
+               epoch_us(ts)
+               + (('0x' || substr(md5('wm:' || event_id), 1, 15))::BIGINT
+                  % {_WM_MAX_DELAY_S}) * 1000000 AS arrival_us
+        FROM events),
+    lag AS (
+        SELECT greatest(0, coalesce(
+                   max(us) OVER (ORDER BY arrival_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) - us, 0))
+                   AS lateness_us
+        FROM arr),
+    n AS (SELECT count(*) AS total FROM lag),
+    t AS (SELECT unnest([{', '.join(str(t) for t in _WM_THRESHOLDS_S)}])
+              AS threshold_s)
+    SELECT t.threshold_s,
+           CAST(sum(CASE WHEN lateness_us > t.threshold_s::BIGINT * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST((2000000 * sum(CASE WHEN lateness_us > t.threshold_s::BIGINT
+                                         * 1000000
+                                    THEN 1 ELSE 0 END) + total)
+                // (2 * total) AS BIGINT) AS drop_share_e6
+    FROM lag, t, n
+    GROUP BY t.threshold_s, total ORDER BY t.threshold_s
+    """,
+)
+def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning audit: replay the stream in ARRIVAL order and
+    count how many events each candidate watermark delay
+    {_WM_THRESHOLDS_S}s would DROP (an event is late iff its event time
+    is more than `delay` behind the max event time already arrived).
+    This is the number you need BEFORE picking `withWatermark` on any of
+    this repo's streaming operators: the delay that drops 0.1% is cheap
+    state; the delay that drops 10% is a correctness bug in production.
+
+    Arrival model: the synthetic log is PERFECTLY time-ordered (measured:
+    0 late rows at every threshold — a vacuous census), so arrival =
+    event time + a deterministic md5 upload delay in [0, {_WM_MAX_DELAY_S}s)
+    — the buffering-mobile-client disorder model, reproducible on both
+    engines, which makes the machinery and the census real. On a genuine
+    out-of-order log, drop the simulated delay and keep the pipeline.
+
+    The running "max event time arrived so far" is a GLOBAL exclusive
+    prefix-max over arrival order — the window shape that cannot scale
+    naively — so it uses window_global_prefix's decomposition, bucketed
+    by ARRIVAL-TIME RANGE (pure arithmetic on arrival_us, order-
+    consistent like the Gini value buckets): per-bucket exclusive
+    prefix-max + ≤B collected bucket maxima as cross-bucket offsets.
+    Lateness is exact integer µs; shares are e6 DIVs."""
+    base = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.expr("unix_micros(ts)").alias("us"),
+            F.expr(
+                "unix_micros(ts) + (conv(substring(md5(CAST("
+                f"concat('wm:', event_id) AS BINARY)), 1, 15), 16, 10) "
+                f"% {_WM_MAX_DELAY_S}) * 1000000L"
+            ).alias("arrival_us"),
+        )
+        .localCheckpoint(eager=True)  # one corpus scan feeds all 3 jobs
+    )
+    lo, hi = base.agg(F.min("arrival_us"), F.max("arrival_us")).collect()[0]
+    span = max(1, -(-(int(hi) - int(lo) + 1) // _WM_BUCKETS))
+    bucketed = base.withColumn(
+        "bucket", ((F.col("arrival_us") - int(lo)) / span).cast("long")
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn("local_prevmax", F.max("us").over(w))
+    maxima = sorted(
+        bucketed.groupBy("bucket").agg(F.max("us").alias("m")).collect(),
+        key=lambda r: r["bucket"],
+    )  # ≤ B rows — fixed driver state
+    run, offsets = None, []
+    for r in maxima:
+        offsets.append((int(r["bucket"]), run))
+        run = int(r["m"]) if run is None else max(run, int(r["m"]))
+    off_df = spark.createDataFrame(offsets, "bucket long, off_max long")
+    late = (
+        local.join(F.broadcast(off_df), "bucket")
+        .select(
+            F.greatest(
+                F.lit(0),
+                F.coalesce(
+                    F.greatest(
+                        F.coalesce("local_prevmax", F.col("off_max")),
+                        F.coalesce("off_max", F.col("local_prevmax")),
+                    )
+                    - F.col("us"),
+                    F.lit(0),
+                ),
+            ).alias("lateness_us")
+        )
+        .localCheckpoint(eager=True)  # census reads it once per threshold set
+    )
+    n = late.agg(F.count(F.lit(1)).alias("total"))
+    t = spark.createDataFrame(
+        [(s,) for s in _WM_THRESHOLDS_S], "threshold_s long"
+    )
+    return (
+        late.crossJoin(F.broadcast(t))
+        .groupBy("threshold_s")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("lateness_us") > F.col("threshold_s") * 1_000_000, 1
+                ).otherwise(0)
+            ).alias("n_dropped")
+        )
+        .crossJoin(n)  # 1-row scalar broadcast
+        .select(
+            "threshold_s",
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            F.expr(
+                "CAST((2000000 * n_dropped + total) DIV (2 * total) AS BIGINT)"
+            ).alias("drop_share_e6"),
+        )
+        .orderBy("threshold_s")
+    )

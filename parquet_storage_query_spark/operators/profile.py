@@ -1018,3 +1018,88 @@ def profile_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# Candidate functional dependencies to test, (determinant, dependent) over
+# lineitem — a key-like pair, a plausible-but-false pair, and two
+# direction-asymmetry pairs (A→B can hold while B→A fails).
+_FD_PAIRS = (
+    ("orders", "o_orderkey", "o_orderstatus"),   # PK determinant — holds
+    ("orders", "o_orderkey", "o_totalprice"),    # PK determinant — holds
+    ("orders", "o_custkey", "o_orderpriority"),  # plausible, violated
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),      # direction asymmetry pair
+    ("lineitem", "l_suppkey", "l_partkey"),
+)
+
+
+def _fd_oracle() -> str:
+    arms = []
+    for tbl, det, dep in _FD_PAIRS:
+        arms.append(f"""
+        SELECT '{tbl}' AS table_name, '{det}' AS det_col, '{dep}' AS dep_col,
+               count(*) AS n_groups,
+               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+               CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                    THEN 'holds' ELSE 'violated' END AS verdict
+        FROM (SELECT {det}, count(DISTINCT {dep}) AS nd
+              FROM {tbl} GROUP BY {det})""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(arms)
+        + ") ORDER BY table_name, det_col, dep_col"
+    )
+
+
+@query("profile_functional_deps", oracle=_fd_oracle())
+def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs —
+    "does A determine B": the data-modeling audit behind normalization
+    decisions, surrogate-key validation, and dimension extraction (a
+    pair that HOLDS can be factored into its own table; a pair everyone
+    assumes holds but is VIOLATED is a silent join-fanout bug). A→B
+    holds iff no A-group contains two distinct B values, so the test is
+    count(DISTINCT dep) per determinant group — and the census reports
+    how MANY groups violate, not just a boolean, because "holds except
+    12 groups" means dirty rows, not a wrong model.
+
+    Shape: one narrow projection per table is checkpointed once; each
+    candidate pair is one partial-merged (det, distinct-dep) aggregate
+    over it (distinct counts per group = the same Expand shuffle
+    agg_count_distinct pins), folded to a one-row verdict — O(pairs)
+    rows out. The panel spans both verdicts and both directions: the
+    orders PK pairs hold, (o_custkey→o_orderpriority) and the lineitem
+    pairs are violated, and (l_partkey↔l_suppkey) shows the asymmetry
+    test a real discovery sweep runs both ways."""
+    bases = {}
+    for tbl in sorted({t for t, _, _ in _FD_PAIRS}):
+        cols = sorted({c for t, d1, d2 in _FD_PAIRS if t == tbl for c in (d1, d2)})
+        bases[tbl] = (
+            load(spark, sf_dir, tbl)
+            .select(*cols)
+            .localCheckpoint(eager=True)  # ONE scan feeds the table's pairs
+        )
+    parts = []
+    for tbl, det, dep in _FD_PAIRS:
+        g = bases[tbl].groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        parts.append(
+            g.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias(
+                    "n_violating"
+                ),
+            ).select(
+                F.lit(tbl).alias("table_name"),
+                F.lit(det).alias("det_col"),
+                F.lit(dep).alias("dep_col"),
+                F.col("n_groups").cast("long").alias("n_groups"),
+                F.col("n_violating").cast("long").alias("n_violating"),
+                F.expr(
+                    "CASE WHEN n_violating = 0 THEN 'holds' ELSE 'violated' END"
+                ).alias("verdict"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.orderBy("table_name", "det_col", "dep_col")

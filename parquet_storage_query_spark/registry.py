@@ -98,10 +98,11 @@ _PRIORITY = [
     "profile_chi2", "text_token_diversity", "graph_degree_assortativity",
     "sim_random_projection", "timeseries_changepoint_cusum",
     "events_interarrival_dispersion", "sim_mmr_rerank",
-    "timeseries_seasonal_decompose", "prep_prune_audit", "graph_hits",
+    "timeseries_seasonal_decompose",
     "agg_mode_exact", "sim_centroid_drift", "subq_lateral_topn",
     "events_hazard_rate", "text_langid_confusion",
     "timeseries_rolling_median", "mm_audio_zero_crossings",
+    "stream_watermark_audit", "profile_functional_deps", "join_asof_nearest",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
