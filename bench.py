@@ -57,6 +57,7 @@ HEADLINE = [
     "agg_exact_median_2pass",
     "agg_grouped_median",
     "agg_mode_exact",
+    "agg_decay_counter",
     "subq_lateral_topn",
     "topk_orders",
     "window_topk_per_group",
@@ -78,6 +79,7 @@ HEADLINE = [
     "sim_range_search",
     "dedup_incremental",
     "dedup_clusters",
+    "dedup_canonicalize",
     "prep_snapshot_diff",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
@@ -138,6 +140,7 @@ HEADLINE = [
     "graph_bfs_layers",
     "graph_degree_assortativity",
     "graph_hits",
+    "graph_reciprocity",
     "timeseries_locf",
     "timeseries_ohlc",
     "timeseries_forecast_ewma",
@@ -156,6 +159,8 @@ HEADLINE = [
     "events_hazard_rate",
     "events_sequence_pattern",
     "events_interarrival_dispersion",
+    "events_session_gap_tuning",
+    "events_cooccurrence_lift",
     "events_activity_heatmap",
     "text_novelty_curve",
     "text_vocab_growth",
@@ -177,12 +182,14 @@ HEADLINE = [
     "text_chunk_windows",
     "sim_filtered_topk",
     "source_jsonl_roundtrip",
+    "source_csvgz_roundtrip",
     "mm_decode_png",
     "mm_image_ahash",
     # after mm_decode_png: the PNG fixture is the shared committed
     # artifact, so the histogram times decode + bincount partials only
     "mm_image_histogram",
     "mm_image_edge_density",
+    "mm_image_resize_pool",
     "mm_decode_wav",
     # after mm_decode_wav: the WAV fixture build lands on wav_fixture_build,
     # so the framing op times decode + reduceat only

@@ -3524,3 +3524,139 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gap_us"),
         )
     )
+
+
+@query(
+    "source_csvgz_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def source_csvgz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV.gz ingest round trip — the S5 source path proven LOSSLESS at
+    the registry level (source_jsonl_roundtrip's sibling: that one
+    exercises the custom Python DataSource; this one exercises Spark's
+    native gzip-CSV reader, the format the reference actually ingests):
+    the orders table egests to gzip CSV shards (committed-artifact
+    protocol) and reads back with an explicit schema, then rolls up
+    counts / exact cents / date extents per (status, priority). Equality
+    with the oracle's rollup over the ORIGINAL parquet proves header
+    handling, gzip framing, timestamp round-tripping, and numeric
+    parsing end to end — a quoting defect, a locale-parsed double, or a
+    timezone shift in the timestamp path breaks cents or extents.
+
+    Shape: the egest is one partitioned write (8 shards — the read-back
+    plans one task per gzip member, since gzip is unsplittable: exactly
+    the reference's per-blob parallelism, QO:478-496); the rollup is one
+    partial-merged aggregate. ISO-string day extents keep the output
+    driver-proof."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        (
+            load(spark, sf_dir, "orders")
+            .repartition(8)
+            .write.option("header", True)
+            .option("compression", "gzip")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+            .mode("overwrite")
+            .csv(dest)
+        )
+
+    dest = ensure_artifact(
+        spark, sf_dir, "orders_csvgz", "v1", [table_path(sf_dir, "orders")], build
+    )
+    orders = (
+        spark.read.option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+        )
+        .csv(dest)
+    )
+    return (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "total_cents"
+            ),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+DECAY_HALF_LIFE_DAYS = 7
+
+
+@query(
+    "agg_decay_counter",
+    oracle=f"""
+    WITH mx AS (SELECT date_trunc('day', max(ts)) AS anchor FROM events),
+    c AS (
+        SELECT user_id,
+               (CAST(round(value * 100) AS BIGINT) * 1000000)
+                   >> CAST(date_diff('day', date_trunc('day', ts), anchor)
+                           // {DECAY_HALF_LIFE_DAYS} AS INTEGER) AS contrib
+        FROM events, mx),
+    s AS (SELECT user_id, count(*) AS n_events,
+                 sum(contrib) AS decayed_e6
+          FROM c GROUP BY user_id)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(decayed_e6 AS BIGINT) AS decayed_e6
+    FROM s ORDER BY decayed_e6 DESC, user_id LIMIT 20
+    """,
+)
+def agg_decay_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement counters — Σ value·2^(−age/half-life) per
+    user as of the corpus's last day, the recency-weighted score behind
+    "active user" rankings, decayed leaderboards, and churn features
+    (raw lifetime sums over-credit ancient activity; a hard recency
+    cutoff throws information away; exponential decay is the standard
+    middle). Top-20 by decayed score, id-tiebroken.
+
+    Exactness through the decay: a smooth 2^(−age/hl) is a libm pow, so
+    the checked formulation uses the STEP decay 2^(−⌊age/hl⌋) — exact
+    halving per {DECAY_HALF_LIFE_DAYS}-day step — and each event's
+    contribution floors ON THE e6 LATTICE via an integer right-shift
+    (cents·10⁶ ≫ steps), making the per-user sum an exact BIGINT fold
+    under any executor order. The as-of anchor is a 1-row max-day
+    aggregate broadcast into the plan (its own corpus scan — the same
+    shape Catalyst plans for a scalar subquery; a lakehouse table serves
+    the anchor from footer stats for free, profile_minmax_meta-style). Decayed counters are MERGEABLE
+    (shift-then-sum partials combine like any sum), so the same shape
+    maintains incrementally in the standing-rollup protocol."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.date_trunc("day", F.max("ts")).alias("anchor"))
+    c = ev.crossJoin(mx).select(  # 1-row scalar broadcast
+        "user_id",
+        F.expr(
+            "shiftright(CAST(round(value * 100) AS BIGINT) * 1000000, "
+            "CAST(datediff(anchor, date_trunc('day', ts)) "
+            f"DIV {DECAY_HALF_LIFE_DAYS} AS INT))"
+        ).alias("contrib"),
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("contrib").alias("decayed_e6"),
+        )
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("decayed_e6").cast("long").alias("decayed_e6"),
+        )
+        .orderBy(F.col("decayed_e6").desc(), "user_id")
+        .limit(20)
+    )

@@ -1863,3 +1863,82 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ham = F.bit_count(F.expr("ha ^ hb")).cast("long")
     return cand.filter(ham <= 3).select("doc_a", "doc_b", ham.alias("hamming"))
+
+
+def _canonicalize_oracle() -> str:
+    """Extend the dedup_clusters reach-closure replay with per-cluster
+    representative selection over the documents table."""
+    return f"""
+    WITH RECURSIVE {_mh_duck_ctes()},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bnd a JOIN bnd b
+               ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+    {_MH_JACCARD_TAIL},
+    pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS v FROM edges),
+    reach(v, u) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src),
+    clus AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),
+    m AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        FROM clus c JOIN documents d USING (doc_id))
+    SELECT cluster_id, count(*) AS n_members,
+           CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS canonical_doc,
+           CAST(min(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+               AS canonical_chars,
+           CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS dropped_chars
+    FROM m GROUP BY cluster_id HAVING count(*) >= 2 ORDER BY cluster_id
+    """
+
+
+@query("dedup_canonicalize", oracle=_canonicalize_oracle())
+def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP-BEST representative selection per near-duplicate cluster —
+    the policy layer on top of dedup_clusters' keep-lowest-id deletion
+    list: real pipelines keep the RICHEST member (longest document,
+    id-tiebroken), because near-dup clusters usually contain one full
+    article and several truncated/boilerplate-wrapped copies. Output is
+    the per-cluster decision record: members, the chosen canonical, its
+    size, and the chars the cluster's deletion saves — the dedup
+    savings ledger reviewers actually audit.
+
+    Shape: the session-shared cluster fixpoint (iterative min-label
+    loop, its own hash-checked query) joins doc lengths — documents
+    never shuffle, only (doc_id, cluster_id, n_chars) triplets — then
+    one cluster-keyed max_by((n_chars, −doc_id)) aggregate. The oracle
+    replays banding + recursive reach-closure + the same argmax. At
+    100 TB the cluster map is the standing signature-index artifact;
+    this query is one keyed join + one partial-merged aggregate on it."""
+    clus = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = clus.join(docs, "doc_id")
+    return (
+        m.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr(
+                "max_by(named_struct('doc_id', doc_id, 'n_chars', n_chars), "
+                "named_struct('a', n_chars, 'b', -doc_id))"
+            ).alias("canon"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("canon.doc_id").cast("long").alias("canonical_doc"),
+            F.col("canon.n_chars").cast("long").alias("canonical_chars"),
+            (F.col("total_chars") - F.col("canon.n_chars"))
+            .cast("long")
+            .alias("dropped_chars"),
+        )
+        .orderBy("cluster_id")
+    )

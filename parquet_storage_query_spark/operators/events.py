@@ -1620,3 +1620,197 @@ def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_s")
     )
+
+
+_SESSION_GAPS_S = (300, 1800, 7200)
+
+
+@query(
+    "events_session_gap_tuning",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events),
+    n AS (SELECT count(*) AS n_events,
+                 count(DISTINCT user_id) AS n_users FROM events),
+    t AS (SELECT unnest([{', '.join(str(s) for s in _SESSION_GAPS_S)}])
+              AS gap_s)
+    SELECT t.gap_s,
+           CAST(n_users + sum(CASE WHEN gap_us > t.gap_s::BIGINT * 1000000
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions,
+           CAST((2000000 * n_events
+                 + (n_users + sum(CASE WHEN gap_us > t.gap_s::BIGINT * 1000000
+                                       THEN 1 ELSE 0 END)))
+                // (2 * (n_users
+                         + sum(CASE WHEN gap_us > t.gap_s::BIGINT * 1000000
+                               THEN 1 ELSE 0 END))) AS BIGINT)
+               AS events_per_session_e6
+    FROM g, t, n WHERE gap_us IS NOT NULL
+    GROUP BY t.gap_s, n_users, n_events ORDER BY t.gap_s
+    """,
+)
+def events_session_gap_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionizer SENSITIVITY census: how many sessions (and how many
+    events per session) each candidate inactivity gap {_SESSION_GAPS_S}s
+    produces — the parameter audit behind every 30-minute-gap convention
+    (this repo's sessionize/session_stats included): if halving the gap
+    doubles the session count, the boundary is load-bearing and session
+    metrics are fragile; if the census barely moves, the choice is safe.
+    The identity doing the work: sessions = users + (inter-event gaps
+    exceeding g) — so ONE user-keyed window pass computing each user's
+    gaps prices EVERY candidate simultaneously; no per-candidate
+    re-sessionization, no second corpus scan. Gaps are exact integer µs
+    (the engines' µs renderings of the same parquet values); the
+    events-per-session readout is the e6 DIV."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (
+                F.expr("unix_micros(ts)")
+                - F.lag(F.expr("unix_micros(ts)")).over(w)
+            ).alias("gap_us"),
+        )
+        .localCheckpoint(eager=True)  # O(corpus) gaps: totals + census
+    )
+    n = g.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("gap_us").alias("n_gaps"),
+    )
+    # n_events = rows; n_users = rows − gaps (each user has one null gap)
+    t = spark.createDataFrame([(s,) for s in _SESSION_GAPS_S], "gap_s long")
+    return (
+        g.filter(F.col("gap_us").isNotNull())
+        .crossJoin(F.broadcast(t))
+        .groupBy("gap_s")
+        .agg(
+            F.sum(
+                F.when(F.col("gap_us") > F.col("gap_s") * 1_000_000, 1).otherwise(0)
+            ).alias("n_breaks")
+        )
+        .crossJoin(n)  # 1-row scalar broadcast
+        .select(
+            "gap_s",
+            (F.col("n_rows") - F.col("n_gaps") + F.col("n_breaks"))
+            .cast("long")
+            .alias("n_sessions"),
+            F.expr(
+                """CAST((2000000 * n_rows + (n_rows - n_gaps + n_breaks))
+                       DIV (2 * (n_rows - n_gaps + n_breaks)) AS BIGINT)"""
+            ).alias("events_per_session_e6"),
+        )
+        .orderBy("gap_s")
+    )
+
+
+@query(
+    "events_cooccurrence_lift",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events),
+    s2 AS (SELECT user_id, event_type,
+                  sum(brk) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sid
+           FROM s),
+    st AS (SELECT DISTINCT user_id, sid, event_type FROM s2),
+    n AS (SELECT count(DISTINCT (user_id, sid)) AS n_sessions FROM st),
+    per AS (SELECT event_type, count(*) AS n_t FROM st GROUP BY 1),
+    ab AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_ab
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.sid = b.sid
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+    SELECT ab.type_a, ab.type_b, CAST(ab.n_ab AS BIGINT) AS n_ab,
+           CAST((2000000 * ab.n_ab::HUGEINT * n_sessions
+                 + pa.n_t::HUGEINT * pb.n_t)
+                // (2 * pa.n_t::HUGEINT * pb.n_t) AS BIGINT) AS lift_e6
+    FROM ab JOIN per pa ON pa.event_type = ab.type_a
+            JOIN per pb ON pb.event_type = ab.type_b, n
+    ORDER BY ab.type_a, ab.type_b
+    """,
+)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session market-basket lift between event types — "which behaviors
+    happen TOGETHER in a session": lift(a,b) = P(a,b)/(P(a)·P(b)) over
+    sessions, the SET-co-occurrence complement to the transition
+    matrix's SEQUENCE view (errors may rarely *precede* purchases yet
+    strongly co-occur with them — only lift sees that). Lift > 1e6
+    (e6 units) is attraction, < 1e6 is repulsion; this is the same
+    statistic text_collocations_pmi monotonically ranks for bigrams,
+    here on the behavioral alphabet.
+
+    Shape: the 30-min-gap sessionizer (the repo's standard convention)
+    is one user-keyed window; sessions reduce to DISTINCT (session,
+    type) rows — ≤ types per session regardless of event volume — so
+    the pair join explodes each session to at most C(types,2) = 10
+    rows; counts and margins are partial-merged; lift reads out as the
+    exact e6 DIV in HUGEINT/DECIMAL (n_ab·n_sessions passes 10¹⁸ near
+    10⁹ sessions — the headroom rule)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            (F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w))
+            > 1800 * 1_000_000,
+            1,
+        ).otherwise(0)
+    )
+    st = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", brk.alias("brk"))
+        .withColumn(
+            "sid",
+            F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .select("user_id", "sid", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)  # ≤ sessions×types rows, 4 consumers
+    )
+    n = st.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    per = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = st.select("user_id", "sid", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "sid", F.col("event_type").alias("type_b"))
+    ab = (
+        a.join(b, ["user_id", "sid"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        ab.join(
+            per.withColumnRenamed("event_type", "type_a").withColumnRenamed(
+                "n_t", "na"
+            ),
+            "type_a",
+        )
+        .join(
+            per.withColumnRenamed("event_type", "type_b").withColumnRenamed(
+                "n_t", "nb"
+            ),
+            "type_b",
+        )
+        .crossJoin(n)  # 1-row scalar broadcast
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.expr(
+                """CAST((2000000 * CAST(n_ab AS DECIMAL(38,0)) * n_sessions
+                        + CAST(na AS DECIMAL(38,0)) * nb)
+                       DIV (2 * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"""
+            ).alias("lift_e6"),
+        )
+        .orderBy("type_a", "type_b")
+    )

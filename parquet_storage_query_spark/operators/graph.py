@@ -936,3 +936,57 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "auth_e6", "hub_e6", "rk")
         .orderBy("rk")
     )
+
+
+@query(
+    "graph_reciprocity",
+    oracle=f"""
+    WITH {_CO_KNN_CTES},
+    r AS (
+        SELECT count(*) AS n_edges,
+               sum(CASE WHEN EXISTS (SELECT 1 FROM knn b
+                                     WHERE b.p1 = knn.p2 AND b.p2 = knn.p1)
+                        THEN 1 ELSE 0 END) AS n_recip
+        FROM knn)
+    SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_recip AS BIGINT) AS n_reciprocal,
+           CAST((2000000 * n_recip + n_edges) // (2 * n_edges) AS BIGINT)
+               AS reciprocity_e6
+    FROM r
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the co-purchase kNN digraph — the fraction of
+    "a's top partners include b" edges where b's list returns the favor:
+    high reciprocity says the truncated graph behaves like an undirected
+    similarity graph (symmetric algorithms are safe on it); low
+    reciprocity says the top-M cut is asymmetric and any undirected
+    reading double-counts hubs. The one-number companion to
+    graph_degree_assortativity for deciding how to TREAT the kNN graph,
+    measured before pagerank/HITS/community runs assume either way.
+
+    Shape: the session-shared kNN edge list self-joins on the swapped
+    key pair — a LEFT SEMI join (one keyed shuffle of ≤10·n rows), then
+    a single fold to (edges, reciprocal, e6 share). The oracle states
+    the same thing as an EXISTS."""
+    from pyspark.sql import Window as W
+
+    co = _co_table(spark, sf_dir)
+    rn = F.row_number().over(W.partitionBy("p1").orderBy(F.col("n_co").desc(), "p2"))
+    knn = (
+        co.withColumn("rn", rn)
+        .filter(F.col("rn") <= 10)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    swapped = knn.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    recip = knn.join(swapped, ["p1", "p2"], "left_semi")
+    n = knn.agg(F.count(F.lit(1)).alias("n_edges"))
+    r = recip.agg(F.count(F.lit(1)).alias("n_recip"))
+    return n.crossJoin(r).select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_recip").cast("long").alias("n_reciprocal"),
+        F.expr(
+            "CAST((2000000 * n_recip + n_edges) DIV (2 * n_edges) AS BIGINT)"
+        ).alias("reciprocity_e6"),
+    )

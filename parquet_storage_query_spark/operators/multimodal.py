@@ -1213,3 +1213,84 @@ def mm_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+RESIZE_GRID = 4  # box-filter thumbnail side
+
+
+@query(
+    "mm_image_resize_pool",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {PNG_BASE} + doc_id % {PNG_W_MOD} AS w,
+               {PNG_BASE} + doc_id % {PNG_H_MOD} AS h
+        FROM documents),
+    lum AS (
+        SELECT doc_id, w, h, t.p AS p,
+               ((doc_id * {PNG_A} + {PNG_B} * (3 * t.p)) % 256
+                + (doc_id * {PNG_A} + {PNG_B} * (3 * t.p + 1)) % 256
+                + (doc_id * {PNG_A} + {PNG_B} * (3 * t.p + 2)) % 256) // 3 AS y
+        FROM dims, unnest(range(w * h)) AS t(p)),
+    cells AS (
+        SELECT doc_id,
+               ((p // w) * {RESIZE_GRID} // h) * {RESIZE_GRID}
+                   + ((p % w) * {RESIZE_GRID} // w) AS cell,
+               sum(y) AS ysum, count(*) AS n_px
+        FROM lum GROUP BY 1, 2)
+    SELECT doc_id, CAST(cell AS BIGINT) AS cell,
+           CAST(n_px AS BIGINT) AS n_px,
+           CAST(ysum // n_px AS BIGINT) AS y_mean
+    FROM cells ORDER BY doc_id, cell
+    """,
+)
+def mm_image_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize — box-filter (average-pool) downsampling of the
+    decoded PNGs to a {RESIZE_GRID}×{RESIZE_GRID} luminance thumbnail:
+    the actual pixel transform behind every thumbnail service, vision
+    preprocessing stage, and coarse-level perceptual index (mm_image_ahash
+    consumes exactly this pooling, then binarizes; this op emits the
+    thumbnail VALUES, i.e. the resized image itself). Variable input
+    sizes pool through the integer block partition (row·G//h, col·G//w)
+    — every pixel lands in exactly one output cell with no fractional
+    weights, so the floored cell means are exact on both engines, and
+    the DuckDB oracle replays the DECODED pooling from the fixture's
+    closed pixel form (position-sensitive: a transposed scanline moves
+    pixels across cell boundaries and breaks the hash).
+
+    Shape: Arrow-batched mapInPandas (stdlib decode + two np.add.at
+    scatter passes per image), {RESIZE_GRID}² small rows per image out
+    — the resized corpus is the op's OUTPUT, so traffic is the
+    thumbnail size by construction, invariant to input resolution."""
+    import numpy as np
+
+    fixture = ensure_png_fixture(spark, sf_dir)
+    pngs = spark.read.parquet(fixture)
+    G = RESIZE_GRID
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "cell": [], "n_px": [], "y_mean": []}
+            for did, blob in zip(pdf["doc_id"], pdf["png"]):
+                w, h, _ch, px = decode_image(bytes(blob))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                luma = arr.reshape(h * w, 3).sum(axis=1) // 3
+                p = np.arange(h * w, dtype=np.int64)
+                cell = (p // w) * G // h * G + (p % w) * G // w
+                ysum = np.zeros(G * G, dtype=np.int64)
+                n = np.zeros(G * G, dtype=np.int64)
+                np.add.at(ysum, cell, luma)
+                np.add.at(n, cell, 1)
+                for c in range(G * G):
+                    out["doc_id"].append(int(did))
+                    out["cell"].append(c)
+                    out["n_px"].append(int(n[c]))
+                    out["y_mean"].append(int(ysum[c] // n[c]) if n[c] else 0)
+            yield pd.DataFrame(out)
+
+    return (
+        pngs.mapInPandas(
+            pool, schema="doc_id long, cell long, n_px long, y_mean long"
+        )
+        .orderBy("doc_id", "cell")
+    )

@@ -103,6 +103,9 @@ _PRIORITY = [
     "events_hazard_rate", "text_langid_confusion",
     "timeseries_rolling_median", "mm_audio_zero_crossings",
     "stream_watermark_audit", "profile_functional_deps", "join_asof_nearest",
+    "dedup_canonicalize", "events_session_gap_tuning",
+    "events_cooccurrence_lift", "mm_image_resize_pool",
+    "source_csvgz_roundtrip", "graph_reciprocity", "agg_decay_counter",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
