@@ -106,6 +106,7 @@ HEADLINE = [
     "agg_sampled_percentiles",
     "agg_windowed_cms",
     "prep_upsert_snapshot",
+    "prep_merge_on_read",
     "prep_scd2_history",
     "prep_user_erasure",
     "prep_zorder_layout",
@@ -114,6 +115,7 @@ HEADLINE = [
     "train_domain_mixture",
     "train_curriculum",
     "train_shard_manifest",
+    "train_leakage_safe_split",
     "profile_drift_psi",
     "profile_outlier_mad",
     "profile_ks_test",

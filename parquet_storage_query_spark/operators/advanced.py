@@ -3660,3 +3660,92 @@ def agg_decay_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_e6").desc(), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "prep_merge_on_read",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           sum(n_chars)
+               + 100 * sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END)
+               AS total_chars,
+           sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS n_v2
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def prep_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ serving — the Hudi/Iceberg read-side twin of
+    prep_upsert_snapshot's copy-on-write: the base snapshot stays
+    immutable on disk, updates land as a small DELTA file set, and the
+    READER reconciles latest-wins per key at query time. MOR is what
+    makes high-frequency upserts affordable at 100 TB (CoW rewrites
+    whole files per trailing update; MOR amortizes the rewrite into the
+    next compaction — prep_binpack_plan's job), at the price the reader
+    pays here: one extra union + per-key latest-wins.
+
+    Both file sets are PHYSICALLY written (committed-artifact protocol:
+    base = the documents snapshot at version 1; delta = every doc_id ≡ 3
+    (mod 10) re-written at version 2 with +100 chars — a deterministic
+    edit model, same spirit as the watermark audit's delay model), and
+    the query reads ONLY the artifacts: union, ONE doc-keyed max_by(
+    (version)) partial-merged aggregate — never a window sort — then the
+    per-lang rollup. The DuckDB oracle never sees either artifact: it
+    predicts the reconciled rollup from the raw table and the edit rule,
+    so a lost delta row, a wrong precedence, or a double-applied update
+    breaks the hash. (The plan audit reports 2 scans with matching lead
+    columns — those are the base and delta FILE SETS, distinct paths:
+    two scans IS merge-on-read.)"""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build_base(dest: str) -> None:
+        (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars", F.lit(1).alias("version"))
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+
+    def build_delta(dest: str) -> None:
+        (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 3)
+            .select(
+                "doc_id",
+                "lang",
+                (F.col("n_chars") + 100).alias("n_chars"),
+                F.lit(2).alias("version"),
+            )
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+
+    inputs = [table_path(sf_dir, "documents")]
+    base = ensure_artifact(spark, sf_dir, "mor_base", "v1", inputs, build_base)
+    delta = ensure_artifact(spark, sf_dir, "mor_delta", "v1", inputs, build_delta)
+    merged = (
+        spark.read.parquet(base)
+        .unionByName(spark.read.parquet(delta))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "max_by(named_struct('lang', lang, 'n_chars', n_chars), version)"
+            ).alias("row")
+        )
+    )
+    return (
+        merged.groupBy(F.col("row.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("row.n_chars").alias("total_chars"),
+            F.sum(F.when(F.col("doc_id") % 10 == 3, 1).otherwise(0)).alias("n_v2"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            F.col("n_v2").cast("long").alias("n_v2"),
+        )
+        .orderBy("lang")
+    )

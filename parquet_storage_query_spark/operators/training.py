@@ -649,3 +649,166 @@ def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def _leakage_oracle() -> str:
+    from .dedup import _MH_JACCARD_TAIL, _mh_duck_ctes
+
+    return f"""
+    WITH RECURSIVE {_mh_duck_ctes()},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bnd a JOIN bnd b
+               ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+    {_MH_JACCARD_TAIL},
+    pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS v FROM edges),
+    reach(v, u) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src),
+    clus AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),
+    assign AS (
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS ckey,
+               CAST(('0x' || substr(md5(CAST(coalesce(c.cluster_id, d.doc_id)
+                                             AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 AS bc,
+               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bn
+        FROM documents d LEFT JOIN clus c USING (doc_id)),
+    lab AS (
+        SELECT doc_id, ckey,
+               CASE WHEN bc < 80 THEN 'train' WHEN bc < 90 THEN 'valid'
+                    ELSE 'test' END AS split_c,
+               CASE WHEN bn < 80 THEN 'train' WHEN bn < 90 THEN 'valid'
+                    ELSE 'test' END AS split_n
+        FROM assign),
+    pl AS (
+        SELECT a.split_c AS ca, b.split_c AS cb, a.split_n AS na,
+               b.split_n AS nb
+        FROM pairs p JOIN lab a ON a.doc_id = p.doc_a
+                     JOIN lab b ON b.doc_id = p.doc_b)
+    SELECT l.split_c AS split,
+           count(DISTINCT l.doc_id) AS n_docs,
+           count(DISTINCT l.ckey) AS n_clusters,
+           coalesce(any_value(nl.n), 0) AS naive_cross_pairs,
+           coalesce(any_value(cl.n), 0) AS cluster_cross_pairs
+    FROM lab l
+    LEFT JOIN (SELECT s, sum(n) AS n FROM (
+                   SELECT na AS s, count(*) AS n FROM pl
+                   WHERE na <> nb GROUP BY 1
+                   UNION ALL
+                   SELECT nb, count(*) FROM pl WHERE na <> nb GROUP BY 1)
+               GROUP BY s) nl ON nl.s = l.split_c
+    LEFT JOIN (SELECT s, sum(n) AS n FROM (
+                   SELECT ca AS s, count(*) AS n FROM pl
+                   WHERE ca <> cb GROUP BY 1
+                   UNION ALL
+                   SELECT cb, count(*) FROM pl WHERE ca <> cb GROUP BY 1)
+               GROUP BY s) cl ON cl.s = l.split_c
+    GROUP BY l.split_c ORDER BY l.split_c
+    """
+
+
+@query("train_leakage_safe_split", oracle=_leakage_oracle())
+def train_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/valid/test split: assign by hash of the
+    near-duplicate CLUSTER id (singletons hash their own doc_id), so a
+    document and its near-copies can never straddle a split boundary —
+    the eval-contamination failure mode a doc-id hash split (
+    train_split_hash) structurally permits. The output quantifies
+    exactly that: per split, doc and cluster counts plus the number of
+    verified near-dup pairs CROSSING out of the split under the naive
+    doc-hash assignment (the leak you'd have shipped) vs under the
+    cluster assignment — zero BY CONSTRUCTION, and the census proves it
+    rather than asserting it.
+
+    Shape: the session-shared cluster fixpoint left-joins the corpus
+    (one doc-keyed shuffle), split is a map-side md5 bucket of the
+    cluster key, and the leak audit joins the verified pair list to the
+    assignment twice (pair-sized, bounded by the banded candidate
+    generation). The oracle replays banding, reach-closure, both hash
+    assignments, and both leak counts."""
+    from .dedup import dedup_clusters, dedup_minhash_lsh
+
+    clus = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    lab = (
+        docs.join(clus, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("ckey"),
+        )
+        .select(
+            "doc_id",
+            "ckey",
+            (_md5_bucket(F.col("ckey").cast("string"))).alias("bc"),
+            (_md5_bucket(F.col("doc_id").cast("string"))).alias("bn"),
+        )
+        .select(
+            "doc_id",
+            "ckey",
+            F.expr(
+                "CASE WHEN bc < 80 THEN 'train' WHEN bc < 90 THEN 'valid' "
+                "ELSE 'test' END"
+            ).alias("split_c"),
+            F.expr(
+                "CASE WHEN bn < 80 THEN 'train' WHEN bn < 90 THEN 'valid' "
+                "ELSE 'test' END"
+            ).alias("split_n"),
+        )
+        .localCheckpoint(eager=True)  # corpus-sized; 3 consumers below
+    )
+    census = lab.groupBy(F.col("split_c").alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("ckey").alias("n_clusters"),
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pl = (
+        pairs.join(
+            lab.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split_c").alias("ca"),
+                F.col("split_n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            lab.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split_c").alias("cb"),
+                F.col("split_n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .localCheckpoint(eager=True)  # pair-sized: both leak censuses
+    )
+    def cross(col_a: str, col_b: str, name: str):
+        x = pl.filter(F.col(col_a) != F.col(col_b))
+        return (
+            x.select(F.col(col_a).alias("split"))
+            .unionAll(x.select(F.col(col_b).alias("split")))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    naive = cross("na", "nb", "naive_cross_pairs")
+    clusx = cross("ca", "cb", "cluster_cross_pairs")
+    return (
+        census.join(naive, "split", "left")
+        .join(clusx, "split", "left")
+        .select(
+            "split",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.coalesce("naive_cross_pairs", F.lit(0))
+            .cast("long")
+            .alias("naive_cross_pairs"),
+            F.coalesce("cluster_cross_pairs", F.lit(0))
+            .cast("long")
+            .alias("cluster_cross_pairs"),
+        )
+        .orderBy("split")
+    )
