@@ -270,6 +270,9 @@ def main() -> None:
         # first call writes the committed z-ordered layout; serving reads
         # footers + the artifact only
         "prep_prune_audit": "zorder_rewrite_build",
+        # corpus-sized staging checkpoints built once per session
+        "agg_grouped_median": "grouped_median_stage_build",
+        "stream_watermark_audit": "wm_replay_build",
     }
 
     timings: dict[str, float] = {}

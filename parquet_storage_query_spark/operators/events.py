@@ -1546,19 +1546,24 @@ def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     consistent like the Gini value buckets): per-bucket exclusive
     prefix-max + ≤B collected bucket maxima as cross-bucket offsets.
     Lateness is exact integer µs; shares are e6 DIVs."""
-    base = (
-        load(spark, sf_dir, "events")
-        .select(
-            "event_id",
-            F.expr("unix_micros(ts)").alias("us"),
-            F.expr(
-                "unix_micros(ts) + (conv(substring(md5(CAST("
-                f"concat('wm:', event_id) AS BINARY)), 1, 15), 16, 10) "
-                f"% {_WM_MAX_DELAY_S}) * 1000000L"
-            ).alias("arrival_us"),
+    from ..cache import session_memo
+
+    def _base() -> DataFrame:
+        return (
+            load(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.expr("unix_micros(ts)").alias("us"),
+                F.expr(
+                    "unix_micros(ts) + (conv(substring(md5(CAST("
+                    f"concat('wm:', event_id) AS BINARY)), 1, 15), 16, 10) "
+                    f"% {_WM_MAX_DELAY_S}) * 1000000L"
+                ).alias("arrival_us"),
+            )
+            .localCheckpoint(eager=True)  # one corpus scan feeds all 3 jobs
         )
-        .localCheckpoint(eager=True)  # one corpus scan feeds all 3 jobs
-    )
+
+    base = session_memo(spark, sf_dir, "wm_arrival_replay", _base)
     lo, hi = base.agg(F.min("arrival_us"), F.max("arrival_us")).collect()[0]
     span = max(1, -(-(int(hi) - int(lo) + 1) // _WM_BUCKETS))
     bucketed = base.withColumn(
