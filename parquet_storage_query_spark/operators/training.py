@@ -812,3 +812,101 @@ def train_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+_GATE_THRESHOLDS_PC = (34, 36, 38, 40, 44, 50)  # thresholds, percent —
+# chosen to SPAN the score distribution (measured p5..p95 ≈ 0.34..0.42 at
+# sf0.01; 50 anchors the production CLS_KEEP_P gate)
+
+
+def _gate_sweep_oracle() -> str:
+    from .text import cls_score_num_sql
+
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               {cls_score_num_sql('ws')} AS a,
+               10000 * len(ws) AS b
+        FROM (SELECT doc_id, n_chars, string_split(trim(text), ' ') AS ws
+              FROM documents)),
+    n AS (SELECT count(*) AS total FROM scored),
+    t AS (SELECT unnest([{', '.join(str(p) for p in _GATE_THRESHOLDS_PC)}])
+              AS pc),
+    k AS (
+        SELECT t.pc,
+               sum(CASE WHEN (CASE WHEN a >= 0
+                              THEN a * (200 - 2 * t.pc) >= (2 * t.pc - 100) * b
+                              ELSE a * 2 * t.pc >= (2 * t.pc - 100) * b END)
+                        THEN 1 ELSE 0 END) AS n_kept,
+               sum(CASE WHEN (CASE WHEN a >= 0
+                              THEN a * (200 - 2 * t.pc) >= (2 * t.pc - 100) * b
+                              ELSE a * 2 * t.pc >= (2 * t.pc - 100) * b END)
+                        THEN n_chars ELSE 0 END) AS kept_chars
+        FROM scored, t GROUP BY t.pc)
+    SELECT CAST(pc AS BIGINT) AS threshold_pct,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(kept_chars AS BIGINT) AS kept_chars,
+           CAST((2000000 * n_kept + total) // (2 * total) AS BIGINT)
+               AS keep_share_e6
+    FROM k, n ORDER BY threshold_pct
+    """
+
+
+@query("train_quality_gate_sweep", oracle=_gate_sweep_oracle())
+def train_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter THRESHOLD sweep — the knob audit for the one
+    parameter that decides a curated corpus's size/quality trade: for
+    each candidate keep-probability {_GATE_THRESHOLDS_PC} (tenths), how
+    many documents and characters survive the classifier gate. The
+    watermark-delay and session-gap audits priced streaming parameters;
+    this prices the curation parameter everyone actually agonizes over
+    ("keep at 0.5 or 0.7?") — from ONE scoring pass, not one rerun per
+    candidate.
+
+    The exactness upgrade over the classifier's display: the gate
+    prob ≥ p CLEARS the rational sigmoid entirely — with s = a/b
+    (integer score numerator over 10⁴·tokens), prob ≥ pc/100 is the pure
+    int64 inequality a·(200−2pc) ≥ (2pc−100)·b for a ≥ 0 (and
+    a·2pc ≥ (2pc−100)·b below), so the sweep has NO float anywhere, not
+    even the classifier's pinned division; at pc=50 it reduces to a ≥ 0,
+    bit-equal to the production CLS_KEEP_P gate. One corpus scan folds
+    (a, b, n_chars) per doc (checkpointed); the threshold census is
+    O(thresholds)."""
+    from .text import cls_score_num, words_col
+
+    scored = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "n_chars",
+            cls_score_num().alias("a"),
+            (F.size(words_col()) * 10_000).cast("long").alias("b"),
+        )
+        .localCheckpoint(eager=True)  # O(docs) triplets: census + total
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("total"))
+    t = spark.createDataFrame(
+        [(p,) for p in _GATE_THRESHOLDS_PC], "pc long"
+    )
+    keep = F.expr(
+        """CASE WHEN a >= 0
+           THEN a * (200 - 2 * pc) >= (2 * pc - 100) * b
+           ELSE a * 2 * pc >= (2 * pc - 100) * b END"""
+    )
+    return (
+        scored.crossJoin(F.broadcast(t))
+        .groupBy("pc")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+        )
+        .crossJoin(n)  # 1-row scalar broadcast
+        .select(
+            F.col("pc").cast("long").alias("threshold_pct"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.col("kept_chars").cast("long").alias("kept_chars"),
+            F.expr(
+                "CAST((2000000 * n_kept + total) DIV (2 * total) AS BIGINT)"
+            ).alias("keep_share_e6"),
+        )
+        .orderBy("threshold_pct")
+    )

@@ -107,6 +107,7 @@ _PRIORITY = [
     "events_cooccurrence_lift", "mm_image_resize_pool",
     "source_csvgz_roundtrip", "graph_reciprocity", "agg_decay_counter",
     "train_leakage_safe_split", "prep_merge_on_read",
+    "train_quality_gate_sweep",
     # -- r5-sampled green (fresh rows exist; keep near the head so the
     #    ~50 window still covers every recent family) --
     "profile_freq_values", "profile_data_quality", "profile_histogram",
