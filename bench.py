@@ -205,8 +205,87 @@ HEADLINE = [
     # path is what production uses and what the other text metrics time)
 ]
 
+# FROZEN cross-round reference subset (VERDICT r6 #6): the round-5-era
+# 64-query headline, verbatim (git df1f8b8:bench.py). Timed in its OWN
+# fresh JVM subprocess BEFORE the full-registry run, so the number is
+# free of in-session crowding (r6 measured ~40% drift between the first
+# and last same-code runs of one 152-query session) and comparable
+# round-over-round at any registry size. DO NOT EDIT this list — its
+# value is being frozen; new queries belong in HEADLINE above.
+REFERENCE_SUBSET = [
+    "ref_total_count", "ref_total_count_meta", "ref_min_max", "ref_max_by",
+    "ref_distinct", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q9_product_profit",
+    "q13_customer_distribution", "q18_large_orders", "q19_disjunctive_revenue",
+    "join_star_revenue", "join_asof", "agg_count_distinct", "topk_orders",
+    "window_topk_per_group", "window_sessionize", "rollup_time_hierarchy",
+    "stream_tumbling_counts", "stream_enrich_static", "text_quality_score",
+    "text_quality_classifier", "text_tfidf_keywords", "text_ngram_lm_score",
+    "text_bpe_vocab_train", "dedup_minhash_lsh", "dedup_paragraphs",
+    "dedup_containment", "dedup_embedding_cosine", "sim_range_search",
+    "dedup_incremental", "dedup_clusters", "prep_snapshot_diff",
+    "sim_bruteforce_topk", "sim_ivf_topk", "sim_kmeans_train",
+    "sim_maxsim_topk", "sim_persisted_topk", "dedup_semantic",
+    "pipeline_dedup_consensus", "agg_hll_sketch", "agg_countmin_heavy_hitters",
+    "agg_kmv_distinct", "agg_sampled_percentiles", "agg_windowed_cms",
+    "prep_upsert_snapshot", "prep_zorder_layout", "pipeline_training_shard",
+    "train_domain_mixture", "train_curriculum", "profile_drift_psi",
+    "events_transition_matrix", "events_funnel", "events_attribution",
+    "events_session_stats", "events_ab_lift", "graph_pagerank",
+    "agg_incremental_rollup", "agg_kmv_overlap", "text_chunk_windows",
+    "sim_filtered_topk", "source_jsonl_roundtrip",
+]
+
+
+def run_subset_only() -> None:
+    """`bench.py --subset-only`: time the frozen REFERENCE_SUBSET in this
+    (fresh) JVM and print one tiny JSON line for the parent to parse."""
+    import shutil
+    import tempfile
+
+    bench_idx = tempfile.mkdtemp(prefix="bench_subset_idx_")
+    os.environ["SPARK_GRAFT_INDEX_DIR"] = bench_idx
+    import atexit
+
+    atexit.register(lambda: shutil.rmtree(bench_idx, ignore_errors=True))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench_subset")
+    qs = all_queries()
+    spark.range(1).count()
+    _force(qs["ref_total_count"].builder(spark, sf_dir))
+    total = 0.0
+    for name in REFERENCE_SUBSET:
+        t0 = time.perf_counter()
+        _force(qs[name].builder(spark, sf_dir))
+        total += time.perf_counter() - t0
+    print(json.dumps({"reference_subset_total": round(total, 3),
+                      "n_subset": len(REFERENCE_SUBSET)}))
+
+
+def _measure_reference_subset() -> float | None:
+    """Run the frozen subset in its own JVM; None if the subprocess fails
+    (the headline run must not die with it)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()), "--subset-only"],
+            capture_output=True, text=True, timeout=3600,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)["reference_subset_total"]
+    except Exception:  # noqa: BLE001
+        pass
+    return None
+
 
 def main() -> None:
+    # Fixed cross-round reference number FIRST, in its own fresh JVM
+    # (VERDICT r6 #6) — before this process's session exists, so neither
+    # run crowds the other.
+    reference_subset_total = _measure_reference_subset()
+
     # *_build metrics must time REAL builds: the committed-artifact
     # protocol (cache.ensure_artifact) otherwise serves a previous
     # process's standing indexes/rollups and a "build" measures a marker
@@ -322,6 +401,7 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(
             {"sf": sf, "serving_total_sec": total, "build_total_sec": build_total,
+             "reference_subset_total_sec": reference_subset_total,
              "queries": timings},
             fh, indent=1, sort_keys=True,
         )
@@ -334,6 +414,7 @@ def main() -> None:
                 "queries": {
                     "serving_total": total,
                     "build_total": build_total,
+                    "reference_subset_total": reference_subset_total,
                     "n_serving": len(HEADLINE),
                     "n_build": len(index_build),
                     "q1": timings.get("q1_pricing_summary"),
@@ -347,4 +428,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--subset-only" in sys.argv:
+        run_subset_only()
+    else:
+        main()

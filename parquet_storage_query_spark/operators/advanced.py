@@ -526,7 +526,9 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
            CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
                 THEN date_trunc('hour', ts) END AS hour_start,
-           event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS total_value
+           event_type, count(*) AS n,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents
     FROM events
     GROUP BY GROUPING SETS (
         (date_trunc('day', ts), date_trunc('hour', ts), event_type),
@@ -547,7 +549,9 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT date_trunc('DAY', ts) AS day_start,
                CASE WHEN GROUPING(date_trunc('HOUR', ts)) = 0
                     THEN date_trunc('HOUR', ts) END AS hour_start,
-               event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS total_value
+               event_type, count(*) AS n,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS total_cents
         FROM events
         GROUP BY GROUPING SETS (
             (date_trunc('DAY', ts), date_trunc('HOUR', ts), event_type),
@@ -1474,9 +1478,9 @@ def ensure_daily_rollup(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
     SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
            count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
-           (sum(CAST(round(value * 100) AS BIGINT)) * 10) // count(*)
-             AS avg_milli
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST((sum(CAST(round(value * 100) AS BIGINT)) * 10) // count(*)
+                AS BIGINT) AS avg_milli
     FROM events
     GROUP BY event_type, day
     ORDER BY event_type, day
@@ -1563,7 +1567,7 @@ def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     "prep_partitioned_serve",
     oracle="""
     SELECT event_type, count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events
     WHERE CAST(ts AS DATE) = DATE '2024-01-15'
     GROUP BY event_type
@@ -1636,8 +1640,9 @@ def _kmv_distinct_hashes(spark: SparkSession, sf_dir: str, etype: str) -> DataFr
           AS inter_exact,
         (SELECT count(*) FROM (SELECT h FROM hv UNION SELECT h FROM hp) u)
           AS union_exact)
-    SELECT k_eff, n_both,
-           (2000000 * n_both + k_eff) // (2 * k_eff) AS jaccard_est_e6,
+    SELECT k_eff, CAST(n_both AS BIGINT) AS n_both,
+           CAST((2000000 * n_both + k_eff) // (2 * k_eff) AS BIGINT)
+             AS jaccard_est_e6,
            (2000000 * inter_exact + union_exact) // (2 * union_exact)
              AS jaccard_exact_e6,
            inter_exact
@@ -1731,7 +1736,7 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM ku),
     exact AS (SELECT count(*) AS diff_exact
               FROM (SELECT h FROM hv EXCEPT SELECT h FROM hp) d)
-    SELECT k_eff, n_a_only,
+    SELECT k_eff, CAST(n_a_only AS BIGINT) AS n_a_only,
            CAST((n_a_only::HUGEINT * (k_eff - 1) * (1::HUGEINT << 60))
                 // (k_eff::HUGEINT * hk) AS BIGINT) AS diff_est,
            diff_exact
@@ -1792,8 +1797,8 @@ def agg_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_jsonl_roundtrip",
     oracle="""
     SELECT lang, source, count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
-           sum(length(text)) AS total_len
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_len
     FROM documents
     GROUP BY lang, source
     ORDER BY lang, source
@@ -1991,7 +1996,7 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  min(struct_pack(ts := ts, event_id := event_id, v := v)).v AS open_cents,
                  max(struct_pack(ts := ts, event_id := event_id, v := v)).v AS close_cents,
                  max(v) AS high_cents, min(v) AS low_cents,
-                 count(*) AS volume, sum(v) AS total_cents
+                 count(*) AS volume, CAST(sum(v) AS BIGINT) AS total_cents
           FROM p GROUP BY event_type, day)
     SELECT event_type, strftime(CAST(day AS DATE), '%Y-%m-%d') AS day,
            open_cents, high_cents, low_cents, close_cents, volume, total_cents
@@ -2181,8 +2186,8 @@ def prep_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e LEFT JOIN req r ON e.user_id = r.user_id)
     SELECT event_type,
            count(*) AS rows_total,
-           sum(erased) AS rows_erased,
-           count(*) - sum(erased) AS rows_kept,
+           CAST(sum(erased) AS BIGINT) AS rows_erased,
+           CAST(count(*) - sum(erased) AS BIGINT) AS rows_kept,
            count(DISTINCT CASE WHEN erased = 1 THEN user_id END) AS users_erased
     FROM tagged GROUP BY event_type
     """,
@@ -2323,8 +2328,8 @@ EWMA_DENOM = (1 << EWMA_WINDOW) - 1  # sum of the integer weights
     SELECT event_type,
            strftime(CAST(last_day AS DATE), '%Y-%m-%d') AS last_day,
            count(*) AS n_days,
-           (2 * 1000000 * sum(x * (1 << ({EWMA_WINDOW - 1} - lag))) + {EWMA_DENOM})
-               // (2 * {EWMA_DENOM}) AS forecast_e6
+           CAST((2 * 1000000 * sum(x * (1 << ({EWMA_WINDOW - 1} - lag))) + {EWMA_DENOM})
+                // (2 * {EWMA_DENOM}) AS BIGINT) AS forecast_e6
     FROM win GROUP BY event_type, last_day
     ORDER BY event_type
     """,
@@ -3530,7 +3535,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_csvgz_roundtrip",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
            strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
            strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
     FROM orders
@@ -3666,10 +3672,10 @@ def agg_decay_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prep_merge_on_read",
     oracle="""
     SELECT lang, count(*) AS n_docs,
-           sum(n_chars)
+           CAST(sum(n_chars)
                + 100 * sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END)
-               AS total_chars,
-           sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS n_v2
+               AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )

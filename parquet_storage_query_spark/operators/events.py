@@ -224,9 +224,9 @@ LAG_BUCKETS = (60, 3600, 86400)  # ≤1min, ≤1h, ≤1day, >1day
           FROM tp)
     SELECT bucket, count(*) AS n_users,
            min(lag_sec) AS min_lag_sec, max(lag_sec) AS max_lag_sec,
-           sum(lag_sec) AS sum_lag_sec,
-           (20000 * sum(lag_sec) + count(*)) // (2 * count(*))
-             AS avg_lag_sec_e4
+           CAST(sum(lag_sec) AS BIGINT) AS sum_lag_sec,
+           CAST((20000 * sum(lag_sec) + count(*)) // (2 * count(*))
+                AS BIGINT) AS avg_lag_sec_e4
     FROM b GROUP BY bucket
     """,
 )
@@ -314,11 +314,12 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON r.cohort_day = g.cohort_day AND r.day_n = g.day_n)
     SELECT strftime(CAST(cohort_day AS DATE), '%Y-%m-%d') AS cohort_day,
            day_n, cohort_n,
-           sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_n
-                                ROWS UNBOUNDED PRECEDING) AS cum_revenue_cents,
-           (2 * sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_n
-                                     ROWS UNBOUNDED PRECEDING) + cohort_n)
-             // (2 * cohort_n) AS ltv_cents_per_user
+           CAST(sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_n
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_revenue_cents,
+           CAST((2 * sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_n
+                                          ROWS UNBOUNDED PRECEDING) + cohort_n)
+                // (2 * cohort_n) AS BIGINT) AS ltv_cents_per_user
     FROM curve
     """,
 )
@@ -641,8 +642,8 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mau AS (SELECT count(DISTINCT user_id) AS m FROM events),
     dau AS (SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
             FROM events GROUP BY day)
-    SELECT day, dau, m AS mau,
-           round(CAST(dau AS DOUBLE) / m, 4) AS stickiness
+    SELECT strftime(day, '%Y-%m-%d') AS day, dau, m AS mau,
+           CAST((2 * 10000 * dau + m) // (2 * m) AS BIGINT) AS stickiness_e4
     FROM dau, mau
     ORDER BY day
     """,
@@ -666,10 +667,15 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dau.crossJoin(F.broadcast(mau))
         .select(
-            "day",
+            # ISO day string + round-half-up e4 integer: DATE cells render
+            # datetime64 under a pandas fetch but datetime.date natively —
+            # strings and int64 render identically under every fetch path
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             "dau",
             "mau",
-            F.round(F.col("dau").cast("double") / F.col("mau"), 4).alias("stickiness"),
+            F.expr("CAST((2 * 10000 * dau + mau) DIV (2 * mau) AS BIGINT)").alias(
+                "stickiness_e4"
+            ),
         )
         .orderBy("day")
     )
@@ -701,9 +707,10 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             max(CASE WHEN bucket = 1 THEN n_converted END) AS conv_b
         FROM cells
     )
-    SELECT n_a, conv_a, n_b, conv_b,
-           (2000000 * conv_a + n_a) // (2 * n_a) AS rate_a_e6,
-           (2000000 * conv_b + n_b) // (2 * n_b) AS rate_b_e6,
+    SELECT n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           CAST((2000000 * conv_a + n_a) // (2 * n_a) AS BIGINT) AS rate_a_e6,
+           CAST((2000000 * conv_b + n_b) // (2 * n_b) AS BIGINT) AS rate_b_e6,
            CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
                 THEN NULL
                 ELSE (CASE WHEN conv_b * n_a < conv_a * n_b THEN -1 ELSE 1 END)
@@ -818,13 +825,14 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sess GROUP BY user_id, session_id
     )
     SELECT count(*) AS n_sessions,
-           (20000 * sum(depth) + count(*)) // (2 * count(*)) AS avg_depth_e4,
-           (20000 * sum(duration_sec) + count(*)) // (2 * count(*))
-             AS avg_duration_sec_e4,
-           sum(converted) AS converted_sessions,
-           (2000000 * sum(converted) + count(*)) // (2 * count(*))
-             AS conversion_e6,
-           sum(value_cents)            AS total_value_cents
+           CAST((20000 * sum(depth) + count(*)) // (2 * count(*)) AS BIGINT)
+             AS avg_depth_e4,
+           CAST((20000 * sum(duration_sec) + count(*)) // (2 * count(*))
+                AS BIGINT) AS avg_duration_sec_e4,
+           CAST(sum(converted) AS BIGINT) AS converted_sessions,
+           CAST((2000000 * sum(converted) + count(*)) // (2 * count(*))
+                AS BIGINT) AS conversion_e6,
+           CAST(sum(value_cents) AS BIGINT) AS total_value_cents
     FROM per_session
     """,
 )
@@ -954,7 +962,8 @@ def events_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                          WHEN m >= 50000 THEN 2 ELSE 1 END AS BIGINT) AS m_band,
                m
         FROM u)
-    SELECT r_band, f_band, m_band, count(*) AS n_users, sum(m) AS total_cents
+    SELECT r_band, f_band, m_band, count(*) AS n_users,
+           CAST(sum(m) AS BIGINT) AS total_cents
     FROM b GROUP BY r_band, f_band, m_band
     """,
 )
@@ -1037,7 +1046,7 @@ def events_rfm_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT user_id, run_id, count(*) AS len
               FROM runs GROUP BY user_id, run_id)
     SELECT user_id, count(*) AS n_bursts, max(len) AS longest_burst,
-           sum(len) AS total_burst_errors
+           CAST(sum(len) AS BIGINT) AS total_burst_errors
     FROM sizes WHERE len >= 2
     GROUP BY user_id
     """,
@@ -1103,7 +1112,7 @@ def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT channel,
            count(*) AS n_touchpoints,
            count(DISTINCT pid) AS n_purchases,
-           sum((1000 * cents) // n_touches) AS credit_millicents
+           CAST(sum((1000 * cents) // n_touches) AS BIGINT) AS credit_millicents
     FROM pairs GROUP BY channel
     """,
 )
@@ -1214,7 +1223,7 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2),
     tot AS (SELECT sum(n_events) AS n FROM census)
     SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n_events,
-           (2 * 1000000 * n_events + n) // (2 * n) AS share_e6
+           CAST((2 * 1000000 * n_events + n) // (2 * n) AS BIGINT) AS share_e6
     FROM census, tot
     ORDER BY dow, hour
     """,
@@ -1275,7 +1284,8 @@ SURVIVAL_HORIZON = 14  # days
         GROUP BY t.n)
     SELECT CAST(day_n AS BIGINT) AS day_n,
            CAST(survivors AS BIGINT) AS survivors,
-           (2 * 1000000 * survivors + total) // (2 * total) AS survival_e6
+           CAST((2 * 1000000 * survivors + total) // (2 * total) AS BIGINT)
+             AS survival_e6
     FROM curve, tot ORDER BY day_n
     """,
 )

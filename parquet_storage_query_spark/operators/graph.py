@@ -834,7 +834,8 @@ def _hits_oracle() -> str:
             f"FROM knn k JOIN h{r - 1} h ON h.node = k.p1 GROUP BY 1)"
         )
         ctes.append(
-            f"a{r} AS MATERIALIZED (SELECT node, (2 * 1000000 * s + m) // (2 * m) AS s "
+            f"a{r} AS MATERIALIZED (SELECT node, "
+            f"CAST((2 * 1000000 * s + m) // (2 * m) AS BIGINT) AS s "
             f"FROM a{r}r, (SELECT max(s) AS m FROM a{r}r))"
         )
         ctes.append(
@@ -842,14 +843,16 @@ def _hits_oracle() -> str:
             f"FROM knn k JOIN a{r} a ON a.node = k.p2 GROUP BY 1)"
         )
         ctes.append(
-            f"h{r} AS MATERIALIZED (SELECT node, (2 * 1000000 * s + m) // (2 * m) AS s "
+            f"h{r} AS MATERIALIZED (SELECT node, "
+            f"CAST((2 * 1000000 * s + m) // (2 * m) AS BIGINT) AS s "
             f"FROM h{r}r, (SELECT max(s) AS m FROM h{r}r))"
         )
     last = HITS_ROUNDS
     return f"""
     WITH {', '.join(ctes)}
     SELECT node, auth_e6, hub_e6, rk FROM (
-        SELECT a.node, a.s AS auth_e6, coalesce(h.s, 0) AS hub_e6,
+        SELECT a.node, CAST(a.s AS BIGINT) AS auth_e6,
+               CAST(coalesce(h.s, 0) AS BIGINT) AS hub_e6,
                row_number() OVER (ORDER BY a.s DESC, a.node) AS rk
         FROM a{last} a LEFT JOIN h{last} h USING (node))
     WHERE rk <= {HITS_TOPK} ORDER BY rk

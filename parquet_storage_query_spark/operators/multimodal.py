@@ -899,7 +899,7 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist AS (SELECT y // 16 AS bucket, count(*) AS n_px FROM lum GROUP BY 1),
     tot AS (SELECT sum(n_px) AS n FROM hist)
     SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_px AS BIGINT) AS n_px,
-           (2 * 1000000 * n_px + n) // (2 * n) AS share_e6
+           CAST((2 * 1000000 * n_px + n) // (2 * n) AS BIGINT) AS share_e6
     FROM hist, tot
     ORDER BY bucket
     """,
@@ -981,11 +981,11 @@ VAD_THRESHOLD = 133_000_000
             FROM runs GROUP BY doc_id),
     frames AS (SELECT doc_id, count(*) AS n_frames FROM wins GROUP BY doc_id)
     SELECT f.doc_id, f.n_frames,
-           coalesce(p.n_active, 0) AS n_active,
+           CAST(coalesce(p.n_active, 0) AS BIGINT) AS n_active,
            coalesce(p.n_segments, 0) AS n_segments,
            coalesce(p.longest_run, 0) AS longest_run,
-           (2 * 1000000 * coalesce(p.n_active, 0) + f.n_frames)
-               // (2 * f.n_frames) AS active_e6
+           CAST((2 * 1000000 * coalesce(p.n_active, 0) + f.n_frames)
+                // (2 * f.n_frames) AS BIGINT) AS active_e6
     FROM frames f LEFT JOIN per p USING (doc_id)
     ORDER BY doc_id
     """,

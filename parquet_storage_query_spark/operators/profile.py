@@ -1039,7 +1039,8 @@ def _fd_oracle() -> str:
         arms.append(f"""
         SELECT '{tbl}' AS table_name, '{det}' AS det_col, '{dep}' AS dep_col,
                count(*) AS n_groups,
-               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
                CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
                     THEN 'holds' ELSE 'violated' END AS verdict
         FROM (SELECT {det}, count(DISTINCT {dep}) AS nd

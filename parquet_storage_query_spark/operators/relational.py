@@ -42,23 +42,23 @@ from ..registry import query
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2))
-               AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,2))
-               AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * CAST(1 - l_discount AS DECIMAL(5,2))), 2)
-                AS DECIMAL(30,2)) AS sum_disc_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * CAST(1 - l_discount AS DECIMAL(5,2))
-                          * CAST(1 + l_tax AS DECIMAL(5,2))), 2)
-                AS DECIMAL(30,2)) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(*), 2) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(*), 2) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE)
-                 / count(*), 2) AS avg_disc,
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_qty_e2,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_base_price_e2,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(5,2))
+                         * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(5,2))
+                         * CAST(1 + l_tax AS DECIMAL(5,2))
+                         * 1000000 AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+           CAST((2 * sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS avg_qty_e2,
+           CAST((2 * sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS avg_price_e2,
+           CAST((2 * 100 * sum(CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT))
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS avg_disc_e4,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -71,17 +71,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     The headline "is the engine a real OLAP engine" query: one scan, full
     partial aggregation map-side (4 group values → ~nothing shuffles).
 
-    Money/quantity aggregates accumulate in EXACT DECIMAL (2-decimal
-    inputs cast at the scan; products carry 4-6 exact decimal places;
-    Spark sums ≤18-digit decimals on unscaled longs inside codegen, so
-    exactness is nearly free). Double sums drift with summation order
-    once per-group magnitudes pass ~1e8 — the 10× sweep measured exactly
-    that on q9 — and with 4 groups over the whole corpus, Q1 is the
-    first query such drift would hit at 100×. Averages divide the exact
-    decimal sum (identical on both engines) by the exact count, so the
-    only doubles are a single display division."""
+    Money/quantity aggregates live on EXACT INTEGER LATTICES on both
+    engines (e2 cents for 2-decimal inputs, e4/e6 for the exact discount
+    and tax products; averages are round-half-up integer DIV): 2-decimal
+    inputs cast to DECIMAL at the scan, the per-row lattice value is an
+    int64, and int64 sums are order-independent where double sums drift
+    once per-group magnitudes pass ~1e8 (measured on q9 in the 10×
+    sweep). Integer outputs are also the round-7 driver-proof policy:
+    DECIMAL result columns render float64 under a pandas fetch while
+    Spark's decimal stays a Decimal object — the CORRECTNESS r4-r6
+    hash-red mechanism (tools/type_audit.py). Lattice headroom: e6 ×
+    per-row 1e11 keeps group sums under int64 until ~1e7 rows per group
+    per executor-partial; the merged partial at 100 TB (~6e9 rows/group)
+    would need the e4 readout — a documented re-scale, not a redesign."""
     li = load(spark, sf_dir, "lineitem")
-    qty_d = F.col("l_quantity").cast("decimal(18,2)")
+    qty_e2 = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    price_e2 = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
     price_d = F.col("l_extendedprice").cast("decimal(18,2)")
     disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
     tax_f = (F.lit(1) + F.col("l_tax")).cast("decimal(5,2)")
@@ -90,15 +95,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty_d).cast("decimal(30,2)").alias("sum_qty"),
-            F.sum(price_d).cast("decimal(30,2)").alias("sum_base_price"),
-            F.round(F.sum(price_d * disc_f), 2).cast("decimal(30,2)").alias("sum_disc_price"),
-            F.round(F.sum(price_d * disc_f * tax_f), 2).cast("decimal(30,2)").alias("sum_charge"),
-            F.round(F.sum(qty_d).cast("double") / cnt, 2).alias("avg_qty"),
-            F.round(F.sum(price_d).cast("double") / cnt, 2).alias("avg_price"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(5,2)")).cast("double") / cnt, 2
-            ).alias("avg_disc"),
+            F.sum(qty_e2).alias("sum_qty_e2"),
+            F.sum(price_e2).alias("sum_base_price_e2"),
+            F.sum((price_d * disc_f * 10000).cast("long")).alias("sum_disc_price_e4"),
+            F.sum((price_d * disc_f * tax_f * 1000000).cast("long")).alias("sum_charge_e6"),
+            F.expr(
+                "CAST((2 * sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))"
+                " + count(*)) DIV (2 * count(*)) AS BIGINT)"
+            ).alias("avg_qty_e2"),
+            F.expr(
+                "CAST((2 * sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+                " + count(*)) DIV (2 * count(*)) AS BIGINT)"
+            ).alias("avg_price_e2"),
+            F.expr(
+                "CAST((2 * 100 * sum(CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT))"
+                " + count(*)) DIV (2 * count(*)) AS BIGINT)"
+            ).alias("avg_disc_e4"),
             cnt.alias("count_order"),
         )
     )
@@ -109,8 +121,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*)                         AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2))
-               AS sum_price,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  / count(*), 2)             AS avg_price,
            round(stddev_samp(o_totalprice), 2) AS sd_price,
@@ -127,9 +139,9 @@ def agg_multi_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(30,2)")
-            .alias("sum_price"),
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_cents"),
             F.round(
                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
                 / F.count(F.lit(1)),
@@ -145,20 +157,26 @@ def agg_multi_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_rollup",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS total
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (SURVEY §2.3: grouping sets → df.rollup)."""
+    """ROLLUP hierarchy totals (SURVEY §2.3: grouping sets → df.rollup).
+
+    Money lands on the exact integer-cent lattice on BOTH engines (round-7
+    driver-proof policy: DECIMAL outputs render float64 under a pandas
+    fetch while Spark's decimal stays object — tools/type_audit.py)."""
     return (
         load(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(30,2)")
-            .alias("total"),
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
         )
     )
 
@@ -166,20 +184,23 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_cube",
     oracle="""
-    SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS qty
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS qty_e2
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions."""
+    """CUBE over two dimensions (quantities on the exact e2 integer
+    lattice on both engines — the round-7 driver-proof output policy)."""
     return (
         load(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(30,2)")
-            .alias("qty"),
+            F.sum((F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("qty_e2"),
         )
     )
 
@@ -243,7 +264,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star_revenue",
     oracle="""
     SELECT r_name, n_name,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DECIMAL(30,2)) AS revenue,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(5,2))
+                         * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -280,9 +303,13 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2)
-            .cast("decimal(30,2)")
-            .alias("revenue"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+                    * 10000
+                ).cast("long")
+            ).alias("revenue_e4"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -551,7 +578,8 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (SELECT nullif(lang, 'zh') AS k, count(*) AS n_docs
                FROM documents GROUP BY 1),
-         b AS (SELECT nullif(lang, 'zh') AS k, sum(n_chars) AS total_chars
+         b AS (SELECT nullif(lang, 'zh') AS k,
+                      CAST(sum(n_chars) AS BIGINT) AS total_chars
                FROM documents GROUP BY 1)
     SELECT a.k AS lang_key, a.n_docs, b.total_chars
     FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
@@ -605,7 +633,8 @@ def _bloom_pos(c, salt: str):
     "join_bloom_prefilter",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM orders
     WHERE o_custkey IN
           (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')

@@ -1118,7 +1118,7 @@ def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
         FROM documents),
     post AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id)
-    SELECT token, count(*) AS df, sum(tf) AS total_tf,
+    SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
            min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
     FROM post GROUP BY token
     ORDER BY df DESC, token LIMIT 25
@@ -1157,7 +1157,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents),
     post AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id),
     hits AS (
-        SELECT doc_id, count(*) AS n_terms, sum(tf) AS total_tf
+        SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS total_tf
         FROM post WHERE token IN {_SEARCH_TERMS!r}
         GROUP BY doc_id)
     SELECT doc_id, total_tf

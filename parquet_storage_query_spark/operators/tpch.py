@@ -172,7 +172,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_local_supplier_volume",
     oracle="""
-    SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DECIMAL(30,2)) AS revenue
+    SELECT n_name,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(5,2))
+                         * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -183,7 +186,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name
-    ORDER BY revenue DESC, n_name
+    ORDER BY revenue_e4 DESC, n_name
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,11 +226,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(co, (F.col("l_orderkey") == co.o_orderkey) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2)
-            .cast("decimal(30,2)")
-            .alias("revenue")
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+                    * 10000
+                ).cast("long")
+            ).alias("revenue_e4")
         )
-        .orderBy(F.col("revenue").desc(), "n_name")
+        .orderBy(F.col("revenue_e4").desc(), "n_name")
     )
 
 
@@ -239,7 +246,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))), 2) AS DECIMAL(30,2)) AS revenue
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(5,2))
+                         * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -264,11 +273,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(5,2)")), 2
-            )
-            .cast("decimal(30,2)")
-            .alias("revenue")
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(5,2)")
+                    * 10000
+                ).cast("long")
+            ).alias("revenue_e4")
         )
     )
 
@@ -282,12 +293,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(round(sum(volume), 2) AS DECIMAL(30,2)) AS revenue
+           CAST(sum(volume_e4) AS BIGINT) AS revenue_e4
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               CAST(l_extendedprice AS DECIMAL(18,2))
-                 * CAST(1 - l_discount AS DECIMAL(5,2)) AS volume
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(5,2))
+                    * 10000 AS BIGINT) AS volume_e4
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders   ON o_orderkey = l_orderkey
@@ -345,9 +357,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2)
-            .cast("decimal(30,2)")
-            .alias("revenue")
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+                    * 10000
+                ).cast("long")
+            ).alias("revenue_e4")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -592,10 +608,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipments",
     oracle="""
     SELECT year(l_shipdate) AS ship_year,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
@@ -999,7 +1015,8 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH val AS (
         SELECT l_partkey AS p_partkey,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON n_nationkey = s_nationkey

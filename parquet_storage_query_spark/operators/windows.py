@@ -238,8 +238,9 @@ _PREFIX_BUCKETS = 32
     oracle="""
     SELECT c_custkey,
            row_number() OVER (ORDER BY c_custkey) AS rn,
-           sum(CAST(round(c_acctbal * 100) AS BIGINT))
-               OVER (ORDER BY c_custkey ROWS UNBOUNDED PRECEDING) AS running_cents
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                OVER (ORDER BY c_custkey ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS running_cents
     FROM customer
     """,
 )

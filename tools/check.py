@@ -5,7 +5,7 @@ oracle on the same parquet files, then compares row count, sorted column
 names, and an order-insensitive value hash. Stricter than tolerant — if
 this passes, the driver's CORRECTNESS check should too.
 
-Usage: python tools/check.py [--threads N] [sf_dir] [query ...]
+Usage: python tools/check.py [--threads N] [--pandas] [sf_dir] [query ...]
 
 `--threads N` fans the SPARK side across N concurrent threads of one
 session before the sequential oracle comparison — the emulation of a
@@ -13,6 +13,16 @@ harness that runs registered queries in parallel. This is the one mode
 that could reproduce the CORRECTNESS_r05 artifact-corruption signature
 pre-round-6 (concurrent overwrite of a shared artifact dir); with the
 committed-artifact protocol it must stay green.
+
+`--pandas` fetches BOTH engines' results through their pandas paths
+(Spark `toPandas()`, DuckDB `.df()`) instead of collect()/fetchall().
+This is the ROUND-7 DISCOVERY mode: a driver that fetches via pandas
+sees DuckDB HUGEINT (the implicit result type of SUM(BIGINT)) and
+DECIMAL columns as float64 while Spark's BIGINT stays int64 — "42.0"
+vs "42" — a hash mismatch invisible to every fetchall()-based
+emulation. All 20 CORRECTNESS_r06 hash-reds, and ONLY those among the
+sampled queries, had a HUGEINT/DECIMAL oracle output column. A query
+is done only when it passes this gate in BOTH fetch modes.
 """
 
 from __future__ import annotations
@@ -34,12 +44,24 @@ from parquet_storage_query_spark.registry import all_queries, resolve_oracle
 from parquet_storage_query_spark.session import get_spark
 
 
+def pandas_rows(pdf) -> list[tuple]:
+    """Render a pandas frame the way a repr-based comparator would see it:
+    numpy scalars keep their dtype identity (str(np.float64(42.0)) ==
+    '42.0'), so int64-vs-float64 engine divergence must fingerprint
+    differently here — that is the point of the mode."""
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     threads = 0
+    use_pandas = False
     if argv and argv[0] == "--threads":
         threads = int(argv[1])
         argv = argv[2:]
+    if argv and argv[0] == "--pandas":
+        use_pandas = True
+        argv = argv[1:]
     sys.argv = [sys.argv[0]] + argv
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -64,7 +86,8 @@ def main() -> int:
         def run_spark(name: str) -> None:
             try:
                 sdf = qs[name].builder(spark, sf_dir)
-                spark_results[name] = (sdf.columns, [tuple(r) for r in sdf.collect()])
+                rows = pandas_rows(sdf.toPandas()) if use_pandas else [tuple(r) for r in sdf.collect()]
+                spark_results[name] = (sdf.columns, rows)
             except Exception as e:  # noqa: BLE001
                 spark_results[name] = e
 
@@ -84,7 +107,10 @@ def main() -> int:
             else:
                 sdf = qd.builder(spark, sf_dir)
                 scols = sdf.columns
-                srows = [tuple(r) for r in sdf.collect()]
+                if use_pandas:
+                    srows = pandas_rows(sdf.toPandas())
+                else:
+                    srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
@@ -94,9 +120,14 @@ def main() -> int:
             print(f"rows  {name}: {len(srows)} rows ({time.perf_counter()-t0:.1f}s) [no oracle]")
             continue
         try:
-            cur = con.execute(resolve_oracle(qd.oracle, sf_dir))
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            if use_pandas:
+                opdf = con.sql(resolve_oracle(qd.oracle, sf_dir)).df()
+                ocols = list(opdf.columns)
+                orows = pandas_rows(opdf)
+            else:
+                cur = con.execute(resolve_oracle(qd.oracle, sf_dir))
+                ocols = [d[0] for d in cur.description]
+                orows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
