@@ -181,6 +181,13 @@ HEADLINE = [
     "agg_incremental_rollup",
     "agg_kmv_overlap",
     "agg_kmv_difference",
+    # round-7 additions
+    "prep_merge_into",
+    "agg_topk_twophase",
+    "events_attribution_markov",
+    "profile_calibration_curve",
+    "join_partition_pruned",
+    "train_epoch_shuffle",
     "text_chunk_windows",
     "sim_filtered_topk",
     "source_jsonl_roundtrip",

@@ -3755,3 +3755,296 @@ def prep_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO surface (VERDICT r6 #8: the SQL-merge shape over the lakehouse
+# tables — stock Spark parquet has no v2 row-level MERGE target, so the
+# statement compiles to its canonical distributed plan: ONE key-shuffled
+# full-outer join + map-side clause resolution)
+# ---------------------------------------------------------------------------
+
+
+def merge_into(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO base USING changes ON base.key = changes.key
+         WHEN MATCHED AND op = 'D' THEN DELETE
+         WHEN MATCHED AND op = 'U' THEN UPDATE SET <all non-key cols>
+         WHEN NOT MATCHED AND op = 'I' THEN INSERT <all cols>
+
+    compiled Spark-first: a single full-outer join on the key, then each
+    MERGE clause becomes a CASE over the (matched?, op) pair — exactly
+    the physical plan Delta/Iceberg produce for a non-file-pruned MERGE.
+    Unmatched U/D changes and matched I changes are no-ops, per ANSI
+    MERGE. One shuffle at any corpus size; at 100 TB a production merge
+    adds file pruning in front (prep_prune_audit's machinery) so only
+    files whose key ranges intersect the change set join at all.
+
+    `changes` must carry the same columns as `base` plus `op_col` in
+    ('U','D','I'). Returns the merged table (base schema) plus a
+    `_merge_action` column ('kept'/'updated'/'inserted') for audits —
+    deleted rows are gone, counted by the caller via the join tags
+    before filtering if needed."""
+    data_cols = [c for c in base.columns if c != key]
+    b = base.select(F.col(key).alias("_bk"), *[F.col(c).alias(f"_b_{c}") for c in data_cols])
+    c = changes.select(
+        F.col(key).alias("_ck"),
+        F.col(op_col).alias("_op"),
+        *[F.col(x).alias(f"_c_{x}") for x in data_cols],
+    )
+    j = b.join(c, b["_bk"] == c["_ck"], "full_outer")
+    matched = F.col("_bk").isNotNull() & F.col("_ck").isNotNull()
+    survives = (
+        (F.col("_ck").isNull())  # untouched base row
+        | (matched & (F.col("_op") == "U"))
+        | (matched & ~F.col("_op").isin("U", "D"))  # matched I/other: no-op keep
+        | (F.col("_bk").isNull() & (F.col("_op") == "I"))  # insert
+    )
+    use_change = (matched & (F.col("_op") == "U")) | (
+        F.col("_bk").isNull() & (F.col("_op") == "I")
+    )
+    out_cols = [F.coalesce("_bk", "_ck").alias(key)]
+    for x in data_cols:
+        out_cols.append(
+            F.when(use_change, F.col(f"_c_{x}")).otherwise(F.col(f"_b_{x}")).alias(x)
+        )
+    action = (
+        F.when(matched & (F.col("_op") == "U"), F.lit("updated"))
+        .when(F.col("_bk").isNull() & (F.col("_op") == "I"), F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.filter(survives).select(*out_cols, action.alias("_merge_action"))
+
+
+@query(
+    "prep_merge_into",
+    oracle="""
+    WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+    merged AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 10 = 3 THEN n_chars + 100 ELSE n_chars END
+                 AS n_chars,
+               CASE WHEN doc_id % 10 = 3 THEN 'updated' ELSE 'kept' END
+                 AS action
+        FROM base WHERE doc_id % 10 <> 4
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, lang, 7 AS n_chars,
+               'inserted' AS action
+        FROM base WHERE doc_id % 10 = 5)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN action = 'updated' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated,
+           CAST(sum(CASE WHEN action = 'inserted' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inserted,
+           (SELECT count(*) FROM base WHERE doc_id % 10 = 4) AS n_deleted
+    FROM merged GROUP BY lang ORDER BY lang
+    """,
+)
+def prep_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE over the documents snapshot — the SQL surface the
+    lakehouse family was missing (VERDICT r6 #8): a deterministic change
+    feed (doc_id % 10 == 3 -> UPDATE n_chars+100; % 10 == 4 -> DELETE;
+    % 10 == 5 -> INSERT a derived doc under doc_id+10M) merges through
+    `merge_into` (one full-outer key join + CASE clause resolution), and
+    the per-lang audit proves every clause applied exactly once: updated
+    and inserted counts ride the merged rows, the delete count is the
+    change-feed cardinality that vanished. The oracle reconstructs the
+    merged table from the raw data and the change rule alone — a lost
+    insert, a double-applied update, or a surviving delete breaks the
+    hash. Complements prep_upsert_snapshot (CoW upsert) and
+    prep_merge_on_read (read-side reconcile): this is the statement-level
+    write API both implement."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    updates = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .withColumn("n_chars", F.col("n_chars") + 100)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = docs.filter(F.col("doc_id") % 10 == 4).withColumn("op", F.lit("D"))
+    inserts = (
+        docs.filter(F.col("doc_id") % 10 == 5)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "lang",
+            F.lit(7).alias("n_chars"),
+            F.lit("I").alias("op"),
+        )
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = merge_into(docs, changes, key="doc_id")
+    n_deleted = deletes.agg(F.count(F.lit(1)).alias("n_deleted"))
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.when(F.col("_merge_action") == "updated", 1).otherwise(0))
+            .cast("long")
+            .alias("n_updated"),
+            F.sum(F.when(F.col("_merge_action") == "inserted", 1).otherwise(0))
+            .cast("long")
+            .alias("n_inserted"),
+        )
+        .crossJoin(F.broadcast(n_deleted))
+        .select("lang", "n_docs", "total_chars", "n_updated", "n_inserted", "n_deleted")
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-phase candidate top-k (approximate top-k with exact verification —
+# the sketch-side twin of agg_countmin_heavy_hitters, VERDICT r6 #8;
+# pyspark 4.1 ships no approx_top_k builtin, so the operator composes one)
+# ---------------------------------------------------------------------------
+
+TOPK_K = 20
+TOPK_LOCAL_M = 256  # per-partition candidate heap width
+
+
+@query(
+    "agg_topk_twophase",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id LIMIT {TOPK_K}
+    """,
+)
+def agg_topk_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK_K} heaviest users WITHOUT shuffling the full distinct key
+    set — the composition pyspark lacks as a builtin approx_top_k:
+
+    Phase 1 (candidate generation): each input partition computes its own
+    LOCAL counts and keeps its top-m (m={TOPK_LOCAL_M}) inside one
+    Arrow-batched mapInPandas pass — a SpaceSaving-style bounded summary;
+    nothing key-wide crosses the wire. Phase 2 (exact verify): only the
+    ≤ partitions×m candidate keys are re-counted EXACTLY with a pushed
+    semi-filter scan, and the verified top-k of that bounded set is
+    emitted. Every emitted count is exact; the approximation risk is
+    candidate RECALL, and it is checkable: a key outside every local
+    top-m has true count ≤ Σ_p cutoff_p (each partition's m-th local
+    count) — the builder computes that bound and falls back to the full
+    exact aggregate if the k-th candidate doesn't clear it, so the
+    operator is never silently wrong (the oracle IS the exact top-k).
+
+    At 100 TB with ~1e9 distinct users, the classic groupBy+TakeOrdered
+    ships every distinct key through the exchange; this plan ships
+    32×{TOPK_LOCAL_M} candidates plus one bounded driver list — the same
+    contract as agg_countmin_heavy_hitters but with exact output counts
+    instead of CMS upper bounds."""
+    import pandas as pd
+
+    ev = load_parallel(spark, sf_dir, "events").select(
+        "user_id", F.spark_partition_id().alias("pid")
+    )
+
+    def local_topm(batches):
+        counts: dict[int, int] = {}
+        pid = -1
+        for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["pid"].iloc[0])
+            for uid, n in pdf["user_id"].value_counts().items():
+                counts[uid] = counts.get(uid, 0) + int(n)
+        if not counts:
+            return
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:TOPK_LOCAL_M]
+        cutoff = top[-1][1] if len(top) == TOPK_LOCAL_M else 0
+        yield pd.DataFrame(
+            {"user_id": [k for k, _ in top],
+             "local_n": [v for _, v in top],
+             "pid": [pid] * len(top),
+             "cutoff": [cutoff] * len(top)}
+        )
+
+    local = ev.mapInPandas(
+        local_topm, schema="user_id long, local_n long, pid long, cutoff long"
+    ).localCheckpoint(eager=True)
+    # bounded driver-side lists: ≤ partitions×m candidate keys, one
+    # cutoff PER PARTITION (the guard-stat collect class; keyed by pid so
+    # equal cutoff values from different partitions each count)
+    cand_rows = local.groupBy("user_id").agg(F.sum("local_n").alias("lb")).collect()
+    cutoffs = [r["c"] for r in local.select("pid", "cutoff").distinct()
+               .select(F.col("cutoff").alias("c")).collect()]
+    miss_bound = sum(cutoffs)
+    cands = sorted(r["user_id"] for r in cand_rows)
+    kth_lb = sorted((r["lb"] for r in cand_rows), reverse=True)[
+        min(TOPK_K, len(cand_rows)) - 1
+    ] if cand_rows else 0
+    provable = kth_lb > miss_bound
+    base = ev
+    if provable:
+        base = ev.filter(F.col("user_id").isin(cands))
+    # else: recall not provable at this data shape — exact full fallback
+    # (correctness-first; the candidate path is the 100 TB fast lane)
+    return (
+        base.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(TOPK_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning as a REGISTRY operator (round 7): the pytest
+# (tests/test_plans.py) pins the plan; this makes the result itself a
+# driver-visible hash-checked row
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_partition_pruned",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'),
+    fact AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+    SELECT f.event_type, count(*) AS n,
+           CAST(sum(f.cents) AS BIGINT) AS total_cents
+    FROM fact f JOIN dim d ON f.day = d.day
+    GROUP BY f.event_type ORDER BY f.event_type
+    """,
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, end to end: the date-partitioned events
+    layout (ensure_partitioned_events — `day=.../` directories) joined on
+    its PARTITION column against a filtered dim whose qualifying days are
+    only known at runtime. Catalyst turns the join keys into a
+    `dynamicpruningexpression` subquery inside the fact scan, so only the
+    7 qualifying day-directories are read — at 100 TB the difference
+    between scanning a week and scanning the corpus, and the runtime twin
+    of prep_partitioned_serve's STATIC pruning (literal predicate) and
+    join_bloom_prefilter's row-level runtime filter. The week dim is
+    derived (distinct days in range) rather than a literal so the
+    pruning genuinely happens at runtime; the oracle computes the same
+    join over raw data. tests/test_plans.py pins the dynamicpruning
+    subquery in this exact plan shape."""
+    dest = ensure_partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(dest)
+    dim = (
+        fact.select("day")
+        .distinct()
+        .filter(
+            F.col("day").between(
+                F.lit("2024-01-08").cast("date"), F.lit("2024-01-14").cast("date")
+            )
+        )
+    )
+    return (
+        fact.join(dim, "day")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -1829,3 +1829,179 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (round 7): the model-based attribution
+# that answers "what fraction of conversions does channel c CAUSE" —
+# first/last/linear-touch's principled sibling (Anderl et al. 2014)
+# ---------------------------------------------------------------------------
+
+MARKOV_CHANNELS = ("click", "error", "signup", "view")
+MARKOV_ROUNDS = 12
+_MK_E6 = 1_000_000
+
+
+def _markov_base_ctes() -> str:
+    """Journey -> transition-count CTEs shared by every scenario: per user,
+    events ordered by (ts, event_id) and truncated at the FIRST purchase
+    (the absorbing CONV state); journeys without a purchase absorb in
+    NULL. Unique ordering key => identical counts on both engines."""
+    return f"""
+    seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    cut AS (SELECT user_id, min(rn) AS prn FROM seq
+            WHERE event_type = 'purchase' GROUP BY user_id),
+    kept AS (
+        SELECT s.user_id, s.event_type, s.rn
+        FROM seq s LEFT JOIN cut c USING (user_id)
+        WHERE c.prn IS NULL OR s.rn <= c.prn),
+    edges AS (
+        SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY rn),
+                        'START') AS src,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS dst
+        FROM kept
+        UNION ALL
+        SELECT event_type AS src, 'NULL' AS dst
+        FROM (SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rrn
+              FROM kept)
+        WHERE rrn = 1 AND event_type <> 'purchase'),
+    counts AS (SELECT src, dst, count(*) AS n FROM edges GROUP BY src, dst),
+    tot AS (SELECT src, sum(n) AS tot FROM counts GROUP BY src)"""
+
+
+def _markov_oracle() -> str:
+    ctes = [_markov_base_ctes().strip()]
+    for scen in ("full",) + MARKOV_CHANNELS:
+        removed = "" if scen == "full" else scen
+        excl = f"WHERE src <> '{removed}'" if removed else ""
+        ctes.append(
+            f"p_{scen}_0 AS MATERIALIZED (SELECT src AS s, CAST(0 AS BIGINT) AS v "
+            f"FROM tot {excl})"
+        )
+        cexcl = f"WHERE c.src <> '{removed}'" if removed else ""
+        for r in range(1, MARKOV_ROUNDS + 1):
+            ctes.append(
+                f"""p_{scen}_{r} AS MATERIALIZED (
+                SELECT c.src AS s,
+                       CAST(sum(c.n * (CASE WHEN c.dst = 'CONV' THEN {_MK_E6}
+                                            WHEN c.dst = 'NULL' THEN 0
+                                            ELSE coalesce(p.v, 0) END))
+                            // any_value(t.tot) AS BIGINT) AS v
+                FROM counts c JOIN tot t ON t.src = c.src
+                LEFT JOIN p_{scen}_{r - 1} p ON p.s = c.dst
+                {cexcl}
+                GROUP BY c.src)"""
+            )
+    k = MARKOV_ROUNDS
+    arms = "\n    UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, "
+        f"(SELECT v FROM p_full_{k} WHERE s = 'START') AS full_conv_e6, "
+        f"(SELECT v FROM p_{ch}_{k} WHERE s = 'START') AS removal_conv_e6"
+        for ch in MARKOV_CHANNELS
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT channel, full_conv_e6, removal_conv_e6,
+           CAST(CASE WHEN full_conv_e6 = 0 THEN 0
+                     ELSE {_MK_E6} - (removal_conv_e6 * {_MK_E6}) // full_conv_e6
+                END AS BIGINT) AS removal_effect_e6
+    FROM ({arms})
+    ORDER BY channel
+    """
+
+
+@query("events_attribution_markov", oracle=_markov_oracle())
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution: model user journeys as a
+    first-order chain over channel states absorbing in CONV (first
+    purchase) or NULL (journey ends unconverted); a channel's credit is
+    how much the START->CONV absorption probability DROPS when every
+    transition into that channel is redirected to NULL — the causal
+    counterfactual that position rules (first/last/linear touch,
+    events_attribution*) cannot express.
+
+    Exactness: absorption probabilities come from {MARKOV_ROUNDS} rounds
+    of value iteration on the e6 integer lattice with floor division —
+    the HITS/pagerank discipline — so both engines produce bit-identical
+    fixed points; every output cell is bigint.
+
+    Scale shape: the DISTRIBUTED work is exactly two user-keyed window
+    passes + one (src, dst) count rollup — one corpus shuffle; the chain
+    itself is O(channels²) counts (≤36 cells at ANY corpus size), so the
+    5-scenario value iteration runs driver-side on collected guard-stat
+    rows, and the oracle unrolls the identical integer iteration in SQL.
+    At 100 TB the transition matrix is still 36 longs — this is the
+    textbook case for aggregate-then-iterate-small."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("rn", F.row_number().over(w))
+    prn = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    kept = seq.join(prn, "user_id", "left").filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    wk = W.partitionBy("user_id").orderBy("rn")
+    main = kept.select(
+        F.coalesce(F.lag("event_type").over(wk), F.lit("START")).alias("src"),
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+    )
+    last = (
+        kept.withColumn(
+            "rrn", F.row_number().over(W.partitionBy("user_id").orderBy(F.col("rn").desc()))
+        )
+        .filter((F.col("rrn") == 1) & (F.col("event_type") != "purchase"))
+        .select(F.col("event_type").alias("src"), F.lit("NULL").alias("dst"))
+    )
+    rows = (
+        main.unionByName(last)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = {(r["src"], r["dst"]): r["n"] for r in rows}
+    tot = {}
+    for (s, _t), c in n.items():
+        tot[s] = tot.get(s, 0) + c
+
+    def absorb(removed: str | None) -> int:
+        trans = [s for s in tot if s != removed]
+        p = {s: 0 for s in trans}
+        for _ in range(MARKOV_ROUNDS):
+            new = {}
+            for s in trans:
+                acc = 0
+                for (src, dst), c in n.items():
+                    if src != s:
+                        continue
+                    if dst == "CONV":
+                        acc += c * _MK_E6
+                    elif dst == "NULL":
+                        pass
+                    else:
+                        acc += c * p.get(dst, 0)
+                new[s] = acc // tot[s]
+            p = new
+        return p.get("START", 0)
+
+    full = absorb(None)
+    out = []
+    for ch in sorted(MARKOV_CHANNELS):
+        rem = absorb(ch)
+        eff = 0 if full == 0 else _MK_E6 - (rem * _MK_E6) // full
+        out.append((ch, full, rem, eff))
+    return spark.createDataFrame(
+        out,
+        "channel string, full_conv_e6 long, removal_conv_e6 long, removal_effect_e6 long",
+    ).orderBy("channel")

@@ -1104,3 +1104,77 @@ def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out.orderBy("table_name", "det_col", "dep_col")
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration audit (round 7): does the quality classifier's
+# predicted probability MEAN anything — the reliability-curve check every
+# model-gated curation pipeline owes its users before a threshold is set
+# ---------------------------------------------------------------------------
+
+
+def _calibration_oracle() -> str:
+    from .text import _sql_hits, LEXICONS, cls_raw_score_sql
+
+    return f"""
+    WITH scored AS (
+        SELECT doc_id,
+               0.5 + 0.5 * s / (1.0 + abs(s)) AS p,
+               (n_tok BETWEEN 20 AND 1000 AND stop_hits / n_tok < 0.5) AS label
+        FROM (SELECT doc_id,
+                     {cls_raw_score_sql('ws')} AS s,
+                     CAST(len(ws) AS DOUBLE) AS n_tok,
+                     CAST({_sql_hits(LEXICONS['en'])} AS DOUBLE) AS stop_hits
+              FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS ws
+                    FROM documents)))
+    SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST((2 * 1000000 * sum(CASE WHEN label THEN 1 ELSE 0 END) + count(*))
+                // (2 * count(*)) AS BIGINT) AS pass_rate_e6
+    FROM scored GROUP BY bucket ORDER BY bucket
+    """
+
+
+@query("profile_calibration_curve", oracle=_calibration_oracle())
+def profile_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve for the shared quality classifier
+    (text.cls_raw_score): documents bucketed by predicted keep-probability
+    decile, each bucket reporting how many actually pass the INDEPENDENT
+    heuristic quality gate (text_quality_score's length-band + stopword
+    rule). A calibrated classifier shows pass_rate rising with the bucket
+    index; a flat curve means the score is noise and the curation
+    threshold (CLS_KEEP_P) is arbitrary — the audit a model-gated
+    pipeline runs before trusting any cut-off.
+
+    Exactness: p is the rational sigmoid of an int64 lattice score (one
+    division of identical int64s — bit-identical cross-engine, the
+    documented policy); the decile floor and the label comparisons
+    operate on those identical doubles; every OUTPUT cell is bigint
+    (round-half-up e6 rate). Shape: one scan, map-side score + label,
+    one 10-group aggregate — nothing key-wide shuffles at any corpus
+    size."""
+    from .text import LEXICONS, _hits, cls_raw_score, words_col
+
+    docs = load(spark, sf_dir, "documents")
+    w = words_col()
+    n_tok = F.size(w).cast("double")
+    stop_ratio = _hits(w, LEXICONS["en"]).cast("double") / n_tok
+    s = cls_raw_score()
+    p = F.lit(0.5) + F.lit(0.5) * s / (F.lit(1.0) + F.abs(s))
+    label = F.size(w).between(20, 1000) & (stop_ratio < 0.5)
+    scored = docs.select(
+        F.least(F.floor(p * 10), F.lit(9)).cast("long").alias("bucket"),
+        label.cast("int").alias("lab"),
+    )
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("lab").cast("long").alias("n_pass"),
+            F.expr(
+                "CAST((2 * 1000000 * sum(lab) + count(*)) DIV (2 * count(*)) AS BIGINT)"
+            ).alias("pass_rate_e6"),
+        )
+        .orderBy("bucket")
+    )

@@ -93,6 +93,11 @@ _PRIORITY = [
     "q7_volume_shipping", "q11_important_stock", "q12_late_shipments",
     "agg_cube", "agg_multi_key_stats",
     # ---- ~50-sample budget line ----
+    # -- round-7 NEW operators (MERGE surface, verified two-phase top-k,
+    #    Markov removal-effect attribution, classifier calibration) —
+    #    first in line for driver rows once the experiment head retires
+    "prep_merge_into", "agg_topk_twophase", "events_attribution_markov",
+    "profile_calibration_curve", "join_partition_pruned",
     # -- remaining round-7 repaired oracles (same CAST fix, pass both
     #    fetch modes locally; next in line if the window widens)
     "agg_rollup", "rollup_time_hierarchy", "join_null_safe",

@@ -14,7 +14,7 @@ def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty", "count_order"}
+    assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty_e2", "count_order"}
 
 
 def test_queries_oracles_aligned():
