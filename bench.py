@@ -187,6 +187,7 @@ HEADLINE = [
     "events_attribution_markov",
     "profile_calibration_curve",
     "join_partition_pruned",
+    "join_bucketed_colocated",
     "train_epoch_shuffle",
     "text_chunk_windows",
     "sim_filtered_topk",
@@ -359,6 +360,10 @@ def main() -> None:
         # corpus-sized staging checkpoints built once per session
         "agg_grouped_median": "grouped_median_stage_build",
         "stream_watermark_audit": "wm_replay_build",
+        # round-7: write-time shuffle for the exchange-free join, and the
+        # date-partitioned layout the DPP query prunes at runtime
+        "join_bucketed_colocated": "bucketed_tables_build",
+        "join_partition_pruned": "partitioned_layout_build",
     }
 
     timings: dict[str, float] = {}

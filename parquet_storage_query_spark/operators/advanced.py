@@ -4048,3 +4048,87 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join as a REGISTRY operator (round 7): bucketing is
+# the 100 TB fact-to-fact answer — pay the shuffle once at WRITE time,
+# then every future join on the bucket key is exchange-free. The plan
+# property is pinned by tests/test_plans.py (bucketed join, zero
+# Exchange); this makes the served result a driver-visible hash row.
+# ---------------------------------------------------------------------------
+
+
+def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write (once per session) orders + lineitem bucketed 8-ways on the
+    orderkey into catalog tables (bucket metadata lives in the catalog,
+    not the parquet footers, so saveAsTable is required). Table names
+    carry the sf digest AND applicationId — two concurrent sessions never
+    overwrite each other's buckets (the scratch_dir isolation rule)."""
+    import hashlib
+    import re
+
+    from ..cache import session_memo
+
+    def build() -> tuple[str, str]:
+        app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
+        sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        to, tl = f"b_orders_{sfx}_{app}", f"b_lineitem_{sfx}_{app}"
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(to)
+        )
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(tl)
+        )
+        return (to, tl)
+
+    return session_memo(spark, sf_dir, "bucketed_order_tables", build)
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join served from BUCKETED tables: both sides were
+    written bucketBy(8, orderkey) + sortBy, so the SortMergeJoin reads
+    co-located, pre-sorted buckets and the plan has NO Exchange on
+    either join side — the write-time shuffle amortizes over every
+    future orderkey join (tests/test_plans.py pins the zero-Exchange
+    property; the bucketed build lands on its own bench *_build metric
+    like every prepared artifact). At 100 TB this is THE difference
+    between re-shuffling trillions of rows per join and never shuffling
+    them again; the only runtime exchange is the O(priorities) rollup.
+    The oracle runs the identical join over the raw tables — bucketing
+    must be a pure layout change or the hash breaks."""
+    to, tl = ensure_bucketed_pair(spark, sf_dir)
+    joined = spark.table(tl).join(
+        spark.table(to).hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

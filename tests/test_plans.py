@@ -759,3 +759,31 @@ def test_keyword_search_serves_off_shared_postings(spark):
     audit = audit_plan(plan)
     assert audit["scans"] == 0, audit  # zero parquet scans at serve time
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+
+
+def test_join_partition_pruned_has_dpp(spark):
+    """The round-7 DPP REGISTRY operator must plan a dynamicpruning
+    subquery on the fact scan (runtime partition pruning, not a static
+    literal): only qualifying day-directories are read at any corpus
+    size."""
+    from parquet_storage_query_spark.registry import all_queries
+
+    df = all_queries()["join_partition_pruned"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_join_bucketed_colocated_zero_exchange(spark):
+    """The round-7 bucketed-join REGISTRY operator: the SortMergeJoin
+    subtree must contain NO Exchange — the shuffle was paid once at
+    bucket-write time. (The rollup above the join may exchange; assert on
+    the join input subtree.)"""
+    from parquet_storage_query_spark.operators.advanced import ensure_bucketed_pair
+
+    to, tl = ensure_bucketed_pair(spark, SF_SMOKE)
+    joined = spark.table(tl).join(
+        spark.table(to).hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
