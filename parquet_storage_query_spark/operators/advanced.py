@@ -3859,8 +3859,18 @@ def prep_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     insert, a double-applied update, or a surviving delete breaks the
     hash. Complements prep_upsert_snapshot (CoW upsert) and
     prep_merge_on_read (read-side reconcile): this is the statement-level
-    write API both implement."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write API both implement.
+
+    Scan shape: the change feed is SYNTHESIZED from the corpus for
+    determinism (a production feed is an external delta table), so the
+    3-column projection is checkpointed once and base + all three change
+    arms read the cached copy — one parquet scan total; the only BNLJ is
+    the 1-row deleted-count broadcast (documented scalar class)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .localCheckpoint(eager=True)
+    )
     updates = (
         docs.filter(F.col("doc_id") % 10 == 3)
         .withColumn("n_chars", F.col("n_chars") + 100)
@@ -4027,7 +4037,11 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived (distinct days in range) rather than a literal so the
     pruning genuinely happens at runtime; the oracle computes the same
     join over raw data. tests/test_plans.py pins the dynamicpruning
-    subquery in this exact plan shape."""
+    subquery in this exact plan shape. (Plan-audit note: the `day`
+    double-scan is the dim side reading the SAME partitioned layout —
+    partition-column only, ReadSchema struct<>, i.e. directory metadata,
+    not data — by design for a self-contained demo; a production dim is
+    its own small table.)"""
     dest = ensure_partitioned_events(spark, sf_dir)
     fact = spark.read.parquet(dest)
     dim = (
