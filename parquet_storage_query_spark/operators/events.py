@@ -1870,8 +1870,9 @@ def _markov_base_ctes() -> str:
                      row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rrn
               FROM kept)
         WHERE rrn = 1 AND event_type <> 'purchase'),
-    counts AS (SELECT src, dst, count(*) AS n FROM edges GROUP BY src, dst),
-    tot AS (SELECT src, sum(n) AS tot FROM counts GROUP BY src)"""
+    counts AS MATERIALIZED (SELECT src, dst, count(*) AS n
+                            FROM edges GROUP BY src, dst),
+    tot AS MATERIALIZED (SELECT src, sum(n) AS tot FROM counts GROUP BY src)"""
 
 
 def _markov_oracle() -> str:
