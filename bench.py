@@ -188,6 +188,7 @@ HEADLINE = [
     "profile_calibration_curve",
     "join_partition_pruned",
     "join_bucketed_colocated",
+    "prep_analyze_stats",
     "train_epoch_shuffle",
     "text_chunk_windows",
     "sim_filtered_topk",

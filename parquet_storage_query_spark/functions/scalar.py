@@ -471,3 +471,43 @@ def udtf_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY t.doc_id, t.n DESC, t.bigram
         """
     )
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS BIGINT) AS prio_as_int,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+               // nullif(o_orderkey % 5, 0) AS cents_per_bucket,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                     % nullif(o_orderkey % 5, 0) END AS cents_mod,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic pack (SURVEY §2.8 extension): TRY_CAST of a
+    non-numeric string -> NULL instead of an exception, and NULL-safe
+    integer division/modulo with a zero divisor — the ANSI error-handling
+    semantics a production pipeline needs so one malformed row degrades
+    to NULL instead of killing a 1000-executor stage. try_divide/try_mod
+    express as nullif-guarded DIV/% so both engines agree exactly (Spark
+    try_divide returns DOUBLE — the integer-lattice policy keeps the
+    result bigint instead). All output cells bigint."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bucket = F.nullif(F.col("o_orderkey") % 5, F.lit(0))
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(o_orderpriority AS BIGINT)").alias("prio_as_int"),
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT)"
+            " DIV nullif(o_orderkey % 5, 0)"
+        ).alias("cents_per_bucket"),
+        (cents % bucket).alias("cents_mod"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").alias("prio_digit"),
+    ).orderBy("o_orderkey")

@@ -4146,3 +4146,95 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE TABLE / catalog statistics (round 7): the cost-based-optimizer
+# feed — an engine is not complete without a stats-collection surface
+# (Spark CBO joins/reorders off exactly these numbers at cluster scale)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prep_analyze_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS col,
+           count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           count(*),
+           count(*) - count(o_totalprice),
+           CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+           CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def prep_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, served back from
+    the CATALOG: the stats-collection pass every cost-based optimizer
+    feeds on (join reordering, broadcast decisions, and AQE's estimates
+    all start from these numbers at 1000-executor scale). A managed
+    projection of orders is analyzed once per session; the query reads
+    min/max/null-count/row-count back from `DESCRIBE EXTENDED <table>
+    <column>` — i.e. from the metastore, NOT by rescanning data — and the
+    oracle recomputes the same stats from raw data, so a stats pass that
+    lied (stale, partial, wrong column) breaks the hash. Distinct-count
+    is deliberately excluded: Spark stores an HLL±5% estimate there (the
+    documented approximate class, like agg_approx_distinct). Money
+    min/max ride the integer-cent lattice (driver-proof policy)."""
+    import hashlib
+    import re as _re
+
+    from ..cache import session_memo
+
+    def analyze() -> str:
+        app = _re.sub(r"\W", "_", spark.sparkContext.applicationId)
+        sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        tbl = f"stats_orders_{sfx}_{app}"
+        (
+            load(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("o_totalprice_cents"),
+            )
+            .write.mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        spark.sql(
+            f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_totalprice_cents"
+        )
+        return tbl
+
+    tbl = session_memo(spark, sf_dir, "analyze_stats_table", analyze)
+
+    def col_stats(col: str, out_name: str) -> tuple:
+        rows = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl} {col}").collect()
+        }
+        # row count lives in the table-level Statistics line (exact after
+        # ANALYZE)
+        cnt = spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        stats_line = [r for r in cnt if r["col_name"] == "Statistics"]
+        m = _re.search(r"(\d+) rows", stats_line[0]["data_type"]) if stats_line else None
+        total = int(m.group(1)) if m else -1
+        return (
+            out_name,
+            total,
+            int(rows.get("num_nulls", "-1")),
+            str(rows.get("min", "")),
+            str(rows.get("max", "")),
+        )
+
+    out = [
+        col_stats("o_orderkey", "o_orderkey"),
+        col_stats("o_totalprice_cents", "o_totalprice"),
+    ]
+    return spark.createDataFrame(
+        out, "col string, n_rows long, n_nulls long, min_val string, max_val string"
+    ).orderBy("col")
