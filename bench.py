@@ -189,6 +189,8 @@ HEADLINE = [
     "join_partition_pruned",
     "join_bucketed_colocated",
     "prep_analyze_stats",
+    "events_growth_accounting",
+    "timeseries_downsample_lttb",
     "train_epoch_shuffle",
     "text_chunk_windows",
     "sim_filtered_topk",

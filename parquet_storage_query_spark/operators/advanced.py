@@ -4238,3 +4238,119 @@ def prep_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "col string, n_rows long, n_nulls long, min_val string, max_val string"
     ).orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# Triangle-area downsampling (round 7): LTTB's distributed-friendly
+# time-bucketed variant — one visually-dominant point per bucket
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_downsample_lttb",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(ts AS DATE) AS day, event_id,
+               epoch_us(ts) // 1000000 AS x,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase'),
+    anchors AS (
+        SELECT day, count(*) AS n,
+               CAST(sum(x) AS BIGINT) // count(*) AS mx,
+               CAST(sum(y) AS BIGINT) // count(*) AS my
+        FROM pts GROUP BY day),
+    ctx AS (
+        SELECT day, n,
+               lag(mx)  OVER (ORDER BY day) AS px,
+               lag(my)  OVER (ORDER BY day) AS py,
+               lead(mx) OVER (ORDER BY day) AS nx,
+               lead(my) OVER (ORDER BY day) AS ny
+        FROM anchors),
+    scored AS (
+        SELECT p.day, p.event_id, p.x, p.y,
+               abs((p.x - c.px) * (c.ny - c.py) - (c.nx - c.px) * (p.y - c.py))
+                 AS area2
+        FROM pts p JOIN ctx c USING (day)
+        WHERE c.px IS NOT NULL AND c.nx IS NOT NULL),
+    best AS (
+        SELECT day, max(struct_pack(a := area2, e := -event_id,
+                                    event_id := event_id, x := x, y := y)) AS b
+        FROM scored GROUP BY day)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           b.event_id AS event_id, b.x AS x_epoch_s, b.y AS y_cents,
+           b.a AS area2
+    FROM best ORDER BY day
+    """,
+)
+def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle downsampling, time-bucketed (the distributed
+    variant of LTTB, Steinarsson 2013): per day bucket, keep the ONE
+    purchase point forming the largest triangle against the neighboring
+    buckets' mean anchors — the canonical "downsample 1e9 points to one
+    per pixel without flattening the spikes" operator every dashboard
+    needs at 100 TB. Classic LTTB anchors on the previously SELECTED
+    point (a sequential dependency); anchoring on fixed bucket means
+    keeps the visual property and makes every bucket independent — one
+    keyed aggregate per stage, no sequential scan.
+
+    Exactness: x = whole epoch seconds, y = integer cents, anchors are
+    floor-DIV bucket means, the doubled triangle area is an exact int64
+    cross product, and ties break to the lowest event_id via max_by on a
+    (area, -event_id) struct — bit-identical cross-engine. Shape: one
+    scan; O(days) anchor table windowed over days; per-point scoring is
+    a broadcast-joined map; the argmax is a partial-merged max_by."""
+    pts = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date("ts").alias("day"),
+            "event_id",
+            (F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+        )
+    )
+    anchors = pts.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(x) AS BIGINT) DIV count(*)").alias("mx"),
+        F.expr("CAST(sum(y) AS BIGINT) DIV count(*)").alias("my"),
+    )
+    w = W.orderBy("day")
+    ctx = anchors.select(
+        "day",
+        F.lag("mx").over(w).alias("px"),
+        F.lag("my").over(w).alias("py"),
+        F.lead("mx").over(w).alias("nx"),
+        F.lead("my").over(w).alias("ny"),
+    )
+    scored = (
+        pts.join(F.broadcast(ctx), "day")
+        .filter(F.col("px").isNotNull() & F.col("nx").isNotNull())
+        .select(
+            "day",
+            "event_id",
+            "x",
+            "y",
+            F.abs(
+                (F.col("x") - F.col("px")) * (F.col("ny") - F.col("py"))
+                - (F.col("nx") - F.col("px")) * (F.col("y") - F.col("py"))
+            ).alias("area2"),
+        )
+    )
+    best = scored.groupBy("day").agg(
+        F.max(
+            F.struct(
+                F.col("area2").alias("a"),
+                (-F.col("event_id")).alias("e"),
+                "event_id",
+                "x",
+                "y",
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("b.event_id").alias("event_id"),
+        F.col("b.x").alias("x_epoch_s"),
+        F.col("b.y").alias("y_cents"),
+        F.col("b.a").alias("area2"),
+    ).orderBy("day")

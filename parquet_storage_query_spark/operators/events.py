@@ -2006,3 +2006,90 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "channel string, full_conv_e6 long, removal_conv_e6 long, removal_effect_e6 long",
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (round 7): the new/retained/resurrected/churned user
+# ledger — the standard growth decomposition (a16z-style) that retention
+# cohorts and DAU/MAU do not express
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    marked AS (
+        SELECT user_id, day,
+               lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+        FROM active),
+    classified AS (
+        SELECT day,
+               CASE WHEN prev_day IS NULL THEN 'new'
+                    WHEN date_diff('day', prev_day, day) = 1 THEN 'retained'
+                    ELSE 'resurrected' END AS state
+        FROM marked),
+    churn AS (
+        SELECT day + INTERVAL 1 DAY AS day, 'churned' AS state
+        FROM (SELECT user_id, day,
+                     lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day,
+                     max(day) OVER () AS last_day
+              FROM active)
+        WHERE (next_day IS NULL OR date_diff('day', day, next_day) > 1)
+          AND day < last_day),
+    all_states AS (
+        SELECT strftime(CAST(day AS DATE), '%Y-%m-%d') AS day, state
+        FROM classified
+        UNION ALL
+        SELECT strftime(CAST(day AS DATE), '%Y-%m-%d') AS day, state FROM churn)
+    SELECT day, state, count(*) AS n_users
+    FROM all_states GROUP BY day, state ORDER BY day, state
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: every active (user, day) classified as NEW
+    (first day ever), RETAINED (also active yesterday), or RESURRECTED
+    (returning after a gap), plus the CHURNED ledger (active on day d,
+    not on d+1 — booked against d+1, the day the loss shows). The
+    additivity identity growth teams audit — DAU(d) = new + retained +
+    resurrected, DAU(d) - DAU(d-1) = new + resurrected - churned — falls
+    out of the census; retention cohorts and DAU/MAU answer neither.
+
+    Shape: one distinct (user, day) projection, one user-keyed window
+    pass for lag/lead (the sessionizer's shuffle), then an O(days×4)
+    census — documents/events never shuffle twice. ISO day strings +
+    bigint counts (driver-proof policy). The corpus-wide max(day) guard
+    keeps the final day from booking phantom churn (nobody can churn
+    after the observation window ends)."""
+    ev = load(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    marked = active.withColumn("prev_day", F.lag("day").over(w)).withColumn(
+        "next_day", F.lead("day").over(w)
+    )
+    last_day = active.agg(F.max("day").alias("last_day"))
+    classified = marked.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("prev_day").isNull(), F.lit("new"))
+        .when(F.datediff("day", "prev_day") == 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("state"),
+    )
+    churn = (
+        marked.crossJoin(F.broadcast(last_day))
+        .filter(
+            (F.col("next_day").isNull() | (F.datediff("next_day", "day") > 1))
+            & (F.col("day") < F.col("last_day"))
+        )
+        .select(
+            F.date_format(F.date_add("day", 1), "yyyy-MM-dd").alias("day"),
+            F.lit("churned").alias("state"),
+        )
+    )
+    return (
+        classified.unionByName(churn)
+        .groupBy("day", "state")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("day", "state")
+    )
