@@ -4296,9 +4296,14 @@ def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: x = whole epoch seconds, y = integer cents, anchors are
     floor-DIV bucket means, the doubled triangle area is an exact int64
     cross product, and ties break to the lowest event_id via max_by on a
-    (area, -event_id) struct — bit-identical cross-engine. Shape: one
-    scan; O(days) anchor table windowed over days; per-point scoring is
-    a broadcast-joined map; the argmax is a partial-merged max_by."""
+    (area, -event_id) struct — bit-identical cross-engine. Shape: the
+    anchor build and the scoring pass each scan the purchase slice once
+    (the documented self-join double-scan class — at 100 TB two pruned
+    scans beat checkpointing a corpus-sized frame); the lag/lead window
+    runs over the O(days) anchor table — ~30 rows, the documented
+    tiny-window class (profile_benford's 9-row precedent), NOT a
+    corpus-wide single partition; per-point scoring is a broadcast-joined
+    map and the argmax a partial-merged struct max."""
     pts = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")

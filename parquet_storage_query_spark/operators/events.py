@@ -2056,14 +2056,21 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     resurrected, DAU(d) - DAU(d-1) = new + resurrected - churned — falls
     out of the census; retention cohorts and DAU/MAU answer neither.
 
-    Shape: one distinct (user, day) projection, one user-keyed window
-    pass for lag/lead (the sessionizer's shuffle), then an O(days×4)
-    census — documents/events never shuffle twice. ISO day strings +
+    Shape: ONE corpus scan — the distinct (user, day) projection is
+    checkpointed (it is the active-pairs table, orders of magnitude
+    smaller than raw events; production serves it from the standing
+    daily rollup) and the classified/churn/last-day branches read the
+    cached copy; one user-keyed window pass for lag/lead (the
+    sessionizer's shuffle), then an O(days×4) census. ISO day strings +
     bigint counts (driver-proof policy). The corpus-wide max(day) guard
     keeps the final day from booking phantom churn (nobody can churn
     after the observation window ends)."""
     ev = load(spark, sf_dir, "events")
-    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    active = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     w = W.partitionBy("user_id").orderBy("day")
     marked = active.withColumn("prev_day", F.lag("day").over(w)).withColumn(
         "next_day", F.lead("day").over(w)
