@@ -1994,3 +1994,100 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT)"""
         ).alias("drift2_e12"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# kNN label-agreement eval (round 7): does embedding neighborhood predict
+# the label — the standard embedding-quality probe (kNN classification
+# accuracy), reported as a full confusion matrix
+# ---------------------------------------------------------------------------
+
+KNN_EVAL_MOD = 17  # probes: vec_id % 17 == 0 (~6% of the corpus)
+KNN_EVAL_K = 5
+
+
+@query(
+    "sim_knn_label_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               c.label AS neigh_label, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                   AS cos_raw
+        FROM e q JOIN e c ON q.vec_id % {KNN_EVAL_MOD} = 0 AND q.vec_id <> c.vec_id),
+    topk AS (
+        SELECT query_id, true_label, neigh_label FROM (
+            SELECT query_id, true_label, neigh_label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rk
+            FROM scored) WHERE rk <= {KNN_EVAL_K}),
+    votes AS (
+        SELECT query_id, true_label, neigh_label, count(*) AS c
+        FROM topk GROUP BY query_id, true_label, neigh_label),
+    pred AS (
+        SELECT query_id, true_label,
+               max(struct_pack(c := c, nl := -neigh_label)) AS b
+        FROM votes GROUP BY query_id, true_label)
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(-(b.nl) AS BIGINT) AS pred_label,
+           count(*) AS n
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement — the standard "are these embeddings any good"
+    probe run before trusting them for dedup/clustering/curation: every
+    probe vector (deterministic ~6% slice) is classified by the MAJORITY
+    label of its {KNN_EVAL_K} exact nearest neighbors, and the output is
+    the full (true, predicted) confusion matrix. The diagonal mass is
+    kNN accuracy; off-diagonal cells name which labels the embedding
+    space confuses (text_langid_confusion's twin, one level down the
+    stack — this one evaluates the VECTORS, not a classifier).
+
+    Exactness: the neighbor ranking replays sim_bruteforce_topk's
+    oracle-proven (cos DESC, neighbor_id) order; the majority vote and
+    its lowest-label tie break are integer struct-max logic. Shape:
+    probes broadcast, corpus scanned once, |Q|·k survivors into the vote
+    — the brute-force eval lane; production swaps the IVF/LSH candidate
+    generators in front, same vote."""
+    from ..functions.vectors import as_double, cosine
+
+    e = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % KNN_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("neigh_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_raw"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "neighbor_id")
+    topk = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KNN_EVAL_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "neigh_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pred = votes.groupBy("query_id", "true_label").agg(
+        F.max(F.struct("c", (-F.col("neigh_label")).alias("nl"))).alias("b")
+    )
+    return (
+        pred.select(
+            F.col("true_label").cast("long").alias("true_label"),
+            (-F.col("b.nl")).cast("long").alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "pred_label")
+    )

@@ -100,6 +100,7 @@ _PRIORITY = [
     "profile_calibration_curve", "join_partition_pruned",
     "join_bucketed_colocated", "scalar_try_arithmetic", "prep_analyze_stats",
     "events_growth_accounting", "timeseries_downsample_lttb",
+    "sim_knn_label_eval",
     # -- remaining round-7 repaired oracles (same CAST fix, pass both
     #    fetch modes locally; next in line if the window widens)
     "agg_rollup", "rollup_time_hierarchy", "join_null_safe",
