@@ -224,6 +224,65 @@ def _marker_ok(marker_path: str, digest: str) -> bool:
         return False
 
 
+_SESSION_TABLES: list[tuple[SparkSession, str]] = []
+_TABLES_GUARD = threading.Lock()
+_ATEXIT_ARMED = False
+
+
+def register_session_table(spark: SparkSession, name: str, stem: str) -> None:
+    """Lifecycle for per-(applicationId) managed tables (bucketed join
+    copies, ANALYZE stats tables): without it every session leaks one
+    warehouse copy per table per run — nontrivial disk growth across
+    bench rounds at sf1 (ADVICE r7).
+
+    Two complementary sweeps, mirroring scratch_dir's policy:
+    - atexit: DROP TABLE IF EXISTS for every table THIS session created
+      (removes both the in-memory catalog entry and the warehouse files)
+      — the normal path.
+    - on registration: prune warehouse directories of the same `stem`
+      left by DEAD applications (crashed/killed sessions never reach
+      atexit), identified by prefix and an mtime older than a day — a
+      concurrent live session's table is always fresher than the cutoff,
+      so it is never swept."""
+    import atexit
+    import os
+    import shutil
+    import time
+    from urllib.parse import urlparse
+
+    global _ATEXIT_ARMED
+    with _TABLES_GUARD:
+        _SESSION_TABLES.append((spark, name))
+        if not _ATEXIT_ARMED:
+            _ATEXIT_ARMED = True
+            atexit.register(_drop_session_tables)
+    try:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        if os.path.isdir(wh):
+            cutoff = time.time() - 24 * 3600
+            for d in os.listdir(wh):
+                p = os.path.join(wh, d)
+                if (
+                    d.startswith(stem)
+                    and d != name
+                    and os.path.isdir(p)
+                    and os.path.getmtime(p) < cutoff
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
+    except Exception:
+        pass  # best-effort GC; never fail the query over warehouse hygiene
+
+
+def _drop_session_tables() -> None:
+    with _TABLES_GUARD:
+        entries, _SESSION_TABLES[:] = list(_SESSION_TABLES), []
+    for spark, name in entries:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:
+            pass  # JVM gateway already down at interpreter shutdown
+
+
 def prepared(tag: str):
     """Decorator for (spark, sf_dir) -> DataFrame builders whose PLAN is
     expensive to construct (inlined model literals, long hash pipelines):

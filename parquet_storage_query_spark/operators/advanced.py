@@ -670,6 +670,107 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AQE_SKEW_CONFS = {
+    # thresholds scaled to the smoke corpora so the rewrite demonstrably
+    # fires locally; a production cluster keeps the defaults (256 MB /
+    # factor 5) and flips nothing else — the PLAN SHAPE is identical
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.shuffle.partitions": "8",
+}
+
+
+def aqe_skew_agg(spark: SparkSession, sf_dir: str):
+    """Build join_aqe_skew's frame inside a DERIVED session carrying the
+    scaled AQE skew thresholds (conf isolation: the shared session's
+    advisory sizes are untouched — a concurrent query never inherits the
+    2 KB advisory partitions). Returns (derived_session, unexecuted agg);
+    the registered query executes it eagerly, the plan pin inspects the
+    final adaptive plan for the skew=true rewrite."""
+    ns = spark.newSession()
+    for k, v in AQE_SKEW_CONFS.items():
+        ns.conf.set(k, v)
+    ev = load(ns, sf_dir, "events")
+    fact = ev.select(
+        F.when(F.col("event_id") % 10 < 9, F.lit(0).cast("long"))
+        .otherwise(F.col("event_id") % 1000)
+        .alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        # incompressible 32-char payload: keeps the hot partition's
+        # COMPRESSED map-output size above the scaled skew threshold even
+        # at the sf0.001 smoke corpus (AQE sizes compressed bytes)
+        F.md5(F.col("event_id").cast("string")).alias("pad"),
+        # AQE splits a skewed reduce partition along MAPPER boundaries
+    ).repartition(16)
+    # ^ the smoke corpora are single parquet files = ONE map task, and a
+    #   one-mapper shuffle has no boundary to split on (found empirically:
+    #   identical join fires from a 32-partition range source, never from
+    #   the 1-file scan). The round-robin repartition restores the
+    #   many-mapper shape a real cluster always has; at 100 TB the scan
+    #   itself provides thousands of mappers and this line is a no-op
+    #   cost-wise relative to the join.
+    dim = ns.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("mult")
+    )
+    joined = fact.hint("merge").join(dim, "k")
+    agg = (
+        joined.groupBy((F.col("k") % 3).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents") * F.col("mult")).cast("long").alias("total"),
+            F.sum(F.length("pad")).cast("long").alias("pad_chars"),
+        )
+        .orderBy("bucket")
+    )
+    return ns, agg
+
+
+@query(
+    "join_aqe_skew",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN event_id % 10 < 9 THEN 0
+                    ELSE event_id % 1000 END AS k,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+    dim AS (SELECT g AS k, g % 7 + 1 AS mult
+            FROM generate_series(0, 999) t(g))
+    SELECT k % 3 AS bucket, count(*) AS n,
+           CAST(sum(cents * mult) AS BIGINT) AS total,
+           CAST(count(*) * 32 AS BIGINT) AS pad_chars
+    FROM fact JOIN dim USING (k)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_aqe_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTOMATIC half of the skew story (join_salted_skew is the
+    manual fix; VERDICT r7 next-round #6): a 90%-one-key fact-to-dim
+    sort-merge join executed under `spark.sql.adaptive.skewJoin` — the
+    knob a 100 TB operator reaches for FIRST, before hand-salting. AQE
+    observes the hot key's oversized map output at runtime and splits
+    that reducer partition into advisory-sized slices, each re-reading
+    the full (duplicated) dim side — no query rewrite, no salt column,
+    multiplicity unchanged, so the plain-join oracle pins the result
+    hash exactly. tests/test_plans.py pins the rewrite itself: the final
+    adaptive plan must carry SortMergeJoin(skew=true) over an
+    `AQEShuffleRead skewed` node for THIS query's frame.
+
+    Scaled thresholds live in a DERIVED session (AQE_SKEW_CONFS) so the
+    shared session's planning is untouched; the eager checkpoint executes
+    the join under them and ships only the 3-row result back. The salted
+    twin remains the escape hatch for keys beyond what splitting fixes
+    (one key > a single executor's total memory never helps from
+    splitting the PROBE side alone)."""
+    ns, agg = aqe_skew_agg(spark, sf_dir)
+    return agg.localCheckpoint(eager=True)
+
+
 @query(
     "agg_skew_distinct",
     oracle="""
@@ -1837,6 +1938,70 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).alias("total_len"),
         )
         .orderBy("lang", "source")
+    )
+
+
+@query(
+    "sink_jsonl_writer_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_len
+    FROM documents WHERE doc_id % 3 = 0
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def sink_jsonl_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-SINK round trip — the egest twin of source_jsonl_roundtrip
+    (VERDICT r7 next-round #8): a documents slice is written through the
+    Python `DataSourceWriter` seam (sources/jsonl_source.py —
+    per-task gzip staging, driver-side rename commit, the two-phase
+    protocol a distributed sink needs) and read BACK through the same
+    source's reader, then rolled up per lang. Equality with the oracle's
+    rollup over the original parquet proves the WRITE path is lossless
+    and exactly-once end-to-end: a dropped partition, a double-committed
+    speculative attempt, or a published staged file would each break the
+    hash. The egest lands once per corpus digest (committed-artifact
+    protocol); 4 write tasks so commit() really merges multiple task
+    messages."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+    from ..sources import jsonl_source
+
+    def build(dest: str) -> None:
+        import os
+
+        jsonl_source.register(spark)
+        shard_dir = os.path.join(dest, "shards")
+        (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 == 0)
+            .repartition(4)
+            .write.format("jsonl_corpus")
+            .mode("append")
+            .option("path", shard_dir)
+            .save()
+        )
+
+    dest = ensure_artifact(
+        spark, sf_dir, "jsonl_sink", "v1", [table_path(sf_dir, "documents")], build
+    )
+    jsonl_source.register(spark)
+    import os
+
+    docs = (
+        spark.read.format("jsonl_corpus")
+        .option("path", os.path.join(dest, "shards"))
+        .load()
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_len"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -3871,6 +4036,17 @@ def prep_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .localCheckpoint(eager=True)
     )
+    # Insert keys are base_key + 10M in BOTH engines; that is only
+    # collision-free (a colliding insert becomes a matched-I no-op here
+    # while the oracle still appends the row — a silent scale-dependent
+    # hash break, ADVICE r7) while max(doc_id) < 10M, so guard it with a
+    # hard assert on the checkpointed projection (1-row guard stat).
+    _max_key = docs.agg(F.max("doc_id")).first()[0] or 0
+    if _max_key >= 10_000_000:
+        raise AssertionError(
+            f"prep_merge_into insert-key offset 10M <= max(doc_id)={_max_key}; "
+            "raise the offset in builder AND oracle together"
+        )
     updates = (
         docs.filter(F.col("doc_id") % 10 == 3)
         .withColumn("n_chars", F.col("n_chars") + 100)
@@ -4082,7 +4258,7 @@ def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import hashlib
     import re
 
-    from ..cache import session_memo
+    from ..cache import register_session_table, session_memo
 
     def build() -> tuple[str, str]:
         app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
@@ -4104,6 +4280,9 @@ def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .mode("overwrite")
             .saveAsTable(tl)
         )
+        # drop at session exit + prune dead siblings (ADVICE r7 leak)
+        register_session_table(spark, to, f"b_orders_{sfx}_")
+        register_session_table(spark, tl, f"b_lineitem_{sfx}_")
         return (to, tl)
 
     return session_memo(spark, sf_dir, "bucketed_order_tables", build)
@@ -4190,12 +4369,13 @@ def prep_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import re as _re
 
-    from ..cache import session_memo
+    from ..cache import register_session_table, session_memo
 
     def analyze() -> str:
         app = _re.sub(r"\W", "_", spark.sparkContext.applicationId)
         sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         tbl = f"stats_orders_{sfx}_{app}"
+        register_session_table(spark, tbl, f"stats_orders_{sfx}_")
         (
             load(spark, sf_dir, "orders")
             .select(
@@ -4310,7 +4490,10 @@ def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.to_date("ts").alias("day"),
             "event_id",
-            (F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("x"),
+            # integer floor-DIV to mirror the oracle's epoch_us // 1000000
+            # exactly (float-divide-then-cast truncates toward zero, which
+            # drifts on negative epochs / precision edges — ADVICE r7)
+            F.expr("unix_micros(ts) DIV 1000000").alias("x"),
             F.round(F.col("value") * 100).cast("long").alias("y"),
         )
     )

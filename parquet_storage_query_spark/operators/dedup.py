@@ -24,7 +24,21 @@ from ..cache import prepared, session_memo
 from ..catalog import load, load_parallel
 from ..functions.vectors import as_double, cosine, dot
 from ..registry import query
-from .text import words_col
+
+
+def md5_i64_duck(expr: str) -> str:
+    """DuckDB SQL for md5_i64 over an arbitrary expression.
+
+    Defined ABOVE the `.text` import on purpose: text.py's registration
+    decorators call back into this module at import time (its novelty
+    oracle embeds this SQL), so when dedup is the first module imported
+    the attribute must already exist on the partially initialized module
+    — otherwise the dedup→text→dedup cycle raises ImportError (surfaced
+    by running tests/test_dedup_synthetic.py in isolation)."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+from .text import words_col  # noqa: E402  (see md5_i64_duck docstring)
 
 # 32 hashes in 16 bands of 2 rows: P(candidate) = 1-(1-s²)^16, i.e. ≈0.99
 # at s=0.5 and ≈0.88 at s=0.4 — the s-curve threshold (1/b)^(1/r) = 0.25
@@ -72,11 +86,6 @@ def md5_i64(c: Column) -> Column:
     """First 15 hex chars (60 bits) of md5 parsed as a nonnegative int64 —
     the cross-engine base hash (DuckDB twin: md5_i64_duck)."""
     return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
-
-
-def md5_i64_duck(expr: str) -> str:
-    """DuckDB SQL for md5_i64 over an arbitrary expression."""
-    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
 def shingles_col(text: Column | str = "text", k: int = 3) -> Column:

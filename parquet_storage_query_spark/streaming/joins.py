@@ -94,6 +94,119 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "stream_interval_join_out", "append")
 
 
+@query(
+    "join_interval_outer",
+    oracle=f"""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts
+     AND v.ts >  c.ts - INTERVAL {INTERVAL_MIN} MINUTE
+    """,
+)
+def join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream interval join (VERDICT
+    r7 next-round #3): every click, paired with each view by the same
+    user in the preceding 30 minutes — or with NULLs when no such view
+    exists (the unmatched-click rows are the whole point; the inner twin
+    `stream_interval_join` drops them). Same plan shape as the inner
+    variant: equi-join on user_id carries the one shuffle, the interval
+    predicate filters inside the joined partitions, and the outer side's
+    null-extension is free in a sort-merge/hash outer join."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return (
+        c.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") <= F.col("click_ts"))
+            & (
+                F.col("view_ts")
+                > F.col("click_ts") - F.expr(f"INTERVAL {INTERVAL_MIN} MINUTES")
+            ),
+            "left_outer",
+        )
+        .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
+    )
+
+
+def streaming_interval_outer_join(
+    spark: SparkSession,
+    sf_dir: str,
+    clicks: DataFrame | None = None,
+    views: DataFrame | None = None,
+) -> DataFrame:
+    """The LIVE left-outer stream-stream interval join — the harder
+    state-eviction semantics the inner variant doesn't exercise: a
+    buffered click emits its NULL-extended row only when the JOINT
+    watermark (min of both sides') passes the click's interval end,
+    proving no matching view can still arrive; matched rows emit
+    immediately like the inner join. View-side state expires on the same
+    bound. That deferred null emission is why outer results trail the
+    watermark by design — at 100 TB/day the watermark delay is the
+    latency/completeness dial, exactly as in the windowed aggs.
+
+    `clicks`/`views` override the corpus streams for multi-micro-batch
+    parity tests (tests/test_streaming.py feeds ≥3 file-cuts plus a
+    watermark-advancing sentinel pair with user_id = -1, filtered below,
+    so every real unmatched click is provably expired and emitted before
+    the comparison). On the default single-file corpus read, trailing
+    clicks inside the final watermark window stay buffered and unemitted
+    — the append-mode closure contract, same as
+    test_append_mode_emits_only_closed_windows."""
+    if clicks is None:
+        clicks = (
+            read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("click_ts"),
+            )
+        )
+    if views is None:
+        views = (
+            read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+        )
+    clicks = clicks.withWatermark("click_ts", "10 minutes")
+    views = views.withWatermark("view_ts", "10 minutes")
+    joined = (
+        clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") <= F.col("click_ts"))
+            & (
+                F.col("view_ts")
+                > F.col("click_ts") - F.expr(f"INTERVAL {INTERVAL_MIN} MINUTES")
+            ),
+            "leftOuter",
+        )
+        # sentinel watermark-advancers (user_id < 0) never join real rows;
+        # drop them from the result, not from the input — filtering before
+        # withWatermark would erase their watermark contribution
+        .filter(F.col("user_id") >= 0)
+        .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
+    )
+    from .windows import _run_to_memory
+
+    return _run_to_memory(joined, "stream_interval_outer_out", "append")
+
+
 _ENRICH_ORACLE = """
     WITH profile AS (
         SELECT user_id, count(*) AS lifetime_events,

@@ -689,6 +689,23 @@ def test_aqe_splits_skewed_join_partitions(spark):
     assert "AQEShuffleRead skewed" in plan, plan
 
 
+def test_join_aqe_skew_query_fires_skew_rewrite(spark):
+    """The REGISTERED AQE-skew query (join_aqe_skew — the automatic twin
+    of join_salted_skew, VERDICT r7 next-round #6) must actually trigger
+    the rewrite on its own corpus-backed frame, not just on a synthetic:
+    after execution, the final adaptive plan carries
+    SortMergeJoin(skew=true) over an `AQEShuffleRead skewed` node. The
+    hash-checked result rides the registry gate; this pins the plan."""
+    from parquet_storage_query_spark.operators.advanced import aqe_skew_agg
+
+    ns, agg = aqe_skew_agg(spark, SF_SMOKE)
+    rows = agg.collect()
+    assert len(rows) == 3  # buckets 0/1/2 — non-vacuous
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan
+    assert "AQEShuffleRead skewed" in plan, plan
+
+
 def test_bloom_prefilter_probe_is_map_side(spark):
     """join_bloom_prefilter's 8 KB bitmap probe must run as a plain
     Filter expression on the fact side (shiftright/element_at inside

@@ -422,6 +422,71 @@ def test_png_codec_roundtrip_all_filters():
     assert decode_image(ppm) == (w, h, 3, px)
 
 
+def test_jpeg_codec_roundtrip():
+    """The pure-stdlib baseline-JPEG (SOF0) decoder, three ways:
+    (1) DC-only fixture images round-trip BIT-EXACTLY (constant 8x8
+        blocks + DC quant step 8 — the lossless-roundtrip construction
+        mm_decode_jpeg's oracle relies on), across the full 0..255 value
+        range and both DPCM signs;
+    (2) sparse random AC coefficients (runs, ZRL, category 1..4, byte
+        stuffing) pushed through the entropy layer must decode to exactly
+        the independent dequant+IDCT replay of the same coefficients —
+        pins the AC path the DC-only fixtures never reach;
+    (3) unsupported shapes (progressive SOF2, missing SOI) fail loudly,
+        and decode_image dispatches on the 0xFFD8 magic."""
+    import numpy as np
+
+    from parquet_storage_query_spark.operators.jpeg import (
+        FIX_QUANT,
+        ZIGZAG,
+        _encode_coeff_blocks,
+        decode_jpeg,
+        encode_jpeg_blocks,
+        idct_8x8,
+    )
+    from parquet_storage_query_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(8)
+    # (1) DC-only exactness, incl. extreme values 0 and 255 (max DPCM)
+    for vals in ([0, 255, 0, 255], rng.integers(0, 256, 12).tolist()):
+        bw, bh = 2, len(vals) // 2
+        data = encode_jpeg_blocks(bw, bh, vals)
+        w, h, ch, px = decode_image(data)  # dispatch via magic
+        assert (w, h, ch) == (bw * 8, bh * 8, 1)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+        for b, v in enumerate(vals):
+            by, bx = divmod(b, bw)
+            assert (arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v).all()
+    # (2) sparse-AC round trip vs independent replay
+    for _ in range(10):
+        blocks = []
+        for _b in range(4):
+            blk = np.zeros((8, 8), dtype=np.int64)
+            blk[0, 0] = int(rng.integers(-100, 100))
+            for _c in range(int(rng.integers(1, 6))):
+                pos = int(rng.integers(1, 64))
+                blk.reshape(64)[ZIGZAG[pos]] = int(rng.integers(1, 16)) * int(
+                    rng.choice([-1, 1])
+                )
+            blocks.append(blk)
+        w, h, ch, px = decode_jpeg(_encode_coeff_blocks(blocks, 2, 2))
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(np.float64)
+        for b, blk in enumerate(blocks):
+            by, bx = divmod(b, 2)
+            deq = (blk * FIX_QUANT.reshape(8, 8)).astype(np.float64)
+            want = np.clip(np.round(idct_8x8(deq) + 128), 0, 255)
+            assert (arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == want).all()
+    # (3) loud failures
+    import pytest as _pytest
+
+    good = encode_jpeg_blocks(1, 1, [42])
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(progressive)
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x00" + good[2:])
+
+
 def test_wav_codec_roundtrip():
     """The RIFF/PCM16 decoder must invert encode_wav bit-for-bit, survive
     an extra (ignored) chunk with odd length (word-alignment path), and

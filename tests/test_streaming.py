@@ -75,6 +75,89 @@ def test_stream_stream_interval_join_matches_batch(spark):
     assert _rows(got) == _rows(want)
 
 
+def test_stream_stream_left_outer_join_matches_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join across ≥3 micro-batch cuts
+    (VERDICT r7 next-round #3): unmatched clicks must emit their
+    NULL-extended rows — but only after the joint watermark passes their
+    interval end (state-eviction semantics). Two trailing sentinel files
+    (user_id = -1, a day+ ahead) advance the watermark so every real
+    click is provably expired: the first sentinel batch moves the
+    watermark, the second triggers the eviction scan that emits the
+    nulls. Result must equal the batch left-outer twin exactly."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.streaming import joins as sj
+
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    t = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    d = dt.timedelta(days=1)
+    f1 = [  # u1: view then click 10 min later (match); u2: click, no view ever
+        (1, t, 1, "view", 0.0, "{}"),
+        (2, t + 10 * m, 1, "click", 0.0, "{}"),
+        (3, t + 5 * m, 2, "click", 0.0, "{}"),
+    ]
+    f2 = [  # u3 matches inside f2; u1's second click is 50 min past its view
+        (4, t + 40 * m, 3, "view", 0.0, "{}"),
+        (5, t + 45 * m, 3, "click", 0.0, "{}"),
+        (6, t + 50 * m, 1, "click", 0.0, "{}"),
+    ]
+    f3 = [  # match crossing nothing, but a third real micro-batch
+        (7, t + 69 * m, 4, "view", 0.0, "{}"),
+        (8, t + 70 * m, 4, "click", 0.0, "{}"),
+    ]
+    s1 = [(100, t + d, -1, "view", 0.0, "{}"), (101, t + d + m, -1, "click", 0.0, "{}")]
+    s2 = [(102, t + 2 * d, -1, "view", 0.0, "{}"), (103, t + 2 * d + m, -1, "click", 0.0, "{}")]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    fed = []
+    for name, rows in [("f1", f1), ("f2", f2), ("f3", f3), ("s1", s1), ("s2", s2)]:
+        fed.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+        time.sleep(1.1)  # strictly increasing mtimes -> deterministic order
+
+    def mk_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+
+    clicks = mk_stream().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    views = mk_stream().filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    got = _rows(
+        sj.streaming_interval_outer_join(spark, str(tmp_path), clicks=clicks, views=views)
+    )
+
+    batch_sf = tmp_path / "batch_sf"
+    batch_sf.mkdir()
+    spark.createDataFrame(fed, schema).coalesce(1).write.parquet(
+        str(batch_sf / "events.parquet")
+    )
+    want = _rows(
+        sj.join_interval_outer(spark, str(batch_sf)).filter(F.col("user_id") >= 0)
+    )
+    assert got == want
+    # the whole point of OUTER: the two unmatched clicks (u2's only click,
+    # u1's stale second click) emit with NULL view columns
+    nulls = sorted(r[0] for r in got if r[3] is None)
+    assert nulls == [3, 6]
+    assert len(got) == 5  # 3 matches + 2 null-extended
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Append-mode windowed agg with a 10-min watermark: a row arriving a
     day late (in a later micro-batch) is excluded from its closed window.

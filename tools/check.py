@@ -53,18 +53,21 @@ def pandas_rows(pdf) -> list[tuple]:
 
 
 def main() -> int:
-    argv = list(sys.argv[1:])
-    threads = 0
-    use_pandas = False
-    if argv and argv[0] == "--threads":
-        threads = int(argv[1])
-        argv = argv[2:]
-    if argv and argv[0] == "--pandas":
-        use_pandas = True
-        argv = argv[1:]
-    sys.argv = [sys.argv[0]] + argv
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # order-insensitive flag parsing: `--pandas --threads 4` and
+    # `--threads 4 --pandas` must both compose (ADVICE r7: the old
+    # positional loop silently consumed --pandas as the sf_dir)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--threads", type=int, default=0)
+    ap.add_argument("--pandas", dest="use_pandas", action="store_true")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*")
+    ns = ap.parse_args()
+    threads = ns.threads
+    use_pandas = ns.use_pandas
+    sf_dir = ns.sf_dir
+    only = set(ns.queries)
     unknown = only - set(all_queries())
     if unknown:
         # a typo'd name must not yield a green "0 ok, 0 failed" gate
