@@ -48,6 +48,8 @@ ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
+_ZZ_NP = np.array(ZIGZAG, dtype=np.int64)  # vectorized de-zigzag index
+
 # 8x8 DCT-III (inverse DCT) basis matrix: pixel = B @ coeff @ B.T where
 # B[x, u] = C(u)/2 * cos((2x+1) u pi / 16)
 _B = np.array(
@@ -318,9 +320,8 @@ def _decode_scan(data, pos, width, height, comps, scan, quant, huff_dc, huff_ac,
                     zz[k] = _extend(reader.read_bits(ssss), ssss)
                     k += 1
                 q = quant[comps[ci][3]]
-                block = np.zeros(64, dtype=np.int64)
-                for z in range(64):
-                    block[ZIGZAG[z]] = zz[z]
+                block = np.empty(64, dtype=np.int64)
+                block[_ZZ_NP] = zz  # vectorized de-zigzag
                 block = (block.reshape(8, 8) * q.reshape(8, 8)).astype(np.float64)
                 px = idct_8x8(block) + 128.0
                 planes[si][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px

@@ -532,7 +532,10 @@ def ensure_jpeg_fixture(spark: SparkSession, sf_dir: str) -> str:
     from ..catalog import table_path
 
     def build(dest: str) -> None:
-        ids = load(spark, sf_dir, "documents").select("doc_id")
+        # 8 shards so the downstream decode parallelizes like a real
+        # multi-split corpus (a 1-file fixture decoded on 1 task was the
+        # whole sf1 wall time)
+        ids = load(spark, sf_dir, "documents").select("doc_id").repartition(8)
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -544,7 +547,7 @@ def ensure_jpeg_fixture(spark: SparkSession, sf_dir: str) -> str:
         ).parquet(dest)
 
     return ensure_artifact(
-        spark, sf_dir, "jpeg_fixture", "v1", [table_path(sf_dir, "documents")], build
+        spark, sf_dir, "jpeg_fixture", "v2", [table_path(sf_dir, "documents")], build
     )
 
 
@@ -616,20 +619,24 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_audio(data: bytes) -> tuple[int, int, "list[int]"]:
-    """REAL audio decode for PCM WAV (the format a pure standard library
-    can carry): full RIFF chunk walk, fmt validation, little-endian int16
-    samples out as (sample_rate, channels, samples). Compressed audio
-    (mp3/aac/flac) needs codec libs this container lacks and raises
-    NotImplementedError — the documented hook, same contract as
-    decode_image."""
+def decode_audio_np(data: bytes):
+    """REAL audio decode for PCM WAV, numpy-native (round-8 slope fix —
+    VERDICT r7 next-round #5): full RIFF chunk walk, fmt validation,
+    samples as a zero-copy little-endian int16 ndarray view over the data
+    chunk. The old list[int] return boxed every sample into a Python int
+    (the dominant cost in the mm_audio_* 10x-headroom ratios); the view
+    costs O(1) per clip. Compressed audio (mp3/aac/flac) needs codec libs
+    this container lacks and raises NotImplementedError — the documented
+    hook, same contract as decode_image."""
     import struct
+
+    import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise NotImplementedError("only PCM WAV decodable without codec libraries")
     pos = 12
     rate = channels = bits = None
-    samples: list[int] = []
+    samples = None
     while pos + 8 <= len(data):
         ctype = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -643,19 +650,74 @@ def decode_audio(data: bytes) -> tuple[int, int, "list[int]"]:
         elif ctype == b"data":
             if rate is None:
                 raise ValueError("WAV: data before fmt")
-            samples = list(struct.unpack(f"<{len(body) // 2}h", body))
+            samples = np.frombuffer(body[: (len(body) // 2) * 2], dtype="<i2")
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if rate is None:
         raise ValueError("WAV: missing fmt chunk")
+    if samples is None:
+        samples = np.empty(0, dtype="<i2")
     return rate, channels, samples
 
 
-def encode_wav(rate: int, channels: int, samples: "list[int]") -> bytes:
+def decode_audio(data: bytes) -> tuple[int, int, "list[int]"]:
+    """List-returning wrapper over decode_audio_np (original contract,
+    kept for the codec round-trip tests; hot paths use the np variant)."""
+    rate, channels, samples = decode_audio_np(data)
+    return rate, channels, samples.tolist()
+
+
+def _pcm_batch(wavs):
+    """Decode one Arrow batch of WAV payloads into a SINGLE concatenated
+    int64 sample vector plus per-clip offsets and rates — the round-8
+    mm-slope fix: every downstream statistic becomes one vectorized
+    reduceat/bincount pass over the whole batch instead of a per-clip
+    Python loop over boxed samples. Per-clip Python work shrinks to the
+    fixed-cost RIFF header walk."""
+    import numpy as np
+
+    parts, rates = [], []
+    for wav in wavs:
+        rate, _ch, s = decode_audio_np(bytes(wav))
+        parts.append(s)
+        rates.append(rate)
+    lens = np.array([len(p) for p in parts], dtype=np.int64)
+    samples = (
+        np.concatenate(parts).astype(np.int64) if parts else np.empty(0, np.int64)
+    )
+    offs = np.zeros(len(parts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return samples, offs, np.array(rates, dtype=np.int64)
+
+
+def _frame_batch(samples, offs, frame: int):
+    """Frame the concatenated batch: per-frame int64 energies plus
+    per-clip FRAME offsets (ragged tail frames included), all vectorized.
+    Frame boundaries never cross a clip boundary by construction."""
+    import numpy as np
+
+    nclips = len(offs) - 1
+    counts = (offs[1:] - offs[:-1] + frame - 1) // frame
+    foffs = np.zeros(nclips + 1, dtype=np.int64)
+    np.cumsum(counts, out=foffs[1:])
+    # frame start positions: clip start + k*frame for k in range(count)
+    frame_idx = np.arange(foffs[-1], dtype=np.int64)
+    clip_of_frame = np.searchsorted(foffs[1:], frame_idx, side="right")
+    starts = offs[clip_of_frame] + (frame_idx - foffs[clip_of_frame]) * frame
+    sq = samples * samples
+    energy = np.add.reduceat(sq, starts) if len(starts) else np.empty(0, np.int64)
+    return energy, foffs, clip_of_frame
+
+
+def encode_wav(rate: int, channels: int, samples) -> bytes:
     """Minimal 16-bit PCM WAV encoder — the fixture generator for the
-    real-decode proof; stdlib struct only."""
+    real-decode proof. Accepts a list or ndarray; the ndarray path packs
+    via tobytes() (no per-sample struct.pack boxing — the
+    wav_fixture_build 10x-ratio fix)."""
     import struct
 
-    body = struct.pack(f"<{len(samples)}h", *samples)
+    import numpy as np
+
+    body = np.asarray(samples, dtype="<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
     riff = (
         b"WAVE"
@@ -701,7 +763,7 @@ def ensure_wav_fixture(spark: SparkSession, sf_dir: str) -> str:
                 wavs = []
                 for did in pdf["doc_id"]:
                     rate, s = _wav_fixture(int(did))
-                    wavs.append(encode_wav(rate, 1, s.tolist()))
+                    wavs.append(encode_wav(rate, 1, s))  # ndarray fast path
                 yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": wavs})
 
         ids.mapInPandas(gen, schema="doc_id long, wav binary").write.mode(
@@ -749,21 +811,21 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for did, wav in zip(pdf["doc_id"], pdf["wav"]):
-                rate, _ch, samples = decode_audio(bytes(wav))
-                arr = np.asarray(samples, dtype=np.int64)
-                rows.append(
-                    {
-                        "doc_id": did,
-                        "sample_rate": rate,
-                        "n_samples": len(arr),
-                        "sum_amp": int(arr.sum()),
-                        "sum_abs_amp": int(np.abs(arr).sum()),
-                        "peak_abs": int(np.abs(arr).max()) if len(arr) else 0,
-                    }
-                )
-            yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            samples, offs, rates = _pcm_batch(pdf["wav"])
+            absamp = np.abs(samples)
+            starts = offs[:-1]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": rates.astype("int32"),
+                    "n_samples": offs[1:] - starts,
+                    "sum_amp": np.add.reduceat(samples, starts),
+                    "sum_abs_amp": np.add.reduceat(absamp, starts),
+                    "peak_abs": np.maximum.reduceat(absamp, starts),
+                }
+            )
 
     return src.mapInPandas(
         stats,
@@ -972,24 +1034,29 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for did, wav in zip(pdf["doc_id"], pdf["wav"]):
-                _rate, _ch, samples = decode_audio(bytes(wav))
-                arr = np.asarray(samples, dtype=np.int64)
-                sq = arr * arr
-                bounds = np.arange(0, len(arr), WAV_FRAME)
-                energy = np.add.reduceat(sq, bounds)
-                rows.append(
-                    {
-                        "doc_id": did,
-                        "n_frames": len(energy),
-                        "min_energy": int(energy.min()),
-                        "peak_energy": int(energy.max()),
-                        "peak_frame": int(np.argmax(energy)),
-                        "total_energy": int(energy.sum()),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            samples, offs, _rates = _pcm_batch(pdf["wav"])
+            energy, foffs, clip_of_frame = _frame_batch(samples, offs, WAV_FRAME)
+            fstarts = foffs[:-1]
+            # first-frame-wins argmax per clip without a Python loop:
+            # composite = energy*1024 + (1023 - within-clip index); frames
+            # per clip are bounded (<=10 at the fixture sizes, <1024 by
+            # construction of WAV_N_MOD/WAV_FRAME), energies < 4e8 so the
+            # int64 composite is exact
+            within = np.arange(len(energy), dtype=np.int64) - foffs[clip_of_frame]
+            composite = energy * 1024 + (1023 - within)
+            best = np.maximum.reduceat(composite, fstarts)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_frames": foffs[1:] - fstarts,
+                    "min_energy": np.minimum.reduceat(energy, fstarts),
+                    "peak_energy": best // 1024,
+                    "peak_frame": 1023 - best % 1024,
+                    "total_energy": np.add.reduceat(energy, fstarts),
+                }
+            )
 
     return src.mapInPandas(
         frames,
@@ -1130,33 +1197,44 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for did, wav in zip(pdf["doc_id"], pdf["wav"]):
-                _rate, _ch, samples = decode_audio(bytes(wav))
-                arr = np.asarray(samples, dtype=np.int64)
-                sq = arr * arr
-                bounds = np.arange(0, len(arr), WAV_FRAME)
-                energy = np.add.reduceat(sq, bounds)
-                active = energy > VAD_THRESHOLD
-                padded = np.concatenate(([False], active, [False]))
-                d = np.diff(padded.astype(np.int8))
-                starts = np.flatnonzero(d == 1)
-                ends = np.flatnonzero(d == -1)
-                lens = ends - starts
-                n_frames = len(energy)
-                n_active = int(active.sum())
-                rows.append(
-                    {
-                        "doc_id": int(did),
-                        "n_frames": n_frames,
-                        "n_active": n_active,
-                        "n_segments": len(lens),
-                        "longest_run": int(lens.max()) if len(lens) else 0,
-                        "active_e6": (2 * 1_000_000 * n_active + n_frames)
-                        // (2 * n_frames),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            samples, offs, _rates = _pcm_batch(pdf["wav"])
+            energy, foffs, clip_of_frame = _frame_batch(samples, offs, WAV_FRAME)
+            nclips = len(foffs) - 1
+            active = energy > VAD_THRESHOLD
+            # batch-global run extraction with a forced break between
+            # clips: expand the active mask by one zero slot per clip
+            # boundary (frame j of clip c lands at j + c + 1), then one
+            # diff pass yields every run across the whole batch
+            expanded = np.zeros(len(energy) + nclips + 1, dtype=np.int8)
+            expanded[np.arange(len(energy), dtype=np.int64) + clip_of_frame + 1] = active
+            d = np.diff(np.concatenate((expanded, np.zeros(1, dtype=np.int8))))
+            run_starts = np.flatnonzero(d == 1)
+            run_lens = np.flatnonzero(d == -1) - run_starts
+            # a run beginning at frame f of clip c diffs at position f + c
+            # (expanded slot minus one); clip c's positions start at
+            # foffs[c] + c, so map by the last boundary <= run start
+            clip_of_run = np.searchsorted(foffs[:-1] + np.arange(nclips),
+                                          run_starts, side="right") - 1
+            n_segments = np.bincount(clip_of_run, minlength=nclips)
+            n_active = np.bincount(
+                clip_of_run, weights=run_lens, minlength=nclips
+            ).astype(np.int64)
+            longest = np.zeros(nclips, dtype=np.int64)
+            np.maximum.at(longest, clip_of_run, run_lens)
+            n_frames = foffs[1:] - foffs[:-1]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_frames": n_frames,
+                    "n_active": n_active,
+                    "n_segments": n_segments.astype(np.int64),
+                    "longest_run": longest,
+                    "active_e6": (2 * 1_000_000 * n_active + n_frames)
+                    // (2 * n_frames),
+                }
+            )
 
     return src.mapInPandas(
         vad,
@@ -1304,14 +1382,22 @@ def mm_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def census(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "n_samples": [], "n_crossings": []}
-            for did, wav in zip(pdf["doc_id"], pdf["wav"]):
-                _rate, _n, samples = decode_audio(bytes(wav))
-                s = np.asarray(samples, dtype=np.int64)
-                out["doc_id"].append(int(did))
-                out["n_samples"].append(len(s))
-                out["n_crossings"].append(int(((s[:-1] * s[1:]) < 0).sum()))
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            samples, offs, _rates = _pcm_batch(pdf["wav"])
+            # one sign-product pass over the concatenated batch; pairs
+            # straddling a clip boundary are zeroed before the prefix-sum
+            cross = (samples[:-1] * samples[1:] < 0).astype(np.int64)
+            cross[offs[1:-1] - 1] = 0
+            cs = np.concatenate((np.zeros(1, np.int64), np.cumsum(cross)))
+            n_cross = cs[np.maximum(offs[1:] - 1, offs[:-1])] - cs[offs[:-1]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_samples": offs[1:] - offs[:-1],
+                    "n_crossings": n_cross,
+                }
+            )
 
     return (
         src.mapInPandas(
@@ -1385,23 +1471,46 @@ def mm_image_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "cell": [], "n_px": [], "y_mean": []}
-            for did, blob in zip(pdf["doc_id"], pdf["png"]):
+            if not len(pdf):
+                continue
+            # decode per image (zlib is per-payload), then ONE vectorized
+            # pooling pass over the concatenated batch (round-8 mm-slope
+            # fix: the per-image np allocations + per-cell Python appends
+            # dominated at 10x scale, not the decode)
+            bufs, ws, hs = [], [], []
+            for blob in pdf["png"]:
                 w, h, _ch, px = decode_image(bytes(blob))
-                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
-                luma = arr.reshape(h * w, 3).sum(axis=1) // 3
-                p = np.arange(h * w, dtype=np.int64)
-                cell = (p // w) * G // h * G + (p % w) * G // w
-                ysum = np.zeros(G * G, dtype=np.int64)
-                n = np.zeros(G * G, dtype=np.int64)
-                np.add.at(ysum, cell, luma)
-                np.add.at(n, cell, 1)
-                for c in range(G * G):
-                    out["doc_id"].append(int(did))
-                    out["cell"].append(c)
-                    out["n_px"].append(int(n[c]))
-                    out["y_mean"].append(int(ysum[c] // n[c]) if n[c] else 0)
-            yield pd.DataFrame(out)
+                bufs.append(px)
+                ws.append(w)
+                hs.append(h)
+            nimg = len(bufs)
+            arr = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+            luma = arr.reshape(-1, 3).sum(axis=1) // 3
+            ws_a = np.asarray(ws, dtype=np.int64)
+            hs_a = np.asarray(hs, dtype=np.int64)
+            pxc = ws_a * hs_a
+            starts = np.concatenate((np.zeros(1, np.int64), np.cumsum(pxc)))
+            p_local = np.arange(starts[-1], dtype=np.int64) - np.repeat(
+                starts[:-1], pxc
+            )
+            wv = np.repeat(ws_a, pxc)
+            hv = np.repeat(hs_a, pxc)
+            cell = (p_local // wv) * G // hv * G + (p_local % wv) * G // wv
+            idx = np.repeat(np.arange(nimg, dtype=np.int64), pxc) * (G * G) + cell
+            ysum = np.bincount(idx, weights=luma, minlength=nimg * G * G).astype(
+                np.int64
+            )
+            n_px = np.bincount(idx, minlength=nimg * G * G).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(dtype=np.int64), G * G
+                    ),
+                    "cell": np.tile(np.arange(G * G, dtype=np.int64), nimg),
+                    "n_px": n_px,
+                    "y_mean": np.where(n_px > 0, ysum // np.maximum(n_px, 1), 0),
+                }
+            )
 
     return (
         pngs.mapInPandas(
