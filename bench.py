@@ -209,6 +209,12 @@ HEADLINE = [
     "mm_audio_energy",
     "mm_audio_vad",
     "mm_audio_zero_crossings",
+    # round-8 additions
+    "join_interval_outer",
+    "join_aqe_skew",
+    "values_inline_table",
+    "sink_jsonl_writer_roundtrip",
+    "mm_decode_jpeg",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to
@@ -367,6 +373,9 @@ def main() -> None:
         # date-partitioned layout the DPP query prunes at runtime
         "join_bucketed_colocated": "bucketed_tables_build",
         "join_partition_pruned": "partitioned_layout_build",
+        # round-8: the custom-writer egest and the JPEG fixture table
+        "sink_jsonl_writer_roundtrip": "jsonl_sink_build",
+        "mm_decode_jpeg": "jpeg_fixture_build",
     }
 
     timings: dict[str, float] = {}

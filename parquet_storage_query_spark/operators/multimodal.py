@@ -425,7 +425,12 @@ def ensure_png_fixture(spark: SparkSession, sf_dir: str) -> str:
     from ..catalog import table_path
 
     def build(dest: str) -> None:
-        ids = load(spark, sf_dir, "documents").select("doc_id")
+        # 8 shards so downstream decodes parallelize like a real
+        # multi-split corpus: the 30x probe caught the unsharded fixture
+        # (1-2 files from the single-file documents scan) pinning every
+        # mm_image_* decode to 1-2 tasks — parallelism must grow with the
+        # corpus, which at 100 TB the scan provides for free
+        ids = load(spark, sf_dir, "documents").select("doc_id").repartition(8)
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -440,7 +445,7 @@ def ensure_png_fixture(spark: SparkSession, sf_dir: str) -> str:
         ).parquet(dest)
 
     return ensure_artifact(
-        spark, sf_dir, "png_fixture", "v1", [table_path(sf_dir, "documents")], build
+        spark, sf_dir, "png_fixture", "v2", [table_path(sf_dir, "documents")], build
     )
 
 
@@ -756,7 +761,9 @@ def ensure_wav_fixture(spark: SparkSession, sf_dir: str) -> str:
     from ..catalog import table_path
 
     def build(dest: str) -> None:
-        ids = load(spark, sf_dir, "documents").select("doc_id")
+        # 8 shards: decode parallelism must grow with the corpus (same
+        # 30x-probe finding as the PNG fixture)
+        ids = load(spark, sf_dir, "documents").select("doc_id").repartition(8)
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -771,7 +778,7 @@ def ensure_wav_fixture(spark: SparkSession, sf_dir: str) -> str:
         ).parquet(dest)
 
     return ensure_artifact(
-        spark, sf_dir, "wav_fixture", "v1", [table_path(sf_dir, "documents")], build
+        spark, sf_dir, "wav_fixture", "v2", [table_path(sf_dir, "documents")], build
     )
 
 
@@ -901,6 +908,39 @@ def prep_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _luma_batch(pngs):
+    """Decode one Arrow batch of RGB PNG payloads and return the
+    concatenated integer-luma vector plus per-pixel geometry — the image
+    twin of _pcm_batch (round-8 mm-slope fix): every downstream census
+    becomes one vectorized bincount pass over the whole batch; per-image
+    Python work shrinks to the decode call itself.
+
+    Returns (luma, p_local, wv, hv, img_of_px, ws, hs, pxc) where luma /
+    p_local / wv / hv / img_of_px are per-PIXEL vectors and ws / hs /
+    pxc are per-image."""
+    import numpy as np
+
+    bufs, ws, hs = [], [], []
+    for blob in pngs:
+        w, h, ch, px = decode_image(bytes(blob))
+        if ch != 3:
+            raise ValueError("_luma_batch expects RGB fixtures")
+        bufs.append(px)
+        ws.append(w)
+        hs.append(h)
+    arr = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+    luma = arr.reshape(-1, 3).sum(axis=1) // 3
+    ws_a = np.asarray(ws, dtype=np.int64)
+    hs_a = np.asarray(hs, dtype=np.int64)
+    pxc = ws_a * hs_a
+    starts = np.concatenate((np.zeros(1, np.int64), np.cumsum(pxc)))
+    p_local = np.arange(starts[-1], dtype=np.int64) - np.repeat(starts[:-1], pxc)
+    wv = np.repeat(ws_a, pxc)
+    hv = np.repeat(hs_a, pxc)
+    img = np.repeat(np.arange(len(ws), dtype=np.int64), pxc)
+    return luma, p_local, wv, hv, img, ws_a, hs_a, pxc
+
+
 @query(
     "mm_image_ahash",
     oracle=f"""
@@ -959,29 +999,28 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pngs = spark.read.parquet(fixture)
 
     def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out_ids, out_hi, out_lo, out_nb = [], [], [], []
         for pdf in batches:
-            for did, blob in zip(pdf["doc_id"], pdf["png"]):
-                w, h, _ch, px = decode_image(bytes(blob))
-                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
-                luma = arr.reshape(h * w, 3).sum(axis=1) // 3
-                p = np.arange(h * w, dtype=np.int64)
-                bit = (p // w) * 8 // h * 8 + (p % w) * 8 // w
-                bsum = np.zeros(64, dtype=np.int64)
-                bn = np.zeros(64, dtype=np.int64)
-                np.add.at(bsum, bit, luma)
-                np.add.at(bn, bit, 1)
-                tsum, tn = int(luma.sum()), int(h * w)
-                on = (bsum * tn > tsum * bn).astype(np.int64)
-                hi = int((on[32:] << np.arange(32, dtype=np.int64)).sum())
-                lo = int((on[:32] << np.arange(32, dtype=np.int64)).sum())
-                out_ids.append(int(did))
-                out_hi.append(hi)
-                out_lo.append(lo)
-                out_nb.append(int(on.sum()))
-        yield pd.DataFrame(
-            {"doc_id": out_ids, "ahash_hi": out_hi, "ahash_lo": out_lo, "n_bits": out_nb}
-        )
+            if not len(pdf):
+                continue
+            luma, p, wv, hv, img, _ws, _hs, pxc = _luma_batch(pdf["png"])
+            n = len(pxc)
+            bit = (p // wv) * 8 // hv * 8 + (p % wv) * 8 // wv
+            idx = img * 64 + bit
+            bsum = np.bincount(idx, weights=luma, minlength=n * 64).astype(
+                np.int64
+            ).reshape(n, 64)
+            bn = np.bincount(idx, minlength=n * 64).astype(np.int64).reshape(n, 64)
+            tsum = np.bincount(img, weights=luma, minlength=n).astype(np.int64)
+            on = (bsum * pxc[:, None] > tsum[:, None] * bn).astype(np.int64)
+            powers = np.int64(1) << np.arange(32, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "ahash_hi": on[:, 32:] @ powers,
+                    "ahash_lo": on[:, :32] @ powers,
+                    "n_bits": on.sum(axis=1),
+                }
+            )
 
     return pngs.mapInPandas(
         ahash, schema="doc_id long, ahash_hi long, ahash_lo long, n_bits long"
@@ -1107,12 +1146,10 @@ def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            acc = np.zeros(16, dtype=np.int64)
-            for png in pdf["png"]:
-                _w, _h, ch, px = decode_image(bytes(png))
-                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
-                y = (arr[0::ch] + arr[1::ch] + arr[2::ch]) // 3
-                acc += np.bincount(y >> 4, minlength=16)
+            if not len(pdf):
+                continue
+            luma, *_rest = _luma_batch(pdf["png"])
+            acc = np.bincount(luma >> 4, minlength=16).astype(np.int64)
             yield pd.DataFrame({"bucket": np.arange(16), "n_px": acc})
 
     hist = (
@@ -1309,18 +1346,28 @@ def mm_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def census(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "n_gradients": [], "n_h_edges": [], "n_v_edges": []}
-            for did, png in zip(pdf["doc_id"], pdf["png"]):
-                w, h, ch, px = decode_image(bytes(png))
-                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
-                y = ((arr[0::ch] + arr[1::ch] + arr[2::ch]) // 3).reshape(h, w)
-                nh = int((np.abs(np.diff(y, axis=1)) >= EDGE_T).sum())
-                nv = int((np.abs(np.diff(y, axis=0)) >= EDGE_T).sum())
-                out["doc_id"].append(int(did))
-                out["n_gradients"].append((w - 1) * h + w * (h - 1))
-                out["n_h_edges"].append(nh)
-                out["n_v_edges"].append(nv)
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            luma, p, wv, hv, img, ws, hs, _pxc = _luma_batch(pdf["png"])
+            n = len(ws)
+            # horizontal: neighbor pairs inside a row (row ends excluded,
+            # which also excludes every image boundary)
+            hmask = (p[:-1] % wv[:-1]) < wv[:-1] - 1
+            hd = np.abs(luma[1:] - luma[:-1]) >= EDGE_T
+            nh = np.bincount(img[:-1][hmask & hd], minlength=n)
+            # vertical: pairs (g, g + w) for pixels above the last row —
+            # the +w gather stays inside the same image by the mask
+            src_idx = np.flatnonzero(p < wv * (hv - 1))
+            vd = np.abs(luma[src_idx + wv[src_idx]] - luma[src_idx]) >= EDGE_T
+            nv = np.bincount(img[src_idx][vd], minlength=n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_gradients": (ws - 1) * hs + ws * (hs - 1),
+                    "n_h_edges": nh.astype(np.int64),
+                    "n_v_edges": nv.astype(np.int64),
+                }
+            )
 
     return (
         src.mapInPandas(

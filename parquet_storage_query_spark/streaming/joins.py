@@ -114,7 +114,11 @@ def join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     `stream_interval_join` drops them). Same plan shape as the inner
     variant: equi-join on user_id carries the one shuffle, the interval
     predicate filters inside the joined partitions, and the outer side's
-    null-extension is free in a sort-merge/hash outer join."""
+    null-extension is free in a sort-merge/hash outer join. The two
+    events scans are the documented two-slice class (click and view
+    slices with disjoint pushed event_type filters — at 100 TB two
+    pruned scans beat checkpointing a corpus-sized frame; plan_audit
+    flags it by design, same as the inner twin)."""
     ev = load(spark, sf_dir, "events")
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")

@@ -178,3 +178,39 @@ def test_marker_commit_order_survives_migration_and_copies(tmp_path):
     for n in os.listdir(d):
         os.utime(d / n, (now, now))
     assert committed_versions(str(dest))[2:] == ["ccc", "ddd"]
+
+
+def test_session_table_gc_drops_and_prunes(spark, tmp_path):
+    """Managed-table lifecycle (ADVICE r7: per-applicationId saveAsTable
+    names leaked one warehouse copy per session): registering a table
+    (a) arms an atexit DROP for THIS session's tables, exercised here by
+    calling the hook directly — the table and its warehouse files are
+    gone after; (b) prunes same-stem warehouse directories from DEAD
+    applications (older than a day), while fresh siblings survive."""
+    import os
+    import time
+    from urllib.parse import urlparse
+
+    from parquet_storage_query_spark import cache
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    os.makedirs(wh, exist_ok=True)
+    # a stale dead-app sibling (old mtime) and a fresh one
+    stale = os.path.join(wh, "gc_test_t_deadapp")
+    fresh = os.path.join(wh, "gc_test_t_liveapp")
+    for p in (stale, fresh):
+        os.makedirs(p, exist_ok=True)
+    old = time.time() - 48 * 3600
+    os.utime(stale, (old, old))
+
+    spark.range(5).write.mode("overwrite").saveAsTable("gc_test_t_mine")
+    cache.register_session_table(spark, "gc_test_t_mine", "gc_test_t_")
+
+    assert not os.path.isdir(stale), "dead-app sibling must be pruned"
+    assert os.path.isdir(fresh), "fresh sibling must survive"
+    assert spark.catalog.tableExists("gc_test_t_mine")
+
+    cache._drop_session_tables()  # what atexit runs at interpreter exit
+    assert not spark.catalog.tableExists("gc_test_t_mine")
+    assert not os.path.isdir(os.path.join(wh, "gc_test_t_mine"))
+    os.rmdir(fresh)
