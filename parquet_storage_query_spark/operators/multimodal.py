@@ -407,6 +407,17 @@ PNG_W_MOD, PNG_H_MOD, PNG_BASE = 16, 11, 8
 PNG_A, PNG_B = 31, 7  # pixel k of doc d: (d*PNG_A + k*PNG_B) % 256
 
 
+def _fixture_shards(spark: SparkSession, sf_dir: str) -> int:
+    """Shard count for the binary fixture tables, scaled with corpus size
+    (~1500 docs per shard, floor 8, cap 64) — a real multimodal corpus's
+    file count grows with the data, and decode parallelism must track it
+    (30x-probe finding: a fixed-or-1-file fixture pins every decode to
+    too few tasks). The count() is a 1-column metadata-cheap guard job
+    on the fixture build path only."""
+    n = load(spark, sf_dir, "documents").select("doc_id").count()
+    return max(8, min(64, n // 1500))
+
+
 def _fixture_pixels(doc_id: int) -> tuple[int, int, bytes]:
     import numpy as np
 
@@ -425,12 +436,16 @@ def ensure_png_fixture(spark: SparkSession, sf_dir: str) -> str:
     from ..catalog import table_path
 
     def build(dest: str) -> None:
-        # 8 shards so downstream decodes parallelize like a real
-        # multi-split corpus: the 30x probe caught the unsharded fixture
-        # (1-2 files from the single-file documents scan) pinning every
-        # mm_image_* decode to 1-2 tasks — parallelism must grow with the
-        # corpus, which at 100 TB the scan provides for free
-        ids = load(spark, sf_dir, "documents").select("doc_id").repartition(8)
+        # corpus-scaled shards (see _fixture_shards): the 30x probe caught
+        # the unsharded fixture (1-2 files from the single-file documents
+        # scan) pinning every mm_image_* decode to 1-2 tasks — decode
+        # parallelism must grow with the corpus, which at 100 TB the scan
+        # provides for free
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -445,7 +460,7 @@ def ensure_png_fixture(spark: SparkSession, sf_dir: str) -> str:
         ).parquet(dest)
 
     return ensure_artifact(
-        spark, sf_dir, "png_fixture", "v2", [table_path(sf_dir, "documents")], build
+        spark, sf_dir, "png_fixture", "v3", [table_path(sf_dir, "documents")], build
     )
 
 
@@ -537,10 +552,14 @@ def ensure_jpeg_fixture(spark: SparkSession, sf_dir: str) -> str:
     from ..catalog import table_path
 
     def build(dest: str) -> None:
-        # 8 shards so the downstream decode parallelizes like a real
-        # multi-split corpus (a 1-file fixture decoded on 1 task was the
-        # whole sf1 wall time)
-        ids = load(spark, sf_dir, "documents").select("doc_id").repartition(8)
+        # corpus-scaled shards so the downstream decode parallelizes like
+        # a real multi-split corpus (a 1-file fixture decoded on 1 task
+        # was the whole sf1 wall time)
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -552,7 +571,7 @@ def ensure_jpeg_fixture(spark: SparkSession, sf_dir: str) -> str:
         ).parquet(dest)
 
     return ensure_artifact(
-        spark, sf_dir, "jpeg_fixture", "v2", [table_path(sf_dir, "documents")], build
+        spark, sf_dir, "jpeg_fixture", "v3", [table_path(sf_dir, "documents")], build
     )
 
 
@@ -761,9 +780,13 @@ def ensure_wav_fixture(spark: SparkSession, sf_dir: str) -> str:
     from ..catalog import table_path
 
     def build(dest: str) -> None:
-        # 8 shards: decode parallelism must grow with the corpus (same
-        # 30x-probe finding as the PNG fixture)
-        ids = load(spark, sf_dir, "documents").select("doc_id").repartition(8)
+        # corpus-scaled shards: decode parallelism must grow with the
+        # corpus (same 30x-probe finding as the PNG fixture)
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -778,7 +801,7 @@ def ensure_wav_fixture(spark: SparkSession, sf_dir: str) -> str:
         ).parquet(dest)
 
     return ensure_artifact(
-        spark, sf_dir, "wav_fixture", "v2", [table_path(sf_dir, "documents")], build
+        spark, sf_dir, "wav_fixture", "v3", [table_path(sf_dir, "documents")], build
     )
 
 
