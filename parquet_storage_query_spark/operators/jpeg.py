@@ -135,10 +135,23 @@ class _BitWriter:
             self._nbits -= 8
             self._acc &= (1 << self._nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (§F.1.2.3) — required
+        before emitting a restart marker mid-stream."""
         if self._nbits:
             pad = 8 - self._nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits (§F.1.2.3)
+            self.write((1 << pad) - 1, pad)
+
+    def emit_marker(self, marker: int) -> None:
+        """Append a bare marker (RSTn) to the aligned stream — NOT
+        byte-stuffed: markers are exactly the 0xFF-next-nonzero escapes
+        the stuffing exists to distinguish."""
+        self.align()
+        self.out.append(0xFF)
+        self.out.append(marker)
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -350,32 +363,43 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
-def _fixture_headers(width: int, height: int) -> bytes:
+def _fixture_headers(width: int, height: int, restart_interval: int = 0) -> bytes:
     dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
     sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
     dht_dc = bytes([0x00]) + bytes(FIX_DC_BITS) + bytes(FIX_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(FIX_AC_BITS) + bytes(FIX_AC_VALS)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + _seg(0xDB, dqt)
         + _seg(0xC0, sof)
+        + dri
         + _seg(0xC4, dht_dc)
         + _seg(0xC4, dht_ac)
         + _seg(0xDA, sos)
     )
 
 
-def encode_jpeg_blocks(blocks_w: int, blocks_h: int, values) -> bytes:
+def encode_jpeg_blocks(
+    blocks_w: int, blocks_h: int, values, restart_interval: int = 0
+) -> bytes:
     """Grayscale baseline JPEG of (blocks_w*8) x (blocks_h*8) pixels where
     block i (row-major) is the CONSTANT value values[i] in 0..255 — the
     exact-roundtrip fixture (module docstring). Real DPCM + Huffman +
-    stuffing; every block ends with a true EOB symbol."""
+    stuffing; every block ends with a true EOB symbol. With
+    `restart_interval` > 0 a DRI segment is declared and RSTn markers are
+    emitted (byte-aligned, cycling D0..D7) every N MCUs with the DC
+    predictor reset — the resync path a parallel/robust decoder relies
+    on (pinned by the restart-marker pytest)."""
     dc_enc = _build_encode_table(FIX_DC_BITS, FIX_DC_VALS)
     ac_enc = _build_encode_table(FIX_AC_BITS, FIX_AC_VALS)
     w = _BitWriter()
     pred = 0
-    for v in values:
+    for i, v in enumerate(values):
+        if restart_interval and i and i % restart_interval == 0:
+            w.emit_marker(0xD0 + ((i // restart_interval - 1) % 8))
+            pred = 0  # predictors reset at every restart (§F.2.1.3.1)
         dc = int(v) - 128  # quantized DC: 8*(v-128) / q00=8
         diff = dc - pred
         pred = dc
@@ -385,7 +409,11 @@ def encode_jpeg_blocks(blocks_w: int, blocks_h: int, values) -> bytes:
         w.write(_mag_bits(diff, size), size)
         code, length = ac_enc[0x00]  # EOB
         w.write(code, length)
-    return _fixture_headers(blocks_w * 8, blocks_h * 8) + w.flush() + b"\xff\xd9"
+    return (
+        _fixture_headers(blocks_w * 8, blocks_h * 8, restart_interval)
+        + w.flush()
+        + b"\xff\xd9"
+    )
 
 
 def _encode_coeff_blocks(blocks: "list[np.ndarray]", blocks_w: int, blocks_h: int) -> bytes:

@@ -487,6 +487,109 @@ def test_jpeg_codec_roundtrip():
         decode_jpeg(b"\x00\x00" + good[2:])
 
 
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn resync path (untested by the DC-only fixtures, which
+    declare no restart interval): a stream with RST markers every 2 MCUs
+    — byte-aligned, cycling D0.., DC predictor reset per interval — must
+    decode bit-exactly, across value patterns that force both mid-byte
+    alignment padding and the 0xFF-pad-then-stuff edge."""
+    import numpy as np
+
+    from parquet_storage_query_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_blocks,
+    )
+
+    rng = np.random.default_rng(81)
+    for dri in (1, 2, 3):
+        vals = rng.integers(0, 256, 12).tolist()
+        data = encode_jpeg_blocks(2, 3, vals, restart_interval=dri)
+        assert any(
+            data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+            for i in range(len(data) - 1)
+        ), "stream must actually contain RST markers"
+        w, h, ch, px = decode_jpeg(data)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+        for b, v in enumerate(vals):
+            by, bx = divmod(b, 2)
+            assert (arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v).all(), (
+                dri,
+                b,
+            )
+
+
+def test_jpeg_color_444_decode():
+    """3-component 4:4:4 color path (no fixture exercises it): a
+    hand-assembled YCbCr stream — per-MCU interleave Y,Cb,Cr with
+    per-component DC predictors — must decode through the YCbCr->RGB
+    conversion to the independently computed BT.601 expectation."""
+    import struct
+
+    import numpy as np
+
+    from parquet_storage_query_spark.operators.jpeg import (
+        FIX_AC_BITS,
+        FIX_AC_VALS,
+        FIX_DC_BITS,
+        FIX_DC_VALS,
+        FIX_QUANT,
+        ZIGZAG,
+        _BitWriter,
+        _build_encode_table,
+        _category,
+        _mag_bits,
+        _seg,
+        decode_jpeg,
+    )
+
+    def headers_3c(width, height):
+        dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
+        sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+            [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+        )
+        dht_dc = bytes([0x00]) + bytes(FIX_DC_BITS) + bytes(FIX_DC_VALS)
+        dht_ac = bytes([0x10]) + bytes(FIX_AC_BITS) + bytes(FIX_AC_VALS)
+        sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+        return (
+            b"\xff\xd8"
+            + _seg(0xDB, dqt)
+            + _seg(0xC0, sof)
+            + _seg(0xC4, dht_dc)
+            + _seg(0xC4, dht_ac)
+            + _seg(0xDA, sos)
+        )
+
+    dc_enc = _build_encode_table(FIX_DC_BITS, FIX_DC_VALS)
+    ac_enc = _build_encode_table(FIX_AC_BITS, FIX_AC_VALS)
+    # 2x1 MCUs, each MCU = constant (Y, Cb, Cr) triplet per 8x8 block
+    mcus = [(90, 100, 180), (200, 140, 96)]
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for y, cb, cr in mcus:
+        for ci, v in enumerate((y, cb, cr)):
+            dc = v - 128
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            size = _category(diff)
+            code, length = dc_enc[size]
+            w.write(code, length)
+            w.write(_mag_bits(diff, size), size)
+            code, length = ac_enc[0x00]
+            w.write(code, length)
+    data = headers_3c(16, 8) + w.flush() + b"\xff\xd9"
+
+    width, height, ch, px = decode_jpeg(data)
+    assert (width, height, ch) == (16, 8, 3)
+    rgb = np.frombuffer(px, dtype=np.uint8).reshape(8, 16, 3)
+    for m, (y, cb, cr) in enumerate(mcus):
+        # independent BT.601 expectation (T.871 full-range)
+        r = min(255, max(0, round(y + 1.402 * (cr - 128))))
+        g = min(255, max(0, round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))))
+        b = min(255, max(0, round(y + 1.772 * (cb - 128))))
+        blk = rgb[:, m * 8 : m * 8 + 8, :]
+        assert (blk == np.array([r, g, b], dtype=np.uint8)).all(), (m, blk[0, 0])
+
+
 def test_wav_codec_roundtrip():
     """The RIFF/PCM16 decoder must invert encode_wav bit-for-bit, survive
     an extra (ignored) chunk with odd length (word-alignment path), and
