@@ -89,7 +89,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristics (length band, stopword ratio, punctuation ratio)
     with a boolean keep/drop verdict — the classic pretraining-corpus
     filter step, entirely map-side."""
-    df = load(spark, sf_dir, "documents")
+    # load_parallel: tokenization + lexicon probing is CPU-bound and a
+    # single local file scans as 1-2 splits (same finding as
+    # text_novelty_curve); no-op on a real multi-split corpus
+    df = load_parallel(spark, sf_dir, "documents")
     w = words_col()
     n_tok = F.size(w)
     stop_ratio = _hits(w, LEXICONS["en"]).cast("double") / n_tok
@@ -272,7 +275,8 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     words; a real tokenizer drops into the same column shape via
     mapInPandas if exact counts are needed."""
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
-    return load(spark, sf_dir, "documents").select(
+    # CPU-bound regexp pipeline -> spread the 1-2 local scan splits
+    return load_parallel(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(toks).alias("n_subtokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
@@ -1030,7 +1034,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans TakeOrderedAndProject."""
     from ..cache import session_memo
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")  # CPU-bound tokenizing
 
     # Vocab-sized unigram table, built ONCE (posexplode: the count of
     # position-0 tokens is the doc count, so total bigrams = tokens −
@@ -1331,7 +1335,11 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup import shingle_hashes, shingles_col
 
-    docs = load(spark, sf_dir, "documents")
+    # load_parallel: the per-shingle md5 pipeline is CPU-bound and a
+    # single-file local scan yields 1-2 splits — measured 8.4s of the
+    # query's 8.4s at 10x scale was the hashing on 2 cores; at 100 TB the
+    # scan's own splits provide the parallelism and this is a no-op
+    docs = load_parallel(spark, sf_dir, "documents")
     pairs = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingle_hashes(shingles_col()))).alias("h"),
@@ -1413,7 +1421,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import md5_i64
 
     c = VOCAB_CHUNKS
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")  # CPU-bound tokenizing
     m = int(docs.agg(F.max("doc_id")).collect()[0][0])  # 1 scalar
     chunk_of = lambda col: F.expr(f"({col} * {c}) DIV {m + 1}")  # noqa: E731
     words = docs.select(
@@ -1492,7 +1500,7 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate slices (N < 2) yield NULL on both engines. The heavy
     shuffle is the tf census; everything after is O(languages)."""
     tf = (
-        load(spark, sf_dir, "documents")
+        load_parallel(spark, sf_dir, "documents")
         .select("lang", F.explode(F.split(F.trim("text"), " ")).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("n"))
