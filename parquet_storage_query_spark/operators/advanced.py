@@ -1923,10 +1923,18 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.prep import export_jsonl
 
     def build(dest: str) -> None:
-        export_jsonl(load(spark, sf_dir, "documents").repartition(8), dest)
+        # corpus-scaled shard count (~6k docs per gzip member, floor 8):
+        # the custom reader plans one partition per shard, so a fixed
+        # count would pin read parallelism as the corpus grows (round-8
+        # 30x-probe finding, same class as the binary fixtures)
+        n = load(spark, sf_dir, "documents").count()
+        export_jsonl(
+            load(spark, sf_dir, "documents").repartition(max(8, min(64, n // 6000))),
+            dest,
+        )
 
     dest = ensure_artifact(
-        spark, sf_dir, "jsonl_corpus", "v2", [table_path(sf_dir, "documents")], build
+        spark, sf_dir, "jsonl_corpus", "v3", [table_path(sf_dir, "documents")], build
     )
     jsonl_source.register(spark)
     docs = spark.read.format("jsonl_corpus").option("path", dest).load()
@@ -1973,10 +1981,13 @@ def sink_jsonl_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         jsonl_source.register(spark)
         shard_dir = os.path.join(dest, "shards")
+        n = load(spark, sf_dir, "documents").count()
         (
             load(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 3 == 0)
-            .repartition(4)
+            # corpus-scaled writer tasks (floor 4 so commit() always
+            # merges multiple task messages even at smoke scale)
+            .repartition(max(4, min(64, n // 6000)))
             .write.format("jsonl_corpus")
             .mode("append")
             .option("path", shard_dir)
@@ -1984,7 +1995,7 @@ def sink_jsonl_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     dest = ensure_artifact(
-        spark, sf_dir, "jsonl_sink", "v1", [table_path(sf_dir, "documents")], build
+        spark, sf_dir, "jsonl_sink", "v2", [table_path(sf_dir, "documents")], build
     )
     jsonl_source.register(spark)
     import os
@@ -2117,7 +2128,17 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE on hot buckets, instead of an O(n²) BNLJ.
 
     Same pattern as the banded-LSH dedup joins: turn a proximity
-    predicate into an exact equi-key + residual verify."""
+    predicate into an exact equi-key + residual verify.
+
+    Headroom note (round 8; the suite's steepest surviving ratio): the
+    scaled corpora pack N× more events into the SAME 30-day window, so
+    per-bucket co-occupancy rises with N and candidate pairs grow
+    ~N² — a property of the DATA + interval width, not of the plan
+    (identical to dedup_embedding_cosine's documented threshold-density
+    class, ROUND4_NOTES.md). On a real corpus the event density per
+    5-minute bucket is set by traffic, not by corpus size — more data
+    means a longer time range at roughly constant density, which scales
+    linearly here."""
     ev = load(spark, sf_dir, "events")
     micros_per_bucket = 300 * 1_000_000
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -3722,18 +3743,22 @@ def source_csvgz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsing end to end — a quoting defect, a locale-parsed double, or a
     timezone shift in the timestamp path breaks cents or extents.
 
-    Shape: the egest is one partitioned write (8 shards — the read-back
-    plans one task per gzip member, since gzip is unsplittable: exactly
-    the reference's per-blob parallelism, QO:478-496); the rollup is one
-    partial-merged aggregate. ISO-string day extents keep the output
-    driver-proof."""
+    Shape: the egest is one partitioned write with CORPUS-SCALED shard
+    count (~200k orders per gzip member, floor 8 — the read-back plans
+    one task per member, since gzip is unsplittable: exactly the
+    reference's per-blob parallelism, QO:478-496, and a FIXED shard
+    count would pin read parallelism as the corpus grows, the round-8
+    30x-probe finding); the rollup is one partial-merged aggregate.
+    ISO-string day extents keep the output driver-proof."""
     from ..cache import ensure_artifact
     from ..catalog import table_path
 
     def build(dest: str) -> None:
+        n = load(spark, sf_dir, "orders").count()
+        shards = max(8, min(64, n // 200_000))
         (
             load(spark, sf_dir, "orders")
-            .repartition(8)
+            .repartition(shards)
             .write.option("header", True)
             .option("compression", "gzip")
             .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
@@ -3742,7 +3767,7 @@ def source_csvgz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     dest = ensure_artifact(
-        spark, sf_dir, "orders_csvgz", "v1", [table_path(sf_dir, "orders")], build
+        spark, sf_dir, "orders_csvgz", "v2", [table_path(sf_dir, "orders")], build
     )
     orders = (
         spark.read.option("header", True)
