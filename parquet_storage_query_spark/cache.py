@@ -241,9 +241,15 @@ def register_session_table(spark: SparkSession, name: str, stem: str) -> None:
       — the normal path.
     - on registration: prune warehouse directories of the same `stem`
       left by DEAD applications (crashed/killed sessions never reach
-      atexit), identified by prefix and an mtime older than a day — a
-      concurrent live session's table is always fresher than the cutoff,
-      so it is never swept."""
+      atexit), identified by prefix, an mtime older than a day, AND a
+      dead-or-absent owner pid. The pid guard exists because mtime alone
+      is not a liveness signal: session_memo builds a table ONCE, so a
+      live session running >24h never refreshes its table dir's mtime
+      and would be swept out from under itself (ADVICE r8). Each
+      registration drops an `_graft_owner.pid` heartbeat file into its
+      table dir; the sweeper skips any dir whose recorded pid is still
+      alive on this host (tables are per-host warehouse dirs, so a local
+      kill(pid, 0) probe is the right liveness oracle)."""
     import atexit
     import os
     import shutil
@@ -258,19 +264,48 @@ def register_session_table(spark: SparkSession, name: str, stem: str) -> None:
             atexit.register(_drop_session_tables)
     try:
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        own = os.path.join(wh, name.lower())
+        if os.path.isdir(own):
+            with open(os.path.join(own, "_graft_owner.pid"), "w") as fh:
+                fh.write(str(os.getpid()))
         if os.path.isdir(wh):
             cutoff = time.time() - 24 * 3600
             for d in os.listdir(wh):
                 p = os.path.join(wh, d)
                 if (
                     d.startswith(stem)
+                    and d != name.lower()
                     and d != name
                     and os.path.isdir(p)
                     and os.path.getmtime(p) < cutoff
+                    and not _owner_alive(os.path.join(p, "_graft_owner.pid"))
                 ):
                     shutil.rmtree(p, ignore_errors=True)
     except Exception:
         pass  # best-effort GC; never fail the query over warehouse hygiene
+
+
+def _owner_alive(pid_path: str) -> bool:
+    """True iff the pid recorded at `pid_path` is a live process on this
+    host. Absent/unreadable file -> not alive (legacy dirs predating the
+    heartbeat stay sweepable); a reused pid occasionally spares a dead
+    dir for one more day — best-effort GC errs toward keeping."""
+    import os
+
+    try:
+        with open(pid_path) as fh:
+            pid = int(fh.read().strip())
+    except (OSError, ValueError):
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # alive, owned by another uid
+    except OSError:
+        return False
 
 
 def _drop_session_tables() -> None:

@@ -239,6 +239,11 @@ def decode_jpeg(data: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
+        # T.81 §B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker; a conforming third-party encoder that pads would
+        # otherwise misparse the segment length (ADVICE r8)
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -1107,6 +1107,12 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             # construction of WAV_N_MOD/WAV_FRAME), energies < 4e8 so the
             # int64 composite is exact
             within = np.arange(len(energy), dtype=np.int64) - foffs[clip_of_frame]
+            # the composite encoding is only exact under these two bounds;
+            # a retuned fixture (WAV_N_BASE/WAV_N_MOD/WAV_FRAME) must fail
+            # loudly here rather than silently corrupt peak_frame/energy
+            # (ADVICE r8)
+            assert within.max(initial=0) < 1024, "composite argmax: >=1024 frames/clip"
+            assert energy.max(initial=0) < 2**53 // 1024, "composite argmax: energy overflow"
             composite = energy * 1024 + (1023 - within)
             best = np.maximum.reduceat(composite, fstarts)
             yield pd.DataFrame(

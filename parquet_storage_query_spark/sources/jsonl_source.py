@@ -43,10 +43,14 @@ class JsonlCorpusReader(DataSourceReader):
         # per-blob fan-out unit (QO:478-496)
         import os
 
+        # Hadoop hidden-file convention: '_'/'.'-prefixed basenames are
+        # never data (this is what makes the writer's '_staged_*' files
+        # genuinely invisible to readers — ADVICE r8 medium)
         return [
             JsonlShard(os.path.join(self.path, f))
             for f in sorted(os.listdir(self.path))
-            if f.endswith(".json.gz") or f.endswith(".json")
+            if (f.endswith(".json.gz") or f.endswith(".json"))
+            and not f.startswith(("_", "."))
         ]
 
     def read(self, partition: JsonlShard):
@@ -130,15 +134,19 @@ class JsonlCorpusWriter(DataSourceWriter):
         import os
         import shutil
 
+        keep = {m.staged for m in messages if m}
         if self.overwrite:
-            keep = {m.staged for m in messages if m}
             for old in glob.glob(os.path.join(self.path, "*.json.gz")):
                 if old not in keep and not os.path.basename(old).startswith("_staged_"):
                     os.remove(old)
-            # orphaned stages from aborted attempts of OTHER jobs
-            for old in glob.glob(os.path.join(self.path, "_staged_*.json.gz")):
-                if old not in keep:
-                    os.remove(old)
+        # orphaned stages (failed-then-retried task of THIS job, or a
+        # crashed driver from a PRIOR job) are swept in every mode —
+        # commit is the only point that knows the winning attempt set,
+        # and the reader's hidden-file skip is the backstop, not the
+        # cleanup (ADVICE r8 medium)
+        for old in glob.glob(os.path.join(self.path, "_staged_*.json.gz")):
+            if old not in keep:
+                os.remove(old)
         for m in messages:
             if m is not None:
                 shutil.move(m.staged, m.final)

@@ -186,7 +186,10 @@ def test_session_table_gc_drops_and_prunes(spark, tmp_path):
     (a) arms an atexit DROP for THIS session's tables, exercised here by
     calling the hook directly — the table and its warehouse files are
     gone after; (b) prunes same-stem warehouse directories from DEAD
-    applications (older than a day), while fresh siblings survive."""
+    applications (older than a day), while fresh siblings survive; (c)
+    a stale-MTIME dir whose `_graft_owner.pid` heartbeat names a LIVE
+    process is NOT swept — the >24h-uptime live-session case of ADVICE
+    r8 (session_memo builds once, so mtime alone is not liveness)."""
     import os
     import time
     from urllib.parse import urlparse
@@ -198,17 +201,34 @@ def test_session_table_gc_drops_and_prunes(spark, tmp_path):
     # a stale dead-app sibling (old mtime) and a fresh one
     stale = os.path.join(wh, "gc_test_t_deadapp")
     fresh = os.path.join(wh, "gc_test_t_liveapp")
-    for p in (stale, fresh):
+    # stale mtime BUT live owner pid (this very process) — must survive
+    longlived = os.path.join(wh, "gc_test_t_longlived")
+    # stale mtime, dead owner pid — must be swept like the no-pid case
+    deadpid = os.path.join(wh, "gc_test_t_deadpid")
+    for p in (stale, fresh, longlived, deadpid):
         os.makedirs(p, exist_ok=True)
+    with open(os.path.join(longlived, "_graft_owner.pid"), "w") as fh:
+        fh.write(str(os.getpid()))
+    with open(os.path.join(deadpid, "_graft_owner.pid"), "w") as fh:
+        fh.write("999999999")  # above any real pid_max
     old = time.time() - 48 * 3600
-    os.utime(stale, (old, old))
+    for p in (stale, longlived, deadpid):
+        os.utime(p, (old, old))
 
     spark.range(5).write.mode("overwrite").saveAsTable("gc_test_t_mine")
     cache.register_session_table(spark, "gc_test_t_mine", "gc_test_t_")
 
     assert not os.path.isdir(stale), "dead-app sibling must be pruned"
+    assert not os.path.isdir(deadpid), "dead-pid sibling must be pruned"
     assert os.path.isdir(fresh), "fresh sibling must survive"
+    assert os.path.isdir(longlived), "live-pid stale-mtime sibling must survive"
+    # registration dropped a heartbeat into this session's own table dir
+    own_pid = os.path.join(wh, "gc_test_t_mine", "_graft_owner.pid")
+    assert os.path.isfile(own_pid) and open(own_pid).read() == str(os.getpid())
     assert spark.catalog.tableExists("gc_test_t_mine")
+    import shutil
+
+    shutil.rmtree(longlived)
 
     cache._drop_session_tables()  # what atexit runs at interpreter exit
     assert not spark.catalog.tableExists("gc_test_t_mine")

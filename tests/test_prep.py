@@ -164,6 +164,47 @@ def test_jsonl_roundtrip(spark, tmp_path):
     assert back.count() == len(orig)
 
 
+def test_jsonl_writer_hidden_files_and_orphan_sweep(spark, tmp_path):
+    """Exactly-once hardening of the custom jsonl_corpus sink (ADVICE r8
+    medium): (a) the READER must skip '_'/'.'-prefixed basenames (Hadoop
+    hidden-file convention) so staged/metadata files are never surfaced
+    as rows — even a torn-gzip orphan must be invisible; (b) COMMIT must
+    sweep orphaned '_staged_*' files in EVERY mode (a failed-then-retried
+    task in append mode, or a crashed prior driver, leaves them behind —
+    only commit knows the winning attempt set)."""
+    import glob
+    import gzip
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.sources import jsonl_source
+
+    jsonl_source.register(spark)
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    n = docs.count()
+    dest = str(tmp_path / "sink")
+    docs.write.format("jsonl_corpus").option("path", dest).mode("append").save()
+
+    # plant an orphaned staged file (duplicate rows + torn gzip) and a
+    # dot-file; the reader must see neither
+    orphan = os.path.join(dest, "_staged_99999_deadbeef.json.gz")
+    with gzip.open(orphan, "wt", encoding="utf-8") as fh:
+        fh.write('{"doc_id": -1, "text": "dup", "lang": "xx", "source": "s", "n_chars": 3}\n')
+    with open(os.path.join(dest, ".hidden.json"), "w") as fh:
+        fh.write('{"doc_id": -2}\n')
+    back = spark.read.format("jsonl_corpus").option("path", dest).load()
+    assert back.count() == n
+    assert back.filter("doc_id < 0").count() == 0
+
+    # a second APPEND commit must sweep the orphan (not only overwrite)
+    docs.limit(1).write.format("jsonl_corpus").option("path", dest).mode("append").save()
+    assert not glob.glob(os.path.join(dest, "_staged_*")), "orphan survived commit"
+    assert (
+        spark.read.format("jsonl_corpus").option("path", dest).load().count() == n + 1
+    )
+
+
 def test_orc_roundtrip(spark, tmp_path):
     """events → ORC → parquet preserves all rows (dest_format extension)."""
     from parquet_storage_query_spark.catalog import load
