@@ -5,10 +5,12 @@
 DHT / SOF0 / DRI / SOS parsing, canonical Huffman decode with 0xFF00
 byte-unstuffing and RSTn handling, DC DPCM + magnitude extension, AC
 run-length (EOB/ZRL), dequantization, de-zigzag, 8x8 IDCT (exact DCT-III
-basis, numpy matrix form), level shift + clamp, and YCbCr->RGB for
-4:4:4 color scans. Progressive (SOF2) and chroma-subsampled scans raise
-NotImplementedError — the documented hook where a deployment plugs a C
-codec in (same boundary as PNG's interlace).
+basis, numpy matrix form), level shift + clamp, MCU-interleaved
+CHROMA-SUBSAMPLED scans (4:2:0 / 4:2:2 / 4:4:0 — any integral sampling
+ratio, decoded per-component at native resolution then replicated up,
+T.81 §A.1.1/A.2.3), and YCbCr->RGB conversion. Progressive (SOF2)
+still raises NotImplementedError — the documented hook where a
+deployment plugs a C codec in (same boundary as PNG's interlace).
 
 `encode_jpeg_blocks` is the fixture generator: a grayscale baseline JPEG
 whose 8x8 blocks are each CONSTANT. Constant blocks make the lossy
@@ -24,10 +26,18 @@ breaks an integer sum (the same proof pattern as mm_decode_png).
 The encoder still exercises the real entropy layer: per-block DC
 differences span categories 0..8 (both signs), every block terminates
 with a real EOB symbol, and 0xFF bytes in the entropy stream are
-stuffed. tests/test_multimodal.py additionally round-trips sparse
-RANDOM AC coefficients through `_encode_coeff_blocks`/`decode_jpeg`'s
-coefficient layer to pin the AC run-length path the DC-only fixtures
-don't reach.
+stuffed. tests/test_prep.py (test_jpeg_codec_roundtrip and siblings)
+additionally round-trips sparse RANDOM AC coefficients through
+`_encode_coeff_blocks`/`decode_jpeg`'s coefficient layer to pin the AC
+run-length path the DC-only fixtures don't reach.
+
+`encode_jpeg_color` extends the same exactness construction to COLOR
+and 4:2:0: each 16x16 MACROBLOCK carries one constant (Y, Cb, Cr)
+triplet, so all four Y blocks of an MCU and the one 8x8 block of each
+subsampled chroma plane are constant — DC-only again, exactly divisible
+by the DC quant step, and the 2x2 replication upsample reproduces the
+generator's chroma values bit-for-bit (the property mm_decode_jpeg_420's
+closed-form oracle replays).
 
 Format knowledge is from the public JPEG spec (ITU-T T.81): marker
 layout §B, canonical Huffman code generation §C.2, magnitude extension
@@ -222,11 +232,17 @@ def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg(data: bytes):
-    """Decode a baseline (SOF0) JPEG. Returns (width, height, channels,
-    pixels) with interleaved uint8 bytes — grayscale (1 component) or
-    4:4:4 YCbCr converted to RGB (3 components). Chroma-subsampled or
-    progressive inputs raise NotImplementedError (documented hook)."""
+def decode_jpeg(data: bytes, components: bool = False):
+    """Decode a baseline (SOF0) JPEG, including chroma-subsampled scans
+    (4:2:0/4:2:2/…, any integral sampling ratio). Returns (width, height,
+    channels, pixels) with interleaved uint8 bytes — grayscale
+    (1 component) or YCbCr converted to RGB (3 components). With
+    `components=True` returns (width, height, ncomp, [plane, ...])
+    instead: each component's uint8 plane UPSAMPLED to full resolution
+    and cropped, BEFORE color conversion — the integer-exact surface
+    mm_decode_jpeg_420's oracle replays (the RGB matrix is float and
+    stays pytest-pinned, not oracle-checked). Progressive inputs raise
+    NotImplementedError (documented hook)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
     pos = 2
@@ -279,8 +295,10 @@ def decode_jpeg(data: bytes):
             for c in range(ncomp):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, qid))
-            if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
-                raise NotImplementedError("JPEG: chroma subsampling unsupported")
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            if any(hmax % hs or vmax % vs for _, hs, vs, _ in comps):
+                raise NotImplementedError("JPEG: non-integral sampling ratio")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("JPEG: only baseline SOF0 supported")
         elif marker == 0xDD:  # DRI
@@ -294,21 +312,35 @@ def decode_jpeg(data: bytes):
                 scan.append((idx, tbl >> 4, tbl & 0x0F))
             return _decode_scan(
                 data, pos, width, height, comps, scan,
-                quant, huff_dc, huff_ac, restart_interval,
+                quant, huff_dc, huff_ac, restart_interval, components,
             )
         # APPn / COM / anything else: skipped
     raise ValueError("JPEG: no SOS marker found")
 
 
-def _decode_scan(data, pos, width, height, comps, scan, quant, huff_dc, huff_ac, dri):
+def _decode_scan(
+    data, pos, width, height, comps, scan, quant, huff_dc, huff_ac, dri,
+    components=False,
+):
+    """MCU-interleaved entropy decode (T.81 §A.2.3): one MCU carries
+    h_i*v_i data units per scan component (row-major within the MCU), so
+    a 4:2:0 MCU is Y,Y,Y,Y,Cb,Cr covering 16x16 pixels. Each component
+    decodes into a plane at its NATIVE resolution; subsampled planes are
+    replicated up (nearest-neighbor, the deterministic upsample whose
+    arithmetic the fixture oracle can replay) and cropped at the end."""
     reader = _BitReader(data, pos)
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in scan]
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * comps[ci][2], mcux * 8 * comps[ci][1]), dtype=np.float64)
+        for ci, _, _ in scan
+    ]
     pred = [0] * len(scan)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if dri and mcu and mcu % dri == 0:
                 reader.align()
                 # consume the RSTn marker between restart intervals
@@ -318,33 +350,47 @@ def _decode_scan(data, pos, width, height, comps, scan, quant, huff_dc, huff_ac,
                     reader.pos += 2
                 pred = [0] * len(scan)
             for si, (ci, dc_id, ac_id) in enumerate(scan):
-                zz = np.zeros(64, dtype=np.int64)
-                size = _decode_huff(reader, huff_dc[dc_id])
-                diff = _extend(reader.read_bits(size), size)
-                pred[si] += diff
-                zz[0] = pred[si]
-                k = 1
-                while k < 64:
-                    sym = _decode_huff(reader, huff_ac[ac_id])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    run, ssss = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG: AC run past block end")
-                    zz[k] = _extend(reader.read_bits(ssss), ssss)
-                    k += 1
-                q = quant[comps[ci][3]]
-                block = np.empty(64, dtype=np.int64)
-                block[_ZZ_NP] = zz  # vectorized de-zigzag
-                block = (block.reshape(8, 8) * q.reshape(8, 8)).astype(np.float64)
-                px = idct_8x8(block) + 128.0
-                planes[si][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+                _, hs, vs, qid = comps[ci]
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _decode_huff(reader, huff_dc[dc_id])
+                        diff = _extend(reader.read_bits(size), size)
+                        pred[si] += diff
+                        zz[0] = pred[si]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huff(reader, huff_ac[ac_id])
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            run, ssss = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG: AC run past block end")
+                            zz[k] = _extend(reader.read_bits(ssss), ssss)
+                            k += 1
+                        q = quant[qid]
+                        block = np.empty(64, dtype=np.int64)
+                        block[_ZZ_NP] = zz  # vectorized de-zigzag
+                        block = (block.reshape(8, 8) * q.reshape(8, 8)).astype(np.float64)
+                        px = idct_8x8(block) + 128.0
+                        r0 = (my * vs + byy) * 8
+                        c0 = (mx * hs + bxx) * 8
+                        planes[si][r0 : r0 + 8, c0 : c0 + 8] = px
             mcu += 1
-    out = [np.clip(np.round(p[:height, :width]), 0, 255).astype(np.uint8) for p in planes]
+    full = []
+    for si, (ci, _, _) in enumerate(scan):
+        _, hs, vs, _ = comps[ci]
+        p = planes[si]
+        if hs != hmax or vs != vmax:  # replicate up to full resolution
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:height, :width])
+    out = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in full]
+    if components:
+        return width, height, len(out), out
     if len(out) == 1:
         return width, height, 1, out[0].tobytes()
     if len(out) == 3:
@@ -419,6 +465,67 @@ def encode_jpeg_blocks(
         + w.flush()
         + b"\xff\xd9"
     )
+
+
+def encode_jpeg_color(
+    mcus_w: int,
+    mcus_h: int,
+    triplets,
+    subsample: str = "420",
+    restart_interval: int = 0,
+) -> bytes:
+    """Color baseline JPEG whose MCUs each carry one CONSTANT
+    (Y, Cb, Cr) triplet — the exact-roundtrip construction extended to
+    chroma subsampling. For "420" an MCU is a 16x16 macroblock (4 Y
+    blocks at constant y, one 8x8 Cb and one 8x8 Cr block at constant
+    cb/cr — the subsampled planes the decoder must replicate 2x2 back
+    up); for "444" an MCU is 8x8 (Y,Cb,Cr interleaved 1:1:1). Constant
+    blocks make every component DC-only and the DC quant step 8 divides
+    8*(v-128) exactly, so the decoded component planes equal the
+    generator bit-for-bit INCLUDING the upsample (replication of an
+    exact constant) — only the float RGB matrix is excluded from the
+    oracle surface (decode_jpeg(components=True) stops before it).
+    `triplets` is row-major per MCU, length mcus_w*mcus_h."""
+    samp = {"420": (2, 2), "444": (1, 1)}[subsample]
+    hs, vs = samp
+    width, height = mcus_w * 8 * hs, mcus_h * 8 * vs
+    dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dht_dc = bytes([0x00]) + bytes(FIX_DC_BITS) + bytes(FIX_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(FIX_AC_BITS) + bytes(FIX_AC_VALS)
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    head = (
+        b"\xff\xd8"
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + dri
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos)
+    )
+    dc_enc = _build_encode_table(FIX_DC_BITS, FIX_DC_VALS)
+    ac_enc = _build_encode_table(FIX_AC_BITS, FIX_AC_VALS)
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for i, (y, cb, cr) in enumerate(triplets):
+        if restart_interval and i and i % restart_interval == 0:
+            w.emit_marker(0xD0 + ((i // restart_interval - 1) % 8))
+            pred = [0, 0, 0]
+        for ci, (v, nblocks) in enumerate(((y, hs * vs), (cb, 1), (cr, 1))):
+            for _ in range(nblocks):
+                dc = int(v) - 128
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                size = _category(diff)
+                code, length = dc_enc[size]
+                w.write(code, length)
+                w.write(_mag_bits(diff, size), size)
+                code, length = ac_enc[0x00]  # EOB
+                w.write(code, length)
+    return head + w.flush() + b"\xff\xd9"
 
 
 def _encode_coeff_blocks(blocks: "list[np.ndarray]", blocks_w: int, blocks_h: int) -> bytes:

@@ -33,12 +33,31 @@ _REGISTRY: dict[str, QueryDef] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Decorator: register a builder under `name` with its oracle SQL."""
+    """Decorator: register a builder under `name` with its oracle SQL.
+
+    The registered builder ships the package zip to Python workers FIRST
+    (pkgship — a set-lookup no-op after the first call per session):
+    mapInPandas/UDTF kernels pickle by reference, and a query whose
+    fixture is already committed never reaches the ship inside
+    catalog.load, so a vanilla external session running that single
+    query would otherwise die with executor-side ModuleNotFoundError
+    (latent ordering bug found by the round-9 driver-seam check —
+    previously masked because some earlier query in the same session
+    always called load())."""
 
     def deco(fn: Builder) -> Builder:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QueryDef(name=name, builder=fn, oracle=oracle, doc=fn.__doc__ or "")
+
+        def shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from .pkgship import ship_package
+
+            ship_package(spark)
+            return fn(spark, sf_dir)
+
+        shipped.__name__ = fn.__name__
+        shipped.__doc__ = fn.__doc__
+        _REGISTRY[name] = QueryDef(name=name, builder=shipped, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 
     return deco

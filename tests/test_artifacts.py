@@ -180,6 +180,54 @@ def test_marker_commit_order_survives_migration_and_copies(tmp_path):
     assert committed_versions(str(dest))[2:] == ["ccc", "ddd"]
 
 
+def _data_file_count(path: str) -> int:
+    """Count data files (non-hidden, non-marker) under an artifact dir."""
+    import os
+
+    n = 0
+    for root, _dirs, names in os.walk(path):
+        for name in names:
+            if not name.startswith(("_", ".")) and not name.endswith(".crc"):
+                n += 1
+    return n
+
+
+def test_fixture_artifacts_are_sharded(spark):
+    """Shard-count regression guard (VERDICT r8 next-round #5): the 30x
+    probe twice caught 1-2-file fixture tables serializing an entire
+    decode family (decode parallelism is pinned to the file count — the
+    one-mapper trap). Every committed binary-fixture artifact must carry
+    at least the 8-file floor of `_fixture_shards`, so a future builder
+    edit that drops the repartition fails HERE instead of in a 10x bench.
+    A deliberately unsharded artifact is the red-path control."""
+    from parquet_storage_query_spark import cache
+    from parquet_storage_query_spark.operators.multimodal import (
+        ensure_jpeg420_fixture,
+        ensure_jpeg_fixture,
+        ensure_png_fixture,
+        ensure_wav_fixture,
+    )
+
+    for ensure in (
+        ensure_png_fixture,
+        ensure_jpeg_fixture,
+        ensure_jpeg420_fixture,
+        ensure_wav_fixture,
+    ):
+        dest = ensure(spark, SF_SMOKE)
+        n = _data_file_count(dest)
+        assert n >= 8, f"{ensure.__name__}: only {n} data files (one-mapper trap)"
+
+    # red-path control: an unsharded artifact must FAIL the predicate
+    def build_unsharded(dest: str) -> None:
+        spark.range(10).coalesce(1).write.mode("overwrite").parquet(dest)
+
+    dest = cache.ensure_artifact(
+        spark, SF_SMOKE, "unsharded_control", "v1", [], build_unsharded
+    )
+    assert _data_file_count(dest) < 8, "control should be unsharded"
+
+
 def test_session_table_gc_drops_and_prunes(spark, tmp_path):
     """Managed-table lifecycle (ADVICE r7: per-applicationId saveAsTable
     names leaked one warehouse copy per session): registering a table

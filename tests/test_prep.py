@@ -631,6 +631,67 @@ def test_jpeg_color_444_decode():
         assert (blk == np.array([r, g, b], dtype=np.uint8)).all(), (m, blk[0, 0])
 
 
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 chroma-subsampled decode (VERDICT r8 #3 — the last simulated
+    multimodal edge): encode_jpeg_color's constant-macroblock fixtures
+    must decode bit-exactly through the MCU-interleaved scan (Y,Y,Y,Y,
+    Cb,Cr per 16x16 MCU), per-component DC predictors, native-resolution
+    chroma planes, and the 2x2 replication upsample — both on the
+    components=True surface (what mm_decode_jpeg_420's oracle checks) and
+    through the float BT.601 RGB matrix vs an independent replay. Restart
+    markers reset all three predictors. A non-integral sampling ratio
+    still fails loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(94)
+    for sub, mw, mh in [("420", 3, 2), ("444", 2, 2)]:
+        trip = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(mw * mh)]
+        data = encode_jpeg_color(mw, mh, trip, subsample=sub)
+        s = 16 if sub == "420" else 8
+        w, h, nc, planes = decode_jpeg(data, components=True)
+        assert (w, h, nc) == (mw * s, mh * s, 3)
+        for m, ycc in enumerate(trip):
+            my, mx = divmod(m, mw)
+            for pi, v in enumerate(ycc):
+                assert (planes[pi][my * s : (my + 1) * s, mx * s : (mx + 1) * s] == v).all()
+        # full RGB path vs independent BT.601 (T.871 full-range) replay
+        w2, h2, c2, px = decode_jpeg(data)
+        rgb = np.frombuffer(px, dtype=np.uint8).reshape(h2, w2, 3)
+        for m, (y, cb, cr) in enumerate(trip):
+            my, mx = divmod(m, mw)
+            r = min(255, max(0, round(y + 1.402 * (cr - 128))))
+            g = min(255, max(0, round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))))
+            b = min(255, max(0, round(y + 1.772 * (cb - 128))))
+            blk = rgb[my * s : (my + 1) * s, mx * s : (mx + 1) * s]
+            assert (blk == np.array([r, g, b], dtype=np.uint8)).all(), (sub, m)
+    # restart markers reset Y/Cb/Cr predictors mid-stream
+    trip = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(6)]
+    data = encode_jpeg_color(3, 2, trip, subsample="420", restart_interval=2)
+    assert any(
+        data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7 for i in range(len(data) - 1)
+    ), "stream must actually contain RST markers"
+    w, h, nc, planes = decode_jpeg(data, components=True)
+    for m, ycc in enumerate(trip):
+        my, mx = divmod(m, 3)
+        for pi, v in enumerate(ycc):
+            assert (planes[pi][my * 16 : (my + 1) * 16, mx * 16 : (mx + 1) * 16] == v).all()
+    # non-integral sampling ratio must stay a loud hook: patch the SOF so
+    # Y is 3x1 and Cb 2x1 (hmax 3 is not a multiple of 2)
+    arr = bytearray(encode_jpeg_color(2, 2, [(1, 2, 3)] * 4, subsample="420"))
+    sof_at = arr.index(b"\xff\xc0")
+    # SOF0 body: FF C0 len(2) prec H(2) W(2) ncomp then [cid samp qid]*3
+    arr[sof_at + 11] = 0x31  # comp 1 (Y):  h=3, v=1
+    arr[sof_at + 14] = 0x21  # comp 2 (Cb): h=2, v=1
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(arr))
+
+
 def test_wav_codec_roundtrip():
     """The RIFF/PCM16 decoder must invert encode_wav bit-for-bit, survive
     an extra (ignored) chunk with odd length (word-alignment path), and
