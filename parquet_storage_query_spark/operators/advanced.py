@@ -2142,6 +2142,103 @@ def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# interval-join density guard state/knobs (VERDICT r8 next-round #4 —
+# the cos-LSH guard's pattern, dedup.py: estimate the quadratic blowup at
+# plan build, make the documented caveat OBSERVED behavior). Pairs per
+# input row beyond this factor = super-linear density; the registered
+# exact query LOGS (capping would break its oracle hash), the cap path is
+# for approximate callers and is pytest-pinned.
+INTERVAL_PAIRS_PER_ROW = 32.0
+LAST_INTERVAL_GUARD: dict[str, float | int | bool] = {}
+
+
+def interval_density_guard(
+    clicks: DataFrame,
+    errors: DataFrame,
+    probe_order: str = "cts",
+    build_order: str = "ets",
+    budget: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Bucket-census guard for the bucketized interval join: ONE
+    bucket-grain aggregate (map-side combined — O(buckets) rows reach the
+    driver fold) estimates candidate pairs Σ_b clicks(b)·errors(b) before
+    the join runs. If pairs exceed INTERVAL_PAIRS_PER_ROW × input rows,
+    the join's work is growing super-linearly in the data (the r8 10x
+    probe's 5.11 ratio class: N× more events packed into the same time
+    range raises per-bucket co-occupancy ~N²) and the guard logs the
+    measured density + worst bucket so the caveat is enforced, not
+    documentation. With `budget` set, each side is additionally capped to
+    `budget` rows per bucket (deterministic row_number by timestamp) —
+    a recall trade for approximate callers; the registered EXACT query
+    passes budget=None because dropping pairs would break its oracle.
+    Census/engage/capped counts land in LAST_INTERVAL_GUARD (pytest pin).
+    At 100 TB the census is a partial-aggregate shuffle of bucket-grain
+    rows — negligible next to the join it is protecting."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    census = (
+        clicks.select("bkt", F.lit(1).alias("is_probe"))
+        .unionByName(errors.select("bkt", F.lit(0).alias("is_probe")))
+        .groupBy("bkt")
+        .agg(
+            F.sum("is_probe").alias("nc"),
+            F.sum(1 - F.col("is_probe")).alias("ne"),
+        )
+        .agg(
+            F.coalesce(F.sum(F.col("nc") * F.col("ne")), F.lit(0)).alias("pairs"),
+            F.coalesce(F.max(F.col("nc") * F.col("ne")), F.lit(0)).alias("worst"),
+            F.coalesce(F.sum("nc"), F.lit(0)).alias("n_probe"),
+            F.coalesce(F.sum("ne"), F.lit(0)).alias("n_build"),
+        )
+        .collect()[0]
+    )
+    pairs, worst = int(census["pairs"]), int(census["worst"])
+    n_rows = int(census["n_probe"]) + int(census["n_build"])
+    engaged = pairs > INTERVAL_PAIRS_PER_ROW * max(1, n_rows)
+    info: dict[str, float | int | bool] = {
+        "pairs": pairs,
+        "worst_bucket_pairs": worst,
+        "n_rows": n_rows,
+        "pairs_per_row": pairs / max(1, n_rows),
+        "engaged": engaged,
+        "budget": 0 if budget is None else budget,
+        "capped_rows": 0,
+    }
+    if engaged:
+        log.warning(
+            "interval-join density guard ENGAGED: %d candidate pairs over "
+            "%d input rows (%.1f pairs/row > %.0f budget; worst bucket %d "
+            "pairs). Co-occupancy is growing super-linearly — at constant "
+            "traffic density this join is linear; this corpus packs more "
+            "events into the same range.%s",
+            pairs,
+            n_rows,
+            info["pairs_per_row"],
+            INTERVAL_PAIRS_PER_ROW,
+            worst,
+            "" if budget is None else f" Capping each side to {budget}/bucket.",
+        )
+        if budget is not None:
+            wc = W.partitionBy("bkt").orderBy(probe_order)
+            we = W.partitionBy("bkt").orderBy(build_order)
+            pre_c, pre_e = clicks.count(), errors.count()
+            clicks = (
+                clicks.withColumn("_rn", F.row_number().over(wc))
+                .filter(F.col("_rn") <= budget)
+                .drop("_rn")
+            )
+            errors = (
+                errors.withColumn("_rn", F.row_number().over(we))
+                .filter(F.col("_rn") <= budget)
+                .drop("_rn")
+            )
+            info["capped_rows"] = (pre_c - clicks.count()) + (pre_e - errors.count())
+    LAST_INTERVAL_GUARD.clear()
+    LAST_INTERVAL_GUARD.update(info)
+    return clicks, errors
+
+
 @query(
     "join_interval_bucketed",
     oracle="""
@@ -2177,7 +2274,11 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     class, ROUND4_NOTES.md). On a real corpus the event density per
     5-minute bucket is set by traffic, not by corpus size — more data
     means a longer time range at roughly constant density, which scales
-    linearly here."""
+    linearly here. Round 9 makes that caveat ENFORCED: the
+    interval_density_guard censuses per-bucket co-occupancy before the
+    join and logs when candidate pairs grow super-linearly
+    (budget=None here — this query is exact with an exact oracle, so it
+    never drops pairs; approximate callers pass a per-bucket budget)."""
     ev = load(spark, sf_dir, "events")
     micros_per_bucket = 300 * 1_000_000
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -2194,6 +2295,7 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("ets"),
         F.floor(F.unix_micros("ts") / micros_per_bucket).alias("bkt"),
     )
+    clicks, errors = interval_density_guard(clicks, errors)
     return (
         clicks.join(errors, "bkt")
         .filter(

@@ -804,3 +804,45 @@ def test_join_bucketed_colocated_zero_exchange(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_interval_density_guard_census_and_cap(spark):
+    """The interval-join density guard (VERDICT r8 #4 — the cos-LSH
+    guard's pattern applied to the suite's steepest 10x ratio): (a) on a
+    deliberately HOT synthetic bucket the census must measure the exact
+    candidate-pair count and engage; (b) with a per-bucket budget the cap
+    bounds each side and reports dropped rows; (c) on the real corpus at
+    smoke SF the registered query runs guard-on with budget=None and its
+    result is untouched (the oracle hash stays green in tools/check.py —
+    the guard may only ever LOG for the exact query)."""
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.operators import advanced
+
+    # (a)+(b): 200 probes and 300 builds in one bucket, 1 pair elsewhere
+    clicks = spark.range(201).select(
+        F.col("id").alias("click_id"),
+        F.col("id").cast("timestamp").alias("cts"),
+        F.when(F.col("id") < 200, F.lit(7)).otherwise(F.lit(99)).alias("bkt"),
+    )
+    errors = spark.range(301).select(
+        F.col("id").cast("timestamp").alias("ets"),
+        F.when(F.col("id") < 300, F.lit(7)).otherwise(F.lit(99)).alias("bkt"),
+    )
+    c2, e2 = advanced.interval_density_guard(clicks, errors)
+    g = dict(advanced.LAST_INTERVAL_GUARD)
+    assert g["pairs"] == 200 * 300 + 1 and g["worst_bucket_pairs"] == 200 * 300
+    assert g["engaged"] and g["capped_rows"] == 0  # log-only by default
+    assert c2.count() == 201 and e2.count() == 301  # sides untouched
+
+    c3, e3 = advanced.interval_density_guard(clicks, errors, budget=50)
+    g = dict(advanced.LAST_INTERVAL_GUARD)
+    assert g["engaged"] and g["capped_rows"] == (200 - 50) + (300 - 50)
+    assert c3.groupBy("bkt").count().agg(F.max("count")).collect()[0][0] <= 50
+    assert e3.groupBy("bkt").count().agg(F.max("count")).collect()[0][0] <= 50
+
+    # (c): the registered exact query runs with the guard in log-only
+    # mode and still produces rows (hash parity is tools/check.py's job)
+    n = advanced.join_interval_bucketed(spark, SF_SMOKE).count()
+    assert n > 0
+    assert advanced.LAST_INTERVAL_GUARD["capped_rows"] == 0
