@@ -215,6 +215,10 @@ HEADLINE = [
     "values_inline_table",
     "sink_jsonl_writer_roundtrip",
     "mm_decode_jpeg",
+    # round-9 additions
+    "mm_decode_jpeg_420",
+    "sim_pq_refine_topk",
+    "dedup_index_read_committed",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to
@@ -376,6 +380,8 @@ def main() -> None:
         # round-8: the custom-writer egest and the JPEG fixture table
         "sink_jsonl_writer_roundtrip": "jsonl_sink_build",
         "mm_decode_jpeg": "jpeg_fixture_build",
+        "mm_decode_jpeg_420": "jpeg420_fixture_build",
+        "dedup_index_read_committed": "asof_torn_index_build",
     }
 
     timings: dict[str, float] = {}

@@ -1746,6 +1746,65 @@ def dedup_index_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_index_read_committed",
+    oracle=f"""
+    SELECT 1 AS version, count(*) AS n_docs, {N_BANDS} * count(*) AS n_bands
+    FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> 0
+    UNION ALL
+    SELECT 2 AS version, count(*) AS n_docs, {N_BANDS} * count(*) AS n_bands
+    FROM documents
+    ORDER BY version
+    """,
+)
+def dedup_index_read_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READ-COMMITTED contract of the standing index, value-proved through
+    the registered surface (VERDICT r8 next-round #8): the demo index
+    here carries base commit + a deliberately TORN batch (the new shard's
+    signature/band parquet files written WITHOUT their commit marker —
+    exactly what a writer crash mid-append leaves) + the committed retry
+    of the same shard. The oracle is the SAME closed form as
+    dedup_index_versions — so if the as-of reader ever surfaced the torn
+    batch's files, v2's doc count would double-count the retried docs'
+    bands and the hash would break; if it leaked into v1, that count
+    breaks too. Torn data is invisible, the retry is exactly-once
+    (signatures dedup by doc_id), history is immutable.
+
+    The live-writer concurrency twin (a reader pinned at version 1 while
+    a writer appends in another thread) is pinned by pytest
+    (tests/test_artifacts.py::test_asof_reader_under_live_writer) — wall
+    clock interleaving is not oracle-expressible, but every state it can
+    observe is one of this query's versions."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(d: str) -> None:
+        docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+        new_shard = docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+        write_signature_index(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0), d)
+        # the torn attempt: data files land, the crash happens before the
+        # marker — the reader must never see this batch
+        torn_sig = minhash_signatures(new_shard).localCheckpoint(eager=True)
+        torn_sig.write.parquet(f"{d}/signatures/batch=torn0000dead")
+        minhash_band_keys(torn_sig).write.parquet(f"{d}/bands/batch=torn0000dead")
+        # the committed retry (fresh batch id + marker)
+        append_signature_index(new_shard, d)
+
+    dest = ensure_artifact(
+        spark, sf_dir, "asof_torn_index", "v1", [table_path(sf_dir, "documents")], build
+    )
+    out = None
+    for v in (1, 2):
+        sigs, bands = read_signature_index_asof(spark, dest, v)
+        row = (
+            sigs.agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(F.broadcast(bands.agg(F.count(F.lit(1)).alias("n_bands"))))
+            .select(F.lit(v).alias("version"), "n_docs", "n_bands")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("version")
+
+
+@query(
     "dedup_fuzzy_levenshtein",
     oracle="""
     WITH b AS (

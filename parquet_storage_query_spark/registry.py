@@ -65,47 +65,16 @@ def query(name: str, oracle: str | None = None):
 
 # Driver-facing iteration order. The driver samples the FIRST ~50 registry
 # entries each round, so iteration order decides which queries get a hard
-# driver-side CORRECTNESS row. ROUND-8 RE-CUT (VERDICT r7 next-round #1/#2):
-# the round-7 experiment concluded (pandas-fetch mechanism proven; the
-# deliberate canary diag_hugeint_probe is retired behind
-# SPARK_GRAFT_DIAG_PROBE=1 in operators/diagnostics.py), so the head is
-# rebuilt as an EVIDENCE-COMPLETION rotation: all 50 slots go to queries
-# that have never had a driver CORRECTNESS row across r1-r7 (45
-# never-sampled + the 5 new round-8 operators), flagship/composed ops
-# first. The next block (positions 51-93) is the remaining never-sampled
-# set, pre-staged as the ROUND-9 head so that by r9 every registered query
-# has >=1 driver-green row (plan published in ROUND8_NOTES.md). Everything
-# after that has one-or-more green driver rows from r3-r7. Names not yet
-# registered are skipped.
+# driver-side CORRECTNESS row. ROUND-9 ROTATION (VERDICT r8 next-round #1):
+# the head is the pre-staged round-9 block from ROUND8_NOTES.md §1 — the
+# final 43 never-driver-sampled queries (already green in both fetch modes
+# locally AND in the r8 judge's pandas spot sample) — followed by the 3
+# new round-9 operators. After this round every registered query has >=1
+# hard driver-green row (modulo the 4 designed rows-only sketches'
+# weaker check). The former round-8 head (all green in CORRECTNESS_r08)
+# moves below the line. Names not yet registered are skipped.
 _PRIORITY = [
-    # -- ROUND-8 HEAD: 50 first-time driver rows, zero designed reds ------
-    # round-7 additions (flagship/composed first)
-    "prep_merge_into", "agg_topk_twophase", "events_attribution_markov",
-    "profile_calibration_curve", "join_partition_pruned",
-    "join_bucketed_colocated", "scalar_try_arithmetic", "prep_analyze_stats",
-    "events_growth_accounting", "timeseries_downsample_lttb",
-    "sim_knn_label_eval",
-    # round-7 repaired oracles that never landed a driver row
-    "join_null_safe", "timeseries_forecast_ewma",
-    "events_activity_heatmap", "events_survival_curve",
-    "profile_functional_deps", "source_csvgz_roundtrip",
-    "train_leakage_safe_split", "prep_merge_on_read", "mm_image_histogram",
-    "mm_audio_vad",
-    # never-sampled veterans (pass the local gate in both fetch modes)
-    "text_bm25_topk", "mm_image_ahash", "sim_pq_topk",
-    "q20_dominant_suppliers", "q21_waiting_suppliers", "profile_expectations",
-    "sim_ivfpq_topk", "graph_label_propagation", "mm_audio_energy",
-    "text_novelty_curve", "timeseries_acf", "agg_grouped_median",
-    "graph_bfs_layers", "train_shard_manifest", "profile_chi2",
-    "text_token_diversity", "graph_degree_assortativity",
-    "sim_random_projection", "timeseries_changepoint_cusum",
-    "events_interarrival_dispersion", "sim_mmr_rerank",
-    "timeseries_seasonal_decompose", "agg_mode_exact", "sim_centroid_drift",
-    # new round-8 operators
-    "join_interval_outer", "mm_decode_jpeg", "join_aqe_skew",
-    "sink_jsonl_writer_roundtrip", "values_inline_table",
-    # ---- ~50-sample budget line ----
-    # -- ROUND-9 HEAD (pre-staged): the remaining never-sampled queries ---
+    # -- ROUND-9 HEAD: the last never-sampled queries (pre-staged in r8) --
     "subq_lateral_topn", "events_hazard_rate", "text_langid_confusion",
     "timeseries_rolling_median", "mm_audio_zero_crossings",
     "stream_watermark_audit", "join_asof_nearest", "dedup_canonicalize",
@@ -122,6 +91,35 @@ _PRIORITY = [
     "profile_drift_psi", "profile_k_anonymity", "text_vocab_growth",
     "timeseries_trend_ols", "timeseries_seasonality", "graph_kcore",
     "profile_gini_concentration",
+    # new round-9 operators (first driver rows)
+    "mm_decode_jpeg_420", "sim_pq_refine_topk", "dedup_index_read_committed",
+    # ---- ~50-sample budget line (slots 47-50 re-sample r8-green rows) ---
+    # -- ROUND-8 HEAD (all 50 green in CORRECTNESS_r08) -------------------
+    # round-7 additions (flagship/composed first)
+    "prep_merge_into", "agg_topk_twophase", "events_attribution_markov",
+    "profile_calibration_curve", "join_partition_pruned",
+    "join_bucketed_colocated", "scalar_try_arithmetic", "prep_analyze_stats",
+    "events_growth_accounting", "timeseries_downsample_lttb",
+    "sim_knn_label_eval",
+    # round-7 repaired oracles
+    "join_null_safe", "timeseries_forecast_ewma",
+    "events_activity_heatmap", "events_survival_curve",
+    "profile_functional_deps", "source_csvgz_roundtrip",
+    "train_leakage_safe_split", "prep_merge_on_read", "mm_image_histogram",
+    "mm_audio_vad",
+    # formerly never-sampled veterans
+    "text_bm25_topk", "mm_image_ahash", "sim_pq_topk",
+    "q20_dominant_suppliers", "q21_waiting_suppliers", "profile_expectations",
+    "sim_ivfpq_topk", "graph_label_propagation", "mm_audio_energy",
+    "text_novelty_curve", "timeseries_acf", "agg_grouped_median",
+    "graph_bfs_layers", "train_shard_manifest", "profile_chi2",
+    "text_token_diversity", "graph_degree_assortativity",
+    "sim_random_projection", "timeseries_changepoint_cusum",
+    "events_interarrival_dispersion", "sim_mmr_rerank",
+    "timeseries_seasonal_decompose", "agg_mode_exact", "sim_centroid_drift",
+    # round-8 operators
+    "join_interval_outer", "mm_decode_jpeg", "join_aqe_skew",
+    "sink_jsonl_writer_roundtrip", "values_inline_table",
     # -- everything below already has >=1 green driver row (r3-r7) --------
     "diag_bigint_probe", "agg_incremental_rollup", "ref_total_count",
     "prep_partitioned_serve", "join_semi", "agg_kmv_overlap",

@@ -282,3 +282,88 @@ def test_session_table_gc_drops_and_prunes(spark, tmp_path):
     assert not spark.catalog.tableExists("gc_test_t_mine")
     assert not os.path.isdir(os.path.join(wh, "gc_test_t_mine"))
     os.rmdir(fresh)
+
+
+def test_asof_reader_under_live_writer(spark, tmp_path):
+    """Read-committed under CONCURRENT append (VERDICT r8 next-round #8 —
+    the live twin of read_signature_index_asof): (1) a reader pinned at
+    version 1 before any append must return the SAME rows when collected
+    during an in-flight (torn) append and again after the append commits
+    — pinned history is immutable; (2) the torn state (data files, no
+    marker) is invisible to committed_versions AND unreachable as a
+    version; (3) a genuinely concurrent writer thread appending while the
+    main thread re-reads the committed view: every observed signature
+    count is one of the valid committed-state counts, never a torn
+    intermediate."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.operators.dedup import (
+        append_signature_index,
+        committed_versions,
+        minhash_band_keys,
+        minhash_signatures,
+        read_signature_index,
+        read_signature_index_asof,
+        write_signature_index,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    shard2 = docs.filter(F.col("doc_id") % 3 == 1)
+    shard3 = docs.filter(F.col("doc_id") % 3 == 2)
+    dest = str(tmp_path / "live_index")
+
+    # version 1 committed; reader pins it
+    write_signature_index(base, dest)
+    sigs_v1, _ = read_signature_index_asof(spark, dest, 1)
+    v1_ids = {r["doc_id"] for r in sigs_v1.select("doc_id").collect()}
+    assert v1_ids == {r["doc_id"] for r in base.select("doc_id").collect()}
+
+    # (2) writer mid-append: shard2's data files land, marker not yet
+    sig2 = minhash_signatures(shard2).localCheckpoint(eager=True)
+    sig2.write.parquet(f"{dest}/signatures/batch=inflight00002")
+    minhash_band_keys(sig2).write.parquet(f"{dest}/bands/batch=inflight00002")
+    assert len(committed_versions(dest)) == 1, "torn batch must not be a version"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_signature_index_asof(spark, dest, 2)
+    # pinned reader re-collected DURING the torn append: identical rows
+    assert {r["doc_id"] for r in sigs_v1.select("doc_id").collect()} == v1_ids
+
+    # writer finishes: marker lands (same protocol as write_signature_index)
+    import os
+
+    seq = len(os.listdir(f"{dest}/_committed")) + 1
+    with open(f"{dest}/_committed/{seq:06d}-inflight00002", "w", encoding="utf-8"):
+        pass
+    assert len(committed_versions(dest)) == 2
+    # (1) pinned v1 reader AFTER the commit: still exactly version 1
+    fresh_v1, _ = read_signature_index_asof(spark, dest, 1)
+    assert {r["doc_id"] for r in fresh_v1.select("doc_id").collect()} == v1_ids
+    n_v2 = read_signature_index_asof(spark, dest, 2)[0].count()
+    assert n_v2 == len(v1_ids) + shard2.count()
+
+    # (3) live concurrent writer: every committed-view read during the
+    # append sees a VALID state (v2 count or v3 count), never a torn one
+    err: list[BaseException] = []
+
+    def appender() -> None:
+        try:
+            append_signature_index(shard3, dest)
+        except BaseException as e:  # noqa: BLE001 — surface in main thread
+            err.append(e)
+
+    t = threading.Thread(target=appender)
+    t.start()
+    valid = {n_v2, n_v2 + shard3.count()}
+    while t.is_alive():
+        n = read_signature_index(spark, dest)[0].count()
+        assert n in valid, f"torn intermediate visible: {n} not in {valid}"
+    t.join()
+    assert not err, err
+    assert read_signature_index(spark, dest)[0].count() == n_v2 + shard3.count()
+    assert len(committed_versions(dest)) == 3
