@@ -217,6 +217,7 @@ HEADLINE = [
     "mm_decode_jpeg",
     # round-9 additions
     "mm_decode_jpeg_420",
+    "mm_decode_jpeg_progressive",
     "sim_pq_refine_topk",
     "dedup_index_read_committed",
     # udtf_top_bigrams is deliberately absent: it is the documented
@@ -381,6 +382,7 @@ def main() -> None:
         "sink_jsonl_writer_roundtrip": "jsonl_sink_build",
         "mm_decode_jpeg": "jpeg_fixture_build",
         "mm_decode_jpeg_420": "jpeg420_fixture_build",
+        "mm_decode_jpeg_progressive": "jpeg_prog_fixture_build",
         "dedup_index_read_committed": "asof_torn_index_build",
     }
 

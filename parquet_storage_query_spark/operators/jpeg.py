@@ -1,16 +1,20 @@
 """Pure-stdlib baseline JPEG (SOF0) codec — the second REAL image format
 (VERDICT r7 next-round #4; PNG/PPM landed in round 6).
 
-`decode_jpeg` is a working general baseline decoder: marker walk, DQT /
-DHT / SOF0 / DRI / SOS parsing, canonical Huffman decode with 0xFF00
-byte-unstuffing and RSTn handling, DC DPCM + magnitude extension, AC
-run-length (EOB/ZRL), dequantization, de-zigzag, 8x8 IDCT (exact DCT-III
-basis, numpy matrix form), level shift + clamp, MCU-interleaved
-CHROMA-SUBSAMPLED scans (4:2:0 / 4:2:2 / 4:4:0 — any integral sampling
-ratio, decoded per-component at native resolution then replicated up,
-T.81 §A.1.1/A.2.3), and YCbCr->RGB conversion. Progressive (SOF2)
-still raises NotImplementedError — the documented hook where a
-deployment plugs a C codec in (same boundary as PNG's interlace).
+`decode_jpeg` is a working general Huffman JPEG decoder: marker walk,
+DQT / DHT / SOF0 / SOF2 / DRI / SOS parsing, canonical Huffman decode
+with 0xFF00 byte-unstuffing and RSTn handling, DC DPCM + magnitude
+extension, AC run-length (EOB/ZRL), dequantization, de-zigzag, 8x8 IDCT
+(exact DCT-III basis, numpy matrix form), level shift + clamp,
+MCU-interleaved CHROMA-SUBSAMPLED scans (4:2:0 / 4:2:2 / 4:4:0 — any
+integral sampling ratio, decoded per-component at native resolution
+then replicated up, T.81 §A.1.1/A.2.3), PROGRESSIVE (SOF2) multi-scan
+streams (Annex G: spectral selection, successive approximation with DC
+refinement bits and §G.1.2.3 AC correction-bit refinement, EOB-run
+batching — round 9), and YCbCr->RGB conversion. Arithmetic-coded
+(SOF9+) and hierarchical (SOF5+) frames raise NotImplementedError — the
+documented hook where a deployment plugs a C codec in (same boundary as
+PNG's interlace).
 
 `encode_jpeg_blocks` is the fixture generator: a grayscale baseline JPEG
 whose 8x8 blocks are each CONSTANT. Constant blocks make the lossy
@@ -233,16 +237,23 @@ def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 
 def decode_jpeg(data: bytes, components: bool = False):
-    """Decode a baseline (SOF0) JPEG, including chroma-subsampled scans
-    (4:2:0/4:2:2/…, any integral sampling ratio). Returns (width, height,
-    channels, pixels) with interleaved uint8 bytes — grayscale
-    (1 component) or YCbCr converted to RGB (3 components). With
-    `components=True` returns (width, height, ncomp, [plane, ...])
-    instead: each component's uint8 plane UPSAMPLED to full resolution
-    and cropped, BEFORE color conversion — the integer-exact surface
-    mm_decode_jpeg_420's oracle replays (the RGB matrix is float and
-    stays pytest-pinned, not oracle-checked). Progressive inputs raise
-    NotImplementedError (documented hook)."""
+    """Decode a baseline (SOF0) or PROGRESSIVE (SOF2) JPEG, including
+    chroma-subsampled scans (4:2:0/4:2:2/…, any integral sampling
+    ratio). Returns (width, height, channels, pixels) with interleaved
+    uint8 bytes — grayscale (1 component) or YCbCr converted to RGB
+    (3 components). With `components=True` returns (width, height,
+    ncomp, [plane, ...]) instead: each component's uint8 plane UPSAMPLED
+    to full resolution and cropped, BEFORE color conversion — the
+    integer-exact surface the mm_decode_jpeg_* oracles replay (the RGB
+    matrix is float and stays pytest-pinned, not oracle-checked).
+
+    Progressive decode (T.81 Annex G, round 9): coefficients accumulate
+    across scans in a per-component zigzag store — spectral selection
+    (Ss/Se bands per scan), successive approximation (DC point
+    transform + refinement bits, AC first/refine with EOB-run batching,
+    §G.1.2.2-3) — and one dequant+IDCT pass reconstructs after EOI.
+    Arithmetic coding (SOF9+) and hierarchical (SOF5+) stay
+    NotImplementedError hooks."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
     pos = 2
@@ -252,6 +263,8 @@ def decode_jpeg(data: bytes, components: bool = False):
     width = height = None
     comps: list[tuple[int, int, int, int]] = []  # (id, h_samp, v_samp, qid)
     restart_interval = 0
+    progressive = False
+    coeffs: list[np.ndarray] = []  # per component: (gh, gw, 64) zigzag ints
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
@@ -287,7 +300,8 @@ def decode_jpeg(data: bytes, components: bool = False):
                 table = _build_decode_table(bits, vals)
                 (huff_ac if class_id >> 4 else huff_dc)[class_id & 0x0F] = table
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
@@ -299,8 +313,15 @@ def decode_jpeg(data: bytes, components: bool = False):
             vmax = max(vs for _, _, vs, _ in comps)
             if any(hmax % hs or vmax % vs for _, hs, vs, _ in comps):
                 raise NotImplementedError("JPEG: non-integral sampling ratio")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("JPEG: only baseline SOF0 supported")
+            if progressive:
+                mcux = (width + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+                coeffs = [
+                    np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+                    for _, hs, vs, _ in comps
+                ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("JPEG: only SOF0/SOF2 Huffman frames supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -310,11 +331,23 @@ def decode_jpeg(data: bytes, components: bool = False):
                 cid, tbl = body[1 + 2 * c], body[2 + 2 * c]
                 idx = next(i for i, comp in enumerate(comps) if comp[0] == cid)
                 scan.append((idx, tbl >> 4, tbl & 0x0F))
-            return _decode_scan(
-                data, pos, width, height, comps, scan,
-                quant, huff_dc, huff_ac, restart_interval, components,
+            if not progressive:
+                return _decode_scan(
+                    data, pos, width, height, comps, scan,
+                    quant, huff_dc, huff_ac, restart_interval, components,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos, width, height, comps, scan, coeffs,
+                huff_dc, huff_ac, restart_interval,
+                ss, se, ah_al >> 4, ah_al & 0x0F,
             )
         # APPn / COM / anything else: skipped
+    if progressive and coeffs:
+        return _reconstruct_progressive(
+            width, height, comps, coeffs, quant, components
+        )
     raise ValueError("JPEG: no SOS marker found")
 
 
@@ -381,10 +414,19 @@ def _decode_scan(
                         c0 = (mx * hs + bxx) * 8
                         planes[si][r0 : r0 + 8, c0 : c0 + 8] = px
             mcu += 1
+    samps = [(comps[ci][1], comps[ci][2]) for ci, _, _ in scan]
+    return _assemble_output(planes, samps, width, height, components)
+
+
+def _assemble_output(planes, samps, width, height, components):
+    """Shared output tail (baseline + progressive): upsample each
+    component's native-resolution float plane by replication, crop,
+    clamp, and either return the planes (`components=True`) or convert
+    YCbCr->RGB / emit grayscale bytes."""
+    hmax = max(hs for hs, _ in samps)
+    vmax = max(vs for _, vs in samps)
     full = []
-    for si, (ci, _, _) in enumerate(scan):
-        _, hs, vs, _ = comps[ci]
-        p = planes[si]
+    for p, (hs, vs) in zip(planes, samps):
         if hs != hmax or vs != vmax:  # replicate up to full resolution
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:height, :width])
@@ -403,6 +445,192 @@ def _decode_scan(
         )
         return width, height, 3, rgb.tobytes()
     raise NotImplementedError(f"JPEG: {len(out)}-component scan unsupported")
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding — T.81 Annex G
+# ---------------------------------------------------------------------------
+
+
+def _decode_progressive_scan(
+    data, pos, width, height, comps, scan, coeffs, huff_dc, huff_ac, dri,
+    ss, se, ah, al,
+):
+    """Decode ONE progressive scan's entropy segment into the coefficient
+    store and return the stream position of the next marker. Four scan
+    kinds (T.81 §G.1.2): DC first (DPCM of the point-transformed DC,
+    interleaved or not), DC refinement (one raw bit per data unit), AC
+    first (run-length with EOB-run batching, always non-interleaved),
+    AC refinement (correction bits for already-significant coefficients
+    woven between newly-significant ones, §G.1.2.3)."""
+    reader = _BitReader(data, pos)
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    pred = [0] * len(scan)
+    eobrun = 0
+
+    def restart():
+        nonlocal pred, eobrun
+        reader.align()
+        p = reader.pos
+        while data[p] == 0xFF and data[p + 1] == 0xFF:
+            p += 1
+        if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+            reader.pos = p + 2
+        pred = [0] * len(scan)
+        eobrun = 0
+
+    def dc_first(zz, dc_tbl, si):
+        size = _decode_huff(reader, dc_tbl)
+        diff = _extend(reader.read_bits(size), size)
+        pred[si] += diff
+        zz[0] = pred[si] << al
+
+    def dc_refine(zz):
+        # two's-complement |= appends the next magnitude bit for either
+        # sign (the same trick libjpeg documents; the encoder sends
+        # bit (coeff >> al) & 1)
+        if reader.read_bit():
+            zz[0] |= 1 << al
+
+    def ac_first(zz, ac_tbl):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_huff(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC run past band end")
+            zz[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(zz, ac_tbl):
+        nonlocal eobrun
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huff(reader, ac_tbl)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    val = 0  # ZRL: cross 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG: AC refine magnitude must be 1")
+                    val = p1 if reader.read_bit() else m1
+                # advance: correction bits for nonzero-history positions,
+                # counting down r across zero-history ones
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.read_bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            # EOB phase: the rest of this block still carries correction
+            # bits for its already-significant coefficients
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    if len(scan) > 1:
+        # interleaved — legal only for DC scans (T.81 §G.1.1.1)
+        if ss != 0:
+            raise ValueError("JPEG: interleaved progressive AC scan")
+        mcux = (width + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu and mcu % dri == 0:
+                    restart()
+                for si, (ci, dc_id, _ac_id) in enumerate(scan):
+                    _, hs, vs, _ = comps[ci]
+                    for byy in range(vs):
+                        for bxx in range(hs):
+                            zz = coeffs[ci][my * vs + byy, mx * hs + bxx]
+                            if ah == 0:
+                                dc_first(zz, huff_dc[dc_id], si)
+                            else:
+                                dc_refine(zz)
+                mcu += 1
+    else:
+        ci, dc_id, ac_id = scan[0]
+        _, hs, vs, _ = comps[ci]
+        cw = -(-width * hs // hmax)  # component's own dims (ceil)
+        ch = -(-height * vs // vmax)
+        bw, bh = (cw + 7) // 8, (ch + 7) // 8
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and unit and unit % dri == 0:
+                    restart()
+                zz = coeffs[ci][by, bx]
+                if ss == 0 and ah == 0:
+                    dc_first(zz, huff_dc[dc_id], 0)
+                elif ss == 0:
+                    dc_refine(zz)
+                elif ah == 0:
+                    ac_first(zz, huff_ac[ac_id])
+                else:
+                    ac_refine(zz, huff_ac[ac_id])
+                unit += 1
+
+    # advance to the next marker (skip pad bits, stuffed bytes, RSTn)
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            break
+        p += 1
+    return p
+
+
+def _reconstruct_progressive(width, height, comps, coeffs, quant, components):
+    """One dequant + IDCT pass over the accumulated coefficient store
+    (all scans applied), vectorized per component: de-zigzag by fancy
+    indexing, broadcast dequant, batched matmul IDCT (the same
+    _B @ block @ _B.T contraction as the baseline path)."""
+    planes = []
+    for (_cid, hs, vs, qid), cf in zip(comps, coeffs):
+        q = quant[qid].astype(np.float64)
+        gh, gw, _ = cf.shape
+        raster = np.zeros((gh, gw, 64), dtype=np.float64)
+        raster[..., _ZZ_NP] = cf
+        raster *= q[None, None, :]
+        blocks = raster.reshape(gh, gw, 8, 8)
+        px = np.matmul(np.matmul(_B, blocks), _B.T) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8))
+    samps = [(hs, vs) for _, hs, vs, _ in comps]
+    return _assemble_output(planes, samps, width, height, components)
 
 
 # ---------------------------------------------------------------------------
@@ -467,6 +695,138 @@ def encode_jpeg_blocks(
     )
 
 
+# progressive fixture AC table: EOBn (r<<4 | 0, r 0..14) for EOB-run
+# batching, ZRL (0xF0), and (run 0..15, size 1..4) symbols — 80 symbols,
+# canonical 32 at length 6 + 48 at length 7 (Kraft 32/64 + 48/128 < 1)
+FIX_AC_PROG_VALS = [(r << 4) | s for r in range(16) for s in range(5)]
+FIX_AC_PROG_BITS = [0, 0, 0, 0, 0, 32, 48, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _sos_seg(comp_specs, ss: int, se: int, ah: int, al: int) -> bytes:
+    body = (
+        bytes([len(comp_specs)])
+        + b"".join(bytes([cid, tbl]) for cid, tbl in comp_specs)
+        + bytes([ss, se, (ah << 4) | al])
+    )
+    return _seg(0xDA, body)
+
+
+def _write_eobrun(w: "_BitWriter", ac_enc, n: int) -> None:
+    """Emit one EOBn symbol covering an n-block end-of-band run
+    (n in 1..32767): r = floor(log2 n), then r extra bits of n - 2^r."""
+    assert 1 <= n < 32768, n
+    r = n.bit_length() - 1
+    code, length = ac_enc[r << 4]
+    w.write(code, length)
+    if r:
+        w.write(n - (1 << r), r)
+
+
+def encode_jpeg_progressive(blocks_w: int, blocks_h: int, values) -> bytes:
+    """PROGRESSIVE (SOF2) grayscale fixture with the same exactness
+    construction as encode_jpeg_blocks — block i is the constant
+    values[i] — rendered as a REAL three-scan progressive stream:
+
+      scan 1  DC first        (Ss=0 Se=0  Ah=0 Al=1): DPCM of dc >> 1
+      scan 2  DC refinement   (Ss=0 Se=0  Ah=1 Al=0): one raw bit/block
+      scan 3  AC first        (Ss=1 Se=63 Ah=0 Al=0): all-zero band
+              encoded as one EOB-run over every block (EOBn batching)
+
+    Every progressive structure the constant fixture can reach is real:
+    per-scan SOS headers with spectral selection + successive
+    approximation, the split DC (coarse bits then refinement bits whose
+    two's-complement reassembly must be exact for BOTH DPCM signs), and
+    EOBn run batching. Nonzero-AC first/refine scans (incl. ZRL crossing
+    and correction bits) are pinned by the sparse-coefficient pytest via
+    _encode_progressive_coeff_blocks. Decoded output is bit-identical to
+    the baseline encoding of the same values — which is what lets
+    mm_decode_jpeg_progressive share the closed-form oracle algebra."""
+    dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
+    sof = struct.pack(">BHHB", 8, blocks_h * 8, blocks_w * 8, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(FIX_DC_BITS) + bytes(FIX_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(FIX_AC_PROG_BITS) + bytes(FIX_AC_PROG_VALS)
+    dc_enc = _build_encode_table(FIX_DC_BITS, FIX_DC_VALS)
+    ac_enc = _build_encode_table(FIX_AC_PROG_BITS, FIX_AC_PROG_VALS)
+    out = bytearray(
+        b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof) + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
+    )
+    # scan 1: DC first, Al=1 (arithmetic shift matches the decoder's <<)
+    w = _BitWriter()
+    pred = 0
+    for v in values:
+        t = (int(v) - 128) >> 1
+        diff = t - pred
+        pred = t
+        size = _category(diff)
+        code, length = dc_enc[size]
+        w.write(code, length)
+        w.write(_mag_bits(diff, size), size)
+    out += _sos_seg([(1, 0x00)], 0, 0, 0, 1) + w.flush()
+    # scan 2: DC refinement, one raw bit per block (bit 0 of dc)
+    w = _BitWriter()
+    for v in values:
+        w.write((int(v) - 128) & 1, 1)
+    out += _sos_seg([(1, 0x00)], 0, 0, 1, 0) + w.flush()
+    # scan 3: AC band 1..63, all zero -> a single EOB-run over all blocks
+    w = _BitWriter()
+    _write_eobrun(w, ac_enc, len(list(values)))
+    out += _sos_seg([(1, 0x00)], 1, 63, 0, 0) + w.flush()
+    return bytes(out + b"\xff\xd9")
+
+
+def encode_jpeg_progressive_color(mcus_w: int, mcus_h: int, triplets) -> bytes:
+    """PROGRESSIVE + 4:2:0 fixture: constant (Y, Cb, Cr) per 16x16
+    macroblock (encode_jpeg_color's exactness construction) as a
+    five-scan SOF2 stream — DC first INTERLEAVED over all three
+    components (the ns>1 MCU path, Y,Y,Y,Y,Cb,Cr per MCU with
+    per-component DPCM predictors, Al=1), DC refine interleaved, then
+    one all-zero AC-first scan PER COMPONENT (progressive AC scans are
+    always non-interleaved, iterated in the component's OWN block grid —
+    ceil(comp_dim/8), not the MCU grid) batched as single EOB-runs."""
+    width, height = mcus_w * 16, mcus_h * 16
+    dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dht_dc = bytes([0x00]) + bytes(FIX_DC_BITS) + bytes(FIX_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(FIX_AC_PROG_BITS) + bytes(FIX_AC_PROG_VALS)
+    dc_enc = _build_encode_table(FIX_DC_BITS, FIX_DC_VALS)
+    ac_enc = _build_encode_table(FIX_AC_PROG_BITS, FIX_AC_PROG_VALS)
+    out = bytearray(
+        b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof) + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
+    )
+    specs = [(1, 0x00), (2, 0x00), (3, 0x00)]
+
+    def dc_scan(al: int, refine: bool) -> "_BitWriter":
+        w = _BitWriter()
+        pred = [0, 0, 0]
+        for y, cb, cr in triplets:  # row-major MCUs
+            for ci, (v, nblocks) in enumerate(((y, 4), (cb, 1), (cr, 1))):
+                for _ in range(nblocks):
+                    dc = int(v) - 128
+                    if refine:
+                        w.write((dc >> al) & 1, 1)
+                        continue
+                    t = dc >> al
+                    diff = t - pred[ci]
+                    pred[ci] = t
+                    size = _category(diff)
+                    code, length = dc_enc[size]
+                    w.write(code, length)
+                    w.write(_mag_bits(diff, size), size)
+        return w
+
+    out += _sos_seg(specs, 0, 0, 0, 1) + dc_scan(1, refine=False).flush()
+    out += _sos_seg(specs, 0, 0, 1, 0) + dc_scan(0, refine=True).flush()
+    # per-component AC scans over the component's own block grid
+    comp_blocks = [(2 * mcus_w) * (2 * mcus_h), mcus_w * mcus_h, mcus_w * mcus_h]
+    for cid, nblocks in zip((1, 2, 3), comp_blocks):
+        w = _BitWriter()
+        _write_eobrun(w, ac_enc, nblocks)
+        out += _sos_seg([(cid, 0x00)], 1, 63, 0, 0) + w.flush()
+    return bytes(out + b"\xff\xd9")
+
+
 def encode_jpeg_color(
     mcus_w: int,
     mcus_h: int,
@@ -526,6 +886,137 @@ def encode_jpeg_color(
                 code, length = ac_enc[0x00]  # EOB
                 w.write(code, length)
     return head + w.flush() + b"\xff\xd9"
+
+
+def _encode_progressive_coeff_blocks(
+    blocks: "list[np.ndarray]", blocks_w: int, blocks_h: int
+) -> bytes:
+    """Test-only PROGRESSIVE encoder over QUANTIZED coefficient blocks
+    (raster 8x8 int arrays): four-scan script exercising every
+    progressive decode path the constant fixtures cannot —
+
+      1. DC first  (Al=1)      3. AC first   (Ss=1..63, Al=1)
+      2. DC refine (Al=0)      4. AC refine  (Ss=1..63, Ah=1, Al=0)
+
+    The AC-refine bitstream is generated in exact decoder-consumption
+    order (§G.1.2.3): per newly-significant coefficient, ZRLs cross 16
+    zero-history positions each (with the crossed nonzero-history
+    positions' correction bits embedded in position order), then the
+    (r, 1) symbol + sign bit + the remaining crossed correction bits;
+    blocks with no newly-significant coefficients batch into EOB-runs
+    whose covered correction bits follow the EOBn symbol. Constraints:
+    point-transformed categories <= 4 (|coeff| <= 31), AC magnitudes
+    either |c| == 1 (newly significant at Al=0) or even histories…
+    any |c| <= 31 works: history = sign(c)*(|c|>>1)<<1, correction
+    bit = |c| & 1."""
+    dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
+    sof = struct.pack(">BHHB", 8, blocks_h * 8, blocks_w * 8, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(FIX_DC_BITS) + bytes(FIX_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(FIX_AC_PROG_BITS) + bytes(FIX_AC_PROG_VALS)
+    dc_enc = _build_encode_table(FIX_DC_BITS, FIX_DC_VALS)
+    ac_enc = _build_encode_table(FIX_AC_PROG_BITS, FIX_AC_PROG_VALS)
+    zzs = [[int(b.reshape(64)[ZIGZAG[z]]) for z in range(64)] for b in blocks]
+    out = bytearray(
+        b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof) + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
+    )
+
+    def pt(v: int, al: int) -> int:  # AC point transform: truncate toward 0
+        return -((-v) >> al) if v < 0 else v >> al
+
+    # scan 1: DC first (Al=1, arithmetic shift per spec)
+    w = _BitWriter()
+    pred = 0
+    for zz in zzs:
+        t = zz[0] >> 1
+        diff = t - pred
+        pred = t
+        size = _category(diff)
+        code, length = dc_enc[size]
+        w.write(code, length)
+        w.write(_mag_bits(diff, size), size)
+    out += _sos_seg([(1, 0x00)], 0, 0, 0, 1) + w.flush()
+    # scan 2: DC refine — raw bit 0 of each DC
+    w = _BitWriter()
+    for zz in zzs:
+        w.write(zz[0] & 1, 1)
+    out += _sos_seg([(1, 0x00)], 0, 0, 1, 0) + w.flush()
+    # scan 3: AC first at Al=1 over t[k] = pt(c[k], 1), per-block EOB0
+    w = _BitWriter()
+    for zz in zzs:
+        k = 1
+        while k <= 63:
+            run = 0
+            j = k
+            while j <= 63 and pt(zz[j], 1) == 0:
+                run += 1
+                j += 1
+            if j > 63:
+                code, length = ac_enc[0x00]  # EOB (run of 1)
+                w.write(code, length)
+                break
+            while run >= 16:
+                code, length = ac_enc[0xF0]
+                w.write(code, length)
+                run -= 16
+            t = pt(zz[j], 1)
+            size = _category(t)
+            code, length = ac_enc[(run << 4) | size]
+            w.write(code, length)
+            w.write(_mag_bits(t, size), size)
+            k = j + 1
+    out += _sos_seg([(1, 0x00)], 1, 63, 0, 1) + w.flush()
+    # scan 4: AC refine at Al=0 (history = t << 1; corr bit = |c| & 1)
+    w = _BitWriter()
+    pending_eob = 0
+    pending_bits: list[int] = []
+
+    def flush_eob() -> None:
+        nonlocal pending_eob, pending_bits
+        if pending_eob:
+            _write_eobrun(w, ac_enc, pending_eob)
+            for bit in pending_bits:
+                w.write(bit, 1)
+            pending_eob = 0
+            pending_bits = []
+
+    for zz in zzs:
+        hist = [pt(zz[k], 1) << 1 for k in range(64)]
+        newsig = [k for k in range(1, 64) if zz[k] != 0 and hist[k] == 0]
+        if not newsig:
+            pending_eob += 1
+            pending_bits += [abs(zz[k]) & 1 for k in range(1, 64) if hist[k] != 0]
+            if pending_eob == 32767:
+                flush_eob()
+            continue
+        flush_eob()
+        cursor = 1
+        for k in newsig:
+            # positions cursor..k-1: zero-history slots + corr bits
+            zeros = sum(1 for p in range(cursor, k) if hist[p] == 0)
+            while zeros > 15:
+                code, length = ac_enc[0xF0]
+                w.write(code, length)
+                crossed = 0
+                while crossed < 16:  # cross 16 zero-history positions
+                    if hist[cursor] != 0:
+                        w.write(abs(zz[cursor]) & 1, 1)
+                    else:
+                        crossed += 1
+                    cursor += 1
+                zeros -= 16
+            code, length = ac_enc[(zeros << 4) | 1]
+            w.write(code, length)
+            w.write(1 if zz[k] > 0 else 0, 1)  # sign bit of the new +-1
+            for p in range(cursor, k):
+                if hist[p] != 0:
+                    w.write(abs(zz[p]) & 1, 1)
+            cursor = k + 1
+        # tail of this block rides the next EOB run's correction phase
+        pending_eob = 1
+        pending_bits = [abs(zz[p]) & 1 for p in range(cursor, 64) if hist[p] != 0]
+    flush_eob()
+    out += _sos_seg([(1, 0x00)], 1, 63, 1, 0) + w.flush()
+    return bytes(out + b"\xff\xd9")
 
 
 def _encode_coeff_blocks(blocks: "list[np.ndarray]", blocks_w: int, blocks_h: int) -> bytes:

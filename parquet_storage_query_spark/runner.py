@@ -6,6 +6,18 @@ data-prep jobs then the query jobs in order, timing each and printing a
 Config shape (dict, or YAML/JSON file path):
 
     app_name: my-run            # optional
+    spark_conf:                 # optional: session/filesystem conf seam
+      # This is where a real deployment selects its storage credentials —
+      # the analogue of the reference's AuthenticationMode enum
+      # (CFG/AuthenticationMode.cs:3-8 ConnectionString/AccountKey/
+      # UserCredentials selecting how PG:56-102 builds its BlobClients).
+      # Local parquet needs none, so the runner only APPLIES what the
+      # config names: "fs.*"/"dfs.*" keys go to the live Hadoop
+      # configuration (e.g. fs.azure.account.auth.type.<acct>: OAuth and
+      # its provider/id/secret keys, or fs.s3a.aws.credentials.provider),
+      # everything else to runtime SQL conf. Static-only Spark confs are
+      # reported as skipped rather than failing the run.
+      spark.sql.shuffle.partitions: "64"
     data_prep:                  # optional, run first (PG:35)
       - kind: convert           # D3
         src: /data/raw_csv
@@ -95,6 +107,34 @@ def _differential(name: str, sf_dir: str, spark_rows: list[tuple], spark_cols: l
     return {"differential": "match" if match else "MISMATCH", "oracle_rows": len(orows)}
 
 
+def _apply_spark_conf(
+    spark: SparkSession, conf: dict[str, Any]
+) -> tuple[list[str], list[str]]:
+    """Apply the config's `spark_conf` seam (module docstring): filesystem
+    keys ("fs."/"dfs.") land on the live Hadoop configuration — the only
+    place credentials set after session start take effect — and the rest
+    on runtime SQL conf. Returns (applied, skipped) key lists; a
+    static-only Spark conf is skipped with a console note instead of
+    failing the run (the reference's config loader is similarly lenient
+    about unknown keys, PG:44-54)."""
+    applied: list[str] = []
+    skipped: list[str] = []
+    hadoop = spark.sparkContext._jsc.hadoopConfiguration()
+    for key, value in conf.items():
+        sval = str(value)
+        if key.startswith(("fs.", "dfs.")):
+            hadoop.set(key, sval)
+            applied.append(key)
+            continue
+        try:
+            spark.conf.set(key, sval)
+            applied.append(key)
+        except Exception as exc:  # static conf after session start
+            print(f"spark_conf skipped {key}: {exc}")
+            skipped.append(key)
+    return applied, skipped
+
+
 def run(config: str | dict[str, Any], spark: SparkSession | None = None) -> dict[str, Any]:
     """Execute the config: prep jobs, then query jobs (PG:35-40 order).
     Returns a report dict; also prints per-job lines like the reference's
@@ -104,6 +144,9 @@ def run(config: str | dict[str, Any], spark: SparkSession | None = None) -> dict
     queries = all_queries()
 
     report: dict[str, Any] = {"prep": [], "queries": []}
+    applied, skipped = _apply_spark_conf(spark, cfg.get("spark_conf") or {})
+    if applied or skipped:
+        report["spark_conf"] = {"applied": applied, "skipped": skipped}
     for job in cfg.get("data_prep", []) or []:
         res = _run_prep(spark, job)
         print(f"prep {res['kind']} -> {res['dest']}: {res['seconds']}s")

@@ -473,8 +473,10 @@ def test_jpeg_codec_roundtrip():
         stuffing) pushed through the entropy layer must decode to exactly
         the independent dequant+IDCT replay of the same coefficients —
         pins the AC path the DC-only fixtures never reach;
-    (3) unsupported shapes (progressive SOF2, missing SOI) fail loudly,
-        and decode_image dispatches on the 0xFFD8 magic."""
+    (3) unsupported shapes (arithmetic-coded SOF9, missing SOI) fail
+        loudly, and decode_image dispatches on the 0xFFD8 magic
+        (progressive SOF2 moved from this loud-failure list to a real
+        decode path in round 9 — test_jpeg_progressive_roundtrip)."""
     import numpy as np
 
     from parquet_storage_query_spark.operators.jpeg import (
@@ -521,9 +523,9 @@ def test_jpeg_codec_roundtrip():
     import pytest as _pytest
 
     good = encode_jpeg_blocks(1, 1, [42])
-    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    arithmetic = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(progressive)
+        decode_jpeg(arithmetic)
     with _pytest.raises(ValueError):
         decode_jpeg(b"\x00\x00" + good[2:])
 
@@ -690,6 +692,78 @@ def test_jpeg_420_subsampled_roundtrip():
     arr[sof_at + 14] = 0x21  # comp 2 (Cb): h=2, v=1
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(arr))
+
+
+def test_jpeg_progressive_roundtrip():
+    """Progressive (SOF2) decode — the Annex-G multi-scan path (round 9):
+    (1) grayscale three-scan fixtures (DC split into first+refinement
+        bits, all-zero AC band as one EOB-run) decode bit-exactly across
+        the full value range including both DPCM signs;
+    (2) random sparse coefficients through the FOUR-scan script (DC
+        first/refine + AC first at Al=1 + AC REFINE at Al=0: newly
+        significant placement, ZRL crossing with embedded correction
+        bits, EOB-run correction phases) must equal the independent
+        dequant+IDCT replay — the refinement algebra has no slack;
+    (3) progressive + 4:2:0 color with INTERLEAVED DC scans and
+        per-component AC band scans decodes exactly (components surface);
+    (4) arithmetic-coded frames stay a loud NotImplementedError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.jpeg import (
+        FIX_QUANT,
+        ZIGZAG,
+        _encode_progressive_coeff_blocks,
+        decode_jpeg,
+        encode_jpeg_progressive,
+        encode_jpeg_progressive_color,
+        idct_8x8,
+    )
+    from parquet_storage_query_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(92)
+    # (1) constant-block grayscale fixtures (dispatch via 0xFFD8 magic)
+    for vals in ([0, 255, 1, 254], rng.integers(0, 256, 12).tolist()):
+        bw, bh = 2, len(vals) // 2
+        w, h, ch, px = decode_image(encode_jpeg_progressive(bw, bh, vals))
+        assert (w, h, ch) == (bw * 8, bh * 8, 1)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+        for b, v in enumerate(vals):
+            by, bx = divmod(b, bw)
+            assert (arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v).all()
+    # (2) sparse random coefficients, 4-scan successive approximation
+    for _ in range(10):
+        blocks = []
+        for _b in range(6):
+            blk = np.zeros((8, 8), dtype=np.int64)
+            blk[0, 0] = int(rng.integers(-31, 32))
+            for _c in range(int(rng.integers(0, 8))):
+                pos = int(rng.integers(1, 64))
+                blk.reshape(64)[ZIGZAG[pos]] = int(rng.integers(1, 32)) * int(
+                    rng.choice([-1, 1])
+                )
+            blocks.append(blk)
+        w, h, ch, px = decode_jpeg(_encode_progressive_coeff_blocks(blocks, 2, 3))
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(np.float64)
+        for b, blk in enumerate(blocks):
+            by, bx = divmod(b, 2)
+            deq = (blk * FIX_QUANT.reshape(8, 8)).astype(np.float64)
+            want = np.clip(np.round(idct_8x8(deq) + 128), 0, 255)
+            assert (arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == want).all(), b
+    # (3) progressive + 4:2:0 + interleaved DC
+    trip = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(6)]
+    w, h, nc, planes = decode_jpeg(
+        encode_jpeg_progressive_color(3, 2, trip), components=True
+    )
+    assert (w, h, nc) == (48, 32, 3)
+    for m, ycc in enumerate(trip):
+        my, mx = divmod(m, 3)
+        for pi, v in enumerate(ycc):
+            assert (planes[pi][my * 16 : (my + 1) * 16, mx * 16 : (mx + 1) * 16] == v).all()
+    # (4) arithmetic coding (SOF9) stays a hook
+    good = encode_jpeg_progressive(1, 1, [42])
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(good.replace(b"\xff\xc2", b"\xff\xc9", 1))
 
 
 def test_wav_codec_roundtrip():
