@@ -45,9 +45,12 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
       filter implementation and mm_decode_png value-checks channel sums
       against a closed-form DuckDB replay), not a stub.
     - PPM (P6, maxval 255): header parse + raw RGB.
-    - Anything else (JPEG etc. need real codec libs this container lacks)
-      still raises NotImplementedError — the documented hook where a
-      deployment plugs Pillow/ffmpeg in.
+    - JPEG (0xFFD8 magic): the operators/jpeg.py Huffman decoder —
+      baseline SOF0 (incl. 4:2:0/4:2:2 chroma subsampling) and
+      progressive SOF2 (rounds 8-9).
+    - Anything else (webp/avif/arithmetic JPEG need codec libs this
+      container lacks) still raises NotImplementedError — the documented
+      hook where a deployment plugs Pillow/ffmpeg in.
 
     Perf note: the unfilter loop is pure Python per scanline byte — fine
     for metadata/feature extraction on fixture-sized images; a production
@@ -58,10 +61,10 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] == b"P6":
         return _decode_ppm(data)
     if data[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg  # baseline SOF0, round-8 real format
+        from .jpeg import decode_jpeg  # SOF0/SOF2 Huffman, rounds 8-9
 
         return decode_jpeg(data)
-    raise NotImplementedError("only PNG/PPM/baseline-JPEG decodable without codec libraries")
+    raise NotImplementedError("only PNG/PPM/Huffman-JPEG decodable without codec libraries")
 
 
 def _decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
