@@ -338,6 +338,81 @@ def _jaccard_verified(cand: DataFrame, hs_a: DataFrame, hs_b: DataFrame) -> Data
     return pairs.filter(jac >= 0.5).select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
 
 
+# MinHash band-bucket density guard (round 9 — the 30x probe measured
+# dedup_minhash_lsh at 14.96x wall for 3x data on the replica-scaled
+# corpus: replication inflates duplicate-cluster sizes ~linearly with
+# scale, so per-bucket co-occupancy and the candidate-verify work grow
+# quadratically. On REAL corpora a document's duplicate count is set by
+# the data, not the corpus size — same documented class as the interval
+# join and the cos-LSH bulk. The guard makes the caveat observed
+# behavior: one census aggregate over the band keys before the self-join
+# estimates candidate pairs Σ n_b·(n_b−1)/2; above MH_PAIRS_PER_DOC per
+# document it LOGS (the registered query is exact-oracle-checked, so it
+# never caps), and approximate callers may pass a per-bucket budget
+# (deterministic hash-ranked keep, mirroring _bucket_capped).
+MH_PAIRS_PER_DOC = 32.0
+LAST_MH_GUARD: dict[str, float | int | bool] = {}
+
+
+def minhash_density_guard(bands: DataFrame, budget: int | None = None) -> DataFrame:
+    import logging
+
+    log = logging.getLogger(__name__)
+    census = (
+        bands.groupBy("band", "bhash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0.0)).alias("pairs"),
+            F.coalesce(F.max("n"), F.lit(0)).alias("worst"),
+            (F.coalesce(F.sum("n"), F.lit(0)) / N_BANDS).alias("docs"),
+        )
+        .collect()[0]
+    )
+    pairs, worst = int(census["pairs"]), int(census["worst"])
+    docs = max(1, int(census["docs"]))
+    engaged = pairs > MH_PAIRS_PER_DOC * docs
+    info: dict[str, float | int | bool] = {
+        "pairs": pairs,
+        "worst_bucket": worst,
+        "docs": docs,
+        "pairs_per_doc": pairs / docs,
+        "engaged": engaged,
+        "budget": 0 if budget is None else budget,
+        "capped_rows": 0,
+    }
+    if engaged:
+        log.warning(
+            "MinHash-LSH density guard ENGAGED: %d candidate pairs for %d "
+            "docs (%.1f pairs/doc > %.0f budget; worst bucket %d members). "
+            "Duplicate-cluster sizes are growing with the corpus — on real "
+            "data a doc's dup count is corpus-size-independent and this "
+            "join is linear.%s",
+            pairs,
+            docs,
+            info["pairs_per_doc"],
+            MH_PAIRS_PER_DOC,
+            worst,
+            "" if budget is None else f" Capping buckets to {budget} members.",
+        )
+        if budget is not None:
+            from pyspark.sql import Window as W
+
+            rank_key = F.md5(
+                F.concat_ws("|", F.col("band"), F.col("bhash"), F.col("doc_id")).cast("binary")
+            )
+            w = W.partitionBy("band", "bhash").orderBy(rank_key, "doc_id")
+            pre = bands.count()
+            bands = (
+                bands.withColumn("_slot", F.row_number().over(w))
+                .filter(F.col("_slot") <= budget)
+                .drop("_slot")
+            )
+            info["capped_rows"] = pre - bands.count()
+    LAST_MH_GUARD.clear()
+    LAST_MH_GUARD.update(info)
+    return bands
+
+
 def _build_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Signatures computed ONCE per (session, sf_dir) via the shared
     # minhash_docs artifact: the band self-join and the two verify joins
@@ -345,7 +420,7 @@ def _build_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline, and the checkpoint truncates the lineage so the serving
     # plan is a cached-RDD scan.
     docs = minhash_docs(spark, sf_dir)
-    bands = minhash_band_keys(docs)
+    bands = minhash_density_guard(minhash_band_keys(docs))
 
     a = bands.alias("a")
     b = bands.alias("b")

@@ -45,6 +45,16 @@ ORDER = [
     "mm_audio_vad",  # (10x worst #1, pre-fix)
     "mm_audio_zero_crossings",  # (#6)
     "graph_common_neighbors",  # graph_co_knn_build (#12)
+    # round-9 additions: this round's steepest 10x ratios plus the new
+    # binary fixtures (the 1-file-trap candidates) and the guard census
+    "text_tfidf_keywords",  # r9 10x #3
+    "dedup_paragraphs",  # r9 10x #4
+    "dedup_minhash_lsh",  # minhash_sig_build; r9 10x #5
+    "join_interval_bucketed",  # density-guard census linearity
+    "mm_decode_jpeg",  # jpeg_fixture_build
+    "mm_decode_jpeg_420",  # jpeg420_fixture_build
+    "mm_decode_jpeg_progressive",  # jpeg_prog_fixture_build
+    "sim_pq_refine_topk",  # shortlist+refine serving
 ]
 BUILDS = {
     "dedup_embedding_cosine": "cos_lsh_index_build",
@@ -52,6 +62,10 @@ BUILDS = {
     "mm_decode_png": "png_fixture_build",
     "mm_decode_wav": "wav_fixture_build",
     "graph_common_neighbors": "graph_co_knn_build",
+    "dedup_minhash_lsh": "minhash_sig_build",
+    "mm_decode_jpeg": "jpeg_fixture_build",
+    "mm_decode_jpeg_420": "jpeg420_fixture_build",
+    "mm_decode_jpeg_progressive": "jpeg_prog_fixture_build",
 }
 
 
