@@ -975,6 +975,16 @@ def test_minhash_density_guard_census_and_cap(spark):
         capped.groupBy("band", "bhash").count().agg(F.max("count")).collect()[0][0] <= 10
     )
 
-    # (c) real corpus at smoke SF: guard runs, never caps the exact query
-    dedup.dedup_minhash_lsh(spark, SF_SMOKE).count()
+    # (c) real corpus at smoke SF: the log-only guard (as wired into
+    # _build_minhash_query) never caps the exact query. Invoked directly
+    # — dedup_minhash_lsh's serving frame is session-memoized, so calling
+    # it here would skip the build (and the guard) when an earlier test
+    # already built it, leaving stale LAST_MH_GUARD state.
+    from parquet_storage_query_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_docs,
+    )
+
+    real = dedup.minhash_density_guard(minhash_band_keys(minhash_docs(spark, SF_SMOKE)))
     assert dedup.LAST_MH_GUARD["capped_rows"] == 0
+    assert real.count() == dedup.LAST_MH_GUARD["docs"] * 16  # untouched band keys
