@@ -220,6 +220,7 @@ HEADLINE = [
     "mm_decode_jpeg_progressive",
     "sim_pq_refine_topk",
     "dedup_index_read_committed",
+    "mm_audio_g711",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to
@@ -383,6 +384,7 @@ def main() -> None:
         "mm_decode_jpeg": "jpeg_fixture_build",
         "mm_decode_jpeg_420": "jpeg420_fixture_build",
         "mm_decode_jpeg_progressive": "jpeg_prog_fixture_build",
+        "mm_audio_g711": "g711_fixture_build",
         "dedup_index_read_committed": "asof_torn_index_build",
     }
 

@@ -202,6 +202,7 @@ def test_fixture_artifacts_are_sharded(spark):
     A deliberately unsharded artifact is the red-path control."""
     from parquet_storage_query_spark import cache
     from parquet_storage_query_spark.operators.multimodal import (
+        ensure_g711_fixture,
         ensure_jpeg420_fixture,
         ensure_jpeg_fixture,
         ensure_jpeg_progressive_fixture,
@@ -214,6 +215,7 @@ def test_fixture_artifacts_are_sharded(spark):
         ensure_jpeg_fixture,
         ensure_jpeg420_fixture,
         ensure_jpeg_progressive_fixture,
+        ensure_g711_fixture,
         ensure_wav_fixture,
     ):
         dest = ensure(spark, SF_SMOKE)

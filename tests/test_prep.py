@@ -766,6 +766,49 @@ def test_jpeg_progressive_roundtrip():
         decode_jpeg(good.replace(b"\xff\xc2", b"\xff\xc9", 1))
 
 
+def test_g711_decode_matches_reference_formula():
+    """G.711 companded WAV decode (round 9): the table expansions must
+    equal an independent per-byte evaluation of the canonical
+    CCITT/Sun formulas for all 256 codes in both laws, the RIFF format-6/7
+    path must decode a real container end-to-end, and a non-PCM,
+    non-G.711 format code stays a loud NotImplementedError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.multimodal import (
+        decode_audio_np,
+        encode_wav_g711,
+    )
+
+    def ulaw_ref(b):  # independent scalar reference (G.711 / Sun ulaw2linear)
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw_ref(b):
+        u = b ^ 0x55
+        t = (u & 0x0F) << 4
+        seg = (u & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (u & 0x80) else -t
+
+    all_bytes = bytes(range(256))
+    rate, ch, mu = decode_audio_np(encode_wav_g711(8000, 1, all_bytes, 7))
+    assert (rate, ch) == (8000, 1)
+    assert [int(x) for x in mu] == [ulaw_ref(b) for b in range(256)]
+    _r, _c, al = decode_audio_np(encode_wav_g711(8000, 1, all_bytes, 6))
+    assert [int(x) for x in al] == [alaw_ref(b) for b in range(256)]
+    # μ-law full range present: ±(0x84<<7 − 0x84) = ±32124
+    assert int(np.abs(np.asarray(mu, dtype=np.int64)).max()) == 32124
+    with _pytest.raises(NotImplementedError):  # IMA ADPCM = format 0x11
+        decode_audio_np(encode_wav_g711(8000, 1, all_bytes, 0x11))
+
+
 def test_wav_codec_roundtrip():
     """The RIFF/PCM16 decoder must invert encode_wav bit-for-bit, survive
     an extra (ignored) chunk with odd length (word-alignment path), and
