@@ -11,10 +11,12 @@ integral sampling ratio, decoded per-component at native resolution
 then replicated up, T.81 §A.1.1/A.2.3), PROGRESSIVE (SOF2) multi-scan
 streams (Annex G: spectral selection, successive approximation with DC
 refinement bits and §G.1.2.3 AC correction-bit refinement, EOB-run
-batching — round 9), and YCbCr->RGB conversion. Arithmetic-coded
-(SOF9+) and hierarchical (SOF5+) frames raise NotImplementedError — the
-documented hook where a deployment plugs a C codec in (same boundary as
-PNG's interlace).
+batching — round 9), ARITHMETIC-CODED sequential frames (SOF9 + DAC,
+QM coder in operators/jpeg_arith.py — round 9), and YCbCr->RGB
+conversion. Arithmetic-progressive (SOF10), lossless (SOF3/SOF11) and
+hierarchical (SOF5+) frames raise NotImplementedError — the documented
+hook where a deployment plugs a C codec in (same boundary as PNG's
+interlace).
 
 `encode_jpeg_blocks` is the fixture generator: a grayscale baseline JPEG
 whose 8x8 blocks are each CONSTANT. Constant blocks make the lossy
@@ -252,8 +254,9 @@ def decode_jpeg(data: bytes, components: bool = False):
     (Ss/Se bands per scan), successive approximation (DC point
     transform + refinement bits, AC first/refine with EOB-run batching,
     §G.1.2.2-3) — and one dequant+IDCT pass reconstructs after EOI.
-    Arithmetic coding (SOF9+) and hierarchical (SOF5+) stay
-    NotImplementedError hooks."""
+    Arithmetic-coded SEQUENTIAL frames (SOF9 + DAC conditioning) decode
+    through the QM coder in jpeg_arith.py; arithmetic-progressive
+    (SOF10) and hierarchical (SOF5+) stay NotImplementedError hooks."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
     pos = 2
@@ -264,6 +267,9 @@ def decode_jpeg(data: bytes, components: bool = False):
     comps: list[tuple[int, int, int, int]] = []  # (id, h_samp, v_samp, qid)
     restart_interval = 0
     progressive = False
+    arith = False
+    arith_dc_cond: dict[int, tuple[int, int]] = {}  # tbl -> (L, U)
+    arith_ac_cond: dict[int, int] = {}  # tbl -> Kx
     coeffs: list[np.ndarray] = []  # per component: (gh, gw, 64) zigzag ints
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -300,8 +306,9 @@ def decode_jpeg(data: bytes, components: bool = False):
                 table = _build_decode_table(bits, vals)
                 (huff_ac if class_id >> 4 else huff_dc)[class_id & 0x0F] = table
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9):  # SOF0 / SOF2 / SOF9 arith-sequential
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
@@ -320,8 +327,19 @@ def decode_jpeg(data: bytes, components: bool = False):
                     np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
                     for _, hs, vs, _ in comps
                 ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("JPEG: only SOF0/SOF2 Huffman frames supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "JPEG: only SOF0/SOF2 Huffman and SOF9 arithmetic frames supported"
+            )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (§B.2.4.3)
+            i = 0
+            while i + 1 < len(body):
+                tc_tb, cs = body[i], body[i + 1]
+                if tc_tb >> 4 == 0:
+                    arith_dc_cond[tc_tb & 0x0F] = (cs & 0x0F, cs >> 4)  # (L, U)
+                else:
+                    arith_ac_cond[tc_tb & 0x0F] = cs  # Kx
+                i += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -331,6 +349,14 @@ def decode_jpeg(data: bytes, components: bool = False):
                 cid, tbl = body[1 + 2 * c], body[2 + 2 * c]
                 idx = next(i for i, comp in enumerate(comps) if comp[0] == cid)
                 scan.append((idx, tbl >> 4, tbl & 0x0F))
+            if arith:
+                from .jpeg_arith import decode_arith_scan
+
+                return decode_arith_scan(
+                    data, pos, width, height, comps, scan,
+                    quant, arith_dc_cond, arith_ac_cond, restart_interval,
+                    components,
+                )
             if not progressive:
                 return _decode_scan(
                     data, pos, width, height, comps, scan,

@@ -1,0 +1,637 @@
+"""Arithmetic-coded sequential JPEG (SOF9) — the QM-coder entropy layer.
+
+Closes the codec hook `jpeg.py` documented since round 8: `decode_jpeg`
+now decodes arithmetic-coded SEQUENTIAL DCT frames (SOF9 + DAC
+conditioning), the entropy option most toolchains skip because baseline
+Huffman won the patent-era default. Everything below is written against
+the public spec, ITU-T T.81:
+
+- Probability estimation state machine: Table D.3 (113 adaptive states
+  + the fixed ~equiprobable state used for AC sign coding, §F.1.4.4.1.1),
+  transcribed verbatim — Qe value, Next_Index_MPS, Next_Index_LPS,
+  Switch_MPS per row.
+- Encoder: §F.1.4.1 (CODE procedures with conditional MPS/LPS exchange),
+  §F.1.4.3 (renormalization + byte output with carry-over via 0xFF
+  stacking and the 3 spacer bits), §D.1.6 (0x00 byte stuffing after
+  0xFF), §D.1.8 (flush: pick the code value in the final interval with
+  the most trailing zeros, emit only non-zero-necessary bytes).
+- Decoder: §F.2.2 — mirror interval arithmetic: split the current
+  interval at A - Qe, compare the remaining code value, apply the same
+  conditional-exchange and renormalize-on-the-same-schedule rules, feed
+  zero data past a marker (markers mid-segment are legal in arithmetic
+  coding, unlike Huffman).
+- DC/AC statistics conditioning: §F.1.4.4 / Tables F.4-F.6 — per-
+  component DC context from the previous diff's magnitude classified by
+  the DAC (L, U) bounds into zero/small/large × sign (5 categories ×
+  4 bins + X1..X15 + shared magnitude-bit bins = 64 bins/table); AC
+  contexts 3 per zigzag index k (EOB decision, zero/nonzero, first
+  magnitude) with the X2+ ladder split at Kx (DAC default 5) into
+  low/high-frequency banks at offsets 189/217 (256 bins/table); the AC
+  sign uses the non-adaptive fixed state.
+
+Conformance note: the state table and procedures are transcribed from
+the spec and validated by exhaustive encoder/decoder round-trips
+(DC-only fixtures bit-exact over the full value range, sparse random AC
+coefficients vs an independent dequant+IDCT replay, restart intervals,
+carry/stuffing edges) — the container has no third-party arithmetic
+JPEG sample to cross-check against, so interop with external encoders
+is asserted by spec fidelity, not by a golden file (same boundary as
+the WAV/PNG codecs' exotic variants).
+
+Reference parity: the reference delegates all decode to its remote
+engines; this module exists for the multimodal pipeline family
+(mm_decode_jpeg_arith), where the 100 TB shape is Arrow-batched
+mapInPandas decode over sharded binary columns.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# T.81 Table D.3: (Qe, Next_Index_MPS, Next_Index_LPS, Switch_MPS).
+# Index 113 is the FIXED state (Qe ~ 0.5, self-transitions, no switch)
+# used for AC sign decisions (§F.1.4.4.1.1).
+QM_TABLE: tuple[tuple[int, int, int, int], ...] = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 101, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 100, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+FIXED_STATE = 113  # non-adaptive ~equiprobable bin for AC signs
+
+# DAC defaults (T.81 §B.2.4.3 / F.1.4.4.1.2): DC bounds L=0, U=1;
+# AC low/high-frequency split Kx=5
+DC_L_DEFAULT, DC_U_DEFAULT, AC_KX_DEFAULT = 0, 1, 5
+
+
+class _QMEncoder:
+    """QM arithmetic encoder (T.81 §F.1.4.1/F.1.4.3/D.1.6/D.1.8).
+
+    Statistics bins are one byte each: bit 7 = current MPS sense,
+    bits 0-6 = Table D.3 state index. Estimation updates happen only on
+    renormalization (the QM rule); carries propagate through a pending
+    buffer byte + a stack of 0xFF bytes that a carry converts to 0x00s.
+    """
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11  # 11 shifts fill the 3 spacer bits + first byte
+        self.buffer = -1  # pending output byte (-1: none yet)
+        self.sc = 0  # stacked 0xFF bytes awaiting carry resolution
+        self.zc = 0  # pending 0x00 bytes (lazily emitted)
+        self.out = bytearray()
+
+    def encode(self, st: bytearray, idx: int, bit: int) -> None:
+        sv = st[idx]
+        mps = sv >> 7
+        qe, nmps, nlps, sw = QM_TABLE[sv & 0x7F]
+        a = self.a - qe
+        if bit != mps:
+            # LPS path: top subinterval unless conditional exchange
+            if a >= qe:
+                self.c += a
+                self.a = qe
+            else:
+                self.a = a
+            st[idx] = ((mps ^ sw) << 7) | nlps
+        else:
+            self.a = a
+            if a >= 0x8000:
+                return  # no renormalization -> no estimation update
+            if a < qe:  # conditional exchange: MPS takes the top
+                self.c += a
+                self.a = qe
+            st[idx] = (mps << 7) | nmps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byte_out()
+                self.ct = 8
+
+    def _flush_zeros(self) -> None:
+        while self.zc:
+            self.out.append(0x00)
+            self.zc -= 1
+
+    def _byte_out(self) -> None:
+        temp = self.c >> 19
+        if temp > 0xFF:
+            # carry: ripples into the buffer byte; stacked 0xFFs -> 0x00s
+            if self.buffer >= 0:
+                self._flush_zeros()
+                b = self.buffer + 1
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # §D.1.6 stuffing
+            self.zc += self.sc
+            self.sc = 0
+            # 3 spacer bits guarantee the new byte itself can't be 0xFF
+            self.buffer = temp & 0xFF
+        elif temp == 0xFF:
+            self.sc += 1  # may still be hit by a later carry
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._flush_zeros()
+                self.out.append(self.buffer)
+            if self.sc:
+                self._flush_zeros()
+                for _ in range(self.sc):
+                    self.out.append(0xFF)
+                    self.out.append(0x00)
+                self.sc = 0
+            self.buffer = temp
+        self.c &= 0x7FFFF
+
+    def flush(self) -> bytes:
+        """§D.1.8: choose the code value in [C, C+A) with the most
+        trailing zero bits, emit the remaining non-zero-necessary bytes,
+        and return the entropy segment."""
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            # final carry into the buffer byte
+            if self.buffer >= 0:
+                self._flush_zeros()
+                b = self.buffer + 1
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._flush_zeros()
+                self.out.append(self.buffer)
+            if self.sc:
+                self._flush_zeros()
+                for _ in range(self.sc):
+                    self.out.append(0xFF)
+                    self.out.append(0x00)
+                self.sc = 0
+        if self.c & 0x7FFF800:
+            self._flush_zeros()
+            b = (self.c >> 19) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+        return bytes(self.out)
+
+
+class _QMDecoder:
+    """Mirror-image QM decoder: maintain the interval size A and the
+    remaining code value D (= encoded value minus accumulated base, in
+    the current scale); split at A - Qe, resolve conditional exchange
+    from (A - Qe) vs Qe exactly as the encoder did, renormalize on the
+    identical schedule pulling stream bits into D. Zero data is fed past
+    a marker or the end of input (§F.2.2.5 convention), which matches
+    the encoder's trailing-zeros flush."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.marker: int | None = None
+        self.marker_end = -1  # position just past the marker's 2nd byte
+        self._bitbuf = 0
+        self._bitcnt = 0
+        self.a = 0x10000
+        self.d = (self._next_byte() << 8) | self._next_byte()
+
+    def _next_byte(self) -> int:
+        if self.marker is not None or self.pos >= len(self.data):
+            return 0
+        b = self.data[self.pos]
+        if b == 0xFF:
+            q = self.pos + 1
+            while q < len(self.data) and self.data[q] == 0xFF:
+                q += 1  # §B.1.1.2 fill bytes
+            if q < len(self.data) and self.data[q] == 0x00:
+                self.pos = q + 1  # stuffed zero: deliver the 0xFF
+                return 0xFF
+            self.marker = self.data[q] if q < len(self.data) else 0xD9
+            self.marker_end = q + 1
+            return 0
+        self.pos += 1
+        return b
+
+    def _bit(self) -> int:
+        if self._bitcnt == 0:
+            self._bitbuf = self._next_byte()
+            self._bitcnt = 8
+        self._bitcnt -= 1
+        return (self._bitbuf >> self._bitcnt) & 1
+
+    def decode(self, st: bytearray, idx: int) -> int:
+        sv = st[idx]
+        mps = sv >> 7
+        qe, nmps, nlps, sw = QM_TABLE[sv & 0x7F]
+        a = self.a - qe
+        if self.d >= a:
+            # top subinterval (size qe)
+            self.d -= a
+            self.a = qe
+            if a >= qe:  # top belongs to the LPS
+                bit = mps ^ 1
+                st[idx] = ((mps ^ sw) << 7) | nlps
+            else:  # conditional exchange: top is the MPS
+                bit = mps
+                st[idx] = (mps << 7) | nmps
+        else:
+            self.a = a
+            if a >= 0x8000:
+                return mps  # no renorm -> no estimation update
+            if a >= qe:
+                bit = mps
+                st[idx] = (mps << 7) | nmps
+            else:  # conditional exchange: bottom is the LPS
+                bit = mps ^ 1
+                st[idx] = ((mps ^ sw) << 7) | nlps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.d = (self.d << 1) | self._bit()
+        return bit
+
+
+# ---------------------------------------------------------------------------
+# DC / AC coefficient coding procedures (T.81 §F.1.4.4 / Tables F.4-F.6)
+# ---------------------------------------------------------------------------
+
+
+def _enc_dc(enc: _QMEncoder, st: bytearray, ctx: int, diff: int, lo: int, up: int) -> int:
+    """Encode one DC difference under conditioning context `ctx`;
+    returns the next context (F.1.4.4.1.2 classification by magnitude)."""
+    if diff == 0:
+        enc.encode(st, ctx, 0)
+        return 0
+    enc.encode(st, ctx, 1)
+    v = diff
+    if v > 0:
+        enc.encode(st, ctx + 1, 0)
+        idx = ctx + 2  # SP
+        sign = 0
+    else:
+        v = -v
+        enc.encode(st, ctx + 1, 1)
+        idx = ctx + 3  # SN
+        sign = 1
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(st, idx, 1)
+        m = 1
+        v2 = v
+        idx = 20  # X1 (Table F.4)
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(st, idx, 1)
+            m <<= 1
+            idx += 1
+    enc.encode(st, idx, 0)
+    if m < ((1 << lo) >> 1):
+        new_ctx = 0
+    elif m > ((1 << up) >> 1):
+        new_ctx = 12 + sign * 4
+    else:
+        new_ctx = 4 + sign * 4
+    idx += 14  # shared magnitude-bit bin for this category
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        enc.encode(st, idx, 1 if (mm & v) else 0)
+    return new_ctx
+
+
+def _dec_dc(dec: _QMDecoder, st: bytearray, ctx: int, lo: int, up: int) -> tuple[int, int]:
+    """Decode one DC difference; returns (diff, next context)."""
+    if dec.decode(st, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(st, ctx + 1)
+    idx = ctx + 2 + sign
+    m = dec.decode(st, idx)
+    if m:
+        idx = 20
+        while dec.decode(st, idx):
+            m <<= 1
+            idx += 1
+            if m >= 0x8000:
+                raise ValueError("JPEG-arith: DC magnitude overflow")
+    if m < ((1 << lo) >> 1):
+        new_ctx = 0
+    elif m > ((1 << up) >> 1):
+        new_ctx = 12 + sign * 4
+    else:
+        new_ctx = 4 + sign * 4
+    v = m
+    idx += 14
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        if dec.decode(st, idx):
+            v |= mm
+    v += 1
+    return (-v if sign else v), new_ctx
+
+
+def _enc_ac(enc: _QMEncoder, st: bytearray, fixed: bytearray, zz, kx: int) -> None:
+    """Encode one block's AC coefficients zz[1..63] (zigzag order)."""
+    ke = 63
+    while ke > 0 and zz[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not-EOB
+        while zz[k] == 0:
+            enc.encode(st, base + 1, 0)
+            base += 3
+            k += 1
+        enc.encode(st, base + 1, 1)
+        v = int(zz[k])
+        if v > 0:
+            enc.encode(fixed, 0, 0)
+        else:
+            v = -v
+            enc.encode(fixed, 0, 1)
+        idx = base + 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(st, idx, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(st, idx, 1)
+                m <<= 1
+                idx = 189 if k <= kx else 217  # X2 banks (Table F.6)
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(st, idx, 1)
+                    m <<= 1
+                    idx += 1
+        enc.encode(st, idx, 0)
+        idx += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            enc.encode(st, idx, 1 if (mm & v) else 0)
+        k += 1
+    if ke < 63:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _dec_ac(dec: _QMDecoder, st: bytearray, fixed: bytearray, zz, kx: int) -> None:
+    """Decode AC coefficients into zz[1..63] (zigzag order)."""
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):  # EOB
+            return
+        while dec.decode(st, base + 1) == 0:
+            base += 3
+            k += 1
+            if k > 63:
+                raise ValueError("JPEG-arith: AC run past block end")
+        sign = dec.decode(fixed, 0)
+        idx = base + 2
+        m = dec.decode(st, idx)
+        if m:
+            if dec.decode(st, idx):
+                m = 2
+                idx = 189 if k <= kx else 217
+                while dec.decode(st, idx):
+                    m <<= 1
+                    idx += 1
+                    if m >= 0x8000:
+                        raise ValueError("JPEG-arith: AC magnitude overflow")
+        v = m
+        idx += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            if dec.decode(st, idx):
+                v |= mm
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+
+
+# ---------------------------------------------------------------------------
+# Scan decode (wired into jpeg.decode_jpeg for SOF9 frames)
+# ---------------------------------------------------------------------------
+
+
+def decode_arith_scan(
+    data, pos, width, height, comps, scan, quant, dc_cond, ac_cond, dri,
+    components=False,
+):
+    """MCU-interleaved sequential scan decode, arithmetic entropy layer.
+    Mirrors jpeg._decode_scan: per-component native-resolution planes,
+    restart intervals reset EVERYTHING (QM state, statistics, DC
+    predictors and contexts — §F.2.1.3.1 extends to the adaptive stats),
+    and the shared `_assemble_output` tail upsamples/crops/converts."""
+    from .jpeg import ZIGZAG, _assemble_output, idct_8x8
+
+    zz_np = np.array(ZIGZAG, dtype=np.int64)
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * comps[ci][2], mcux * 8 * comps[ci][1]), dtype=np.float64)
+        for ci, _, _ in scan
+    ]
+
+    def fresh_stats():
+        dc = {t: bytearray(64) for _, t, _ in scan}
+        ac = {t: bytearray(256) for _, _, t in scan}
+        fixed = bytearray([FIXED_STATE])
+        return dc, ac, fixed
+
+    dec = _QMDecoder(data, pos)
+    dc_stats, ac_stats, fixed = fresh_stats()
+    pred = [0] * len(scan)
+    dc_ctx = [0] * len(scan)
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu and mcu % dri == 0:
+                # resync: skip to the RSTn marker (the first 0xFF
+                # followed by a non-stuffing byte IS a marker), then
+                # restart the entropy decoder and all statistics
+                p = dec.marker_end if dec.marker is not None else dec.pos
+                while dec.marker is None and p + 1 < len(data):
+                    if data[p] == 0xFF and data[p + 1] != 0x00:
+                        while data[p + 1] == 0xFF:
+                            p += 1
+                        p += 2
+                        break
+                    p += 1
+                dec = _QMDecoder(data, p)
+                dc_stats, ac_stats, fixed = fresh_stats()
+                pred = [0] * len(scan)
+                dc_ctx = [0] * len(scan)
+            for si, (ci, dc_id, ac_id) in enumerate(scan):
+                _, hs, vs, qid = comps[ci]
+                lo, up = dc_cond.get(dc_id, (DC_L_DEFAULT, DC_U_DEFAULT))
+                kx = ac_cond.get(ac_id, AC_KX_DEFAULT)
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        diff, dc_ctx[si] = _dec_dc(
+                            dec, dc_stats[dc_id], dc_ctx[si], lo, up
+                        )
+                        pred[si] += diff
+                        zz[0] = pred[si]
+                        _dec_ac(dec, ac_stats[ac_id], fixed, zz, kx)
+                        q = quant[qid]
+                        block = np.empty(64, dtype=np.int64)
+                        block[zz_np] = zz
+                        block = (block.reshape(8, 8) * q.reshape(8, 8)).astype(
+                            np.float64
+                        )
+                        px = idct_8x8(block) + 128.0
+                        r0 = (my * vs + byy) * 8
+                        c0 = (mx * hs + bxx) * 8
+                        planes[si][r0 : r0 + 8, c0 : c0 + 8] = px
+            mcu += 1
+    samps = [(comps[ci][1], comps[ci][2]) for ci, _, _ in scan]
+    return _assemble_output(planes, samps, width, height, components)
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoder (SOF9 grayscale) + coefficient-level test encoder
+# ---------------------------------------------------------------------------
+
+
+def _arith_headers(width: int, height: int, restart_interval: int = 0) -> bytes:
+    from .jpeg import FIX_QUANT, ZIGZAG, _seg
+
+    dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    # DAC (§B.2.4.3): DC table 0 -> Cs=(U<<4)|L, AC table 0 -> Cs=Kx
+    dac = bytes([0x00, (DC_U_DEFAULT << 4) | DC_L_DEFAULT, 0x10, AC_KX_DEFAULT])
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, dqt)
+        + _seg(0xC9, sof)
+        + _seg(0xCC, dac)
+        + dri
+        + _seg(0xDA, sos)
+    )
+
+
+def encode_jpeg_arith_blocks(
+    blocks_w: int, blocks_h: int, values, restart_interval: int = 0
+) -> bytes:
+    """Grayscale ARITHMETIC-CODED (SOF9) JPEG where block i is the
+    constant values[i] — the same exact-roundtrip construction as
+    encode_jpeg_blocks (DC-only, quant step 8 divides 8*(v-128)), with
+    the QM coder replacing Huffman. Restart intervals flush the QM
+    encoder, emit byte-aligned RSTn, and reset statistics + predictors."""
+    blocks = []
+    for v in values:
+        zz = np.zeros(64, dtype=np.int64)
+        zz[0] = int(v) - 128
+        blocks.append(zz)
+    return (
+        _arith_headers(blocks_w * 8, blocks_h * 8, restart_interval)
+        + _encode_arith_entropy(blocks, restart_interval)
+        + b"\xff\xd9"
+    )
+
+
+def _encode_arith_coeff_blocks(
+    blocks, blocks_w: int, blocks_h: int, restart_interval: int = 0
+) -> bytes:
+    """Test-only: arbitrary quantized 8x8 RASTER coefficient blocks
+    through the arithmetic entropy layer (the random-AC round-trip
+    surface, mirroring jpeg._encode_coeff_blocks)."""
+    from .jpeg import ZIGZAG
+
+    zzs = []
+    for blk in blocks:
+        flat = np.asarray(blk, dtype=np.int64).reshape(64)
+        zzs.append(flat[np.array(ZIGZAG, dtype=np.int64)])
+    return (
+        _arith_headers(blocks_w * 8, blocks_h * 8, restart_interval)
+        + _encode_arith_entropy(zzs, restart_interval)
+        + b"\xff\xd9"
+    )
+
+
+def _encode_arith_entropy(zz_blocks, restart_interval: int = 0) -> bytes:
+    out = bytearray()
+    enc = _QMEncoder()
+    dc_st = bytearray(64)
+    ac_st = bytearray(256)
+    fixed = bytearray([FIXED_STATE])
+    pred = 0
+    ctx = 0
+    for i, zz in enumerate(zz_blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + ((i // restart_interval - 1) % 8)])
+            enc = _QMEncoder()
+            dc_st = bytearray(64)
+            ac_st = bytearray(256)
+            fixed = bytearray([FIXED_STATE])
+            pred = 0
+            ctx = 0
+        dc = int(zz[0])
+        ctx = _enc_dc(enc, dc_st, ctx, dc - pred, DC_L_DEFAULT, DC_U_DEFAULT)
+        pred = dc
+        _enc_ac(enc, ac_st, fixed, zz, AC_KX_DEFAULT)
+    out += enc.flush()
+    return bytes(out)

@@ -204,6 +204,7 @@ def test_fixture_artifacts_are_sharded(spark):
     from parquet_storage_query_spark.operators.multimodal import (
         ensure_g711_fixture,
         ensure_jpeg420_fixture,
+        ensure_jpeg_arith_fixture,
         ensure_jpeg_fixture,
         ensure_jpeg_progressive_fixture,
         ensure_png_fixture,
@@ -215,6 +216,7 @@ def test_fixture_artifacts_are_sharded(spark):
         ensure_jpeg_fixture,
         ensure_jpeg420_fixture,
         ensure_jpeg_progressive_fixture,
+        ensure_jpeg_arith_fixture,
         ensure_g711_fixture,
         ensure_wav_fixture,
     ):

@@ -473,10 +473,11 @@ def test_jpeg_codec_roundtrip():
         stuffing) pushed through the entropy layer must decode to exactly
         the independent dequant+IDCT replay of the same coefficients —
         pins the AC path the DC-only fixtures never reach;
-    (3) unsupported shapes (arithmetic-coded SOF9, missing SOI) fail
-        loudly, and decode_image dispatches on the 0xFFD8 magic
-        (progressive SOF2 moved from this loud-failure list to a real
-        decode path in round 9 — test_jpeg_progressive_roundtrip)."""
+    (3) unsupported shapes (arithmetic-PROGRESSIVE SOF10, missing SOI)
+        fail loudly, and decode_image dispatches on the 0xFFD8 magic
+        (progressive SOF2 and arithmetic-sequential SOF9 each moved from
+        this loud-failure list to real decode paths in round 9 —
+        test_jpeg_progressive_roundtrip / test_jpeg_arith_roundtrip)."""
     import numpy as np
 
     from parquet_storage_query_spark.operators.jpeg import (
@@ -523,11 +524,87 @@ def test_jpeg_codec_roundtrip():
     import pytest as _pytest
 
     good = encode_jpeg_blocks(1, 1, [42])
-    arithmetic = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    arith_progressive = good.replace(b"\xff\xc0", b"\xff\xca", 1)
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(arithmetic)
+        decode_jpeg(arith_progressive)
     with _pytest.raises(ValueError):
         decode_jpeg(b"\x00\x00" + good[2:])
+
+
+def test_jpeg_arith_roundtrip():
+    """Arithmetic-coded sequential (SOF9) decode via the pure-stdlib QM
+    coder (operators/jpeg_arith.py), three ways:
+    (1) DC-only constant-block fixtures round-trip BIT-EXACTLY across
+        the full value range (the construction mm_decode_jpeg_arith's
+        closed-form oracle replays), with and without restart intervals
+        — restarts reset the QM state, adaptive statistics, and DC
+        predictors/contexts;
+    (2) dense RANDOM coefficient blocks (magnitude ladders into the
+        X2 banks, carry-over 0xFF stacking, byte stuffing) decode to
+        exactly the independent dequant+IDCT replay — the adaptive
+        entropy layer must be lossless everywhere;
+    (3) the DAC conditioning segment parses (the fixture declares
+        default L=0/U=1/Kx=5 explicitly)."""
+    import numpy as np
+
+    from parquet_storage_query_spark.operators.jpeg import (
+        FIX_QUANT,
+        ZIGZAG,
+        decode_jpeg,
+        idct_8x8,
+    )
+    from parquet_storage_query_spark.operators.jpeg_arith import (
+        _encode_arith_coeff_blocks,
+        encode_jpeg_arith_blocks,
+    )
+    from parquet_storage_query_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(9)
+    # (1) DC-only exactness incl. extremes, plain + restart streams
+    for dri in (0, 1, 2):
+        vals = [0, 255, 0, 255] + rng.integers(0, 256, 8).tolist()
+        data = encode_jpeg_arith_blocks(2, 6, vals, restart_interval=dri)
+        assert b"\xff\xcc" in data  # DAC segment present
+        if dri:
+            assert any(
+                data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+                for i in range(len(data) - 1)
+            ), "stream must actually contain RST markers"
+        w, h, ch, px = decode_image(data)  # dispatch via magic
+        assert (w, h, ch) == (16, 48, 1)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+        for b, v in enumerate(vals):
+            by, bx = divmod(b, 2)
+            assert (arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v).all(), (
+                dri,
+                b,
+            )
+    # (2) dense random coefficients vs independent replay
+    for _ in range(10):
+        blocks = []
+        for _b in range(4):
+            blk = np.zeros(64, dtype=np.int64)
+            blk[0] = int(rng.integers(-1000, 1000))
+            nnz = int(rng.integers(0, 40))
+            pos = rng.choice(np.arange(1, 64), size=nnz, replace=False)
+            for p in pos:
+                blk[ZIGZAG[int(p)]] = int(rng.integers(1, 1000)) * int(
+                    rng.choice([-1, 1])
+                )
+            blocks.append(blk.reshape(8, 8))
+        dri = int(rng.choice([0, 1, 2]))
+        w, h, ch, px = decode_jpeg(
+            _encode_arith_coeff_blocks(blocks, 2, 2, restart_interval=dri)
+        )
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(np.float64)
+        for b, blk in enumerate(blocks):
+            by, bx = divmod(b, 2)
+            deq = (np.asarray(blk) * FIX_QUANT.reshape(8, 8)).astype(np.float64)
+            want = np.clip(np.round(idct_8x8(deq) + 128), 0, 255)
+            assert (arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == want).all(), (
+                dri,
+                b,
+            )
 
 
 def test_jpeg_restart_markers_roundtrip():
@@ -760,10 +837,11 @@ def test_jpeg_progressive_roundtrip():
         my, mx = divmod(m, 3)
         for pi, v in enumerate(ycc):
             assert (planes[pi][my * 16 : (my + 1) * 16, mx * 16 : (mx + 1) * 16] == v).all()
-    # (4) arithmetic coding (SOF9) stays a hook
+    # (4) arithmetic-PROGRESSIVE (SOF10) stays a hook (sequential SOF9
+    # became a real decode path in round 9 — test_jpeg_arith_roundtrip)
     good = encode_jpeg_progressive(1, 1, [42])
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(good.replace(b"\xff\xc2", b"\xff\xc9", 1))
+        decode_jpeg(good.replace(b"\xff\xc2", b"\xff\xca", 1))
 
 
 def test_g711_decode_matches_reference_formula():
