@@ -202,6 +202,7 @@ def test_fixture_artifacts_are_sharded(spark):
     A deliberately unsharded artifact is the red-path control."""
     from parquet_storage_query_spark import cache
     from parquet_storage_query_spark.operators.multimodal import (
+        ensure_flac_fixture,
         ensure_g711_fixture,
         ensure_jpeg420_fixture,
         ensure_jpeg_arith_fixture,
@@ -217,6 +218,7 @@ def test_fixture_artifacts_are_sharded(spark):
         ensure_jpeg420_fixture,
         ensure_jpeg_progressive_fixture,
         ensure_jpeg_arith_fixture,
+        ensure_flac_fixture,
         ensure_g711_fixture,
         ensure_wav_fixture,
     ):

