@@ -45,12 +45,14 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
       filter implementation and mm_decode_png value-checks channel sums
       against a closed-form DuckDB replay), not a stub.
     - PPM (P6, maxval 255): header parse + raw RGB.
-    - JPEG (0xFFD8 magic): the operators/jpeg.py Huffman decoder —
-      baseline SOF0 (incl. 4:2:0/4:2:2 chroma subsampling) and
-      progressive SOF2 (rounds 8-9).
-    - Anything else (webp/avif/arithmetic JPEG need codec libs this
-      container lacks) still raises NotImplementedError — the documented
-      hook where a deployment plugs Pillow/ffmpeg in.
+    - JPEG (0xFFD8 magic): the operators/jpeg.py decoder — baseline
+      SOF0 (incl. 4:2:0/4:2:2 chroma subsampling), progressive SOF2,
+      and arithmetic-coded SOF9 (rounds 8-9).
+    - GIF (87a/89a magic): the operators/gif.py LZW decoder — global/
+      local palettes, interlace, real dictionary growth (round 9).
+    - Anything else (webp/avif need codec libs this container lacks)
+      still raises NotImplementedError — the documented hook where a
+      deployment plugs Pillow/ffmpeg in.
 
     Perf note: the unfilter loop is pure Python per scanline byte — fine
     for metadata/feature extraction on fixture-sized images; a production
@@ -61,10 +63,14 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] == b"P6":
         return _decode_ppm(data)
     if data[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg  # SOF0/SOF2 Huffman, rounds 8-9
+        from .jpeg import decode_jpeg  # SOF0/SOF2/SOF9, rounds 8-9
 
         return decode_jpeg(data)
-    raise NotImplementedError("only PNG/PPM/Huffman-JPEG decodable without codec libraries")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif  # LZW, round 9
+
+        return decode_gif(data)
+    raise NotImplementedError("only PNG/PPM/JPEG/GIF decodable without codec libraries")
 
 
 def _decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
@@ -1428,6 +1434,125 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         schema="doc_id long, sample_rate int, n_samples long, sum_amp long, "
         "sum_abs_amp long, peak_abs long",
+    )
+
+
+# GIF fixture constants: pixel p of image d is palette index
+# (d*GIF_A + GIF_B*p) % 256 over the grayscale identity palette, so the
+# oracle replays the DECODED luminance statistics in closed form.
+# Interlace cycles on/off by doc id so the committed corpus covers the
+# 4-pass row permutation, and real LZW makes the pixels genuinely
+# dictionary-compressed on disk.
+GIF_A, GIF_B = 29, 7
+GIF_W_BASE, GIF_W_MOD = 16, 17  # width 16..32
+GIF_H_BASE, GIF_H_MOD = 12, 13  # height 12..24
+
+
+def _gif_fixture(doc_id: int) -> bytes:
+    import numpy as np
+
+    from .gif import encode_gif
+
+    w = GIF_W_BASE + doc_id % GIF_W_MOD
+    h = GIF_H_BASE + doc_id % GIF_H_MOD
+    idx = ((doc_id * GIF_A + GIF_B * np.arange(w * h, dtype=np.int64)) % 256).astype(
+        np.uint8
+    )
+    return encode_gif(w, h, idx, interlace=bool(doc_id % 2))
+
+
+def ensure_gif_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture table of REAL LZW-compressed GIFs, one per
+    document id — corpus-scaled shards like every binary fixture."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                gifs = [_gif_fixture(int(did)) for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "gif": gifs})
+
+        ids.mapInPandas(gen, schema="doc_id long, gif binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark, sf_dir, "gif_fixture", "v1", [table_path(sf_dir, "documents")], build
+    )
+
+
+@query(
+    "mm_decode_gif",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {GIF_W_BASE} + doc_id % {GIF_W_MOD} AS w,
+               {GIF_H_BASE} + doc_id % {GIF_H_MOD} AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h,
+               (doc_id * {GIF_A} + {GIF_B} * t.p) % 256 AS v
+        FROM dims, unnest(range(w * h)) AS t(p))
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS sum_lum,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(count(DISTINCT v) AS INT) AS n_colors
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode — the third image format, and the third
+    compression FAMILY: LZW dictionary coding joins DEFLATE (PNG) and
+    DCT+Huffman/QM (JPEG) behind the same Arrow-batched mapInPandas
+    plumbing. Binary GIFs (real LZW with dictionary growth, half the
+    corpus interlaced) decode through operators/gif.py to palette
+    indices; the query emits dimensions, exact luminance sums, and the
+    distinct-color census.
+
+    Exactness: LZW is lossless and the fixture palette is the grayscale
+    identity, so decoded index == generator closed form — the DuckDB
+    oracle replays the statistics without parsing a byte of GIF; a
+    defect in variable-width code reading, dictionary growth, the KwKwK
+    case, interlace de-permutation, or sub-block reassembly breaks an
+    integer sum. Deep-dictionary/clear paths beyond the fixture sizes
+    are pinned by the round-trip pytest. 100 TB shape unchanged: one
+    decode per image inside Arrow batches, partitions scale with
+    splits."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_gif_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import decode_gif
+
+        for pdf in batches:
+            rows = []
+            for did, g in zip(pdf["doc_id"], pdf["gif"]):
+                w, h, _ch, idx = decode_gif(bytes(g), indices=True)
+                v = idx.astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": w,
+                        "height": h,
+                        "sum_lum": int(v.sum()),
+                        "sum_sq": int((v * v).sum()),
+                        "n_colors": int(np.unique(v).size),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, "
+        "sum_lum long, sum_sq long, n_colors int",
     )
 
 

@@ -844,6 +844,66 @@ def test_jpeg_progressive_roundtrip():
         decode_jpeg(good.replace(b"\xff\xc2", b"\xff\xca", 1))
 
 
+def test_gif_codec_roundtrip():
+    """The pure-stdlib GIF/LZW codec (operators/gif.py), four ways:
+    (1) fixture-shaped ramp images round-trip exactly, plain and
+        INTERLACED (4-pass row permutation inverted), on both the index
+        surface (the oracle's) and the palette-expanded RGB surface;
+    (2) random and repetitive pixel streams force genuine dictionary
+        growth through the 512/1024/2048 width bumps, the KwKwK
+        self-reference, and (on a large repetitive image) the 12-bit
+        cap + clear/reset path;
+    (3) non-256 palettes and min-code sizes work (local 16-entry);
+    (4) decode_image dispatches on the GIF magic, and corrupt streams
+        fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.gif import decode_gif, encode_gif
+    from parquet_storage_query_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(92)
+    # (1) ramps, plain + interlaced, both surfaces
+    for interlace in (False, True):
+        w, h = 24, 16
+        idx = ((5 * 17 + 11 * np.arange(w * h, dtype=np.int64)) % 256).astype(np.uint8)
+        data = encode_gif(w, h, idx, interlace=interlace)
+        wi, hi, ci, got = decode_gif(data, indices=True)
+        assert (wi, hi, ci) == (w, h, 1) and (got == idx).all()
+        ww, hh, ch, rgb = decode_image(data)  # dispatch via magic
+        assert (ww, hh, ch) == (w, h, 3)
+        arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        assert (arr[:, :, 0].reshape(-1) == idx).all()
+        assert (arr[:, :, 2].reshape(-1) == idx).all()
+    # (2) dictionary stress
+    for t in range(6):
+        w = int(rng.integers(5, 120))
+        h = int(rng.integers(5, 120))
+        idx = (
+            rng.integers(0, 256, w * h)
+            if t % 2
+            else (np.arange(w * h) % 7)  # repetitive -> deep dictionary
+        ).astype(np.uint8)
+        data = encode_gif(w, h, idx, interlace=bool(t % 2))
+        assert (decode_gif(data, indices=True)[3] == idx).all(), t
+    big = (np.arange(600 * 400) % 3).astype(np.uint8)  # forces 4096-clear
+    data = encode_gif(600, 400, big)
+    assert len(data) < 5000, "LZW must actually compress"
+    assert (decode_gif(data, indices=True)[3] == big).all()
+    # (3) small palette
+    pal = np.stack([np.arange(16) * 16] * 3, axis=1).astype(np.uint8)
+    idx = rng.integers(0, 16, 40 * 30).astype(np.uint8)
+    data = encode_gif(40, 30, idx, palette=pal, min_code_size=4)
+    _, _, _, rgb = decode_gif(data)
+    assert (np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)[:, 1] == idx * 16).all()
+    # (4) loud failures
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 20)
+    good = encode_gif(8, 8, np.zeros(64, dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        decode_gif(good[:-10])  # truncated LZW/sub-blocks
+
+
 def test_flac_codec_roundtrip():
     """The pure-stdlib FLAC subset codec (operators/flac.py), five ways:
     (1) the fixture path (mono, fixed-order-2, auto rice k — mostly the
