@@ -209,6 +209,78 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "profile_mutual_information",
+    oracle="""
+    WITH joint AS (
+        SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+    mx AS (SELECT lang, sum(n) AS n FROM joint GROUP BY 1),
+    my AS (SELECT source, sum(n) AS n FROM joint GROUP BY 1),
+    mo AS (
+        SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM joint)            AS n_total,
+               (SELECT sum(CAST(n AS DOUBLE) * log2(n)) FROM joint)  AS sxy,
+               (SELECT sum(CAST(n AS DOUBLE) * log2(n)) FROM mx)     AS sx,
+               (SELECT sum(CAST(n AS DOUBLE) * log2(n)) FROM my)     AS sy)
+    SELECT CAST(n_total AS BIGINT)                          AS n_docs,
+           round(log2(n_total) - sx / n_total, 4)           AS h_lang_bits,
+           round(log2(n_total) - sy / n_total, 4)           AS h_source_bits,
+           round(log2(n_total) - sxy / n_total, 4)          AS h_joint_bits,
+           round((sxy - sx - sy) / n_total + log2(n_total), 4) AS mi_bits,
+           round(CASE WHEN least(log2(n_total) - sx / n_total,
+                                 log2(n_total) - sy / n_total) <= 0 THEN 0.0
+                      ELSE ((sxy - sx - sy) / n_total + log2(n_total))
+                           / least(log2(n_total) - sx / n_total,
+                                   log2(n_total) - sy / n_total) END, 4)
+                                                            AS norm_mi
+    FROM mo
+    """,
+)
+def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (lang ×
+    source) in bits, plus both marginal entropies, the joint entropy,
+    and MI normalized by min(H(X), H(Y)) — the information-theoretic
+    twin of profile_chi2's frequency test: χ² asks IF the columns are
+    dependent, MI says HOW MANY BITS one reveals about the other — the
+    number a mixture designer needs to know whether balancing by source
+    also balances by language.
+
+    Scale shape: everything folds distributively from the (lang,
+    source) contingency counts — marginals are groupBys OF the joint
+    table, the corpus pays ONE scan and one O(|X|·|Y|) shuffle, and the
+    final row is a broadcast join of three O(1) moment aggregates
+    (MI = log2 N + (Σn_xy·lg n_xy − Σn_x·lg n_x − Σn_y·lg n_y)/N).
+    Same documented libm-log2 1-ulp class as profile_column_entropy —
+    unstructured transcendental sums, green at every tested scale."""
+    docs = load(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    joint = joint.localCheckpoint(eager=True)  # three consumers, one build
+    nd = F.col("n").cast("double")
+    nlg = F.sum(nd * F.log2("n"))
+
+    def marg(col: str) -> DataFrame:
+        m = joint.groupBy(col).agg(F.sum("n").alias("n"))
+        return m.agg(nlg.alias(f"s{col[0]}"))
+
+    mo = (
+        joint.agg(F.sum("n").cast("double").alias("n_total"), nlg.alias("sxy"))
+        .crossJoin(F.broadcast(marg("lang")))
+        .crossJoin(F.broadcast(marg("source")))
+    )
+    lgn = F.log2("n_total")
+    hx = lgn - F.col("sl") / F.col("n_total")
+    hy = lgn - F.col("ss") / F.col("n_total")
+    mi = (F.col("sxy") - F.col("sl") - F.col("ss")) / F.col("n_total") + lgn
+    hmin = F.least(hx, hy)
+    return mo.select(
+        F.col("n_total").cast("bigint").alias("n_docs"),
+        F.round(hx, 4).alias("h_lang_bits"),
+        F.round(hy, 4).alias("h_source_bits"),
+        F.round(lgn - F.col("sxy") / F.col("n_total"), 4).alias("h_joint_bits"),
+        F.round(mi, 4).alias("mi_bits"),
+        F.round(F.when(hmin <= 0, F.lit(0.0)).otherwise(mi / hmin), 4).alias("norm_mi"),
+    )
+
+
 N_HIST_BUCKETS = 10
 HIST_LO, HIST_HI = 0.0, 1000.0  # events.value domain (clamped)
 

@@ -930,3 +930,68 @@ def train_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_pct")
     )
+
+
+WSAMPLE_K = 25
+
+
+@query(
+    "train_weighted_sample",
+    oracle=f"""
+    SELECT o_orderkey, w_cents, u_hash, priority_e9
+    FROM (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w_cents,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                    AS BIGINT)                                           AS u_hash,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) * 1000000000
+                 // CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                                                         AS priority_e9
+        FROM orders)
+    ORDER BY priority_e9, o_orderkey
+    LIMIT {WSAMPLE_K}
+    """,
+)
+def train_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC weighted sampling — Ohlsson's sequential Poisson
+    sampling (the order-sampling family behind `SELECT ... ORDER BY
+    u/w LIMIT k`): each order draws priority u/w where u is its
+    content-hash uniform and w its value weight (price in cents), and
+    the k smallest priorities form a without-replacement sample whose
+    inclusion probabilities approximate weight-proportional (πps)
+    sampling. The pipeline use: value-weighted corpus subsampling that
+    is REPRODUCIBLE — same corpus, same sample, no rand(), any engine.
+
+    Exactness: the priority is the INTEGER floor((u·10⁹)/w) — u is a
+    32-bit hash (< 4.3e9) so the product stays inside int64, the weight
+    is the exact DECIMAL(18,2)-derived cent count, and the integer DIV
+    is bit-identical on both engines (the driver-proof policy: no
+    double division anywhere near the ORDER BY). Ties break on the key.
+
+    Scale shape: a global top-k by a map-side expression — Spark plans
+    TakeOrderedAndProject (per-partition heaps + O(k) driver merge),
+    never a full sort; the corpus pays one scan. Swapping u/w for
+    u^(1/w) (exponential-rank A-ES) changes only the priority
+    expression; the integer-lattice trick goes with it, which is why
+    the sequential-Poisson form is the one a checked pipeline wants."""
+    orders = load(spark, sf_dir, "orders")
+    u = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        orders.select(
+            "o_orderkey",
+            w.alias("w_cents"),
+            u.alias("u_hash"),
+            F.expr(
+                "CAST(CAST(conv(substring(md5(CAST(CAST(o_orderkey AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+                " * 1000000000 DIV CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS BIGINT)"
+            ).alias("priority_e9"),
+        )
+        .orderBy("priority_e9", "o_orderkey")
+        .limit(WSAMPLE_K)
+    )
