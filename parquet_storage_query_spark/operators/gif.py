@@ -127,15 +127,33 @@ def decode_gif(data: bytes, indices: bool = False):
     (width, height, 1, palette_index_array) — the integer surface the
     mm_decode_gif oracle replays (palette mapping is a table lookup the
     round-trip pytest pins)."""
+    for w, h, idx, pal, _delay in _iter_gif_frames(data):
+        if indices:
+            return w, h, 1, idx
+        return w, h, 3, pal[idx].tobytes()
+    raise ValueError("GIF: no image descriptor")
+
+
+def decode_gif_frames(data: bytes):
+    """Decode ALL frames of an (animated) GIF: list of (width, height,
+    index_array, delay_cs) — the REAL multi-frame decode path behind
+    the video family's frame sampling (delay is the graphic-control
+    extension's centisecond field, 0 when absent). Frames are returned
+    at their own descriptor sizes; compositing/disposal is the
+    renderer's job, per-frame statistics are the pipeline's."""
+    return [(w, h, idx, delay) for w, h, idx, _pal, delay in _iter_gif_frames(data)]
+
+
+def _iter_gif_frames(data: bytes):
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("GIF: bad magic")
     try:
-        return _decode_gif_body(data, indices)
+        yield from _gif_frames_body(data)
     except (IndexError, struct.error) as e:  # truncated stream: fail loudly
         raise ValueError(f"GIF: truncated stream ({e})") from e
 
 
-def _decode_gif_body(data: bytes, indices: bool):
+def _gif_frames_body(data: bytes):
     sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     global_pal = None
@@ -143,12 +161,16 @@ def _decode_gif_body(data: bytes, indices: bool):
         n = 2 << (packed & 0x07)
         global_pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
+    delay = 0
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: label + sub-blocks
+            label = data[pos + 1]
             pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                delay = struct.unpack("<H", data[pos + 2 : pos + 4])[0]
             while data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
@@ -177,10 +199,8 @@ def _decode_gif_body(data: bytes, indices: bool):
             idx = _deinterlace(idx, w, h)
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("GIF: pixel index outside color table")
-        if indices:
-            return w, h, 1, idx
-        return w, h, 3, pal[idx].tobytes()
-    raise ValueError("GIF: no image descriptor")
+        yield w, h, idx, pal, delay
+        delay = 0
 
 
 # ---------------------------------------------------------------------------
@@ -262,8 +282,23 @@ def encode_gif(
     """GIF89a with one image: `idx` is the palette-index array
     (row-major, length width*height); default palette is the 256-entry
     grayscale identity (i,i,i) — the fixture's exact luminance surface."""
-    idx = np.asarray(idx, dtype=np.uint8).reshape(-1)
-    assert idx.size == width * height
+    return encode_gif_animation(
+        width, height, [np.asarray(idx)], palette, interlace, min_code_size
+    )
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    frames: "list[np.ndarray]",
+    palette: np.ndarray | None = None,
+    interlace: bool = False,
+    min_code_size: int = 8,
+    delay_cs: int = 10,
+) -> bytes:
+    """GIF89a with one image descriptor per frame (full-size frames, a
+    graphic-control extension carrying `delay_cs` before each) — the
+    animated fixture the multi-frame decode path reads back."""
     if palette is None:
         g = np.arange(256, dtype=np.uint8)
         palette = np.stack([g, g, g], axis=1)
@@ -273,17 +308,23 @@ def encode_gif(
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height, 0x80 | size_bits, 0, 0)
     out += palette.astype(np.uint8).tobytes()
-    out += struct.pack(
-        "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0x00
-    )
-    if interlace:
-        idx = idx.reshape(height, width)[_interlace_rows(height)].reshape(-1)
-    out.append(min_code_size)
-    lzw = _lzw_encode(idx, min_code_size)
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out.append(0)
+    animated = len(frames) > 1
+    for fi, idx in enumerate(frames):
+        idx = np.asarray(idx, dtype=np.uint8).reshape(-1)
+        assert idx.size == width * height
+        if animated:  # GCE: disposal=none, no transparency, delay
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x00, delay_cs, 0, 0)
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0x00
+        )
+        if interlace:
+            idx = idx.reshape(height, width)[_interlace_rows(height)].reshape(-1)
+        out.append(min_code_size)
+        lzw = _lzw_encode(idx, min_code_size)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
     out.append(0x3B)
     return bytes(out)

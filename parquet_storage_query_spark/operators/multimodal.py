@@ -1556,6 +1556,126 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# animated-GIF fixture constants: pixel p of frame f of doc d is
+# (d*GFA_A + GFA_B*p + GFA_C*f) % 256 — per-frame closed forms
+GFA_A, GFA_B, GFA_C = 31, 3, 19
+GFA_W_BASE, GFA_W_MOD = 16, 9  # width 16..24
+GFA_H_BASE, GFA_H_MOD = 12, 7  # height 12..18
+GFA_F_BASE, GFA_F_MOD = 2, 4  # frames 2..5
+GFA_DELAY = 4  # centiseconds per frame
+
+
+def _gif_anim_fixture(doc_id: int) -> bytes:
+    import numpy as np
+
+    from .gif import encode_gif_animation
+
+    w = GFA_W_BASE + doc_id % GFA_W_MOD
+    h = GFA_H_BASE + doc_id % GFA_H_MOD
+    nf = GFA_F_BASE + doc_id % GFA_F_MOD
+    frames = [
+        (
+            (doc_id * GFA_A + GFA_B * np.arange(w * h, dtype=np.int64) + GFA_C * f)
+            % 256
+        ).astype(np.uint8)
+        for f in range(nf)
+    ]
+    return encode_gif_animation(w, h, frames, delay_cs=GFA_DELAY)
+
+
+def ensure_gif_anim_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture table of REAL multi-frame (animated) GIFs."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                gifs = [_gif_anim_fixture(int(did)) for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "gif": gifs})
+
+        ids.mapInPandas(gen, schema="doc_id long, gif binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark, sf_dir, "gif_anim_fixture", "v1", [table_path(sf_dir, "documents")], build
+    )
+
+
+@query(
+    "mm_gif_frame_stats",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {GFA_W_BASE} + doc_id % {GFA_W_MOD} AS w,
+               {GFA_H_BASE} + doc_id % {GFA_H_MOD} AS h,
+               {GFA_F_BASE} + doc_id % {GFA_F_MOD} AS nf
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h, t.f AS frame,
+               (doc_id * {GFA_A} + {GFA_B} * u.p + {GFA_C} * t.f) % 256 AS v
+        FROM dims, unnest(range(nf)) AS t(f), unnest(range(w * h)) AS u(p))
+    SELECT doc_id, CAST(frame AS INT) AS frame,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST({GFA_DELAY} AS INT) AS delay_cs,
+           CAST(sum(v) AS BIGINT) AS sum_lum
+    FROM px GROUP BY doc_id, frame, w, h
+    """,
+)
+def mm_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-FRAME decode — the video family's frame-sampling path made
+    REAL: animated GIFs (one LZW image per frame + graphic-control
+    timing extensions) decode through operators/gif.py
+    `decode_gif_frames`, and each clip EXPLODES into per-frame rows with
+    exact luminance sums and the GCE delay — the shape a video
+    preprocessing pipeline emits per sampled frame (mm_frame_sample
+    demonstrates the sampling plumbing over opaque binaries; this
+    operator is the actual decode behind it for the one video-adjacent
+    container a pure stdlib can carry).
+
+    Exactness: lossless LZW + identity palette → decoded frame pixels
+    equal the per-frame closed form, so the oracle replays every
+    frame's statistics without parsing a byte. Row count grows by the
+    frame count (2-5 per clip) — the oracle checks the explosion
+    cardinality too. 100 TB shape: one decode per clip inside Arrow
+    batches; output is frames × O(1) stats, never pixels."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_gif_anim_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import decode_gif_frames
+
+        for pdf in batches:
+            rows = []
+            for did, g in zip(pdf["doc_id"], pdf["gif"]):
+                for f, (w, h, idx, delay) in enumerate(decode_gif_frames(bytes(g))):
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "frame": f,
+                            "width": w,
+                            "height": h,
+                            "delay_cs": delay,
+                            "sum_lum": int(idx.astype(np.int64).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, frame int, width int, height int, "
+        "delay_cs int, sum_lum long",
+    )
+
+
 # FLAC fixture constants: sample k of clip d is ((d*FLC_A + FLC_B*k) %
 # 3847) - 1923 — same closed-form discipline as the WAV fixture, so the
 # oracle replays the DECODED (decompressed) waveform without touching a

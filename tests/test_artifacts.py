@@ -204,6 +204,7 @@ def test_fixture_artifacts_are_sharded(spark):
     from parquet_storage_query_spark.operators.multimodal import (
         ensure_flac_fixture,
         ensure_g711_fixture,
+        ensure_gif_anim_fixture,
         ensure_gif_fixture,
         ensure_jpeg420_fixture,
         ensure_jpeg_arith_fixture,
@@ -221,6 +222,7 @@ def test_fixture_artifacts_are_sharded(spark):
         ensure_jpeg_arith_fixture,
         ensure_flac_fixture,
         ensure_g711_fixture,
+        ensure_gif_anim_fixture,
         ensure_gif_fixture,
         ensure_wav_fixture,
     ):

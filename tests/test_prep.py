@@ -902,6 +902,27 @@ def test_gif_codec_roundtrip():
     good = encode_gif(8, 8, np.zeros(64, dtype=np.uint8))
     with _pytest.raises(ValueError):
         decode_gif(good[:-10])  # truncated LZW/sub-blocks
+    # (5) animation: every frame + its GCE delay round-trips; the
+    # single-frame decode_gif still reads frame 0 of an animated stream
+    from parquet_storage_query_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    w, h = 20, 14
+    frames = [
+        ((9 * 13 + 11 * np.arange(w * h, dtype=np.int64) + 5 * f) % 256).astype(
+            np.uint8
+        )
+        for f in range(4)
+    ]
+    data = encode_gif_animation(w, h, frames, delay_cs=7, interlace=True)
+    got = decode_gif_frames(data)
+    assert len(got) == 4
+    for f, (ww, hh, gidx, delay) in enumerate(got):
+        assert (ww, hh, delay) == (w, h, 7)
+        assert (gidx == frames[f]).all(), f
+    assert (decode_gif(data, indices=True)[3] == frames[0]).all()
 
 
 def test_flac_codec_roundtrip():

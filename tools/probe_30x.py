@@ -55,6 +55,10 @@ ORDER = [
     "mm_decode_jpeg_420",  # jpeg420_fixture_build
     "mm_decode_jpeg_progressive",  # jpeg_prog_fixture_build
     "sim_pq_refine_topk",  # shortlist+refine serving
+    # round-9 continuation: the three new codec families
+    "mm_decode_jpeg_arith",  # jpeg_arith_fixture_build (QM coder)
+    "mm_decode_flac",  # flac_fixture_build (rice/LZ decode slope)
+    "mm_decode_gif",  # gif_fixture_build (LZW decode slope)
 ]
 BUILDS = {
     "dedup_embedding_cosine": "cos_lsh_index_build",
@@ -66,6 +70,9 @@ BUILDS = {
     "mm_decode_jpeg": "jpeg_fixture_build",
     "mm_decode_jpeg_420": "jpeg420_fixture_build",
     "mm_decode_jpeg_progressive": "jpeg_prog_fixture_build",
+    "mm_decode_jpeg_arith": "jpeg_arith_fixture_build",
+    "mm_decode_flac": "flac_fixture_build",
+    "mm_decode_gif": "gif_fixture_build",
 }
 
 
