@@ -2055,6 +2055,79 @@ def sink_jsonl_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sink_jsonl_codec_matrix",
+    oracle="""
+    SELECT c.codec, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    CROSS JOIN (VALUES ('bz2'), ('gzip'), ('xz')) AS c(codec)
+    WHERE doc_id % 5 = 1
+    GROUP BY c.codec ORDER BY c.codec
+    """,
+)
+def sink_jsonl_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text CODEC MATRIX through the custom source/sink seam:
+    the same documents slice egests through the Python DataSourceWriter
+    three times — gzip, xz, and bz2 shards (all stdlib codecs; the
+    `codec` writer option picks the suffix and stream class) — and each
+    shard set reads back through the same source's suffix-dispatching
+    reader. Per-codec rollups must all equal the oracle's rollup over
+    the original parquet: a codec whose write or read path corrupts,
+    truncates, or double-publishes anywhere breaks that codec's row.
+
+    Why it matters: real corpus redistributions ship as .jsonl.gz
+    (throughput), .jsonl.xz (archival), and .jsonl.bz2 (legacy dumps) —
+    an ingest layer that only speaks gzip re-compresses terabytes
+    before it can start. The two-phase staged-rename commit protocol is
+    codec-independent (same `_staged_*` invisibility + sweep), which
+    this query proves by running it three times into sibling dirs."""
+    import os
+
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+    from ..sources import jsonl_source
+
+    codecs = ("bz2", "gzip", "xz")
+
+    def build(dest: str) -> None:
+        jsonl_source.register(spark)
+        sl = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+        for codec in codecs:
+            (
+                sl.repartition(4)
+                .write.format("jsonl_corpus")
+                .mode("append")
+                .option("path", os.path.join(dest, codec))
+                .option("codec", codec)
+                .save()
+            )
+
+    dest = ensure_artifact(
+        spark, sf_dir, "jsonl_codecs", "v1", [table_path(sf_dir, "documents")], build
+    )
+    jsonl_source.register(spark)
+    parts = []
+    for codec in codecs:
+        docs = (
+            spark.read.format("jsonl_corpus")
+            .option("path", os.path.join(dest, codec))
+            .load()
+        )
+        parts.append(
+            docs.groupBy(F.lit(codec).alias("codec")).agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum("doc_id").alias("sum_ids"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("codec")
+
+
 # ---------------------------------------------------------------------------
 # Time-series LOCF + big-big interval join (§2.4/§2.9 batch extensions)
 # ---------------------------------------------------------------------------

@@ -96,7 +96,7 @@ _PRIORITY = [
     "dedup_index_read_committed", "mm_audio_g711", "mm_decode_jpeg_arith",
     "mm_decode_flac", "mm_decode_gif",
     "profile_mutual_information", "train_weighted_sample",
-    "mm_gif_frame_stats",
+    "mm_gif_frame_stats", "sink_jsonl_codec_matrix",
     # ---- ~50-sample budget line (slots 47-50 re-sample r8-green rows) ---
     # -- ROUND-8 HEAD (all 50 green in CORRECTNESS_r08) -------------------
     # round-7 additions (flagship/composed first)

@@ -28,6 +28,27 @@ from pyspark.sql.datasource import (
 
 CORPUS_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
 
+# codec matrix (all stdlib): suffix -> opener factory. The reader
+# dispatches on the shard's suffix, the writer on its `codec` option —
+# one source class covers the compressed-text formats a corpus actually
+# ships (gzip for throughput, xz/bz2 for archival redistributions).
+_SUFFIX_OPENERS = {".json.gz": "gzip", ".json.xz": "lzma", ".json.bz2": "bz2", ".json": None}
+_CODEC_SUFFIX = {"gzip": ".json.gz", "xz": ".json.xz", "bz2": ".json.bz2", "none": ".json"}
+
+
+def _open_text(path: str, mode: str):
+    import bz2
+    import gzip
+    import lzma
+
+    if path.endswith(".json.gz"):
+        return gzip.open(path, mode, encoding="utf-8")
+    if path.endswith(".json.xz"):
+        return lzma.open(path, mode, encoding="utf-8")
+    if path.endswith(".json.bz2"):
+        return bz2.open(path, mode, encoding="utf-8")
+    return open(path, mode, encoding="utf-8")  # plain .json; mode is rt/wt
+
 
 class JsonlShard(InputPartition):
     def __init__(self, path: str):
@@ -49,16 +70,14 @@ class JsonlCorpusReader(DataSourceReader):
         return [
             JsonlShard(os.path.join(self.path, f))
             for f in sorted(os.listdir(self.path))
-            if (f.endswith(".json.gz") or f.endswith(".json"))
+            if any(f.endswith(sfx) for sfx in _SUFFIX_OPENERS)
             and not f.startswith(("_", "."))
         ]
 
     def read(self, partition: JsonlShard):
-        import gzip
         import json
 
-        opener = gzip.open if partition.path.endswith(".gz") else open
-        with opener(partition.path, "rt", encoding="utf-8") as fh:
+        with _open_text(partition.path, "rt") as fh:
             for line in fh:
                 if not line.strip():
                     continue
@@ -106,9 +125,12 @@ class JsonlCorpusWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
         self.path = options["path"]
         self.overwrite = overwrite
+        codec = options.get("codec", "gzip")
+        if codec not in _CODEC_SUFFIX:
+            raise ValueError(f"jsonl_corpus: unknown codec {codec!r}")
+        self.suffix = _CODEC_SUFFIX[codec]
 
     def write(self, iterator) -> JsonlShardCommit:
-        import gzip
         import json
         import os
         import uuid
@@ -119,10 +141,10 @@ class JsonlCorpusWriter(DataSourceWriter):
         pid = ctx.partitionId() if ctx else 0
         os.makedirs(self.path, exist_ok=True)
         token = uuid.uuid4().hex[:12]
-        staged = os.path.join(self.path, f"_staged_{pid:05d}_{token}.json.gz")
-        final = os.path.join(self.path, f"part-{pid:05d}-{token}.json.gz")
+        staged = os.path.join(self.path, f"_staged_{pid:05d}_{token}{self.suffix}")
+        final = os.path.join(self.path, f"part-{pid:05d}-{token}{self.suffix}")
         rows = 0
-        with gzip.open(staged, "wt", encoding="utf-8") as fh:
+        with _open_text(staged, "wt") as fh:
             for row in iterator:
                 d = row.asDict(recursive=True)
                 fh.write(json.dumps(d, ensure_ascii=False, sort_keys=True) + "\n")
@@ -136,7 +158,7 @@ class JsonlCorpusWriter(DataSourceWriter):
 
         keep = {m.staged for m in messages if m}
         if self.overwrite:
-            for old in glob.glob(os.path.join(self.path, "*.json.gz")):
+            for old in glob.glob(os.path.join(self.path, "*.json*")):
                 if old not in keep and not os.path.basename(old).startswith("_staged_"):
                     os.remove(old)
         # orphaned stages (failed-then-retried task of THIS job, or a
@@ -144,7 +166,7 @@ class JsonlCorpusWriter(DataSourceWriter):
         # commit is the only point that knows the winning attempt set,
         # and the reader's hidden-file skip is the backstop, not the
         # cleanup (ADVICE r8 medium)
-        for old in glob.glob(os.path.join(self.path, "_staged_*.json.gz")):
+        for old in glob.glob(os.path.join(self.path, "_staged_*.json*")):
             if old not in keep:
                 os.remove(old)
         for m in messages:

@@ -205,6 +205,48 @@ def test_jsonl_writer_hidden_files_and_orphan_sweep(spark, tmp_path):
     )
 
 
+def test_jsonl_codec_matrix_roundtrip(spark, tmp_path):
+    """The jsonl_corpus source/sink codec matrix (round 9): xz and bz2
+    shards (stdlib lzma/bz2) round-trip exactly like gzip through the
+    same two-phase commit protocol; the reader dispatches on suffix and
+    a MIXED directory (one shard set per codec) reads as the union; an
+    unknown codec option fails loudly."""
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.catalog import load
+    from parquet_storage_query_spark.sources import jsonl_source
+
+    jsonl_source.register(spark)
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    n = docs.count()
+    orig = {tuple(r) for r in docs.collect()}
+    mixed = str(tmp_path / "mixed")
+    for codec, sfx in (("xz", ".json.xz"), ("bz2", ".json.bz2")):
+        dest = str(tmp_path / codec)
+        docs.write.format("jsonl_corpus").option("path", dest).option(
+            "codec", codec
+        ).mode("append").save()
+        assert any(f.endswith(sfx) for f in os.listdir(dest)), os.listdir(dest)
+        back = spark.read.format("jsonl_corpus").option("path", dest).load()
+        assert {tuple(r) for r in back.collect()} == orig
+        # third of the rows into the mixed dir per codec
+        docs.filter(f"doc_id % 3 = {1 if codec == 'xz' else 2}").write.format(
+            "jsonl_corpus"
+        ).option("path", mixed).option("codec", codec).mode("append").save()
+    docs.filter("doc_id % 3 = 0").write.format("jsonl_corpus").option(
+        "path", mixed
+    ).mode("append").save()  # default gzip
+    back = spark.read.format("jsonl_corpus").option("path", mixed).load()
+    assert back.count() == n
+    assert {tuple(r) for r in back.collect()} == orig
+    with _pytest.raises(Exception, match="unknown codec"):
+        docs.limit(1).write.format("jsonl_corpus").option("path", str(tmp_path / "z")).option(
+            "codec", "zstd"
+        ).mode("append").save()
+
+
 def test_orc_roundtrip(spark, tmp_path):
     """events → ORC → parquet preserves all rows (dest_format extension)."""
     from parquet_storage_query_spark.catalog import load
