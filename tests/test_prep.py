@@ -1110,3 +1110,40 @@ def test_wav_codec_roundtrip():
 
     with _pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x03" + b"\x00" * 64)  # mp3-ish payload
+
+
+def test_bmp_codec_roundtrip():
+    """24-bit BI_RGB BMP: both row orientations (positive biHeight =
+    bottom-up, negative = top-down) must decode to identical RGB pixels,
+    across every 4-byte row-padding residue (w mod 4 in 0..3); palette /
+    compressed BMPs raise the documented NotImplementedError hook."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(11)
+    for w, h in ((5, 4), (6, 3), (7, 2), (8, 5), (1, 1)):
+        px = rng.randint(0, 256, size=w * h * 3).astype(np.uint8).tobytes()
+        for td in (False, True):
+            assert decode_image(encode_bmp(w, h, px, top_down=td)) == (w, h, 3, px)
+
+    # swizzle sensitivity: a solid-red image must decode with R first
+    red = bytes([200, 10, 30]) * 12
+    _, _, _, out = decode_image(encode_bmp(4, 3, red))
+    assert out[:3] == bytes([200, 10, 30])
+
+    # documented hooks: 8-bit palette and RLE8 compression
+    blob = bytearray(encode_bmp(4, 3, bytes(36)))
+    blob[28:30] = struct.pack("<H", 8)  # biBitCount = 8
+    with _pytest.raises(NotImplementedError):
+        decode_image(bytes(blob))
+    blob = bytearray(encode_bmp(4, 3, bytes(36)))
+    blob[30:34] = struct.pack("<I", 1)  # biCompression = BI_RLE8
+    with _pytest.raises(NotImplementedError):
+        decode_image(bytes(blob))
