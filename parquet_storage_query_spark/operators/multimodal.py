@@ -1246,9 +1246,11 @@ def decode_audio_np(data: bytes):
     """REAL audio decode for WAV, numpy-native (round-8 slope fix —
     VERDICT r7 next-round #5): full RIFF chunk walk, fmt validation,
     samples as a zero-copy little-endian int16 ndarray view over the data
-    chunk for PCM (format 1), or a 256-entry table expansion for the two
+    chunk for PCM (format 1), a 256-entry table expansion for the two
     G.711 companding formats telephony corpora ship — μ-law (format 7)
-    and A-law (format 6), both 8-bit (round 9). The old list[int] return
+    and A-law (format 6), both 8-bit (round 9) — or the vectorized
+    block-matrix state machine for mono IMA ADPCM (format 17, 4-bit).
+    The old list[int] return
     boxed every sample into a Python int (the dominant cost in the
     mm_audio_* 10x-headroom ratios); the view/table-lookup costs O(1)
     Python per clip. FLAC streams (fLaC magic) dispatch to the real
@@ -1266,7 +1268,9 @@ def decode_audio_np(data: bytes):
         rate, nch, _bits, samples = decode_flac(data)
         return rate, nch, samples
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise NotImplementedError("only PCM/G.711/FLAC audio decodable without codec libraries")
+        raise NotImplementedError(
+            "only PCM/G.711/ADPCM/FLAC audio decodable without codec libraries"
+        )
     pos = 12
     rate = channels = bits = None
     fmt_code = None
@@ -1280,16 +1284,27 @@ def decode_audio_np(data: bytes):
                 "<HHIIHH", body[:16]
             )
             if not (
-                (fmt_code == 1 and bits == 16) or (fmt_code in (6, 7) and bits == 8)
+                (fmt_code == 1 and bits == 16)
+                or (fmt_code in (6, 7) and bits == 8)
+                or (fmt_code == 17 and bits == 4 and channels == 1)
             ):
                 raise NotImplementedError(
-                    "only 16-bit PCM or 8-bit G.711 (A-law/mu-law) WAV supported"
+                    "only 16-bit PCM, 8-bit G.711 (A-law/mu-law), or mono "
+                    "IMA-ADPCM WAV supported"
                 )
+            align = _align
         elif ctype == b"data":
             if rate is None:
                 raise ValueError("WAV: data before fmt")
             if fmt_code == 1:
                 samples = np.frombuffer(body[: (len(body) // 2) * 2], dtype="<i2")
+            elif fmt_code == 17:  # IMA ADPCM: block-seeded nibble decode
+                nb = len(body) // align
+                samples = _adpcm_decode_block_matrix(
+                    np.frombuffer(body[: nb * align], dtype=np.uint8).reshape(
+                        nb, align
+                    )
+                ).reshape(-1)
             else:  # G.711: one byte per sample, table expansion
                 if fmt_code not in _G711_TABLES:
                     _G711_TABLES[6] = _alaw_table()
@@ -1301,6 +1316,107 @@ def decode_audio_np(data: bytes):
     if samples is None:
         samples = np.empty(0, dtype="<i2")
     return rate, channels, samples
+
+
+# IMA ADPCM (WAVE format 0x0011) — step/index tables from the public
+# IMA "Recommended Practices for Enhancing Digital Audio Compatibility
+# in Multimedia Systems" (rev 3.00); the same constants every ADPCM
+# implementation ships. 89 quantizer steps, nibble-indexed step adaption.
+IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_decode_block_matrix(blocks):
+    """Vectorized IMA-ADPCM block decode: (N, block_align) uint8 matrix
+    in, (N, samples_per_block) int64 out. Blocks are the format's
+    parallelism unit — each carries its own (predictor, step-index) seed
+    header, so decode state never crosses a block boundary and the
+    sequential dependency is only along the 2*(align-4) nibbles WITHIN a
+    block: the loop below runs that fixed nibble axis while numpy carries
+    every block in the batch at once (the _pcm_batch discipline). The
+    bit-serial vpdiff form (step>>3 plus per-bit step shifts, each
+    truncating separately) is the canonical IMA reference recurrence and
+    what the DuckDB recursive-CTE oracle replays."""
+    import numpy as np
+
+    n, align = blocks.shape
+    pred = (
+        blocks[:, :2].copy().view("<i2").astype(np.int64).reshape(n)
+    )
+    idx = np.clip(blocks[:, 2].astype(np.int64), 0, 88)
+    data = blocks[:, 4:]
+    nibs = np.empty((n, (align - 4) * 2), dtype=np.int64)
+    nibs[:, 0::2] = data & 15  # low nibble first (IMA packing order)
+    nibs[:, 1::2] = data >> 4
+    steps = np.asarray(IMA_STEPS, dtype=np.int64)
+    adj = np.asarray(IMA_INDEX_ADJ, dtype=np.int64)
+    out = np.empty((n, 1 + nibs.shape[1]), dtype=np.int64)
+    out[:, 0] = pred
+    for t in range(nibs.shape[1]):
+        nib = nibs[:, t]
+        step = steps[idx]
+        vpdiff = (
+            (step >> 3)
+            + np.where(nib & 4, step, 0)
+            + np.where(nib & 2, step >> 1, 0)
+            + np.where(nib & 1, step >> 2, 0)
+        )
+        pred = np.clip(pred + np.where(nib & 8, -vpdiff, vpdiff), -32768, 32767)
+        idx = np.clip(idx + adj[nib], 0, 88)
+        out[:, t + 1] = pred
+    return out
+
+
+def _wav_adpcm_blocks(data: bytes):
+    """RIFF walk returning the raw (n_blocks, block_align) uint8 block
+    matrix of a mono IMA-ADPCM WAV — the batch-stackable form the query
+    kernel concatenates across clips before ONE vectorized decode."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV stream")
+    pos, align, body = 12, None, None
+    while pos + 8 <= len(data):
+        ctype = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if ctype == b"fmt ":
+            fmt_code, channels, _r, _br, align, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+            if fmt_code != 17 or channels != 1 or bits != 4:
+                raise ValueError("not mono IMA-ADPCM")
+        elif ctype == b"data":
+            body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+    if align is None or body is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    nb = len(body) // align
+    return np.frombuffer(body[: nb * align], dtype=np.uint8).reshape(nb, align)
+
+
+def encode_wav_adpcm(rate: int, block_align: int, blocks: bytes) -> bytes:
+    """Mono IMA-ADPCM WAV container (format 0x0011) around pre-built
+    block payloads: fmt chunk with the cbSize=2 wSamplesPerBlock
+    extension ADPCM WAVs carry, then the data chunk verbatim."""
+    import struct
+
+    spb = (block_align - 4) * 2 + 1
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 17, 1, rate, byte_rate, block_align, 4, 2, spb)
+    hdr = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    dat = b"data" + struct.pack("<I", len(blocks)) + blocks
+    riff = b"WAVE" + hdr + dat
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 def decode_audio(data: bytes) -> tuple[int, int, "list[int]"]:
@@ -1497,6 +1613,176 @@ def mm_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         schema="doc_id long, n_samples long, sum_mu long, sum_abs_mu long, "
         "sum_al long, sum_abs_al long",
+    )
+
+
+# ADPCM fixture constants — single source for the block generator AND
+# the recursive-CTE oracle. Small blocks keep the oracle's recursion
+# depth at 64 nibbles; block count varies per clip.
+ADPCM_ALIGN = 36  # 4-byte header + 32 data bytes = 65 samples/block
+ADPCM_NB_BASE, ADPCM_NB_MOD = 2, 3  # blocks per clip: 2..4
+ADPCM_PA, ADPCM_PB = 37, 101  # pred0(d,b) = (d*PA + PB*b) % 4096 - 2048
+ADPCM_IA, ADPCM_IB = 1, 13  # idx0(d,b)  = (d*IA + IB*b) % 89
+ADPCM_NA, ADPCM_NB_, ADPCM_NC = 7, 5, 3  # nib(d,b,t) = (d*NA+NB*b+NC*t)%16
+
+
+def _adpcm_fixture(doc_id: int) -> bytes:
+    import struct
+
+    import numpy as np
+
+    nblocks = ADPCM_NB_BASE + doc_id % ADPCM_NB_MOD
+    blocks = []
+    for b in range(nblocks):
+        pred0 = (doc_id * ADPCM_PA + ADPCM_PB * b) % 4096 - 2048
+        idx0 = (doc_id * ADPCM_IA + ADPCM_IB * b) % 89
+        t = np.arange((ADPCM_ALIGN - 4) * 2, dtype=np.int64)
+        nibs = (doc_id * ADPCM_NA + ADPCM_NB_ * b + ADPCM_NC * t) % 16
+        packed = (nibs[0::2] | (nibs[1::2] << 4)).astype(np.uint8).tobytes()
+        blocks.append(struct.pack("<hBB", pred0, idx0, 0) + packed)
+    return encode_wav_adpcm(8000, ADPCM_ALIGN, b"".join(blocks))
+
+
+def ensure_adpcm_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per corpus version) the IMA-ADPCM fixture table — one
+    REAL format-17 WAV per document whose nibble stream, per-block seed
+    predictor, and step index are closed forms of (doc_id, block), so
+    the sequential decoder state machine is exactly replayable."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "wav": [_adpcm_fixture(int(d)) for d in pdf["doc_id"]],
+                    }
+                )
+
+        ids.mapInPandas(gen, schema="doc_id long, wav binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark, sf_dir, "adpcm_fixture", "v1", [table_path(sf_dir, "documents")], build
+    )
+
+
+_IMA_STEP_SQL = "[" + ",".join(str(s) for s in IMA_STEPS) + "]"
+_ADPCM_NIB = (
+    f"((dec.doc_id * {ADPCM_NA} + {ADPCM_NB_} * dec.b + {ADPCM_NC} * dec.k) % 16)"
+)
+_ADPCM_STEP = f"({_IMA_STEP_SQL}[dec.idx + 1])"
+
+
+@query(
+    "mm_audio_adpcm",
+    oracle=f"""
+    WITH RECURSIVE blocks AS (
+        SELECT doc_id, r.b AS b
+        FROM documents,
+             unnest(range({ADPCM_NB_BASE} + doc_id % {ADPCM_NB_MOD})) AS r(b)),
+    dec(doc_id, b, k, pred, idx) AS (
+        SELECT doc_id, b, 0,
+               (doc_id * {ADPCM_PA} + {ADPCM_PB} * b) % 4096 - 2048,
+               (doc_id * {ADPCM_IA} + {ADPCM_IB} * b) % 89
+        FROM blocks
+        UNION ALL
+        SELECT dec.doc_id, dec.b, dec.k + 1,
+               greatest(-32768, least(32767,
+                   dec.pred
+                   + (CASE WHEN ({_ADPCM_NIB} & 8) != 0 THEN -1 ELSE 1 END)
+                     * (({_ADPCM_STEP} >> 3)
+                        + CASE WHEN ({_ADPCM_NIB} & 4) != 0
+                               THEN {_ADPCM_STEP} ELSE 0 END
+                        + CASE WHEN ({_ADPCM_NIB} & 2) != 0
+                               THEN {_ADPCM_STEP} >> 1 ELSE 0 END
+                        + CASE WHEN ({_ADPCM_NIB} & 1) != 0
+                               THEN {_ADPCM_STEP} >> 2 ELSE 0 END))),
+               greatest(0, least(88,
+                   dec.idx + CASE ({_ADPCM_NIB} & 7)
+                             WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                             WHEN 7 THEN 8 ELSE -1 END))
+        FROM dec WHERE dec.k < {(ADPCM_ALIGN - 4) * 2})
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(pred) AS BIGINT) AS sum_s,
+           CAST(min(pred) AS BIGINT) AS min_s,
+           CAST(max(pred) AS BIGINT) AS max_s,
+           CAST(sum((b * {(ADPCM_ALIGN - 4) * 2 + 1} + k) * pred) AS BIGINT)
+               AS psum
+    FROM dec GROUP BY doc_id
+    """,
+)
+def mm_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA-ADPCM decode (WAV format 0x0011) — the block-adaptive
+    DPCM family beside PCM16 (mm_decode_wav), G.711 companding
+    (mm_audio_g711), and FLAC's lossless prediction (mm_decode_flac):
+    each 36-byte block seeds a (predictor, step-index) state machine
+    that every 4-bit nibble advances, so correctness is SEQUENTIAL — a
+    single mis-adapted step index corrupts every later sample in the
+    block. The DuckDB oracle replays that state machine with a
+    WITH RECURSIVE CTE over (doc, block) at depth 64 (the first
+    recursive-CTE decode oracle in the suite; the MinHash closure CTEs
+    recurse over graphs, not codec state), indexing the 89-entry IMA
+    step table as an inline list — any drift between the numpy decoder's
+    bit-serial vpdiff and the reference recurrence breaks the hash at
+    the first divergent nibble, and the position-weighted psum pins
+    sample ORDER across blocks.
+
+    Scale shape: blocks are the parallelism unit (own seed header, no
+    cross-block state) — the kernel stacks every block in the Arrow
+    batch into one matrix and runs ONE 64-step vectorized loop, so
+    Python cost is O(nibbles-per-block), not O(samples). At 100 TB the
+    clip table shards by input split exactly like the other decode
+    queries; nothing shuffles."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_adpcm_fixture(spark, sf_dir))
+    spb = (ADPCM_ALIGN - 4) * 2 + 1
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mats, counts = [], []
+            for blob in pdf["wav"]:
+                m = _wav_adpcm_blocks(bytes(blob))
+                mats.append(m)
+                counts.append(m.shape[0])
+            counts = np.asarray(counts, dtype=np.int64)
+            dec = _adpcm_decode_block_matrix(np.vstack(mats))  # (N, spb)
+            samples = dec.reshape(-1)
+            offs = np.concatenate(
+                (np.zeros(1, np.int64), np.cumsum(counts * spb))
+            )
+            pos = np.arange(len(samples), dtype=np.int64) - np.repeat(
+                offs[:-1], counts * spb
+            )
+            starts = offs[:-1]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_samples": counts * spb,
+                    "sum_s": np.add.reduceat(samples, starts),
+                    "min_s": np.minimum.reduceat(samples, starts),
+                    "max_s": np.maximum.reduceat(samples, starts),
+                    "psum": np.add.reduceat(pos * samples, starts),
+                }
+            )
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, n_samples long, sum_s long, min_s long, "
+        "max_s long, psum long",
     )
 
 

@@ -202,6 +202,7 @@ def test_fixture_artifacts_are_sharded(spark):
     A deliberately unsharded artifact is the red-path control."""
     from parquet_storage_query_spark import cache
     from parquet_storage_query_spark.operators.multimodal import (
+        ensure_adpcm_fixture,
         ensure_bmp_fixture,
         ensure_flac_fixture,
         ensure_g711_fixture,
@@ -216,6 +217,7 @@ def test_fixture_artifacts_are_sharded(spark):
     )
 
     for ensure in (
+        ensure_adpcm_fixture,
         ensure_bmp_fixture,
         ensure_png_fixture,
         ensure_jpeg_fixture,

@@ -1147,3 +1147,72 @@ def test_bmp_codec_roundtrip():
     blob[30:34] = struct.pack("<I", 1)  # biCompression = BI_RLE8
     with _pytest.raises(NotImplementedError):
         decode_image(bytes(blob))
+
+
+def test_adpcm_codec_matches_scalar_reference():
+    """IMA-ADPCM: the vectorized block-matrix decoder must match an
+    independent scalar implementation of the IMA reference recurrence
+    (bit-serial vpdiff, per-nibble step adaption, clamps) nibble for
+    nibble — the same recurrence the registered query's recursive-CTE
+    oracle replays in SQL. Stereo / wrong-bit-depth ADPCM raises the
+    documented hook."""
+    import struct
+
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.multimodal import (
+        ADPCM_ALIGN,
+        IMA_INDEX_ADJ,
+        IMA_STEPS,
+        _adpcm_fixture,
+        decode_audio,
+        encode_wav_adpcm,
+    )
+
+    def ref(blob):
+        # scalar state machine straight from the IMA recommended practice
+        pos, align, body = 12, None, None
+        while pos + 8 <= len(blob):
+            ctype = blob[pos : pos + 4]
+            (length,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+            if ctype == b"fmt ":
+                align = struct.unpack("<H", blob[pos + 20 : pos + 22])[0]
+            elif ctype == b"data":
+                body = blob[pos + 8 : pos + 8 + length]
+            pos += 8 + length + (length & 1)
+        out = []
+        for s in range(len(body) // align):
+            blk = body[s * align : (s + 1) * align]
+            pred = struct.unpack("<h", blk[:2])[0]
+            idx = blk[2]
+            out.append(pred)
+            for t in range((align - 4) * 2):
+                byte = blk[4 + t // 2]
+                nib = byte & 15 if t % 2 == 0 else byte >> 4
+                step = IMA_STEPS[idx]
+                vp = (step >> 3)
+                if nib & 4:
+                    vp += step
+                if nib & 2:
+                    vp += step >> 1
+                if nib & 1:
+                    vp += step >> 2
+                pred = max(-32768, min(32767, pred - vp if nib & 8 else pred + vp))
+                idx = max(0, min(88, idx + IMA_INDEX_ADJ[nib]))
+                out.append(pred)
+        return out
+
+    for d in (0, 1, 5, 88, 497):
+        blob = _adpcm_fixture(d)
+        rate, ch, samples = decode_audio(blob)
+        assert (rate, ch) == (8000, 1)
+        assert samples == ref(blob), f"doc {d}"
+
+    # fixture geometry sanity: 65 samples per 36-byte block
+    assert len(decode_audio(_adpcm_fixture(7))[2]) % ((ADPCM_ALIGN - 4) * 2 + 1) == 0
+
+    # documented hook: stereo ADPCM is unsupported
+    bad = bytearray(encode_wav_adpcm(8000, ADPCM_ALIGN, bytes(ADPCM_ALIGN)))
+    bad[22:24] = struct.pack("<H", 2)  # nChannels = 2
+    with _pytest.raises(NotImplementedError):
+        decode_audio(bytes(bad))
