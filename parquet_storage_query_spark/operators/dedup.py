@@ -2085,3 +2085,145 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+SETSIM_TAU_NUM, SETSIM_TAU_DEN = 9, 10  # Jaccard threshold tau = 0.9
+
+# 3-word shingle expression (Spark SQL, 0-based lambda indexing): the
+# set elements for the prefix-filter join. Word-level sets are useless
+# on this corpus (measured: the RAREST word appears in 250 of 5000 docs
+# at sf0.1 — every word is a stopword, so no token-keyed candidate
+# bucket is small), while 3-shingles span a 27k vocabulary with median
+# df 9: the selectivity prefix filtering relies on.
+_SHINGLES = (
+    "CASE WHEN size(ws) >= 3 THEN array_distinct(transform("
+    "sequence(0, size(ws) - 3), "
+    "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))) "
+    "ELSE array() END"
+)
+
+
+@query(
+    "dedup_setsim_prefix",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               l[r.i + 1] || ' ' || l[r.i + 2] || ' ' || l[r.i + 3] AS s
+        FROM toks, unnest(range(greatest(len(l) - 2, 0))) AS r(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(i AS BIGINT) AS i,
+           CAST(x.n + y.n - i AS BIGINT) AS u,
+           CAST((2 * 10000 * i + (x.n + y.n - i))
+                // (2 * (x.n + y.n - i)) AS BIGINT) AS jac_e4
+    FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE {SETSIM_TAU_DEN} * i >= {SETSIM_TAU_NUM} * (x.n + y.n - i)
+    """,
+)
+def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via PREFIX FILTERING — the
+    all-pairs-similarity classic (Chaudhuri/Ganti/Kaushik's SSJoin,
+    ICDE'06; Bayardo/Ma/Srikant "Scaling Up All Pairs", WWW'07; Xiao et
+    al.'s PPJoin, WWW'08 — public-literature designs), over 3-word
+    shingle sets: order each document's shingles by GLOBAL document
+    frequency ascending (rarest first, shingle-tiebroken), keep only the
+    first n - ceil(tau*n) + 1 as the doc's prefix, and generate
+    candidates from an equi-join on prefix shingles plus the length
+    filter tau*|a| <= |b| <= |a|/tau. The prefix-filtering lemma
+    guarantees every pair with Jaccard >= tau shares a prefix shingle,
+    so unlike the MinHash/SimHash banding family this join is EXACT with
+    NO probability knob — and unlike dedup_ngram_jaccard's fixed
+    8-token-prefix blocker it cannot miss a pair whose head was edited.
+    The oracle is a genuinely independent algorithm (brute-force
+    shingle-intersection join in DuckDB), so the recall guarantee is
+    VALUE-proved end-to-end, not assumed.
+
+    All-integer outputs: intersection i, union u, and the e4
+    round-to-nearest Jaccard ((2*10000*i + u) DIV (2*u), the
+    driver-proof ratio form).
+
+    Scale shape: the shingle-df table is one groupBy; candidate buckets
+    key on RARE shingles by construction (df-ascending prefix ordering
+    is WHY this survives 100 TB — a boilerplate shingle never enters a
+    prefix, so the hot-bucket explosion a naive shingle-join suffers
+    cannot happen; measured here: median prefix-bucket df 9 over a 27k
+    shingle vocabulary at sf0.1). Verify is one array_intersect per
+    candidate; AQE splits any residual hot bucket."""
+    docs = (
+        load_parallel(spark, sf_dir, "documents")
+        .select("doc_id", words_col().alias("ws"))
+        .select("doc_id", F.expr(_SHINGLES).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    tok = docs.select("doc_id", F.explode("sh").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(F.broadcast(dfreq), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("s")))
+            ).alias("ord")
+        )
+        .select(
+            "doc_id",
+            F.transform("ord", lambda x: x["s"]).alias("toks"),
+            F.size("ord").alias("n"),
+        )
+    )
+    # prefix length n - ceil(tau*n) + 1, all-integer ceil
+    plen = (
+        F.col("n")
+        - F.expr(
+            f"({SETSIM_TAU_NUM} * n + {SETSIM_TAU_DEN} - 1) DIV {SETSIM_TAU_DEN}"
+        )
+        + F.lit(1)
+    )
+    pre = ordered.select(
+        "doc_id", "n", F.explode(F.slice("toks", F.lit(1), plen)).alias("s")
+    )
+    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = pre.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    cand = (
+        a.join(b, "s")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: tau*na <= nb and tau*nb <= na (integer form)
+            & (SETSIM_TAU_DEN * F.col("nb") >= SETSIM_TAU_NUM * F.col("na"))
+            & (SETSIM_TAU_DEN * F.col("na") >= SETSIM_TAU_NUM * F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    wa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    wb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("long")
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("i"),
+            (F.size("sha") + F.size("shb")).cast("long").alias("nn"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "i",
+            (F.col("nn") - F.col("i")).alias("u"),
+        )
+        .filter(SETSIM_TAU_DEN * F.col("i") >= SETSIM_TAU_NUM * F.col("u"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "i",
+            "u",
+            F.expr("(2 * 10000 * i + u) DIV (2 * u)").alias("jac_e4"),
+        )
+    )

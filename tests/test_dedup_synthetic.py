@@ -988,3 +988,35 @@ def test_minhash_density_guard_census_and_cap(spark):
     real = dedup.minhash_density_guard(minhash_band_keys(minhash_docs(spark, SF_SMOKE)))
     assert dedup.LAST_MH_GUARD["capped_rows"] == 0
     assert real.count() == dedup.LAST_MH_GUARD["docs"] * 16  # untouched band keys
+
+
+def test_setsim_prefix_finds_edited_head_pair(spark, tmp_path):
+    """dedup_setsim_prefix's exact-recall claim on the case the fixed
+    prefix-hash blocker (dedup_ngram_jaccard) structurally misses: a
+    near-dup whose FIRST tokens were edited. Doc 2 rewrites the head of
+    doc 1; their 3-shingle Jaccard is > 0.9, and the df-ordered prefix
+    filter must still surface the pair. An unrelated doc must not pair."""
+    from pyspark.sql import functions as F2
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    edited = "zz yy " + " ".join(f"tok{i}" for i in range(2, 60))
+    other = " ".join(f"other{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string"
+    )
+    sf = str(tmp_path)
+    docs.withColumn("lang", F2.lit("en")).withColumn("source", F2.lit("t")).withColumn(
+        "n_chars", F2.length("text").cast("long")
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    from parquet_storage_query_spark.operators.dedup import dedup_setsim_prefix
+
+    rows = {(r.doc_a, r.doc_b): (r.i, r.u, r.jac_e4) for r in
+            dedup_setsim_prefix(spark, sf).collect()}
+    assert set(rows) == {(1, 2)}
+    i, u, e4 = rows[(1, 2)]
+    # doc1: 58 distinct shingles (tok0..tok59); doc2 keeps the 56
+    # shingles fully inside tok2..tok59 and adds 2 head shingles
+    # ("zz yy tok2", "yy tok2 tok3"): i=56, u=58+58-56=60
+    assert (i, u) == (56, 60)
+    assert e4 == round(10000 * 56 / 60)
