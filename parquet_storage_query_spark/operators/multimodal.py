@@ -50,6 +50,10 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
       and arithmetic-coded SOF9 (rounds 8-9).
     - GIF (87a/89a magic): the operators/gif.py LZW decoder — global/
       local palettes, interlace, real dictionary growth (round 9).
+    - BMP ('BM' magic): 24-bit BI_RGB, both row orientations (round 9).
+    - TIFF (II*/MM* magic): the operators/tiff.py decoder — strips,
+      LZW (MSB-first EarlyChange dialect) or uncompressed, horizontal
+      predictor, both byte orders (round 9).
     - Anything else (webp/avif need codec libs this container lacks)
       still raises NotImplementedError — the documented hook where a
       deployment plugs Pillow/ffmpeg in.
@@ -72,8 +76,12 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
         return decode_gif(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff  # LZW (MSB-first dialect), round 9
+
+        return decode_tiff(data)
     raise NotImplementedError(
-        "only PNG/PPM/JPEG/GIF/BMP decodable without codec libraries"
+        "only PNG/PPM/JPEG/GIF/BMP/TIFF decodable without codec libraries"
     )
 
 
@@ -3359,4 +3367,133 @@ def mm_audio_spectral_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         spectral,
         schema="doc_id long, n_frames long, sum_peak_abs long, "
         "sig_hi long, sig_lo long, first_peak_u long",
+    )
+
+
+# TIFF fixture constants — single source for generator AND oracle. The
+# per-doc option sweep (doc_id % 8 selects compression x predictor x
+# byte order) is part of the check: all variants decode to the same
+# closed-form pixels.
+TIF_W_BASE, TIF_W_MOD = 7, 10
+TIF_H_BASE, TIF_H_MOD = 5, 9
+TIF_A, TIF_B = 23, 19  # pixel byte k of doc d: (d*TIF_A + k*TIF_B) % 256
+
+
+def ensure_tiff_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per corpus version) the TIFF fixture table — one REAL
+    strip-organized TIFF per document, sweeping LZW/uncompressed x
+    horizontal-predictor x little/big-endian by doc_id so every decoder
+    path is value-checked under the registered query."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            from .tiff import encode_tiff
+
+            for pdf in batches:
+                blobs = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    w = TIF_W_BASE + d % TIF_W_MOD
+                    h = TIF_H_BASE + d % TIF_H_MOD
+                    v = (d * TIF_A + TIF_B * np.arange(w * h * 3, dtype=np.int64)) % 256
+                    blobs.append(
+                        encode_tiff(
+                            w,
+                            h,
+                            v.astype(np.uint8).tobytes(),
+                            compression=5 if d % 2 == 0 else 1,
+                            predictor=2 if (d >> 1) % 2 == 0 else 1,
+                            big_endian=(d >> 2) % 2 == 1,
+                            rows_per_strip=3,
+                        )
+                    )
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "tif": blobs})
+
+        ids.mapInPandas(gen, schema="doc_id long, tif binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark, sf_dir, "tiff_fixture", "v1", [table_path(sf_dir, "documents")], build
+    )
+
+
+@query(
+    "mm_decode_tiff",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {TIF_W_BASE} + doc_id % {TIF_W_MOD} AS w,
+               {TIF_H_BASE} + doc_id % {TIF_H_MOD} AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h, t.k AS k,
+               (doc_id * {TIF_A} + {TIF_B} * t.k) % 256 AS v
+        FROM dims, unnest(range(w * h * 3)) AS t(k)),
+    chan AS (
+        SELECT doc_id,
+               sum(CASE WHEN k % 3 = 0 THEN v END) AS sum_r,
+               sum(CASE WHEN k % 3 = 1 THEN v END) AS sum_g,
+               sum(CASE WHEN k % 3 = 2 THEN v END) AS sum_b,
+               sum(k * v) AS psum
+        FROM px GROUP BY doc_id)
+    SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b, CAST(psum AS BIGINT) AS psum
+    FROM dims d JOIN chan USING (doc_id)
+    """,
+)
+def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode — the fourth still-image container family and
+    the SECOND LZW dialect in the suite: TIFF's LZW packs codes
+    MSB-first with the EarlyChange width rule, where GIF's (mm_decode_gif)
+    is LSB-first without it — a shared bit reader desynchronizes within
+    a dozen codes, so the two queries jointly pin both dialects. The
+    fixture sweeps compression (LZW/none) x predictor (horizontal
+    differencing/none) x byte order (II/MM) by doc_id; every variant
+    must decode to the SAME closed-form pixels, making the option matrix
+    itself part of the value check. The byte-position-weighted psum
+    (sum k*v) catches strip mis-ordering and a predictor applied to the
+    wrong axis; channel sums catch channel swizzles. All-integer output
+    (driver-proof); embarrassingly parallel mapInPandas like every
+    decode query — partitions scale with input splits at 100 TB."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_tiff_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["tif"]):
+                w, h, ch, px = decode_image(bytes(blob))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": w,
+                        "height": h,
+                        "sum_r": int(arr[0::ch].sum()),
+                        "sum_g": int(arr[1::ch].sum()),
+                        "sum_b": int(arr[2::ch].sum()),
+                        "psum": int(
+                            (np.arange(len(arr), dtype=np.int64) * arr).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, "
+        "sum_r long, sum_g long, sum_b long, psum long",
     )

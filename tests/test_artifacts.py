@@ -213,6 +213,7 @@ def test_fixture_artifacts_are_sharded(spark):
         ensure_jpeg_fixture,
         ensure_jpeg_progressive_fixture,
         ensure_png_fixture,
+        ensure_tiff_fixture,
         ensure_wav_fixture,
     )
 
@@ -228,6 +229,7 @@ def test_fixture_artifacts_are_sharded(spark):
         ensure_g711_fixture,
         ensure_gif_anim_fixture,
         ensure_gif_fixture,
+        ensure_tiff_fixture,
         ensure_wav_fixture,
     ):
         dest = ensure(spark, SF_SMOKE)

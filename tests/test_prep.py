@@ -1216,3 +1216,61 @@ def test_adpcm_codec_matches_scalar_reference():
     bad[22:24] = struct.pack("<H", 2)  # nChannels = 2
     with _pytest.raises(NotImplementedError):
         decode_audio(bytes(bad))
+
+
+def test_tiff_codec_roundtrip_matrix():
+    """TIFF: the full option grid (LZW/uncompressed x horizontal-
+    predictor/none x II/MM byte order x strip sizes) must round-trip
+    bit-for-bit; the TIFF LZW dialect must differ from GIF's on the wire
+    (MSB-first + EarlyChange vs LSB-first); unsupported shapes raise the
+    documented hooks."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators import gif as gif_mod
+    from parquet_storage_query_spark.operators.multimodal import decode_image
+    from parquet_storage_query_spark.operators.tiff import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(9)
+    for w, h in ((6, 5), (11, 3), (1, 1)):
+        px = bytes(rng.randint(0, 256, size=w * h * 3, dtype=np.uint8))
+        for comp in (1, 5):
+            for pred in (1, 2):
+                for be in (False, True):
+                    for rps in (2, 64):
+                        blob = encode_tiff(w, h, px, comp, pred, be, rps)
+                        assert decode_tiff(blob) == (w, h, 3, px)
+                        # decode_image dispatches on the TIFF magic too
+                        assert decode_image(blob) == (w, h, 3, px)
+
+    # LZW stress: 12-bit widths + table-full CLEAR (needs >4k entries)
+    big = bytes(rng.randint(0, 256, size=50_000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(big)) == big
+    runs = bytes(np.repeat(rng.randint(0, 256, 4000), 13).astype(np.uint8))
+    assert _lzw_decode(_lzw_encode(runs)) == runs
+
+    # dialect pin: the SAME byte payload compresses to DIFFERENT wire
+    # bytes under TIFF LZW (MSB-first, EarlyChange) and GIF LZW
+    # (LSB-first, sub-block framing stripped for comparison)
+    payload = np.frombuffer((b"spark" * 40), dtype=np.uint8)
+    tiff_wire = _lzw_encode(payload.tobytes())
+    gif_wire = gif_mod._lzw_encode(payload.astype(np.int64), 8)
+    assert tiff_wire != gif_wire
+
+    # documented hooks
+    base = encode_tiff(4, 3, bytes(36), compression=1)
+    tiled = bytearray(base)
+    # rewrite tag 256 (first IFD entry) to 322 TileWidth to fake a tiled file
+    import struct as _s
+
+    off = 8 + 2
+    tiled[off : off + 2] = _s.pack("<H", 322)
+    with _pytest.raises(NotImplementedError):
+        decode_tiff(bytes(tiled))
+    with _pytest.raises(ValueError):
+        decode_tiff(b"XX\x00\x00garbage")
