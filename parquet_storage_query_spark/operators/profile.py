@@ -1250,3 +1250,90 @@ def profile_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+EMB_DIM = 64  # embeddings table dimension (fixed by TESTDATA.md)
+EMB_Q = 10000  # fixed-point scale: q = floor(x * 1e4 + 0.5), exact int64
+
+
+@query(
+    "profile_embedding_covariance",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, t.i AS i,
+               CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * {EMB_Q} + 0.5)
+                    AS BIGINT) AS qv
+        FROM embeddings, range({EMB_DIM}) AS t(i)),
+    d AS (SELECT i, sum(qv) AS si FROM q GROUP BY i)
+    SELECT a.i AS i, b.i AS j,
+           CAST(sum(a.qv * b.qv) AS BIGINT) AS s,
+           CAST(min(da.si) AS BIGINT) AS si,
+           CAST(min(db.si) AS BIGINT) AS sj
+    FROM q a
+    JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    JOIN d da ON da.i = a.i
+    JOIN d db ON db.i = b.i
+    GROUP BY 1, 2
+    """,
+)
+def profile_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scatter/Gram matrix over the embedding corpus — THE reduction
+    behind PCA, whitening, and OPQ-style rotations: S(i,j) = sum_v
+    q_i(v)*q_j(v) plus per-dimension sums, from which covariance
+    (S/n - mean meanT), correlation, and eigenvectors all follow
+    driver-side (the 64x64 eigh is microscopic; it is the REDUCTION that
+    needs the cluster). Values ride a fixed-point grid (q = floor(x*1e4
+    + 0.5) computed in float64 on both engines) so every cell is an
+    exact BIGINT — the cross-engine float-summation-order class
+    (relational.py header) never enters.
+
+    Scale shape: the kernel computes ONE integer Q^T Q per Arrow batch
+    (mapInPandas) and emits 64x65/2 = 2080 upper-triangle partial rows
+    per batch; the only shuffle moves those fixed-size partials to a
+    (i,j) groupBy-sum — the classic map-side-combine decomposition, same
+    as agg_* sketch partials. Corpus rows never shuffle. int64 headroom:
+    |q| <= 1e4 so each product <= 1e8; overflow needs > 9e10 vectors per
+    (i,j) cell — at that scale swap the partial dtype to DECIMAL(38,0),
+    the documented seam.
+
+    Cited parity: dimension-statistics profiling complements
+    sim_kmeans_train / sim_power_iteration (which iterate on the same
+    corpus) and gives SemDeDup-style pipelines their whitening step."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+
+    iu, ju = np.triu_indices(EMB_DIM)
+
+    def partials(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if x.shape[1] != EMB_DIM:
+                raise ValueError(f"embedding dim {x.shape[1]} != {EMB_DIM}")
+            qm = np.floor(x * EMB_Q + 0.5).astype(np.int64)
+            scatter = qm.T @ qm  # (64, 64) exact int64
+            sums = qm.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu,
+                    "j": ju,
+                    "s": scatter[iu, ju],
+                    "si": sums[iu],
+                    "sj": sums[ju],
+                }
+            )
+
+    return (
+        emb.mapInPandas(partials, schema="i int, j int, s long, si long, sj long")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum("si").alias("si"),
+            F.sum("sj").alias("sj"),
+        )
+    )
