@@ -3497,3 +3497,88 @@ def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, "
         "sum_r long, sum_g long, sum_b long, psum long",
     )
+
+
+@query(
+    "mm_image_dhash",
+    oracle=f"""
+    WITH ddims AS (
+        SELECT doc_id,
+               {PNG_BASE} + doc_id % {PNG_W_MOD} AS w,
+               {PNG_BASE} + doc_id % {PNG_H_MOD} AS h
+        FROM documents),
+    dgrid AS (
+        SELECT doc_id, gj.j AS j, gi.i AS i,
+               ((gj.j * h) // 8) * w + ((gi.i * w) // 9) AS p
+        FROM ddims, range(8) gj(j), range(9) gi(i)),
+    dsamp AS (
+        SELECT doc_id, j, i,
+               ((doc_id * {PNG_A} + {PNG_B} * (3 * p)) % 256
+                + (doc_id * {PNG_A} + {PNG_B} * (3 * p + 1)) % 256
+                + (doc_id * {PNG_A} + {PNG_B} * (3 * p + 2)) % 256) // 3 AS y
+        FROM dgrid),
+    dbits AS (
+        SELECT a.doc_id, a.j * 8 + a.i AS bit,
+               CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS on_bit
+        FROM dsamp a JOIN dsamp b
+          ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+        WHERE a.i < 8)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN bit >= 32 AND on_bit = 1
+                         THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS BIGINT)
+               AS dhash_hi,
+           CAST(sum(CASE WHEN bit < 32 AND on_bit = 1
+                         THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+               AS dhash_lo,
+           CAST(sum(on_bit) AS BIGINT) AS n_bits
+    FROM dbits GROUP BY doc_id
+    """,
+)
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADIENT perceptual hash (dHash — the row-difference hash of the
+    public perceptual-hashing literature) completing the trio: aHash
+    thresholds block MEANS (low-pass census), the spectral hash
+    thresholds WHT coefficients (frequency signature), dHash encodes the
+    SIGN OF THE HORIZONTAL GRADIENT between adjacent cells of a 9x8
+    nearest-neighbor downsample — 8 comparisons per row x 8 rows = 64
+    bits, no threshold statistic at all, which makes it immune to the
+    global-brightness bit flips the other two can exhibit and the
+    cheapest of the three to compute (64 integer compares, no transform).
+    Together the three hashes give a banded image-dedup pipeline three
+    independent failure modes to vote across.
+
+    Exactness: strict integer comparison (ties -> 0) on the same
+    closed-form luma the ahash/phash oracles replay; all-integer output.
+    Same embarrassingly parallel mapInPandas shape as every mm_image_*
+    query."""
+    import numpy as np
+
+    pngs = spark.read.parquet(ensure_png_fixture(spark, sf_dir))
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            luma, _p, _wv, _hv, _img, ws_a, hs_a, pxc = _luma_batch(pdf["png"])
+            n = len(pxc)
+            starts = np.concatenate((np.zeros(1, np.int64), np.cumsum(pxc)))[:-1]
+            gi = np.arange(9, dtype=np.int64)
+            gj = np.arange(8, dtype=np.int64)
+            xi = (gi[None, :] * ws_a[:, None]) // 9  # (n, 9) sampled cols
+            yj = (gj[None, :] * hs_a[:, None]) // 8  # (n, 8) sampled rows
+            p = yj[:, :, None] * ws_a[:, None, None] + xi[:, None, :]  # (n,8,9)
+            ymat = luma[starts[:, None, None] + p]
+            on = (ymat[:, :, 1:] > ymat[:, :, :-1]).astype(np.int64).reshape(n, 64)
+            powers = np.int64(1) << np.arange(32, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dhash_hi": on[:, 32:] @ powers,
+                    "dhash_lo": on[:, :32] @ powers,
+                    "n_bits": on.sum(axis=1),
+                }
+            )
+
+    return pngs.mapInPandas(
+        dhash, schema="doc_id long, dhash_hi long, dhash_lo long, n_bits long"
+    )
