@@ -59,6 +59,15 @@ ORDER = [
     "mm_decode_jpeg_arith",  # jpeg_arith_fixture_build (QM coder)
     "mm_decode_flac",  # flac_fixture_build (rice/LZ decode slope)
     "mm_decode_gif",  # gif_fixture_build (LZW decode slope)
+    # round-9 continuation, second block: new join/hash/codec families
+    "dedup_setsim_prefix",  # prefix-filter shingle join (bucket growth)
+    "mm_image_spectral_hash",  # WHT hash over the shared png fixture
+    "dedup_image_phash_pairs",  # banded Hamming pair join
+    "mm_decode_bmp",  # bmp_fixture_build
+    "mm_decode_tiff",  # tiff_fixture_build (LZW MSB dialect slope)
+    "mm_audio_adpcm",  # adpcm_fixture_build (block state machine)
+    "mm_audio_spectral_hash",  # WHT landmark over the shared wav fixture
+    "profile_embedding_covariance",  # Gram partial shuffle linearity
 ]
 BUILDS = {
     "dedup_embedding_cosine": "cos_lsh_index_build",
@@ -73,6 +82,9 @@ BUILDS = {
     "mm_decode_jpeg_arith": "jpeg_arith_fixture_build",
     "mm_decode_flac": "flac_fixture_build",
     "mm_decode_gif": "gif_fixture_build",
+    "mm_decode_bmp": "bmp_fixture_build",
+    "mm_decode_tiff": "tiff_fixture_build",
+    "mm_audio_adpcm": "adpcm_fixture_build",
 }
 
 
