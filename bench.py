@@ -221,6 +221,26 @@ HEADLINE = [
     "sim_pq_refine_topk",
     "dedup_index_read_committed",
     "mm_audio_g711",
+    # round-9 post-close-out additions (codec families + profile/train)
+    "mm_decode_jpeg_arith",
+    "mm_decode_flac",
+    "mm_decode_gif",
+    "mm_gif_frame_stats",
+    "profile_mutual_information",
+    "train_weighted_sample",
+    "sink_jsonl_codec_matrix",
+    # round-9 continuation: perceptual-hash trio completion, image pair
+    # dedup, two image containers, ADPCM, set-similarity join, audio
+    # landmarks, embedding Gram reduction
+    "mm_image_spectral_hash",
+    "mm_image_dhash",
+    "dedup_image_phash_pairs",
+    "mm_decode_bmp",
+    "mm_decode_tiff",
+    "mm_audio_adpcm",
+    "mm_audio_spectral_hash",
+    "dedup_setsim_prefix",
+    "profile_embedding_covariance",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to
@@ -386,6 +406,14 @@ def main() -> None:
         "mm_decode_jpeg_progressive": "jpeg_prog_fixture_build",
         "mm_audio_g711": "g711_fixture_build",
         "dedup_index_read_committed": "asof_torn_index_build",
+        # round-9 post-close-out + continuation fixture tables
+        "mm_decode_jpeg_arith": "jpeg_arith_fixture_build",
+        "mm_decode_flac": "flac_fixture_build",
+        "mm_decode_gif": "gif_fixture_build",
+        "mm_gif_frame_stats": "gif_anim_fixture_build",
+        "mm_decode_bmp": "bmp_fixture_build",
+        "mm_decode_tiff": "tiff_fixture_build",
+        "mm_audio_adpcm": "adpcm_fixture_build",
     }
 
     timings: dict[str, float] = {}
