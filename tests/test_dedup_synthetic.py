@@ -1020,3 +1020,42 @@ def test_setsim_prefix_finds_edited_head_pair(spark, tmp_path):
     # ("zz yy tok2", "yy tok2 tok3"): i=56, u=58+58-56=60
     assert (i, u) == (56, 60)
     assert e4 == round(10000 * 56 / 60)
+
+
+def test_setsim_density_guard_census_cap_and_default(spark):
+    """setsim_density_guard: (a) the bucket census is EXACT on a
+    synthetic hot bucket (100 docs sharing one shingle -> 4,950 pairs),
+    (b) the deterministic per-bucket cap bounds the join input, (c) a
+    sparse prefix table passes through untouched with the guard
+    disengaged."""
+    from pyspark.sql import functions as F2
+
+    from parquet_storage_query_spark.operators.dedup import (
+        LAST_SETSIM_GUARD,
+        setsim_density_guard,
+    )
+
+    hot = spark.range(100).select(
+        F2.col("id").alias("doc_id"),
+        F2.lit(10).alias("n"),
+        F2.lit("hot shingle key").alias("s"),
+    )
+    out = setsim_density_guard(hot)
+    assert LAST_SETSIM_GUARD["pairs"] == 4950
+    assert LAST_SETSIM_GUARD["worst_bucket"] == 100
+    assert LAST_SETSIM_GUARD["engaged"] is True
+    assert LAST_SETSIM_GUARD["capped_rows"] == 0  # log-only without budget
+    assert out.count() == 100
+
+    capped = setsim_density_guard(hot, budget=5)
+    assert LAST_SETSIM_GUARD["capped_rows"] == 95
+    assert capped.count() == 5
+
+    sparse = spark.range(60).select(
+        F2.col("id").alias("doc_id"),
+        F2.lit(10).alias("n"),
+        F2.concat(F2.lit("s"), F2.col("id") % 30).alias("s"),
+    )
+    out2 = setsim_density_guard(sparse)
+    assert LAST_SETSIM_GUARD["engaged"] is False
+    assert out2.count() == 60
