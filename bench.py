@@ -241,6 +241,8 @@ HEADLINE = [
     "mm_audio_spectral_hash",
     "dedup_setsim_prefix",
     "profile_embedding_covariance",
+    "mm_image_blur_metric",
+    "mm_video_shot_detect",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to
@@ -414,6 +416,7 @@ def main() -> None:
         "mm_decode_bmp": "bmp_fixture_build",
         "mm_decode_tiff": "tiff_fixture_build",
         "mm_audio_adpcm": "adpcm_fixture_build",
+        "mm_video_shot_detect": "gif_shots_fixture_build",
     }
 
     timings: dict[str, float] = {}

@@ -3582,3 +3582,242 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pngs.mapInPandas(
         dhash, schema="doc_id long, dhash_hi long, dhash_lo long, n_bits long"
     )
+
+
+@query(
+    "mm_image_blur_metric",
+    oracle=f"""
+    WITH bdims AS (
+        SELECT doc_id,
+               {PNG_BASE} + doc_id % {PNG_W_MOD} AS w,
+               {PNG_BASE} + doc_id % {PNG_H_MOD} AS h
+        FROM documents),
+    blum AS (
+        SELECT doc_id, w, h, t.p AS p, t.p % w AS x, t.p // w AS y,
+               ((doc_id * {PNG_A} + {PNG_B} * (3 * t.p)) % 256
+                + (doc_id * {PNG_A} + {PNG_B} * (3 * t.p + 1)) % 256
+                + (doc_id * {PNG_A} + {PNG_B} * (3 * t.p + 2)) % 256) // 3 AS v
+        FROM bdims, unnest(range(w * h)) AS t(p)),
+    blap AS (
+        SELECT c.doc_id,
+               4 * c.v - l.v - r.v - u.v - d.v AS lap
+        FROM blum c
+        JOIN blum l ON l.doc_id = c.doc_id AND l.p = c.p - 1
+        JOIN blum r ON r.doc_id = c.doc_id AND r.p = c.p + 1
+        JOIN blum u ON u.doc_id = c.doc_id AND u.p = c.p - c.w
+        JOIN blum d ON d.doc_id = c.doc_id AND d.p = c.p + c.w
+        WHERE c.x BETWEEN 1 AND c.w - 2 AND c.y BETWEEN 1 AND c.h - 2)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS interior_px,
+           CAST(sum(lap * lap) AS BIGINT) AS lap_energy,
+           CAST(max(abs(lap)) AS BIGINT) AS lap_max_abs
+    FROM blap GROUP BY doc_id
+    """,
+)
+def mm_image_blur_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLUR / sharpness metric — the variance-of-Laplacian family every
+    image-curation pipeline runs to drop out-of-focus frames (Pech-Pacheco
+    et al., ICPR'00 — the standard focus measure), in the integer-exact
+    form: convolve the decoded luma with the 4-neighbor Laplacian kernel
+    and emit the exact energy sum(L^2) plus the peak |L| over interior
+    pixels. A blurred image's Laplacian energy collapses, so downstream
+    a curation job filters WHERE lap_energy / interior_px < threshold.
+    The DuckDB oracle replays the convolution via 4 positional
+    self-joins on the closed-form luma — a decoder or indexing bug that
+    shifts any neighbor (row-stride off-by-one, scanline order) breaks
+    the energy exactly.
+
+    Scale shape: one vectorized neighbor-gather per Arrow batch over
+    the concatenated luma vector (interior mask + 4 shifted index
+    vectors — no per-pixel Python, no shuffle); same embarrassingly
+    parallel decode-query contract as the rest of the mm_image family."""
+    import numpy as np
+
+    pngs = spark.read.parquet(ensure_png_fixture(spark, sf_dir))
+
+    def blur(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            luma, p, wv, hv, img, _ws, _hs, pxc = _luma_batch(pdf["png"])
+            n = len(pxc)
+            x = p % wv
+            y = p // wv
+            interior = (x >= 1) & (x <= wv - 2) & (y >= 1) & (y <= hv - 2)
+            gi = np.arange(len(luma), dtype=np.int64)
+            lap = (
+                4 * luma[interior]
+                - luma[gi[interior] - 1]
+                - luma[gi[interior] + 1]
+                - luma[gi[interior] - wv[interior]]
+                - luma[gi[interior] + wv[interior]]
+            )
+            img_i = img[interior]
+            cnt = np.bincount(img_i, minlength=n).astype(np.int64)
+            energy = np.bincount(img_i, weights=lap * lap, minlength=n).astype(
+                np.int64
+            )
+            mx = np.zeros(n, dtype=np.int64)
+            np.maximum.at(mx, img_i, np.abs(lap))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "interior_px": cnt,
+                    "lap_energy": energy,
+                    "lap_max_abs": mx,
+                }
+            )
+
+    return pngs.mapInPandas(
+        blur,
+        schema="doc_id long, interior_px long, lap_energy long, lap_max_abs long",
+    )
+
+
+# Shot-structured animated-GIF fixture: frames within a shot are
+# IDENTICAL (index f // GS_LEN), cuts happen every GS_LEN frames with a
+# constant per-shot palette shift — closed form per (doc, frame, pixel)
+GS_A, GS_B, GS_C = 29, 5, 47
+GS_LEN = 3  # frames per shot
+GS_W_BASE, GS_W_MOD = 14, 7  # width 14..20
+GS_H_BASE, GS_H_MOD = 10, 6  # height 10..15
+GS_F_BASE, GS_F_MOD = 7, 5  # frames 7..11 (>= 2 cuts guaranteed)
+GS_THRESH = 8  # boundary iff mean abs pixel delta > GS_THRESH
+
+
+def ensure_gif_shots_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture of REAL animated GIFs with SHOT structure —
+    runs of GS_LEN identical frames separated by hard cuts (a constant
+    value shift), the ground truth a shot-boundary detector must
+    recover."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            from .gif import encode_gif_animation
+
+            for pdf in batches:
+                gifs = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    w = GS_W_BASE + d % GS_W_MOD
+                    h = GS_H_BASE + d % GS_H_MOD
+                    nf = GS_F_BASE + d % GS_F_MOD
+                    frames = [
+                        (
+                            (d * GS_A + GS_B * np.arange(w * h, dtype=np.int64)
+                             + GS_C * (f // GS_LEN)) % 256
+                        ).astype(np.uint8)
+                        for f in range(nf)
+                    ]
+                    gifs.append(encode_gif_animation(w, h, frames, delay_cs=4))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "gif": gifs})
+
+        ids.mapInPandas(gen, schema="doc_id long, gif binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark, sf_dir, "gif_shots_fixture", "v1", [table_path(sf_dir, "documents")], build
+    )
+
+
+@query(
+    "mm_video_shot_detect",
+    oracle=f"""
+    WITH vdims AS (
+        SELECT doc_id,
+               {GS_W_BASE} + doc_id % {GS_W_MOD} AS w,
+               {GS_H_BASE} + doc_id % {GS_H_MOD} AS h,
+               {GS_F_BASE} + doc_id % {GS_F_MOD} AS nf
+        FROM documents),
+    vsad AS (
+        SELECT doc_id, w, h, fr.f AS f,
+               sum(abs(
+                   (doc_id * {GS_A} + {GS_B} * t.p
+                    + {GS_C} * (fr.f // {GS_LEN})) % 256
+                   - (doc_id * {GS_A} + {GS_B} * t.p
+                      + {GS_C} * ((fr.f - 1) // {GS_LEN})) % 256)) AS sad
+        FROM vdims,
+             unnest(range(1, nf)) AS fr(f),
+             unnest(range(w * h)) AS t(p)
+        GROUP BY 1, 2, 3, 4),
+    vcut AS (
+        SELECT doc_id, f, sad,
+               CASE WHEN sad > {GS_THRESH} * w * h THEN 1 ELSE 0 END AS is_cut
+        FROM vsad)
+    SELECT v.doc_id,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(1 + sum(is_cut) AS BIGINT) AS n_shots,
+           CAST(sum(sad) AS BIGINT) AS total_sad,
+           CAST(max(sad) AS BIGINT) AS max_sad,
+           CAST(min(CASE WHEN is_cut = 1 THEN f END) AS BIGINT)
+               AS first_cut_frame
+    FROM vcut v JOIN vdims d USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def mm_video_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOT-BOUNDARY detection over real multi-frame decode — the
+    frame-sampling primitive of every video-training pipeline (sample K
+    frames PER SHOT, not per fixed stride, or slideshow-like content is
+    over/under-sampled): consecutive-frame SAD (sum of absolute pixel
+    differences — the classic cut detector of the shot-segmentation
+    literature) thresholded on mean-per-pixel delta. The fixture's GIFs
+    have planted shot structure (runs of {GS_LEN} identical frames
+    split by constant-shift cuts), so the detector's output — shot
+    count, cut positions, SAD profile — has an exact closed form the
+    DuckDB oracle replays per (doc, frame, pixel); a frame mis-decode,
+    off-by-one frame index, or wrong threshold denominator breaks the
+    hash. All-integer output.
+
+    Scale shape: embarrassingly parallel over the video table — each
+    clip's SAD profile is one vectorized diff over its decoded frame
+    stack; nothing shuffles. On real video, frames decode per shard via
+    the same mapInPandas seam with a library decoder plugged into
+    decode_gif_frames' slot."""
+    import numpy as np
+
+    from .gif import decode_gif_frames
+
+    src = spark.read.parquet(ensure_gif_shots_fixture(spark, sf_dir))
+
+    def shots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["gif"]):
+                frames = decode_gif_frames(bytes(blob))
+                w, h = frames[0][0], frames[0][1]
+                stack = np.stack(
+                    [f[2].astype(np.int64).reshape(-1) for f in frames]
+                )
+                sad = np.abs(np.diff(stack, axis=0)).sum(axis=1)
+                cuts = sad > GS_THRESH * w * h
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_frames": len(frames),
+                        "n_shots": 1 + int(cuts.sum()),
+                        "total_sad": int(sad.sum()),
+                        "max_sad": int(sad.max()),
+                        "first_cut_frame": int(np.argmax(cuts)) + 1
+                        if cuts.any()
+                        else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        shots,
+        schema="doc_id long, n_frames long, n_shots long, total_sad long, "
+        "max_sad long, first_cut_frame long",
+    )

@@ -208,6 +208,7 @@ def test_fixture_artifacts_are_sharded(spark):
         ensure_g711_fixture,
         ensure_gif_anim_fixture,
         ensure_gif_fixture,
+        ensure_gif_shots_fixture,
         ensure_jpeg420_fixture,
         ensure_jpeg_arith_fixture,
         ensure_jpeg_fixture,
@@ -229,6 +230,7 @@ def test_fixture_artifacts_are_sharded(spark):
         ensure_g711_fixture,
         ensure_gif_anim_fixture,
         ensure_gif_fixture,
+        ensure_gif_shots_fixture,
         ensure_tiff_fixture,
         ensure_wav_fixture,
     ):
