@@ -243,6 +243,7 @@ HEADLINE = [
     "profile_embedding_covariance",
     "mm_image_blur_metric",
     "mm_video_shot_detect",
+    "sql_recursive_ledger",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

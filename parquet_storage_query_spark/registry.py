@@ -100,7 +100,7 @@ _PRIORITY = [
     "mm_image_spectral_hash", "dedup_image_phash_pairs", "mm_decode_bmp",
     "mm_audio_adpcm", "dedup_setsim_prefix", "mm_audio_spectral_hash",
     "mm_decode_tiff", "profile_embedding_covariance", "mm_image_dhash",
-    "mm_image_blur_metric", "mm_video_shot_detect",
+    "mm_image_blur_metric", "mm_video_shot_detect", "sql_recursive_ledger",
     # ---- ~50-sample budget line (slots 47-50 re-sample r8-green rows) ---
     # -- ROUND-8 HEAD (all 50 green in CORRECTNESS_r08) -------------------
     # round-7 additions (flagship/composed first)
