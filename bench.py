@@ -244,6 +244,7 @@ HEADLINE = [
     "mm_image_blur_metric",
     "mm_video_shot_detect",
     "sql_recursive_ledger",
+    "source_jsonl_stream",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

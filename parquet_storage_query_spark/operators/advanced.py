@@ -1989,6 +1989,71 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_jsonl_stream",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_len
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def source_jsonl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING read through the custom Python DataSource — Spark 4's
+    SimpleDataSourceStreamReader wired onto the same `jsonl_corpus`
+    source the batch round-trip uses: the committed egest directory is
+    consumed as an append-only log (sorted-name offsets, at most 4
+    shards per micro-batch — see JsonlCorpusStreamReader), folded into
+    a complete-mode per-lang rollup, and drained with
+    processAllAvailable. Equality with the batch oracle proves the
+    INCREMENTAL execution: offsets advanced shard-by-shard across
+    multiple micro-batches must reconstruct exactly the rollup one
+    batch scan produces — a missed shard, a double-consumed offset
+    range, or a torn line split across triggers all break the hash.
+    Together with sink_jsonl_writer_roundtrip (two-phase egest) and
+    source_jsonl_roundtrip (partitioned batch read) this completes the
+    custom-source seam: batch in, batch out, streaming in.
+
+    Scale shape: the simple stream API funnels rows driver-side by
+    design (documented tradeoff — it is the incremental-TAIL path; bulk
+    backfill goes through the partitioned batch reader), and the
+    4-shard trigger cap bounds each micro-batch regardless of backlog
+    depth. On a real drop-off directory the offset cursor is the
+    checkpoint state, and readBetweenOffsets makes post-crash replay
+    emit byte-identical batches."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+    from ..sources import jsonl_source
+    from ..sources.prep import export_jsonl
+    from ..streaming.windows import _run_to_memory
+
+    def build(dest: str) -> None:
+        n = load(spark, sf_dir, "documents").count()
+        export_jsonl(
+            load(spark, sf_dir, "documents").repartition(max(8, min(64, n // 6000))),
+            dest,
+        )
+
+    dest = ensure_artifact(
+        spark, sf_dir, "jsonl_corpus", "v3", [table_path(sf_dir, "documents")], build
+    )
+    jsonl_source.register(spark)
+    docs = spark.readStream.format("jsonl_corpus").option("path", dest).load()
+    agg = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_len"),
+        )
+    )
+    return (
+        _run_to_memory(agg, "source_jsonl_stream_out", "complete")
+        .orderBy("lang")
+    )
+
+
+@query(
     "sink_jsonl_writer_roundtrip",
     oracle="""
     SELECT lang, count(*) AS n_docs,

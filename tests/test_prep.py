@@ -1274,3 +1274,49 @@ def test_tiff_codec_roundtrip_matrix():
         decode_tiff(bytes(tiled))
     with _pytest.raises(ValueError):
         decode_tiff(b"XX\x00\x00garbage")
+
+
+def test_jsonl_stream_reader_offset_protocol(tmp_path):
+    """JsonlCorpusStreamReader unit contract: name-ordered offsets
+    advance at most BATCH_FILES shards per read, readBetweenOffsets
+    replays exactly the [start, end) file range (the post-crash replay
+    path), hidden/staged files stay invisible, and the returned iterator
+    is copyable (the runner's prefetch cache requires it)."""
+    import copy
+    import gzip
+    import json
+
+    from parquet_storage_query_spark.sources.jsonl_source import (
+        JsonlCorpusStreamReader,
+    )
+
+    def shard(name, ids):
+        with gzip.open(tmp_path / name, "wt", encoding="utf-8") as fh:
+            for i in ids:
+                fh.write(json.dumps({
+                    "doc_id": i, "text": f"t{i}", "lang": "en",
+                    "source": "s", "n_chars": 2,
+                }) + "\n")
+
+    for k in range(6):  # 6 shards of 2 docs
+        shard(f"shard-{k:04d}.json.gz", [2 * k, 2 * k + 1])
+    shard("_staged_x.json.gz", [999])  # must stay invisible
+    (tmp_path / ".hidden.json").write_text("{}")
+
+    r = JsonlCorpusStreamReader({"path": str(tmp_path)})
+    off0 = r.initialOffset()
+    assert off0 == {"n": 0}
+    it1, off1 = r.read(off0)
+    rows1 = list(copy.copy(it1))  # prefetch-cache copyability
+    assert off1 == {"n": 4}  # BATCH_FILES cap
+    assert [t[0] for t in rows1] == list(range(8))
+    it2, off2 = r.read(off1)
+    assert off2 == {"n": 6}
+    assert [t[0] for t in it2] == [8, 9, 10, 11]
+    # drained: offset stable, no rows
+    it3, off3 = r.read(off2)
+    assert off3 == {"n": 6} and list(it3) == []
+    # replay: exact [start, end) range
+    again = [t[0] for t in r.readBetweenOffsets({"n": 2}, {"n": 5})]
+    assert again == [4, 5, 6, 7, 8, 9]
+    assert all(t != 999 for t in again)
