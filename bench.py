@@ -245,6 +245,7 @@ HEADLINE = [
     "mm_video_shot_detect",
     "sql_recursive_ledger",
     "source_jsonl_stream",
+    "sink_jsonl_stream_roundtrip",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to
@@ -405,6 +406,7 @@ def main() -> None:
         "join_partition_pruned": "partitioned_layout_build",
         # round-8: the custom-writer egest and the JPEG fixture table
         "sink_jsonl_writer_roundtrip": "jsonl_sink_build",
+        "sink_jsonl_stream_roundtrip": "jsonl_stream_sink_build",
         "mm_decode_jpeg": "jpeg_fixture_build",
         "mm_decode_jpeg_420": "jpeg420_fixture_build",
         "mm_decode_jpeg_progressive": "jpeg_prog_fixture_build",

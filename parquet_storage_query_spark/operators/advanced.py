@@ -2054,6 +2054,98 @@ def source_jsonl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_jsonl_stream_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_len
+    FROM documents WHERE doc_id % 3 = 1
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def sink_jsonl_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY CUSTOM streaming pipeline — Python stream READER into Python
+    stream WRITER, end to end: the committed jsonl egest is consumed as
+    an append-only log by JsonlCorpusStreamReader (4 shards per
+    micro-batch, so the run really spans multiple epochs), a stateless
+    filter keeps the doc_id%3==1 slice, and JsonlCorpusStreamWriter
+    publishes each epoch under the staged-rename protocol with
+    EPOCH-DETERMINISTIC shard names (part-e{epoch}-{pid}: a replayed
+    epoch replaces its own output — exactly-once at the directory level
+    without a transaction log). The batch reader then reads the egest
+    back and rolls up per lang; equality with the oracle over the
+    original parquet proves the whole chain — offsets, per-epoch
+    commits, replay idempotence, gzip framing — loses and duplicates
+    nothing. Completes the custom-source seam matrix: batch in
+    (source_jsonl_roundtrip), batch out (sink_jsonl_writer_roundtrip),
+    stream in (source_jsonl_stream), stream out (this).
+
+    Scale shape: the writer's per-epoch task fan-out is the stream's
+    partitioning; the driver-side rename commit is O(tasks); the
+    simple-reader driver funnel is the stated incremental-tail
+    tradeoff. Checkpoint + output land once per corpus digest
+    (committed-artifact protocol)."""
+    import os
+
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+    from ..sources import jsonl_source
+    from ..sources.prep import export_jsonl
+
+    def build(dest: str) -> None:
+        jsonl_source.register(spark)
+        src_dir = os.path.join(dest, "src")
+        out_dir = os.path.join(dest, "out")
+        ckpt = os.path.join(dest, "ckpt")
+        n = load(spark, sf_dir, "documents").count()
+        export_jsonl(
+            load(spark, sf_dir, "documents").repartition(max(8, min(64, n // 6000))),
+            src_dir,
+        )
+        stream = (
+            spark.readStream.format("jsonl_corpus")
+            .option("path", src_dir)
+            .load()
+            .filter(F.col("doc_id") % 3 == 1)
+        )
+        q = (
+            stream.writeStream.format("jsonl_corpus")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    dest = ensure_artifact(
+        spark,
+        sf_dir,
+        "jsonl_stream_sink",
+        "v1",
+        [table_path(sf_dir, "documents")],
+        build,
+    )
+    jsonl_source.register(spark)
+    docs = (
+        spark.read.format("jsonl_corpus")
+        .option("path", os.path.join(dest, "out"))
+        .load()
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "sink_jsonl_writer_roundtrip",
     oracle="""
     SELECT lang, count(*) AS n_docs,

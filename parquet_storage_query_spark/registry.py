@@ -101,7 +101,7 @@ _PRIORITY = [
     "mm_audio_adpcm", "dedup_setsim_prefix", "mm_audio_spectral_hash",
     "mm_decode_tiff", "profile_embedding_covariance", "mm_image_dhash",
     "mm_image_blur_metric", "mm_video_shot_detect", "sql_recursive_ledger",
-    "source_jsonl_stream",
+    "source_jsonl_stream", "sink_jsonl_stream_roundtrip",
     # ---- ~50-sample budget line (slots 47-50 re-sample r8-green rows) ---
     # -- ROUND-8 HEAD (all 50 green in CORRECTNESS_r08) -------------------
     # round-7 additions (flagship/composed first)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -257,6 +258,91 @@ class JsonlCorpusWriter(DataSourceWriter):
                     pass  # task may have failed before staging
 
 
+class StreamShardCommit(WriterCommitMessage):
+    """Streaming per-task commit message: the final shard name is NOT
+    chosen at write time — only commit() knows the epoch (batchId), and
+    epoch-deterministic names are what make replayed epochs idempotent."""
+
+    def __init__(self, staged: str, pid: int, rows: int):
+        self.staged = staged
+        self.pid = pid
+        self.rows = rows
+
+
+class JsonlCorpusStreamWriter(DataSourceStreamWriter):
+    """STREAMING egest twin (Spark 4 DataSourceStreamWriter): the batch
+    writer's two-phase staged-rename protocol, extended with the one
+    thing a micro-batch sink additionally needs — EPOCH IDEMPOTENCE.
+    Final shard names are deterministic in (batchId, partitionId)
+    (`part-e{epoch}-{pid}.json.gz`), and commit() first removes any
+    existing files of that epoch prefix: a replayed epoch (post-crash
+    recovery re-running the last uncommitted batch) REPLACES its own
+    output instead of duplicating it, which is exactly-once at the
+    directory level without a transaction log. Staged files keep
+    attempt-unique uuid names so speculative/retried tasks never
+    collide; only the winning attempts' messages reach commit()."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        codec = options.get("codec", "gzip")
+        if codec not in _CODEC_SUFFIX:
+            raise ValueError(f"jsonl_corpus: unknown codec {codec!r}")
+        self.suffix = _CODEC_SUFFIX[codec]
+
+    def write(self, iterator) -> StreamShardCommit:
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        token = uuid.uuid4().hex[:12]
+        staged = os.path.join(self.path, f"_staged_s{pid:05d}_{token}{self.suffix}")
+        rows = 0
+        with _open_text(staged, "wt") as fh:
+            for row in iterator:
+                d = row.asDict(recursive=True)
+                fh.write(json.dumps(d, ensure_ascii=False, sort_keys=True) + "\n")
+                rows += 1
+        return StreamShardCommit(staged, pid, rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import glob
+        import os
+        import shutil
+
+        keep = {m.staged for m in messages if m}
+        # epoch replay: drop this epoch's previous publication first
+        for old in glob.glob(
+            os.path.join(self.path, f"part-e{batchId:06d}-*.json*")
+        ):
+            os.remove(old)
+        # sweep orphaned stages (lost attempts of this epoch, crashed
+        # prior runs) — commit is the only point that knows the winners
+        for old in glob.glob(os.path.join(self.path, "_staged_s*.json*")):
+            if old not in keep:
+                os.remove(old)
+        for m in messages:
+            if m is not None:
+                final = os.path.join(
+                    self.path, f"part-e{batchId:06d}-{m.pid:05d}{self.suffix}"
+                )
+                shutil.move(m.staged, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.staged)
+                except OSError:
+                    pass
+
+
 class JsonlCorpusDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -273,6 +359,9 @@ class JsonlCorpusDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> JsonlCorpusStreamReader:
         return JsonlCorpusStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlCorpusStreamWriter:
+        return JsonlCorpusStreamWriter(self.options)
 
 
 def register(spark) -> None:

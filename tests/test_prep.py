@@ -1320,3 +1320,56 @@ def test_jsonl_stream_reader_offset_protocol(tmp_path):
     again = [t[0] for t in r.readBetweenOffsets({"n": 2}, {"n": 5})]
     assert again == [4, 5, 6, 7, 8, 9]
     assert all(t != 999 for t in again)
+
+
+def test_jsonl_stream_writer_epoch_replay_idempotent(tmp_path):
+    """JsonlCorpusStreamWriter unit contract: committing the SAME epoch
+    twice (post-crash replay) replaces that epoch's shards instead of
+    duplicating them; orphaned staged files are swept at commit; a
+    different epoch's output is untouched."""
+    import gzip
+    import os
+
+    from parquet_storage_query_spark.sources.jsonl_source import (
+        JsonlCorpusStreamWriter,
+        StreamShardCommit,
+    )
+
+    w = JsonlCorpusStreamWriter({"path": str(tmp_path)})
+
+    def stage(name, payload):
+        p = tmp_path / name
+        with gzip.open(p, "wt", encoding="utf-8") as fh:
+            fh.write(payload + "\n")
+        return str(p)
+
+    # epoch 3, attempt 1: two tasks + one orphaned (lost-attempt) stage
+    m0 = StreamShardCommit(stage("_staged_s00000_aaa.json.gz", "a0"), 0, 1)
+    m1 = StreamShardCommit(stage("_staged_s00001_bbb.json.gz", "b0"), 1, 1)
+    stage("_staged_s00001_lost.json.gz", "zz")  # orphan
+    w.commit([m0, m1], 3)
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["part-e000003-00000.json.gz", "part-e000003-00001.json.gz"]
+
+    # unrelated epoch 4 publishes one shard
+    m4 = StreamShardCommit(stage("_staged_s00000_ccc.json.gz", "c0"), 0, 1)
+    w.commit([m4], 4)
+
+    # epoch 3 REPLAYED with different attempt tokens: must replace its
+    # own two shards, leave epoch 4 alone, end with no staged files
+    r0 = StreamShardCommit(stage("_staged_s00000_ddd.json.gz", "a1"), 0, 1)
+    r1 = StreamShardCommit(stage("_staged_s00001_eee.json.gz", "b1"), 1, 1)
+    w.commit([r0, r1], 3)
+    names = sorted(os.listdir(tmp_path))
+    assert names == [
+        "part-e000003-00000.json.gz",
+        "part-e000003-00001.json.gz",
+        "part-e000004-00000.json.gz",
+    ]
+    with gzip.open(tmp_path / "part-e000003-00000.json.gz", "rt") as fh:
+        assert fh.read().strip() == "a1"  # the replayed content won
+
+    # abort removes whatever the failed attempt staged
+    bad = StreamShardCommit(stage("_staged_s00002_fff.json.gz", "x"), 2, 1)
+    w.abort([bad, None], 5)
+    assert not any(n.startswith("_staged_") for n in os.listdir(tmp_path))
