@@ -5011,4 +5011,12 @@ def sql_recursive_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs through their SQL dialects; this is the Spark-native
     equivalent of that surface."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte_v")
+    # Spark guards runaway recursion with a TOTAL-rows valve
+    # (spark.sql.cteRecursionRowLimit, default 1e6). This query's row
+    # count is exactly |customers| x (depth+1) - known and linear - so
+    # size the valve to the data rather than let a safety default fail
+    # a correct constant-depth plan (it tripped at 10x scale: 150k
+    # customers x 8 levels = 1.2M rows). Runtime conf, same seam as
+    # catalog.load's nanosAsLong.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(500_000_000))
     return spark.sql(_recursive_ledger_sql("orders_rcte_v", idiv="DIV"))

@@ -68,6 +68,11 @@ ORDER = [
     "mm_audio_adpcm",  # adpcm_fixture_build (block state machine)
     "mm_audio_spectral_hash",  # WHT landmark over the shared wav fixture
     "profile_embedding_covariance",  # Gram partial shuffle linearity
+    # round-9 continuation, third block
+    "mm_image_blur_metric",  # Laplacian gather over the shared png fixture
+    "mm_video_shot_detect",  # gif_shots_fixture_build + SAD profile
+    "sql_recursive_ledger",  # constant-depth recursion, width growth only
+    "source_jsonl_stream",  # driver-funnel stream read (documented tail path)
 ]
 BUILDS = {
     "dedup_embedding_cosine": "cos_lsh_index_build",
@@ -85,6 +90,7 @@ BUILDS = {
     "mm_decode_bmp": "bmp_fixture_build",
     "mm_decode_tiff": "tiff_fixture_build",
     "mm_audio_adpcm": "adpcm_fixture_build",
+    "mm_video_shot_detect": "gif_shots_fixture_build",
 }
 
 
