@@ -372,4 +372,20 @@ def register(spark) -> None:
     from ..pkgship import ship_package
 
     ship_package(spark)
+    # ... but the STREAMING source runner is a second, different seam:
+    # it is a driver-side helper process that unpickles the DataSource
+    # BEFORE any addPyFile include reaches it, so a vanilla session
+    # driven from a foreign CWD dies with ModuleNotFoundError the moment
+    # readStream plans (found by the round-9-continuation driver-seam
+    # emulation — the same latent-ordering class as ROUND9_NOTES §2).
+    # Registering this module for BY-VALUE pickling makes the pickled
+    # source self-contained: the module deliberately has no repo-internal
+    # imports at module level, so the by-value closure is stdlib+pyspark
+    # only. Idempotent; uses pyspark's vendored cloudpickle (the one its
+    # serializers actually call).
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(JsonlCorpusDataSource)
