@@ -5010,13 +5010,48 @@ def sql_recursive_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic. Cited parity: the reference's engines expose recursive
     CTEs through their SQL dialects; this is the Spark-native
     equivalent of that surface."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte_v")
-    # Spark guards runaway recursion with a TOTAL-rows valve
-    # (spark.sql.cteRecursionRowLimit, default 1e6). This query's row
-    # count is exactly |customers| x (depth+1) - known and linear - so
-    # size the valve to the data rather than let a safety default fail
-    # a correct constant-depth plan (it tripped at 10x scale: 150k
-    # customers x 8 levels = 1.2M rows). Runtime conf, same seam as
-    # catalog.load's nanosAsLong.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(500_000_000))
-    return spark.sql(_recursive_ledger_sql("orders_rcte_v", idiv="DIV"))
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_rcte_v")
+    # One cheap driver-side agg does double duty (ADVICE r9 x2):
+    # (a) CONTRACT CHECK — RCTE_Q_MAX encodes the corpus date range
+    #     (1995..2001); if testdata is ever regenerated wider, deposits
+    #     outside years 0..RCTE_Q_MAX would be silently dropped by BOTH
+    #     engines and the differential would stay green while the
+    #     semantics drift. Fail loudly instead.
+    # (b) VALVE SIZING — Spark guards runaway recursion with a
+    #     TOTAL-rows valve (spark.sql.cteRecursionRowLimit, default
+    #     1e6). This query's recursion emits exactly |customers| x
+    #     (RCTE_Q_MAX + 2) rows — known and linear — so size the valve
+    #     to the measured customer count (x2 slack) instead of a
+    #     session-wide magic 500M.
+    span = orders.agg(
+        F.min(F.year("o_orderdate")).alias("y0"),
+        F.max(F.year("o_orderdate")).alias("y1"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    ).collect()[0]
+    if span["y0"] < 1995 or span["y1"] - 1995 > RCTE_Q_MAX:
+        raise ValueError(
+            f"sql_recursive_ledger: orders span years {span['y0']}..{span['y1']} "
+            f"but the ledger recursion only covers 1995..{1995 + RCTE_Q_MAX}; "
+            "widen RCTE_Q_MAX to match the regenerated corpus"
+        )
+    # Scoped conf (no session-wide mutation survives this builder —
+    # ADVICE r9): the valve is read at EXECUTION time, not plan time,
+    # so a lazy return + immediate restore would re-expose the 1M
+    # default when the driver finally collects. localCheckpoint(eager)
+    # materializes the |customers|-row result inside the try, cutting
+    # the recursion out of the lineage; after that the conf no longer
+    # matters and the finally restores the session's prior valve.
+    valve = max(1_000_000, int(span["n_cust"]) * (RCTE_Q_MAX + 2) * 2)
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, str(valve))
+    try:
+        return spark.sql(
+            _recursive_ledger_sql("orders_rcte_v", idiv="DIV")
+        ).localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)

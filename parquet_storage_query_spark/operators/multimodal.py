@@ -3330,6 +3330,22 @@ def mm_audio_spectral_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             samples, offs, _rates = _pcm_batch(pdf["wav"])
             counts = offs[1:] - offs[:-1]
             nf = counts // AUDIO_WHT_FRAME  # full frames per clip
+            # Fail loudly on sub-frame clips (ADVICE r9): with nf==0 the
+            # reduceat/fstarts gather below would silently read the NEXT
+            # clip's first frame (or IndexError on the last clip) and
+            # emit a row the oracle omits. The fixture guarantees
+            # WAV_N_BASE=400 >= 6 frames today; this assert is what
+            # keeps a future fixture retune from turning that silent
+            # misread into a green-looking wrong answer.
+            if (counts < AUDIO_WHT_FRAME).any():
+                bad = pdf["doc_id"].iloc[
+                    int(np.argmax(counts < AUDIO_WHT_FRAME))
+                ]
+                raise ValueError(
+                    f"mm_audio_spectral_hash: clip doc_id={bad} has fewer "
+                    f"than AUDIO_WHT_FRAME={AUDIO_WHT_FRAME} samples; the "
+                    "spectral kernel requires >=1 full frame per clip"
+                )
             # gather each clip's first nf*64 samples into one frame matrix
             clip_starts = np.repeat(offs[:-1], nf * AUDIO_WHT_FRAME)
             within = np.arange(

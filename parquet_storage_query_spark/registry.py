@@ -65,16 +65,29 @@ def query(name: str, oracle: str | None = None):
 
 # Driver-facing iteration order. The driver samples the FIRST ~50 registry
 # entries each round, so iteration order decides which queries get a hard
-# driver-side CORRECTNESS row. ROUND-9 ROTATION (VERDICT r8 next-round #1):
-# the head is the pre-staged round-9 block from ROUND8_NOTES.md §1 — the
-# final 43 never-driver-sampled queries (already green in both fetch modes
-# locally AND in the r8 judge's pandas spot sample) — followed by the 3
-# new round-9 operators. After this round every registered query has >=1
-# hard driver-green row (modulo the 4 designed rows-only sketches'
-# weaker check). The former round-8 head (all green in CORRECTNESS_r08)
-# moves below the line. Names not yet registered are skipped.
+# driver-side CORRECTNESS row. ROUND-10 ROTATION (VERDICT r9 next-round
+# #1): the head is the 19 round-9-continuation queries that were added
+# after the r9 driver sample was cut (judge-verified 19/19 green in
+# pandas fetch mode at sf0.01), followed by the new round-10 operators.
+# After this round every registered query has >=1 hard driver-green row
+# (modulo the 4 designed rows-only sketches' weaker check). The former
+# round-9 head (all 50 green in CORRECTNESS_r09) moves below the line.
+# Names not yet registered are skipped.
 _PRIORITY = [
-    # -- ROUND-9 HEAD: the last never-sampled queries (pre-staged in r8) --
+    # -- ROUND-10 HEAD: the 19 never-driver-sampled r9 continuations ------
+    "mm_decode_gif", "profile_mutual_information", "train_weighted_sample",
+    "mm_gif_frame_stats", "sink_jsonl_codec_matrix",
+    "mm_image_spectral_hash", "dedup_image_phash_pairs", "mm_decode_bmp",
+    "mm_audio_adpcm", "dedup_setsim_prefix", "mm_audio_spectral_hash",
+    "mm_decode_tiff", "profile_embedding_covariance", "mm_image_dhash",
+    "mm_image_blur_metric", "mm_video_shot_detect", "sql_recursive_ledger",
+    "source_jsonl_stream", "sink_jsonl_stream_roundtrip",
+    # -- new round-10 operators (first driver rows) -----------------------
+    "dedup_minhash_capped", "dedup_setsim_capped", "join_interval_capped",
+    "mm_decode_jpeg_arith_prog", "sim_lsh_multiprobe_topk",
+    "stream_tws_error_bursts",
+    # ---- ~50-sample budget line (remaining slots re-sample green rows) --
+    # -- ROUND-9 HEAD (all 50 green in CORRECTNESS_r09) -------------------
     "subq_lateral_topn", "events_hazard_rate", "text_langid_confusion",
     "timeseries_rolling_median", "mm_audio_zero_crossings",
     "stream_watermark_audit", "join_asof_nearest", "dedup_canonicalize",
@@ -91,18 +104,9 @@ _PRIORITY = [
     "profile_drift_psi", "profile_k_anonymity", "text_vocab_growth",
     "timeseries_trend_ols", "timeseries_seasonality", "graph_kcore",
     "profile_gini_concentration",
-    # new round-9 operators (first driver rows)
     "mm_decode_jpeg_420", "mm_decode_jpeg_progressive", "sim_pq_refine_topk",
     "dedup_index_read_committed", "mm_audio_g711", "mm_decode_jpeg_arith",
-    "mm_decode_flac", "mm_decode_gif",
-    "profile_mutual_information", "train_weighted_sample",
-    "mm_gif_frame_stats", "sink_jsonl_codec_matrix",
-    "mm_image_spectral_hash", "dedup_image_phash_pairs", "mm_decode_bmp",
-    "mm_audio_adpcm", "dedup_setsim_prefix", "mm_audio_spectral_hash",
-    "mm_decode_tiff", "profile_embedding_covariance", "mm_image_dhash",
-    "mm_image_blur_metric", "mm_video_shot_detect", "sql_recursive_ledger",
-    "source_jsonl_stream", "sink_jsonl_stream_roundtrip",
-    # ---- ~50-sample budget line (slots 47-50 re-sample r8-green rows) ---
+    "mm_decode_flac",
     # -- ROUND-8 HEAD (all 50 green in CORRECTNESS_r08) -------------------
     # round-7 additions (flagship/composed first)
     "prep_merge_into", "agg_topk_twophase", "events_attribution_markov",

@@ -98,8 +98,15 @@ class JsonlCorpusStreamReader(SimpleDataSourceStreamReader):
     SimpleDataSourceStreamReader API): the shard directory is treated as
     an append-only log under a NAME-ORDERED growth contract — new shards
     sort after consumed ones (the egest writer's shard names are
-    monotonic), so the offset is simply {"n": files_consumed} over the
-    sorted listing, a JSON-serializable checkpointable cursor. Each
+    monotonic), so the offset is {"n": files_consumed, "last":
+    last_consumed_name} over the sorted listing, a JSON-serializable
+    checkpointable cursor. The `last` name is the ENFORCEMENT of the
+    growth contract (ADVICE r9): every read re-derives the consumed
+    prefix by name comparison (bisect on `last`) and cross-checks it
+    against the stored count — a file appearing before `last` (contract
+    violation) or a consumed file vanishing makes the two disagree and
+    the reader fails loudly instead of silently shifting the [start,
+    end) mapping into skipped or double-read rows. Each
     trigger consumes at most BATCH_FILES new shards, so one micro-batch
     never funnels the whole backlog through the driver (the simple-API
     tradeoff, stated plainly: rows from this reader flow driver-side
@@ -129,7 +136,34 @@ class JsonlCorpusStreamReader(SimpleDataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"n": 0, "last": ""}
+
+    @staticmethod
+    def _consumed_prefix(files: "list[str]", off: dict) -> int:
+        """Resolve an offset to its position in the current sorted
+        listing, VALIDATING the name-monotonic-growth contract: the
+        number of names <= off["last"] must equal off["n"] (legacy
+        offsets without "last" fall back to the raw index). A file that
+        sorts before an already-consumed name, or a consumed file that
+        disappeared, breaks the equality — fail loudly rather than
+        silently skip/double-read on replay (ADVICE r9)."""
+        import bisect
+
+        n = int(off["n"])
+        last = off.get("last")
+        if last is None:  # legacy index-only offset (pre-r10 checkpoint)
+            return n
+        lo = bisect.bisect_right(files, last) if last else 0
+        if lo != n:
+            raise RuntimeError(
+                "jsonl_corpus stream: shard listing violated the "
+                f"name-monotonic-growth contract: offset says {n} files "
+                f"consumed through {last!r} but the current listing has "
+                f"{lo} names <= it (a shard was added before the cursor "
+                "or a consumed shard vanished); refusing to guess the "
+                "[start, end) mapping"
+            )
+        return lo
 
     def _rows(self, names: "list[str]"):
         import json
@@ -151,18 +185,20 @@ class JsonlCorpusStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         files = self._listing()
-        lo = int(start["n"])
+        lo = self._consumed_prefix(files, start)
         hi = min(len(files), lo + self.BATCH_FILES)
         # a materialized LIST-iterator, not a generator: the runner's
         # prefetch cache next()s the return value and later copy.copy()s
         # it — list iterators support both, generators neither; the
         # BATCH_FILES cap is what keeps the materialization bounded
-        return iter(list(self._rows(files[lo:hi]))), {"n": hi}
+        end = {"n": hi, "last": files[hi - 1] if hi > 0 else start.get("last", "")}
+        return iter(list(self._rows(files[lo:hi]))), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(
-            list(self._rows(self._listing()[int(start["n"]) : int(end["n"])]))
-        )
+        files = self._listing()
+        lo = self._consumed_prefix(files, start)
+        hi = self._consumed_prefix(files, end)
+        return iter(list(self._rows(files[lo:hi])))
 
 
 class JsonlShardCommit(WriterCommitMessage):
@@ -280,14 +316,29 @@ class JsonlCorpusStreamWriter(DataSourceStreamWriter):
     output instead of duplicating it, which is exactly-once at the
     directory level without a transaction log. Staged files keep
     attempt-unique uuid names so speculative/retried tasks never
-    collide; only the winning attempts' messages reach commit()."""
+    collide; only the winning attempts' messages reach commit().
+
+    Staged names carry a RUN-UNIQUE token (minted once on the driver at
+    construction, shipped to tasks inside the pickled writer), and
+    commit()'s orphan sweep matches only `_staged_s{run}_...` — its own
+    run's lost attempts. A second streaming query writing to the same
+    directory, or a zombie/speculative task still mid-write when commit
+    fires, can never have its in-flight staged file deleted by this
+    run's sweep (ADVICE r9). The tradeoff, stated plainly: a CRASHED
+    prior run's orphans now outlive it — they stay invisible to readers
+    (hidden-file convention) and cost only disk until manually cleaned;
+    a sweep wide enough to catch them is exactly the cross-run race the
+    scoping removes."""
 
     def __init__(self, options: dict):
+        import uuid
+
         self.path = options["path"]
         codec = options.get("codec", "gzip")
         if codec not in _CODEC_SUFFIX:
             raise ValueError(f"jsonl_corpus: unknown codec {codec!r}")
         self.suffix = _CODEC_SUFFIX[codec]
+        self.run_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> StreamShardCommit:
         import json
@@ -300,7 +351,10 @@ class JsonlCorpusStreamWriter(DataSourceStreamWriter):
         pid = ctx.partitionId() if ctx else 0
         os.makedirs(self.path, exist_ok=True)
         token = uuid.uuid4().hex[:12]
-        staged = os.path.join(self.path, f"_staged_s{pid:05d}_{token}{self.suffix}")
+        staged = os.path.join(
+            self.path,
+            f"_staged_s{self.run_token}_{pid:05d}_{token}{self.suffix}",
+        )
         rows = 0
         with _open_text(staged, "wt") as fh:
             for row in iterator:
@@ -320,9 +374,13 @@ class JsonlCorpusStreamWriter(DataSourceStreamWriter):
             os.path.join(self.path, f"part-e{batchId:06d}-*.json*")
         ):
             os.remove(old)
-        # sweep orphaned stages (lost attempts of this epoch, crashed
-        # prior runs) — commit is the only point that knows the winners
-        for old in glob.glob(os.path.join(self.path, "_staged_s*.json*")):
+        # sweep orphaned stages of THIS RUN ONLY (lost/speculative
+        # attempts whose messages never reached commit) — the run-token
+        # scope is what keeps a concurrent query's or a still-running
+        # zombie's in-flight staged files out of reach (ADVICE r9)
+        for old in glob.glob(
+            os.path.join(self.path, f"_staged_s{self.run_token}_*.json*")
+        ):
             if old not in keep:
                 os.remove(old)
         for m in messages:

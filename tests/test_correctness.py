@@ -271,3 +271,28 @@ def test_bloom_prefilter_contract(spark):
     assert all(hit(k) for k in members), "false negative — bloom broken"
     fp = sum(1 for k in non_members if hit(k)) / len(non_members)
     assert fp < 0.05, f"false-positive rate {fp:.3f} out of bounds"
+
+
+def test_recursive_ledger_restores_recursion_valve(spark):
+    """sql_recursive_ledger sizes spark.sql.cteRecursionRowLimit to the
+    measured |customers| x depth, but SCOPED (ADVICE r9): after the
+    builder returns — the result is eagerly localCheckpoint-ed inside
+    the try so laziness can't escape the scope — the session's prior
+    valve must be back, so a later recursive query with a real runaway
+    still hits the safety default instead of inheriting a giant limit."""
+    from parquet_storage_query_spark.operators.advanced import (
+        sql_recursive_ledger,
+    )
+
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "123456")  # a recognizable sentinel
+        df = sql_recursive_ledger(spark, SF_SMOKE)
+        assert spark.conf.get(key) == "123456", "valve leaked past builder"
+        assert df.count() > 0  # materialized result survives the restore
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)

@@ -1305,27 +1305,52 @@ def test_jsonl_stream_reader_offset_protocol(tmp_path):
 
     r = JsonlCorpusStreamReader({"path": str(tmp_path)})
     off0 = r.initialOffset()
-    assert off0 == {"n": 0}
+    assert off0 == {"n": 0, "last": ""}
     it1, off1 = r.read(off0)
     rows1 = list(copy.copy(it1))  # prefetch-cache copyability
-    assert off1 == {"n": 4}  # BATCH_FILES cap
+    assert off1 == {"n": 4, "last": "shard-0003.json.gz"}  # BATCH_FILES cap
     assert [t[0] for t in rows1] == list(range(8))
     it2, off2 = r.read(off1)
-    assert off2 == {"n": 6}
+    assert off2 == {"n": 6, "last": "shard-0005.json.gz"}
     assert [t[0] for t in it2] == [8, 9, 10, 11]
     # drained: offset stable, no rows
     it3, off3 = r.read(off2)
-    assert off3 == {"n": 6} and list(it3) == []
-    # replay: exact [start, end) range
-    again = [t[0] for t in r.readBetweenOffsets({"n": 2}, {"n": 5})]
+    assert off3 == off2 and list(it3) == []
+    # replay: exact [start, end) range (named + legacy index-only offsets)
+    again = [
+        t[0]
+        for t in r.readBetweenOffsets(
+            {"n": 2, "last": "shard-0001.json.gz"},
+            {"n": 5, "last": "shard-0004.json.gz"},
+        )
+    ]
     assert again == [4, 5, 6, 7, 8, 9]
     assert all(t != 999 for t in again)
+    legacy = [t[0] for t in r.readBetweenOffsets({"n": 2}, {"n": 5})]
+    assert legacy == again  # pre-r10 checkpoints still replay
+
+    # CONTRACT ENFORCEMENT (ADVICE r9): a shard appearing BEFORE the
+    # consumed cursor breaks the name-monotonic-growth contract — the
+    # reader must fail loudly, not silently shift the [start, end) map
+    shard("shard-0000a.json.gz", [100, 101])  # sorts between 0000 and 0001
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="name-monotonic-growth"):
+        r.read(off1)
+    with _pt.raises(RuntimeError, match="name-monotonic-growth"):
+        r.readBetweenOffsets(
+            {"n": 2, "last": "shard-0001.json.gz"},
+            {"n": 5, "last": "shard-0004.json.gz"},
+        )
 
 
 def test_jsonl_stream_writer_epoch_replay_idempotent(tmp_path):
     """JsonlCorpusStreamWriter unit contract: committing the SAME epoch
     twice (post-crash replay) replaces that epoch's shards instead of
-    duplicating them; orphaned staged files are swept at commit; a
+    duplicating them; orphaned staged files OF THIS RUN are swept at
+    commit while a concurrent run's staged files survive untouched
+    (ADVICE r9 — the sweep is run-token-scoped so a zombie or second
+    query writing to the same directory is never clobbered); a
     different epoch's output is untouched."""
     import gzip
     import os
@@ -1336,6 +1361,7 @@ def test_jsonl_stream_writer_epoch_replay_idempotent(tmp_path):
     )
 
     w = JsonlCorpusStreamWriter({"path": str(tmp_path)})
+    run = w.run_token
 
     def stage(name, payload):
         p = tmp_path / name
@@ -1344,24 +1370,31 @@ def test_jsonl_stream_writer_epoch_replay_idempotent(tmp_path):
         return str(p)
 
     # epoch 3, attempt 1: two tasks + one orphaned (lost-attempt) stage
-    m0 = StreamShardCommit(stage("_staged_s00000_aaa.json.gz", "a0"), 0, 1)
-    m1 = StreamShardCommit(stage("_staged_s00001_bbb.json.gz", "b0"), 1, 1)
-    stage("_staged_s00001_lost.json.gz", "zz")  # orphan
+    # of THIS run + one in-flight stage of a CONCURRENT run
+    m0 = StreamShardCommit(stage(f"_staged_s{run}_00000_aaa.json.gz", "a0"), 0, 1)
+    m1 = StreamShardCommit(stage(f"_staged_s{run}_00001_bbb.json.gz", "b0"), 1, 1)
+    stage(f"_staged_s{run}_00001_lost.json.gz", "zz")  # this run's orphan
+    stage("_staged_sdeadbeef0000_00000_qqq.json.gz", "other")  # foreign run
     w.commit([m0, m1], 3)
     names = sorted(os.listdir(tmp_path))
-    assert names == ["part-e000003-00000.json.gz", "part-e000003-00001.json.gz"]
+    assert names == [
+        "_staged_sdeadbeef0000_00000_qqq.json.gz",  # foreign stage survives
+        "part-e000003-00000.json.gz",
+        "part-e000003-00001.json.gz",
+    ]
 
     # unrelated epoch 4 publishes one shard
-    m4 = StreamShardCommit(stage("_staged_s00000_ccc.json.gz", "c0"), 0, 1)
+    m4 = StreamShardCommit(stage(f"_staged_s{run}_00000_ccc.json.gz", "c0"), 0, 1)
     w.commit([m4], 4)
 
     # epoch 3 REPLAYED with different attempt tokens: must replace its
     # own two shards, leave epoch 4 alone, end with no staged files
-    r0 = StreamShardCommit(stage("_staged_s00000_ddd.json.gz", "a1"), 0, 1)
-    r1 = StreamShardCommit(stage("_staged_s00001_eee.json.gz", "b1"), 1, 1)
+    r0 = StreamShardCommit(stage(f"_staged_s{run}_00000_ddd.json.gz", "a1"), 0, 1)
+    r1 = StreamShardCommit(stage(f"_staged_s{run}_00001_eee.json.gz", "b1"), 1, 1)
     w.commit([r0, r1], 3)
     names = sorted(os.listdir(tmp_path))
     assert names == [
+        "_staged_sdeadbeef0000_00000_qqq.json.gz",
         "part-e000003-00000.json.gz",
         "part-e000003-00001.json.gz",
         "part-e000004-00000.json.gz",
@@ -1370,6 +1403,7 @@ def test_jsonl_stream_writer_epoch_replay_idempotent(tmp_path):
         assert fh.read().strip() == "a1"  # the replayed content won
 
     # abort removes whatever the failed attempt staged
-    bad = StreamShardCommit(stage("_staged_s00002_fff.json.gz", "x"), 2, 1)
+    bad = StreamShardCommit(stage(f"_staged_s{run}_00002_fff.json.gz", "x"), 2, 1)
     w.abort([bad, None], 5)
-    assert not any(n.startswith("_staged_") for n in os.listdir(tmp_path))
+    left = [n for n in os.listdir(tmp_path) if n.startswith("_staged_")]
+    assert left == ["_staged_sdeadbeef0000_00000_qqq.json.gz"]
