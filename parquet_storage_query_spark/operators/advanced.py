@@ -2388,6 +2388,7 @@ def interval_density_guard(
     probe_order: str = "cts",
     build_order: str = "ets",
     budget: int | None = None,
+    force: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket-census guard for the bucketized interval join: ONE
     bucket-grain aggregate (map-side combined — O(buckets) rows reach the
@@ -2449,21 +2450,23 @@ def interval_density_guard(
             worst,
             "" if budget is None else f" Capping each side to {budget}/bucket.",
         )
-        if budget is not None:
-            wc = W.partitionBy("bkt").orderBy(probe_order)
-            we = W.partitionBy("bkt").orderBy(build_order)
-            pre_c, pre_e = clicks.count(), errors.count()
-            clicks = (
-                clicks.withColumn("_rn", F.row_number().over(wc))
-                .filter(F.col("_rn") <= budget)
-                .drop("_rn")
-            )
-            errors = (
-                errors.withColumn("_rn", F.row_number().over(we))
-                .filter(F.col("_rn") <= budget)
-                .drop("_rn")
-            )
-            info["capped_rows"] = (pre_c - clicks.count()) + (pre_e - errors.count())
+    # force=True: unconditional deterministic cap for the registered
+    # *_capped surface (VERDICT r9 #3) — oracle-replayable by design.
+    if budget is not None and (engaged or force):
+        wc = W.partitionBy("bkt").orderBy(probe_order)
+        we = W.partitionBy("bkt").orderBy(build_order)
+        pre_c, pre_e = clicks.count(), errors.count()
+        clicks = (
+            clicks.withColumn("_rn", F.row_number().over(wc))
+            .filter(F.col("_rn") <= budget)
+            .drop("_rn")
+        )
+        errors = (
+            errors.withColumn("_rn", F.row_number().over(we))
+            .filter(F.col("_rn") <= budget)
+            .drop("_rn")
+        )
+        info["capped_rows"] = (pre_c - clicks.count()) + (pre_e - errors.count())
     LAST_INTERVAL_GUARD.clear()
     LAST_INTERVAL_GUARD.update(info)
     return clicks, errors
@@ -2528,6 +2531,112 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks, errors = interval_density_guard(clicks, errors)
     return (
         clicks.join(errors, "bkt")
+        .filter(
+            (F.col("ets") >= F.col("cts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("ets") < F.col("cts"))
+        )
+        .groupBy("click_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+
+
+# Registered CAP consumer for the interval join (VERDICT r9 #3). Budget
+# 2 bites at sf0.01 (measured per-bucket occupancy: max 4 on each side),
+# so the driver's value hash proves the capped semantics, not a no-op.
+INTERVAL_CAP_BUDGET = 2
+
+_INTERVAL_CAPPED_ORACLE = f"""
+    WITH c0 AS (
+        SELECT event_id AS click_id, ts AS cts,
+               epoch_us(ts) // 300000000 AS b0
+        FROM events WHERE event_type = 'click'),
+    cx AS (SELECT click_id, cts, b0 + d.d AS bkt
+           FROM c0, (VALUES (0), (-1)) d(d)),
+    cc AS (SELECT click_id, cts, bkt FROM (
+             SELECT click_id, cts, bkt,
+                    row_number() OVER (PARTITION BY bkt
+                      ORDER BY md5(concat_ws('|', bkt, click_id)), click_id)
+                        AS slot
+             FROM cx) WHERE slot <= {INTERVAL_CAP_BUDGET}),
+    e0 AS (SELECT ts AS ets, event_id,
+                  epoch_us(ts) // 300000000 AS bkt
+           FROM events WHERE event_type = 'error'),
+    ec AS (SELECT ets, bkt FROM (
+             SELECT ets, bkt,
+                    row_number() OVER (PARTITION BY bkt
+                      ORDER BY md5(concat_ws('|', bkt, event_id)), event_id)
+                        AS slot
+             FROM e0) WHERE slot <= {INTERVAL_CAP_BUDGET})
+    SELECT click_id, count(*) AS n_errors
+    FROM cc JOIN ec USING (bkt)
+    WHERE ets >= cts - INTERVAL 5 MINUTE AND ets < cts
+    GROUP BY click_id
+"""
+
+
+@query("join_interval_capped", oracle=_INTERVAL_CAPPED_ORACLE)
+def join_interval_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_interval_bucketed with the density guard's PER-BUCKET CAP
+    engaged unconditionally (budget={INTERVAL_CAP_BUDGET} rows per side
+    per time bucket) — the registered consumer of the valve the r8 10x
+    probe motivated (N x more events packed into the same 30-day window
+    raise per-bucket co-occupancy ~N^2; on real traffic density is
+    corpus-size-independent and the exact join is linear). The capped
+    join's work is bounded at buckets x budget^2 pairs REGARDLESS of
+    how hot any bucket gets — the semantics an approximate caller
+    (burst triage, sampled attribution) opts into when the census
+    reports super-linear density. Rank is md5(bkt|event_id) with an
+    event_id tiebreak — order-free and engine-replayable, so the
+    DuckDB oracle reproduces the identical keep-set and the driver's
+    value hash checks the CAPPED result end-to-end (a timestamp-ordered
+    cap would be tie-broken differently per engine; the exact twin's
+    guard keeps timestamp order because it never caps).
+
+    Semantics note, stated plainly: n_errors here is a LOWER BOUND on
+    the exact twin's count (each side independently subsampled per
+    bucket), and clicks capped out of both their buckets vanish from
+    the output — the documented recall trade of every *_capped query."""
+    ev = load(spark, sf_dir, "events")
+    micros_per_bucket = 300 * 1_000_000
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+            F.explode(
+                F.array(
+                    F.floor(F.unix_micros("ts") / micros_per_bucket),
+                    F.floor(F.unix_micros("ts") / micros_per_bucket) - 1,
+                )
+            ).alias("bkt"),
+        )
+        .withColumn(
+            "_rk",
+            F.md5(F.concat_ws("|", F.col("bkt"), F.col("click_id")).cast("binary")),
+        )
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("ts").alias("ets"),
+            F.col("event_id"),
+            F.floor(F.unix_micros("ts") / micros_per_bucket).alias("bkt"),
+        )
+        .withColumn(
+            "_rk",
+            F.md5(F.concat_ws("|", F.col("bkt"), F.col("event_id")).cast("binary")),
+        )
+    )
+    clicks, errors = interval_density_guard(
+        clicks,
+        errors,
+        probe_order="_rk",
+        build_order="_rk",
+        budget=INTERVAL_CAP_BUDGET,
+        force=True,
+    )
+    return (
+        clicks.join(errors.select("bkt", "ets"), "bkt")
         .filter(
             (F.col("ets") >= F.col("cts") - F.expr("INTERVAL 5 MINUTES"))
             & (F.col("ets") < F.col("cts"))

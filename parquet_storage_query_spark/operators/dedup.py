@@ -354,7 +354,9 @@ MH_PAIRS_PER_DOC = 32.0
 LAST_MH_GUARD: dict[str, float | int | bool] = {}
 
 
-def minhash_density_guard(bands: DataFrame, budget: int | None = None) -> DataFrame:
+def minhash_density_guard(
+    bands: DataFrame, budget: int | None = None, force: bool = False
+) -> DataFrame:
     import logging
 
     log = logging.getLogger(__name__)
@@ -394,33 +396,41 @@ def minhash_density_guard(bands: DataFrame, budget: int | None = None) -> DataFr
             worst,
             "" if budget is None else f" Capping buckets to {budget} members.",
         )
-        if budget is not None:
-            from pyspark.sql import Window as W
+    # force=True is the registered *_capped surface (VERDICT r9 #3): the
+    # cap applies unconditionally — a hard, deterministic bound the
+    # oracle replays — instead of only when the census trips.
+    if budget is not None and (engaged or force):
+        from pyspark.sql import Window as W
 
-            rank_key = F.md5(
-                F.concat_ws("|", F.col("band"), F.col("bhash"), F.col("doc_id")).cast("binary")
-            )
-            w = W.partitionBy("band", "bhash").orderBy(rank_key, "doc_id")
-            pre = bands.count()
-            bands = (
-                bands.withColumn("_slot", F.row_number().over(w))
-                .filter(F.col("_slot") <= budget)
-                .drop("_slot")
-            )
-            info["capped_rows"] = pre - bands.count()
+        rank_key = F.md5(
+            F.concat_ws("|", F.col("band"), F.col("bhash"), F.col("doc_id")).cast("binary")
+        )
+        w = W.partitionBy("band", "bhash").orderBy(rank_key, "doc_id")
+        pre = bands.count()
+        bands = (
+            bands.withColumn("_slot", F.row_number().over(w))
+            .filter(F.col("_slot") <= budget)
+            .drop("_slot")
+        )
+        info["capped_rows"] = pre - bands.count()
     LAST_MH_GUARD.clear()
     LAST_MH_GUARD.update(info)
     return bands
 
 
-def _build_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_minhash_query(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int | None = None,
+    force: bool = False,
+) -> DataFrame:
     # Signatures computed ONCE per (session, sf_dir) via the shared
     # minhash_docs artifact: the band self-join and the two verify joins
     # below would otherwise each recompute the whole shingle+hash
     # pipeline, and the checkpoint truncates the lineage so the serving
     # plan is a cached-RDD scan.
     docs = minhash_docs(spark, sf_dir)
-    bands = minhash_density_guard(minhash_band_keys(docs))
+    bands = minhash_density_guard(minhash_band_keys(docs), budget=budget, force=force)
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -438,6 +448,57 @@ def _build_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand,
         docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
         docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+    )
+
+
+# Registered CAP consumer (VERDICT r9 next-round #3): the exact twin
+# above runs the guard LOG-ONLY because capping would break its oracle;
+# this variant ships the scale valve through the product surface with a
+# budget the oracle REPLAYS — the md5-ranked per-bucket keep is
+# order-free by construction (rank = md5(band|bhash|doc_id), no
+# engine-dependent tie), so the approximate result is still a full
+# value-hash check, not rows-only. Budget 2 deliberately bites at
+# sf0.01 (measured bucket histogram: 15 buckets of 3, 1 of 5), proving
+# the cap path end-to-end rather than riding a no-op.
+MH_CAP_BUDGET = 2
+
+_MINHASH_CAPPED_ORACLE = f"""
+    WITH {_mh_duck_ctes()},
+    bndc AS (SELECT doc_id, band, bhash FROM (
+        SELECT doc_id, band, bhash,
+               row_number() OVER (PARTITION BY band, bhash
+                 ORDER BY md5(concat_ws('|', band, bhash, doc_id)), doc_id)
+                   AS slot
+        FROM bnd) WHERE slot <= {MH_CAP_BUDGET}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bndc a JOIN bndc b
+               ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+    {_MH_JACCARD_TAIL}
+    SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5
+"""
+
+
+@query("dedup_minhash_capped", oracle=_MINHASH_CAPPED_ORACLE)
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh with the density guard's PER-BUCKET CAP engaged
+    unconditionally (budget={MH_CAP_BUDGET}) — the registered consumer of
+    the scale valve the round-9 30x probe motivated (replica corpora
+    densify band buckets quadratically; the guard census makes it
+    observable, this query makes the mitigation a product surface). Each
+    (band, bhash) bucket keeps its {MH_CAP_BUDGET} lowest-md5-ranked
+    members before the self-join, bounding candidate pairs at
+    buckets x C(budget, 2) regardless of how hot any bucket gets. The
+    trade is recall on LARGE duplicate clusters only (a cluster of k
+    copies shares buckets, so its surviving members still pair up; the
+    dropped members are exactly the ones exact dedup would delete
+    anyway). Deterministic by construction: md5(band|bhash|doc_id) rank,
+    doc_id tiebreak — both engines replay the identical keep-set, so
+    the driver's value hash checks the CAPPED semantics end-to-end."""
+    return session_memo(
+        spark,
+        sf_dir,
+        "minhash_query_capped",
+        lambda: _build_minhash_query(spark, sf_dir, budget=MH_CAP_BUDGET, force=True),
     )
 
 
@@ -2092,7 +2153,9 @@ SETSIM_PAIRS_PER_DOC = 32.0  # candidate-density budget (the MH guard's)
 LAST_SETSIM_GUARD: dict[str, float | int | bool] = {}
 
 
-def setsim_density_guard(pre: DataFrame, budget: int | None = None) -> DataFrame:
+def setsim_density_guard(
+    pre: DataFrame, budget: int | None = None, force: bool = False
+) -> DataFrame:
     """Candidate-density guard for the prefix-filter join — the
     minhash_density_guard pattern applied to prefix-shingle buckets
     (round-9 continuation probe finding: on the 3x replica corpus the
@@ -2145,18 +2208,20 @@ def setsim_density_guard(pre: DataFrame, budget: int | None = None) -> DataFrame
             worst,
             "" if budget is None else f" Capping buckets to {budget} members.",
         )
-        if budget is not None:
-            from pyspark.sql import Window as W
+    # force=True: unconditional deterministic cap for the registered
+    # *_capped surface (VERDICT r9 #3) — oracle-replayable by design.
+    if budget is not None and (engaged or force):
+        from pyspark.sql import Window as W
 
-            rank_key = F.md5(F.concat_ws("|", F.col("s"), F.col("doc_id")).cast("binary"))
-            w = W.partitionBy("s").orderBy(rank_key, "doc_id")
-            before = pre.count()
-            pre = (
-                pre.withColumn("_slot", F.row_number().over(w))
-                .filter(F.col("_slot") <= budget)
-                .drop("_slot")
-            )
-            info["capped_rows"] = before - pre.count()
+        rank_key = F.md5(F.concat_ws("|", F.col("s"), F.col("doc_id")).cast("binary"))
+        w = W.partitionBy("s").orderBy(rank_key, "doc_id")
+        before = pre.count()
+        pre = (
+            pre.withColumn("_slot", F.row_number().over(w))
+            .filter(F.col("_slot") <= budget)
+            .drop("_slot")
+        )
+        info["capped_rows"] = before - pre.count()
     LAST_SETSIM_GUARD.clear()
     LAST_SETSIM_GUARD.update(info)
     return pre
@@ -2226,6 +2291,15 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot happen; measured here: median prefix-bucket df 9 over a 27k
     shingle vocabulary at sf0.1). Verify is one array_intersect per
     candidate; AQE splits any residual hot bucket."""
+    return _build_setsim_query(spark, sf_dir)
+
+
+def _build_setsim_query(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int | None = None,
+    force: bool = False,
+) -> DataFrame:
     docs = (
         load_parallel(spark, sf_dir, "documents")
         .select("doc_id", words_col().alias("ws"))
@@ -2259,7 +2333,9 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = setsim_density_guard(
         ordered.select(
             "doc_id", "n", F.explode(F.slice("toks", F.lit(1), plen)).alias("s")
-        )
+        ),
+        budget=budget,
+        force=force,
     )
     a = pre.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
     b = pre.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
@@ -2301,3 +2377,74 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(2 * 10000 * i + u) DIV (2 * u)").alias("jac_e4"),
         )
     )
+
+
+# Registered CAP consumer for the prefix-filter join (VERDICT r9 #3):
+# unlike the exact twin (whose oracle is a genuinely independent
+# brute-force intersection), the capped variant's result DEPENDS on the
+# candidate generation, so its oracle replays the whole prefix pipeline
+# — df-ascending (df, s) ordering, integer-ceil prefix length, the
+# md5-ranked per-bucket cap — then verifies with exact intersections.
+# Budget 2 bites at sf0.01 (measured: 6 prefix buckets of 3 members).
+SETSIM_CAP_BUDGET = 2
+
+_SETSIM_CAPPED_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               l[r.i + 1] || ' ' || l[r.i + 2] || ' ' || l[r.i + 3] AS s
+        FROM toks, unnest(range(greatest(len(l) - 2, 0))) AS r(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    ord AS (SELECT sh.doc_id, sh.s, sz.n,
+                   row_number() OVER (PARTITION BY sh.doc_id
+                                      ORDER BY dfq.df, sh.s) AS rk
+            FROM sh JOIN dfq USING (s) JOIN sz USING (doc_id)),
+    pre AS (SELECT doc_id, n, s FROM ord
+            WHERE rk <= n - ({SETSIM_TAU_NUM} * n + {SETSIM_TAU_DEN} - 1)
+                           // {SETSIM_TAU_DEN} + 1),
+    prec AS (SELECT doc_id, n, s FROM (
+               SELECT doc_id, n, s,
+                      row_number() OVER (PARTITION BY s
+                        ORDER BY md5(concat_ws('|', s, doc_id)), doc_id)
+                          AS slot
+               FROM pre) WHERE slot <= {SETSIM_CAP_BUDGET}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.n AS na, b.n AS nb
+             FROM prec a JOIN prec b
+               ON a.s = b.s AND a.doc_id < b.doc_id
+              AND {SETSIM_TAU_DEN} * b.n >= {SETSIM_TAU_NUM} * a.n
+              AND {SETSIM_TAU_DEN} * a.n >= {SETSIM_TAU_NUM} * b.n),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.doc_a
+              JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(i AS BIGINT) AS i,
+           CAST(x.n + y.n - i AS BIGINT) AS u,
+           CAST((2 * 10000 * i + (x.n + y.n - i))
+                // (2 * (x.n + y.n - i)) AS BIGINT) AS jac_e4
+    FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE {SETSIM_TAU_DEN} * i >= {SETSIM_TAU_NUM} * (x.n + y.n - i)
+"""
+
+
+@query("dedup_setsim_capped", oracle=_SETSIM_CAPPED_ORACLE)
+def dedup_setsim_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_setsim_prefix with the density guard's PER-BUCKET CAP
+    engaged unconditionally (budget={SETSIM_CAP_BUDGET}) — the
+    registered consumer of the valve the round-9 continuation probe
+    motivated (replica corpora share rarest shingles, so prefix buckets
+    densify quadratically while verified pairs stay flat). Each prefix
+    bucket keeps its {SETSIM_CAP_BUDGET} lowest-md5-ranked (s, doc)
+    rows before the candidate join, bounding the join at
+    buckets x C(budget, 2) pairs. NOTE the exactness downgrade, stated
+    plainly: the prefix-filtering recall lemma assumes the full prefix
+    index, so a capped bucket can drop a true pair — this is the
+    documented trade approximate callers opt into when a census shows
+    super-linear density, and the reason the exact twin keeps budget
+    None. Deterministic md5(s|doc_id) rank means both engines replay
+    the identical keep-set: the cap SEMANTICS are value-hash-checked,
+    not assumed."""
+    return _build_setsim_query(spark, sf_dir, budget=SETSIM_CAP_BUDGET, force=True)

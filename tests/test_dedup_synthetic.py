@@ -1059,3 +1059,53 @@ def test_setsim_density_guard_census_cap_and_default(spark):
     out2 = setsim_density_guard(sparse)
     assert LAST_SETSIM_GUARD["engaged"] is False
     assert out2.count() == 60
+
+
+def test_capped_variants_force_path_and_bounds(spark):
+    """The registered *_capped queries (VERDICT r9 #3 — the guards' cap
+    path shipped through the product surface): (a) force=True caps a
+    DISENGAGED sparse input too (the registered variants are a hard
+    bound, not a census-conditional one); (b) dedup_minhash_capped's
+    verified pairs are a subset of the exact twin's (capping only
+    removes candidates, never invents them); (c) join_interval_capped's
+    per-click error count is a lower bound of the exact twin's."""
+    from pyspark.sql import functions as F2
+
+    from parquet_storage_query_spark.operators import advanced, dedup
+
+    # (a) sparse buckets (max 2/bucket) never engage the census, but
+    # force + budget=1 must cap anyway
+    sparse = spark.range(20).select(
+        (F2.col("id") % 10).alias("doc_id").cast("long").alias("doc_id"),
+        F2.lit(7).alias("n"),
+        F2.concat(F2.lit("s"), F2.col("id") % 10).alias("s"),
+    )
+    capped = dedup.setsim_density_guard(sparse, budget=1, force=True)
+    assert dedup.LAST_SETSIM_GUARD["engaged"] is False
+    assert dedup.LAST_SETSIM_GUARD["capped_rows"] == 10
+    assert capped.count() == 10
+
+    # (b) capped minhash pairs ⊆ exact pairs at smoke SF
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    cap = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_capped(spark, SF_SMOKE).collect()
+    }
+    assert cap <= exact
+    assert dedup.LAST_MH_GUARD["budget"] == dedup.MH_CAP_BUDGET
+
+    # (c) capped interval counts are pointwise lower bounds
+    ex = {
+        r["click_id"]: r["n_errors"]
+        for r in advanced.join_interval_bucketed(spark, SF_SMOKE).collect()
+    }
+    cp = {
+        r["click_id"]: r["n_errors"]
+        for r in advanced.join_interval_capped(spark, SF_SMOKE).collect()
+    }
+    assert set(cp) <= set(ex)
+    assert all(cp[k] <= ex[k] for k in cp)
+    assert advanced.LAST_INTERVAL_GUARD["budget"] == advanced.INTERVAL_CAP_BUDGET
