@@ -11,10 +11,11 @@ integral sampling ratio, decoded per-component at native resolution
 then replicated up, T.81 §A.1.1/A.2.3), PROGRESSIVE (SOF2) multi-scan
 streams (Annex G: spectral selection, successive approximation with DC
 refinement bits and §G.1.2.3 AC correction-bit refinement, EOB-run
-batching — round 9), ARITHMETIC-CODED sequential frames (SOF9 + DAC,
-QM coder in operators/jpeg_arith.py — round 9), and YCbCr->RGB
-conversion. Arithmetic-progressive (SOF10), lossless (SOF3/SOF11) and
-hierarchical (SOF5+) frames raise NotImplementedError — the documented
+batching — round 9), ARITHMETIC-CODED frames both sequential (SOF9 +
+DAC, QM coder in operators/jpeg_arith.py — round 9) and PROGRESSIVE
+(SOF10, the Annex-G scan kinds through the QM coder — round 10), and
+YCbCr->RGB conversion. Lossless (SOF3/SOF11) and hierarchical (SOF5+)
+frames raise NotImplementedError — the documented
 hook where a deployment plugs a C codec in (same boundary as PNG's
 interlace).
 
@@ -254,9 +255,10 @@ def decode_jpeg(data: bytes, components: bool = False):
     (Ss/Se bands per scan), successive approximation (DC point
     transform + refinement bits, AC first/refine with EOB-run batching,
     §G.1.2.2-3) — and one dequant+IDCT pass reconstructs after EOI.
-    Arithmetic-coded SEQUENTIAL frames (SOF9 + DAC conditioning) decode
-    through the QM coder in jpeg_arith.py; arithmetic-progressive
-    (SOF10) and hierarchical (SOF5+) stay NotImplementedError hooks."""
+    Arithmetic-coded frames (SOF9 sequential, SOF10 progressive + DAC
+    conditioning) decode through the QM coder in jpeg_arith.py;
+    lossless and hierarchical (SOF3/5/7/11) stay NotImplementedError
+    hooks."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
     pos = 2
@@ -306,9 +308,10 @@ def decode_jpeg(data: bytes, components: bool = False):
                 table = _build_decode_table(bits, vals)
                 (huff_ac if class_id >> 4 else huff_dc)[class_id & 0x0F] = table
                 i += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC9):  # SOF0 / SOF2 / SOF9 arith-sequential
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
+            # SOF0 / SOF2 / SOF9 arith-sequential / SOF10 arith-progressive
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
@@ -327,9 +330,10 @@ def decode_jpeg(data: bytes, components: bool = False):
                     np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
                     for _, hs, vs, _ in comps
                 ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB):
             raise NotImplementedError(
-                "JPEG: only SOF0/SOF2 Huffman and SOF9 arithmetic frames supported"
+                "JPEG: only SOF0/SOF2 Huffman and SOF9/SOF10 arithmetic "
+                "frames supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (§B.2.4.3)
             i = 0
@@ -349,6 +353,17 @@ def decode_jpeg(data: bytes, components: bool = False):
                 cid, tbl = body[1 + 2 * c], body[2 + 2 * c]
                 idx = next(i for i, comp in enumerate(comps) if comp[0] == cid)
                 scan.append((idx, tbl >> 4, tbl & 0x0F))
+            if arith and progressive:  # SOF10
+                from .jpeg_arith import decode_arith_prog_scan
+
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah_al = body[3 + 2 * ns]
+                pos = decode_arith_prog_scan(
+                    data, pos, width, height, comps, scan, coeffs,
+                    arith_dc_cond, arith_ac_cond, restart_interval,
+                    ss, se, ah_al >> 4, ah_al & 0x0F,
+                )
+                continue
             if arith:
                 from .jpeg_arith import decode_arith_scan
 

@@ -9,8 +9,10 @@ Annex-G multi-scan coefficient accumulation — rounds 8-9), and
 RIFF/PCM16 WAV (`decode_audio`) — each value-checked end to end against
 a closed-form DuckDB replay of the decoded statistics over real binary
 fixture tables (mm_decode_png / mm_decode_jpeg / mm_decode_jpeg_420 /
-mm_decode_jpeg_progressive / mm_decode_wav / mm_image_ahash). The
-remaining codec-library formats (arithmetic-coded JPEG, mp3) are the
+mm_decode_jpeg_progressive / mm_decode_jpeg_arith /
+mm_decode_jpeg_arith_prog / mm_decode_wav / mm_image_ahash). The
+remaining codec-library formats (mp3/aac — they need perceptual codec
+libraries the container lacks) are the
 documented NotImplementedError hook with `fake_decode_meta` as the
 deterministic stand-in; the Spark-side plumbing — binary columns,
 Arrow-batched `mapInPandas`, metadata derivation — is identical either
@@ -1068,9 +1070,9 @@ def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     The nonzero-AC progressive paths (spectral bands, ZRL crossing,
     correction bits, §G.1.2.3 refinement) are pinned by the
     sparse-coefficient 4-scan round-trip pytest. Arithmetic-coded
-    SEQUENTIAL streams decode too (mm_decode_jpeg_arith); only the
-    arithmetic-PROGRESSIVE combination (SOF10) remains a documented
-    hook. 100 TB shape unchanged: one vectorized
+    streams decode too — sequential (mm_decode_jpeg_arith) and
+    progressive (mm_decode_jpeg_arith_prog, round 10); no JPEG entropy
+    hook remains. 100 TB shape unchanged: one vectorized
     decode per Arrow batch, fixed-size outputs, partitions scale with
     input splits."""
     import numpy as np
@@ -1194,6 +1196,130 @@ def mm_decode_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     src = spark.read.parquet(ensure_jpeg_arith_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did, jpg in zip(pdf["doc_id"], pdf["jpg"]):
+                w, h, ch, px = decode_jpeg(bytes(jpg))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": w,
+                        "height": h,
+                        "n_blocks": (w // 8) * (h // 8),
+                        "sum_lum": int(arr.sum()),
+                        "sum_sq": int((arr * arr).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, n_blocks int, "
+        "sum_lum long, sum_sq long",
+    )
+
+
+# arithmetic-PROGRESSIVE (SOF10) fixture constants (mm_decode_jpeg_arith_prog)
+JAP_BW_BASE, JAP_BW_MOD = 2, 3  # blocks wide: 2..4  (width 16..32)
+JAP_BH_BASE, JAP_BH_MOD = 2, 2  # blocks high: 2..3  (height 16..24)
+JAP_A, JAP_B = 29, 13  # block value v(b) = (doc_id*A + B*b) % 256
+
+
+def _jpeg_arith_prog_fixture(doc_id: int) -> bytes:
+    from .jpeg_arith import encode_jpeg_arith_progressive
+
+    bw = JAP_BW_BASE + doc_id % JAP_BW_MOD
+    bh = JAP_BH_BASE + doc_id % JAP_BH_MOD
+    values = [(doc_id * JAP_A + JAP_B * b) % 256 for b in range(bw * bh)]
+    # restart interval cycles 0/1/2 — committed streams exercise the
+    # per-scan QM resync path, same coverage discipline as the SOF9 twin
+    return encode_jpeg_arith_progressive(bw, bh, values, restart_interval=doc_id % 3)
+
+
+def ensure_jpeg_arith_prog_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture table of REAL arithmetic-coded PROGRESSIVE
+    (SOF10) JPEGs — three QM-coded scans per stream (DC first at Al=1,
+    DC refinement, AC band EOB), one per document id; corpus-scaled
+    shards like every binary fixture."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                jpgs = [_jpeg_arith_prog_fixture(int(did)) for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpg": jpgs})
+
+        ids.mapInPandas(gen, schema="doc_id long, jpg binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark,
+        sf_dir,
+        "jpeg_arith_prog_fixture",
+        "v1",
+        [table_path(sf_dir, "documents")],
+        build,
+    )
+
+
+@query(
+    "mm_decode_jpeg_arith_prog",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {JAP_BW_BASE} + doc_id % {JAP_BW_MOD} AS bw,
+               {JAP_BH_BASE} + doc_id % {JAP_BH_MOD} AS bh
+        FROM documents),
+    blocks AS (
+        SELECT doc_id, bw, bh,
+               (doc_id * {JAP_A} + {JAP_B} * t.b) % 256 AS v
+        FROM dims, unnest(range(bw * bh)) AS t(b))
+    SELECT doc_id,
+           CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+           CAST(bw * bh AS INT) AS n_blocks,
+           CAST(64 * sum(v) AS BIGINT) AS sum_lum,
+           CAST(64 * sum(v * v) AS BIGINT) AS sum_sq
+    FROM blocks GROUP BY doc_id, bw, bh
+    """,
+)
+def mm_decode_jpeg_arith_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC-CODED PROGRESSIVE (SOF10) JPEG decode — the LAST
+    in-container JPEG hook, closed in round 10 by composing the two
+    pieces round 9 built separately: the QM coder (jpeg_arith.py, T.81
+    Table D.3 / Annex D) now drives the Annex-G progressive scan kinds
+    (decode_arith_prog_scan — DC first/refine with the fixed-bin
+    refinement decision, AC first over spectral bands, AC refine with
+    the EOBx-gated correction-bit flow the public IJG jdarith.c also
+    implements). Coefficients accumulate across QM-coded scans in the
+    same store as SOF2 and reconstruct in one dequant+IDCT pass.
+
+    Exactness: constant-block fixture, so the three-scan successive
+    approximation (DC >> 1 then the refinement bit, two's-complement
+    reassembly for both DPCM signs) must be bit-exact for the closed-
+    form oracle to hash-match; restart intervals 0/1/2 cycle per doc so
+    committed streams cover per-scan QM resync. The nonzero-AC
+    progressive paths (band runs, newly-significant + correction bits,
+    §G.2.3) are pinned by the 4-scan sparse-coefficient round-trip
+    pytest against the SOF2 decode of the same blocks. mp3/aac remain
+    documented lib-bound hooks — they need codec libraries the
+    container lacks. 100 TB shape unchanged: one vectorized decode per
+    Arrow batch, partitions scale with input splits."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_jpeg_arith_prog_fixture(spark, sf_dir))
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .jpeg import decode_jpeg

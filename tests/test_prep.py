@@ -566,9 +566,9 @@ def test_jpeg_codec_roundtrip():
     import pytest as _pytest
 
     good = encode_jpeg_blocks(1, 1, [42])
-    arith_progressive = good.replace(b"\xff\xc0", b"\xff\xca", 1)
+    hierarchical = good.replace(b"\xff\xc0", b"\xff\xc5", 1)  # SOF10 is real now
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(arith_progressive)
+        decode_jpeg(hierarchical)
     with _pytest.raises(ValueError):
         decode_jpeg(b"\x00\x00" + good[2:])
 
@@ -879,11 +879,14 @@ def test_jpeg_progressive_roundtrip():
         my, mx = divmod(m, 3)
         for pi, v in enumerate(ycc):
             assert (planes[pi][my * 16 : (my + 1) * 16, mx * 16 : (mx + 1) * 16] == v).all()
-    # (4) arithmetic-PROGRESSIVE (SOF10) stays a hook (sequential SOF9
-    # became a real decode path in round 9 — test_jpeg_arith_roundtrip)
+    # (4) hierarchical (SOF5) stays a loud hook; SOF10 became a real
+    # decode path in round 10 (test_jpeg_arith_progressive_roundtrip) —
+    # a Huffman SOF2 stream relabeled SOF10 now parses the frame but
+    # dies in the QM entropy layer, so pin the hook on a frame type
+    # that is genuinely unimplemented instead
     good = encode_jpeg_progressive(1, 1, [42])
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(good.replace(b"\xff\xc2", b"\xff\xca", 1))
+        decode_jpeg(good.replace(b"\xff\xc2", b"\xff\xc5", 1))
 
 
 def test_gif_codec_roundtrip():
@@ -1407,3 +1410,64 @@ def test_jsonl_stream_writer_epoch_replay_idempotent(tmp_path):
     w.abort([bad, None], 5)
     left = [n for n in os.listdir(tmp_path) if n.startswith("_staged_")]
     assert left == ["_staged_sdeadbeef0000_00000_qqq.json.gz"]
+
+
+def test_jpeg_arith_progressive_roundtrip():
+    """Arithmetic-coded PROGRESSIVE (SOF10) decode — the round-10
+    composition of the QM coder with the Annex-G scan kinds, pinned
+    three ways:
+    (1) constant-block fixtures decode BIT-IDENTICALLY to the baseline
+        (SOF0) encoding of the same values across the full value range
+        and restart intervals 0/1/2 (per-scan QM resync) — the
+        construction mm_decode_jpeg_arith_prog's closed-form oracle
+        replays, covering the split-DC two's-complement reassembly for
+        both DPCM signs;
+    (2) sparse RANDOM coefficient blocks through the four-scan script
+        (DC first Al=1, DC refine, AC first Al=1, AC refine Ah=1 Al=0 —
+        newly-significant decisions, fixed-bin signs, correction bits,
+        EOBx gating) decode to exactly the HUFFMAN progressive (SOF2)
+        decode of the same blocks — two independent entropy layers, one
+        coefficient truth;
+    (3) the frame dispatches: SOF10 marker + DAC segment present."""
+    import numpy as np
+
+    from parquet_storage_query_spark.operators.jpeg import (
+        _encode_progressive_coeff_blocks,
+        decode_jpeg,
+        encode_jpeg_blocks,
+    )
+    from parquet_storage_query_spark.operators.jpeg_arith import (
+        _encode_arith_prog_coeff_blocks,
+        encode_jpeg_arith_progressive,
+    )
+    from parquet_storage_query_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(10)
+    # (1) constant blocks == baseline decode, across restart intervals
+    for dri in (0, 1, 2):
+        vals = [0, 255, 1, 254, 128, 127] + rng.integers(0, 256, 6).tolist()
+        data = encode_jpeg_arith_progressive(3, 4, vals, restart_interval=dri)
+        assert b"\xff\xca" in data and b"\xff\xcc" in data  # SOF10 + DAC
+        if dri:
+            assert any(
+                data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+                for i in range(len(data) - 1)
+            ), "stream must actually contain RST markers"
+        got = decode_image(data)  # dispatch via magic
+        ref = decode_jpeg(encode_jpeg_blocks(3, 4, vals))
+        assert got == ref, f"dri={dri}"
+    # (2) sparse random coefficients: SOF10 decode == SOF2 decode
+    for _ in range(8):
+        blocks = []
+        for _b in range(6):
+            blk = np.zeros((8, 8), dtype=np.int64)
+            blk[0, 0] = int(rng.integers(-31, 32))
+            nnz = int(rng.integers(0, 14))
+            for _k in range(nnz):
+                blk[int(rng.integers(0, 8)), int(rng.integers(0, 8))] = int(
+                    rng.integers(-31, 32)
+                )
+            blocks.append(blk)
+        out_ar = decode_jpeg(_encode_arith_prog_coeff_blocks(blocks, 3, 2))
+        out_hu = decode_jpeg(_encode_progressive_coeff_blocks(blocks, 3, 2))
+        assert out_ar == out_hu
