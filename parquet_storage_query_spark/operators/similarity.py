@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..cache import prepared, session_memo
 from ..catalog import load, load_parallel
 from ..functions.vectors import as_double, cosine, dot, l2_norm
-from .dedup import cos_lsh_index
+from .dedup import COS_PLANES_PER_BAND, cos_lsh_index
 from ..registry import query
 
 N_QUERY_VECS = 5  # vec_id < 5 are the probe set
@@ -145,6 +145,115 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank on the RAW cosine (rounding only for display, matching the
     # oracle's ORDER BY cos_raw): rounding first could reorder 4-decimal
     # ties differently than the oracle at the rank-k boundary
+    scored = (
+        bands.join(
+            F.broadcast(probes),
+            (F.col("band") == F.col("q_band"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cs.alias("cos_raw"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rk")
+    )
+
+
+# Multi-probe LSH oracle: the banded replay plus the Hamming-1 probe
+# expansion — each query band key probes its own bucket AND the 6
+# single-bit-flip neighbor buckets (deterministic, so DuckDB replays
+# the identical candidate set and the driver hash-checks the
+# approximate semantics end-to-end, same discipline as the base tier).
+def _multiprobe_lsh_oracle() -> str:
+    from .dedup import COS_PLANES_PER_BAND, N_COS_BANDS, _cos_planes_duck
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id,
+                 list_transform({_cos_planes_duck()},
+                                p -> CASE WHEN list_dot_product(v, p) > 0
+                                     THEN 1 ELSE 0 END) AS sig
+          FROM e),
+    bands AS (
+        SELECT vec_id, bd.band,
+               list_reduce(sig[bd.band * {COS_PLANES_PER_BAND} + 1
+                               : bd.band * {COS_PLANES_PER_BAND} + {COS_PLANES_PER_BAND}],
+                           (a, x) -> a * 2 + x) AS bucket
+        FROM s, range({N_COS_BANDS}) bd(band)),
+    probes AS (
+        SELECT vec_id, band,
+               CASE WHEN m.m = 0 THEN bucket
+                    ELSE xor(bucket, 1 << (m.m - 1)) END AS bucket
+        FROM bands, range({1 + COS_PLANES_PER_BAND}) m(m)
+        WHERE vec_id < {N_QUERY_VECS}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM probes q JOIN bands c
+          ON q.band = c.band AND q.bucket = c.bucket
+         AND q.vec_id <> c.vec_id),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               list_dot_product(eq.v, ec.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v)))
+                   AS cos_raw
+        FROM cand cd
+        JOIN e eq ON eq.vec_id = cd.query_id
+        JOIN e ec ON ec.vec_id = cd.neighbor_id)
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rk FROM (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_K}
+    """
+
+
+@query("sim_lsh_multiprobe_topk", oracle=_multiprobe_lsh_oracle())
+@prepared("sim_lsh_multiprobe_query")
+def sim_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE banded hyperplane LSH top-k (VERDICT r9 #6 — the
+    recall lever applied the way PQ got its refine tier): each query
+    probes, per band, its own 6-bit bucket PLUS the 6 Hamming-1
+    neighbor buckets (one hyperplane flip each). A true neighbor that
+    lands one plane-sign away — the dominant miss mode at moderate
+    cosines, where each plane flips independently with probability
+    θ/π — is recovered without touching the index layout: same
+    artifact, same (band, bucket) equi-join, 7x the probe rows (probes
+    broadcast; the corpus side never re-shuffles). Lu et al.'s
+    multi-probe LSH (VLDB'07) is the published design; the Hamming-1
+    probe set is its deterministic core, which is what keeps the
+    DuckDB oracle an exact replay (hash-checked, not rows-only —
+    unlike probability-ranked probe orderings, which would still be
+    deterministic but cost a perturbation-score sort both engines
+    must mirror; at 1 flip depth the score order doesn't change the
+    candidate SET, so the simple form is the right one).
+
+    Measured recall@5 vs brute force: 0.52 (base tier) -> see
+    RECALL_sf01.json lsh_mp (floor 0.6 enforced in
+    tools/check_recall_at_scale.py and the smoke pytest). Cost shape at
+    100 TB: candidate volume grows ~7x over the base tier but stays
+    bucket-bounded (the cos_scale_guard censuses the same index);
+    probes are |Q| x 16 x 7 rows — trivially broadcastable."""
+    bands = cos_lsh_index(spark, sf_dir)
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << m))
+            for m in range(COS_PLANES_PER_BAND)
+        ],
+    )
+    probes = bands.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("band").alias("q_band"),
+        F.explode(probe_buckets).alias("q_bucket"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    cs = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))
     scored = (
         bands.join(
             F.broadcast(probes),

@@ -449,6 +449,7 @@ def test_ann_recall_vs_bruteforce(spark):
     from parquet_storage_query_spark.operators.similarity import (
         sim_bruteforce_topk,
         sim_ivf_topk,
+        sim_lsh_multiprobe_topk,
         sim_lsh_topk,
         sim_pq_refine_topk,
     )
@@ -463,6 +464,7 @@ def test_ann_recall_vs_bruteforce(spark):
     for name, approx_df, floor in (
         ("ivf", sim_ivf_topk(spark, SF_SMOKE), 0.5),
         ("lsh", sim_lsh_topk(spark, SF_SMOKE), 0.4),
+        ("lsh_mp", sim_lsh_multiprobe_topk(spark, SF_SMOKE), 0.6),
         ("pq_refine", sim_pq_refine_topk(spark, SF_SMOKE), 0.4),
     ):
         approx = topk(approx_df)

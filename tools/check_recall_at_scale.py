@@ -51,7 +51,18 @@ from parquet_storage_query_spark.session import get_spark
 # cosine — its floor is a real QUALITY bar (0.4), enforced on testdata
 # like the other pq floors. Its baseline is the cosine brute force (the
 # refine stage ranks by cosine, so no metric mixing).
-FLOORS = {"ivf": 0.5, "lsh": 0.4, "pq": 0.2, "ivfpq": 0.2, "pq_refine": 0.4}
+# lsh_mp (round 10, VERDICT r9 #6): Hamming-1 multi-probe over the same
+# banded index converts base-LSH's 0.52 into 0.96 at sf0.1 by also
+# probing the 6 one-plane-flip neighbor buckets per band — its floor is
+# a real quality bar (0.6), enforced everywhere like pq_refine's.
+FLOORS = {
+    "ivf": 0.5,
+    "lsh": 0.4,
+    "lsh_mp": 0.6,
+    "pq": 0.2,
+    "ivfpq": 0.2,
+    "pq_refine": 0.4,
+}
 
 
 def topk_sets(df) -> dict[int, set[int]]:
@@ -69,6 +80,7 @@ def main() -> int:
     from parquet_storage_query_spark.operators.similarity import (
         sim_bruteforce_topk,
         sim_ivf_topk,
+        sim_lsh_multiprobe_topk,
         sim_lsh_topk,
     )
 
@@ -76,7 +88,11 @@ def main() -> int:
     total = sum(len(v) for v in exact.values())
     report: dict[str, object] = {"sf_dir": sf_dir, "n_queries": len(exact), "k_total": total}
     ok = True
-    for name, builder in (("ivf", sim_ivf_topk), ("lsh", sim_lsh_topk)):
+    for name, builder in (
+        ("ivf", sim_ivf_topk),
+        ("lsh", sim_lsh_topk),
+        ("lsh_mp", sim_lsh_multiprobe_topk),
+    ):
         approx = topk_sets(builder(spark, sf_dir))
         assert set(approx) <= set(exact), f"{name}: phantom query ids"
         hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
