@@ -85,7 +85,9 @@ _PRIORITY = [
     # -- new round-10 operators (first driver rows) -----------------------
     "dedup_minhash_capped", "dedup_setsim_capped", "join_interval_capped",
     "mm_decode_jpeg_arith_prog", "sim_lsh_multiprobe_topk",
-    "stream_tws_error_bursts",
+    # (stream_tws_error_bursts was planned here but is NOT registered:
+    # transformWithStateInPandas needs google.protobuf, absent from this
+    # container — see streaming/stateful.py; unit-parity-pinned instead)
     # ---- ~50-sample budget line (remaining slots re-sample green rows) --
     # -- ROUND-9 HEAD (all 50 green in CORRECTNESS_r09) -------------------
     "subq_lateral_topn", "events_hazard_rate", "text_langid_confusion",
