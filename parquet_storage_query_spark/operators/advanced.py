@@ -2595,7 +2595,12 @@ def join_interval_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Semantics note, stated plainly: n_errors here is a LOWER BOUND on
     the exact twin's count (each side independently subsampled per
     bucket), and clicks capped out of both their buckets vanish from
-    the output — the documented recall trade of every *_capped query."""
+    the output — the documented recall trade of every *_capped query.
+
+    Plan note: two filtered scans of events (clicks / errors), same as
+    the exact twin; the audit's event_id-rescan flag is the rank key —
+    the errors side reads event_id ONLY to build the deterministic
+    md5 rank, a 1-column cost the replayable cap requires."""
     ev = load(spark, sf_dir, "events")
     micros_per_bucket = 300 * 1_000_000
     clicks = (

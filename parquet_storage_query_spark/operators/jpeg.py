@@ -13,8 +13,10 @@ streams (Annex G: spectral selection, successive approximation with DC
 refinement bits and §G.1.2.3 AC correction-bit refinement, EOB-run
 batching — round 9), ARITHMETIC-CODED frames both sequential (SOF9 +
 DAC, QM coder in operators/jpeg_arith.py — round 9) and PROGRESSIVE
-(SOF10, the Annex-G scan kinds through the QM coder — round 10), and
-YCbCr->RGB conversion. Lossless (SOF3/SOF11) and hierarchical (SOF5+)
+(SOF10, the Annex-G scan kinds through the QM coder — round 10),
+LOSSLESS predictive frames (SOF3, Annex-H DPCM with all seven
+predictors — round 10), and YCbCr->RGB conversion. Hierarchical
+(SOF5+) and arithmetic-lossless (SOF11)
 frames raise NotImplementedError — the documented
 hook where a deployment plugs a C codec in (same boundary as PNG's
 interlace).
@@ -257,8 +259,9 @@ def decode_jpeg(data: bytes, components: bool = False):
     §G.1.2.2-3) — and one dequant+IDCT pass reconstructs after EOI.
     Arithmetic-coded frames (SOF9 sequential, SOF10 progressive + DAC
     conditioning) decode through the QM coder in jpeg_arith.py;
-    lossless and hierarchical (SOF3/5/7/11) stay NotImplementedError
-    hooks."""
+    lossless (SOF3) decodes via the Annex-H predictive scan; only
+    hierarchical (SOF5+) and arithmetic-lossless (SOF11) stay
+    NotImplementedError hooks."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
     pos = 2
@@ -270,6 +273,7 @@ def decode_jpeg(data: bytes, components: bool = False):
     restart_interval = 0
     progressive = False
     arith = False
+    lossless = False
     arith_dc_cond: dict[int, tuple[int, int]] = {}  # tbl -> (L, U)
     arith_ac_cond: dict[int, int] = {}  # tbl -> Kx
     coeffs: list[np.ndarray] = []  # per component: (gh, gw, 64) zigzag ints
@@ -308,10 +312,11 @@ def decode_jpeg(data: bytes, components: bool = False):
                 table = _build_decode_table(bits, vals)
                 (huff_ac if class_id >> 4 else huff_dc)[class_id & 0x0F] = table
                 i += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
-            # SOF0 / SOF2 / SOF9 arith-sequential / SOF10 arith-progressive
+        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0 / SOF2 / SOF3 lossless / SOF9 arith-seq / SOF10 arith-prog
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
+            lossless = marker == 0xC3
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
@@ -330,10 +335,10 @@ def decode_jpeg(data: bytes, components: bool = False):
                     np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
                     for _, hs, vs, _ in comps
                 ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB):
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCB):
             raise NotImplementedError(
-                "JPEG: only SOF0/SOF2 Huffman and SOF9/SOF10 arithmetic "
-                "frames supported"
+                "JPEG: only SOF0/SOF2/SOF3 Huffman and SOF9/SOF10 "
+                "arithmetic frames supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (§B.2.4.3)
             i = 0
@@ -353,6 +358,13 @@ def decode_jpeg(data: bytes, components: bool = False):
                 cid, tbl = body[1 + 2 * c], body[2 + 2 * c]
                 idx = next(i for i, comp in enumerate(comps) if comp[0] == cid)
                 scan.append((idx, tbl >> 4, tbl & 0x0F))
+            if lossless:  # SOF3: single predictive scan, returns directly
+                ss = body[1 + 2 * ns]  # predictor selector (T.81 H.1)
+                ah_al = body[3 + 2 * ns]
+                return _decode_lossless_scan(
+                    data, pos, width, height, comps, scan, huff_dc,
+                    restart_interval, ss, ah_al & 0x0F, components,
+                )
             if arith and progressive:  # SOF10
                 from .jpeg_arith import decode_arith_prog_scan
 
@@ -653,6 +665,142 @@ def _decode_progressive_scan(
             break
         p += 1
     return p
+
+
+# ---------------------------------------------------------------------------
+# Lossless (SOF3) decoding — T.81 Annex H (predictive DPCM, Huffman)
+# ---------------------------------------------------------------------------
+
+#: T.81 Table H.1 predictor selections (a=left, b=above, c=above-left)
+_LL_PREDICTORS = {
+    1: lambda a, b, c: a,
+    2: lambda a, b, c: b,
+    3: lambda a, b, c: c,
+    4: lambda a, b, c: a + b - c,
+    5: lambda a, b, c: a + ((b - c) >> 1),
+    6: lambda a, b, c: b + ((a - c) >> 1),
+    7: lambda a, b, c: (a + b) >> 1,
+}
+
+
+def _decode_lossless_scan(
+    data, pos, width, height, comps, scan, huff_dc, dri, predictor, pt,
+    components,
+):
+    """Decode a LOSSLESS (SOF3) scan — T.81 Annex H: each sample is a
+    Huffman-coded DPCM residual (the DC category/magnitude coding reused
+    sample-wise, plus the SSSS=16 no-bits escape for 32768) against one
+    of the seven Table-H.1 predictors; reconstruction is modulo 2^16, so
+    a conforming encoder/decoder pair is bit-exact by construction. The
+    first line (and the first line of every restart interval) falls back
+    to the left-neighbor predictor, its first sample to the midpoint
+    2^(P-Pt-1) (§H.1.1); first column of later lines predicts from
+    above. Single-component 8-bit scans with line-aligned restarts —
+    the shape our fixtures and DICOM-style grayscale archives use;
+    anything else raises loudly."""
+    if len(scan) != 1 or len(comps) != 1:
+        raise NotImplementedError("JPEG lossless: single-component scans only")
+    if dri and dri % width != 0:
+        raise NotImplementedError(
+            "JPEG lossless: restart interval must be a whole number of lines"
+        )
+    if predictor not in _LL_PREDICTORS:
+        raise ValueError(f"JPEG lossless: bad predictor {predictor}")
+    pred_fn = _LL_PREDICTORS[predictor]
+    reader = _BitReader(data, pos)
+    tbl = huff_dc[scan[0][1]]
+    out = np.zeros((height, width), dtype=np.int64)
+    default = 1 << (8 - pt - 1)
+    seg_row = 0  # first row of the current restart segment
+    n = 0
+    for r in range(height):
+        if dri and n and n % dri == 0:
+            # byte-aligned RSTn between intervals, then prediction restarts
+            reader.align()
+            pp = reader.pos
+            while data[pp] == 0xFF and data[pp + 1] == 0xFF:
+                pp += 1
+            if data[pp] == 0xFF and 0xD0 <= data[pp + 1] <= 0xD7:
+                reader.pos = pp + 2
+            seg_row = r
+        for c in range(width):
+            size = _decode_huff(reader, tbl)
+            if size == 16:  # SSSS=16: diff is 32768, no magnitude bits
+                diff = 32768
+            elif size == 0:
+                diff = 0
+            else:
+                diff = _extend(reader.read_bits(size), size)
+            if r == seg_row:
+                pred = default if c == 0 else int(out[r, c - 1])
+            elif c == 0:
+                pred = int(out[r - 1, c])
+            else:
+                pred = pred_fn(
+                    int(out[r, c - 1]), int(out[r - 1, c]), int(out[r - 1, c - 1])
+                )
+            out[r, c] = (pred + diff) & 0xFFFF
+            n += 1
+    plane = ((out & 0xFFFF) << pt).astype(np.uint8)
+    if components:
+        return width, height, 1, [plane]
+    return width, height, 1, plane.tobytes()
+
+
+def encode_jpeg_lossless(
+    width: int, height: int, pix, predictor: int = 1, restart_interval: int = 0,
+) -> bytes:
+    """LOSSLESS (SOF3) grayscale encoder over arbitrary 8-bit pixels
+    (row-major iterable) — unlike every DCT fixture encoder this one is
+    exact for ANY image by definition of the mode, which is what lets
+    the registered query sweep all 7 predictors per document against
+    one closed-form oracle. Restart intervals must cover whole lines
+    (the decoder's documented contract); diffs wrap to signed 16-bit
+    exactly as §H.1.2.1's mod-2^16 reconstruction expects."""
+    if predictor not in _LL_PREDICTORS:
+        raise ValueError(f"JPEG lossless: bad predictor {predictor}")
+    if restart_interval and restart_interval % width != 0:
+        raise ValueError("JPEG lossless: restart interval must cover whole lines")
+    pred_fn = _LL_PREDICTORS[predictor]
+    vals = np.asarray(list(pix), dtype=np.int64).reshape(height, width)
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(FIX_DC_BITS) + bytes(FIX_DC_VALS)
+    dc_enc = _build_encode_table(FIX_DC_BITS, FIX_DC_VALS)
+    dri_seg = (
+        _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
+    out = bytearray(b"\xff\xd8" + _seg(0xC3, sof) + _seg(0xC4, dht_dc) + dri_seg)
+    out += _sos_seg([(1, 0x00)], predictor, 0, 0, 0)
+    w = _BitWriter()
+    default = 1 << 7
+    seg_row = 0
+    n = 0
+    rst = 0
+    for r in range(height):
+        if restart_interval and n and n % restart_interval == 0:
+            out += w.flush()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            w = _BitWriter()
+            seg_row = r
+        for c in range(width):
+            if r == seg_row:
+                pred = default if c == 0 else int(vals[r, c - 1])
+            elif c == 0:
+                pred = int(vals[r - 1, c])
+            else:
+                pred = pred_fn(
+                    int(vals[r, c - 1]), int(vals[r - 1, c]), int(vals[r - 1, c - 1])
+                )
+            diff = ((int(vals[r, c]) - pred + 0x8000) & 0xFFFF) - 0x8000
+            size = _category(diff)
+            code, length = dc_enc[size]
+            w.write(code, length)
+            if size:
+                w.write(_mag_bits(diff, size), size)
+            n += 1
+    out += w.flush()
+    return bytes(out + b"\xff\xd9")
 
 
 def _reconstruct_progressive(width, height, comps, coeffs, quant, components):

@@ -1348,6 +1348,126 @@ def mm_decode_jpeg_arith_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# lossless (SOF3) fixture constants (mm_decode_jpeg_lossless)
+JLL_W_BASE, JLL_W_MOD = 9, 8  # width  9..16 (deliberately non-multiple-of-8)
+JLL_H_BASE, JLL_H_MOD = 7, 6  # height 7..12
+JLL_A, JLL_B = 37, 11  # pixel i of doc d: (d*A + B*i) % 256
+
+
+def _jpeg_lossless_fixture(doc_id: int) -> bytes:
+    from .jpeg import encode_jpeg_lossless
+
+    w = JLL_W_BASE + doc_id % JLL_W_MOD
+    h = JLL_H_BASE + doc_id % JLL_H_MOD
+    pix = [(doc_id * JLL_A + JLL_B * i) % 256 for i in range(w * h)]
+    # sweep ALL SEVEN Table-H.1 predictors by doc_id, and line-aligned
+    # restart intervals 0 / 1 row / 2 rows — the committed corpus covers
+    # every prediction path and the DPCM restart reset
+    dri = (doc_id % 3) * w
+    return encode_jpeg_lossless(
+        w, h, pix, predictor=1 + doc_id % 7, restart_interval=dri
+    )
+
+
+def ensure_jpeg_lossless_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture table of REAL lossless (SOF3) JPEGs, one per
+    document id; corpus-scaled shards like every binary fixture."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                jpgs = [_jpeg_lossless_fixture(int(did)) for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpg": jpgs})
+
+        ids.mapInPandas(gen, schema="doc_id long, jpg binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark,
+        sf_dir,
+        "jpeg_lossless_fixture",
+        "v1",
+        [table_path(sf_dir, "documents")],
+        build,
+    )
+
+
+@query(
+    "mm_decode_jpeg_lossless",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {JLL_W_BASE} + doc_id % {JLL_W_MOD} AS w,
+               {JLL_H_BASE} + doc_id % {JLL_H_MOD} AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h,
+               (doc_id * {JLL_A} + {JLL_B} * t.i) % 256 AS v
+        FROM dims, unnest(range(w * h)) AS t(i))
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(1 + doc_id % 7 AS INT) AS predictor,
+           CAST(sum(v) AS BIGINT) AS sum_lum,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm_decode_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS (SOF3) JPEG decode — T.81 Annex H predictive DPCM, the
+    frame type medical/scientific archives (DICOM transfer syntax
+    1.2.840.10008.1.2.4.70) actually ship, added round 10 now that both
+    entropy layers are closed: each sample is a Huffman-coded residual
+    against one of seven neighbor predictors, reconstructed mod 2^16.
+    Because the MODE is exact for arbitrary pixels (no DCT, no quant),
+    the fixture sweeps ALL SEVEN predictors and three restart layouts
+    by doc_id while the closed-form oracle stays predictor-independent
+    — any defect in any prediction path, the first-line/first-column
+    fallbacks, the SSSS magnitude coding, or the restart reset shifts
+    a pixel sum and breaks the hash. Dimensions are deliberately
+    non-multiples of 8 (no block padding in lossless mode). Remaining
+    JPEG hooks after this: hierarchical (SOF5+) only. 100 TB shape
+    unchanged: one vectorized decode per Arrow batch, partitions scale
+    with input splits."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_jpeg_lossless_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did, jpg in zip(pdf["doc_id"], pdf["jpg"]):
+                w, h, ch, px = decode_jpeg(bytes(jpg))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": w,
+                        "height": h,
+                        "predictor": 1 + int(did) % 7,
+                        "sum_lum": int(arr.sum()),
+                        "sum_sq": int((arr * arr).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, predictor int, "
+        "sum_lum long, sum_sq long",
+    )
+
+
 def _ulaw_table():
     """G.711 μ-law → linear 16-bit expansion table (the canonical
     CCITT/Sun ulaw2linear: u = ~b; t = ((u&15)<<3 + 0x84) << ((u>>4)&7);

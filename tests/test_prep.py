@@ -1471,3 +1471,44 @@ def test_jpeg_arith_progressive_roundtrip():
         out_ar = decode_jpeg(_encode_arith_prog_coeff_blocks(blocks, 3, 2))
         out_hu = decode_jpeg(_encode_progressive_coeff_blocks(blocks, 3, 2))
         assert out_ar == out_hu
+
+
+def test_jpeg_lossless_roundtrip():
+    """Lossless (SOF3) decode — T.81 Annex H predictive DPCM (round 10):
+    (1) random 8-bit images round-trip BIT-EXACTLY through every one of
+        the seven Table-H.1 predictors, with and without line-aligned
+        restart intervals (which reset prediction to first-line rules);
+    (2) extreme values (0/255 checkerboard) survive predictor 4's
+        out-of-range intermediate predictions via mod-2^16 wrap;
+    (3) decode_image dispatches; multi-line restart contract and bad
+        predictors fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+    from parquet_storage_query_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(11)
+    for pred in range(1, 8):
+        for dri_rows in (0, 1, 2):
+            w, h = int(rng.integers(3, 14)), int(rng.integers(3, 11))
+            pix = rng.integers(0, 256, w * h).tolist()
+            data = encode_jpeg_lossless(
+                w, h, pix, predictor=pred, restart_interval=dri_rows * w
+            )
+            assert b"\xff\xc3" in data
+            gw, gh, gc, gpx = decode_image(data)
+            assert (gw, gh, gc) == (w, h, 1)
+            assert list(gpx) == pix, (pred, dri_rows)
+    # (2) extremes through the widest-range predictor
+    board = [0 if (r + c) % 2 == 0 else 255 for r in range(6) for c in range(5)]
+    _, _, _, gpx = decode_jpeg(encode_jpeg_lossless(5, 6, board, predictor=4))
+    assert list(gpx) == board
+    # (3) loud failures
+    with _pytest.raises(ValueError):
+        encode_jpeg_lossless(4, 2, [0] * 8, predictor=9)
+    with _pytest.raises(ValueError):
+        encode_jpeg_lossless(4, 2, [0] * 8, restart_interval=3)  # mid-line
