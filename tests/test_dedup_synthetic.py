@@ -1092,9 +1092,16 @@ def test_capped_variants_force_path_and_bounds(spark):
         (r["doc_a"], r["doc_b"])
         for r in dedup.dedup_minhash_lsh(spark, SF_SMOKE).collect()
     }
+    # build DIRECTLY (not via the registered session-memoized query):
+    # a prior test in the same session may have already memoized the
+    # serving frame, which would skip the guard and leave LAST_MH_GUARD
+    # holding some other invocation's state (the census_and_cap test
+    # documents the same trap)
     cap = {
         (r["doc_a"], r["doc_b"])
-        for r in dedup.dedup_minhash_capped(spark, SF_SMOKE).collect()
+        for r in dedup._build_minhash_query(
+            spark, SF_SMOKE, budget=dedup.MH_CAP_BUDGET, force=True
+        ).collect()
     }
     assert cap <= exact
     assert dedup.LAST_MH_GUARD["budget"] == dedup.MH_CAP_BUDGET
