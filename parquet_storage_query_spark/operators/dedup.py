@@ -997,9 +997,23 @@ _COS_LSH_ORACLE = f"""
                                : bd.band * {COS_PLANES_PER_BAND} + {COS_PLANES_PER_BAND}],
                            (a, x) -> a * 2 + x) AS bucket
         FROM s, range({N_COS_BANDS}) bd(band)),
+    bandsc AS (
+        -- replay cos_scale_guard's per-(band,bucket) budget (_bucket_capped:
+        -- md5 rank, vec_id tiebreak). The guard engages on this corpus
+        -- family at EVERY SF (the banding admits ~22-24% of random pairs),
+        -- so the serving semantics are "bounded at B" by design; below the
+        -- budget the cap is a no-op on both engines (every driver-SF hash
+        -- unchanged), and at 10x — where r10's first full sf1 gate caught
+        -- this oracle diverging — it reproduces the identical keep-set.
+        SELECT vec_id, band, bucket FROM (
+            SELECT vec_id, band, bucket,
+                   row_number() OVER (PARTITION BY band, bucket
+                     ORDER BY md5(concat_ws('|', band, bucket, vec_id)), vec_id)
+                       AS slot
+            FROM bands) WHERE slot <= {COS_BUCKET_BUDGET}),
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM bands a JOIN bands b
+        FROM bandsc a JOIN bandsc b
           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
     scored AS (
         SELECT c.vec_a, c.vec_b,

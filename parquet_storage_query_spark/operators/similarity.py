@@ -619,9 +619,21 @@ _SEMANTIC_ORACLE = f"""
         SELECT e.vec_id, e.v,
                first(clabel ORDER BY {_cos_sql('e.v', 'c')} DESC, clabel) AS cell
         FROM e CROSS JOIN cent GROUP BY e.vec_id, e.v),
+    capped AS (
+        -- replay SEM_CELL_BUDGET (md5(cell|vec_id) rank, vec_id tiebreak):
+        -- members past the budget keep their verdict row but are exempt
+        -- from comparison — the serving semantics by design; a no-op at
+        -- every SF whose cells fit the budget (r10's sf1 gate caught the
+        -- uncapped oracle diverging at 10x cell occupancy)
+        SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+                   row_number() OVER (PARTITION BY cell
+                     ORDER BY md5(concat_ws('|', cell, vec_id)), vec_id)
+                       AS slot
+            FROM assigned) WHERE slot <= {SEM_CELL_BUDGET}),
     pairs AS (
         SELECT a.vec_id AS va, b.vec_id AS vb
-        FROM assigned a JOIN assigned b
+        FROM capped a JOIN capped b
           ON a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE {_cos_sql('a.v', 'b.v')} >= {SEM_THRESHOLD}),
     drops AS (SELECT DISTINCT vb FROM pairs)
@@ -955,9 +967,17 @@ def _consensus_oracle() -> str:
         SELECT e.vec_id, e.v,
                first(clabel ORDER BY {_cos_sql('e.v', 'c')} DESC, clabel) AS cell
         FROM e CROSS JOIN cent GROUP BY e.vec_id, e.v),
+    sem_capped AS (
+        -- SEM_CELL_BUDGET replay, identical to _SEMANTIC_ORACLE's
+        SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+                   row_number() OVER (PARTITION BY cell
+                     ORDER BY md5(concat_ws('|', cell, vec_id)), vec_id)
+                       AS slot
+            FROM assigned) WHERE slot <= {SEM_CELL_BUDGET}),
     sem_dup AS (
         SELECT DISTINCT b.vec_id AS doc_id
-        FROM assigned a JOIN assigned b
+        FROM sem_capped a JOIN sem_capped b
           ON a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE {_cos_sql('a.v', 'b.v')} >= {SEM_THRESHOLD})
     SELECT d.doc_id,
