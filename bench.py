@@ -246,6 +246,14 @@ HEADLINE = [
     "sql_recursive_ledger",
     "source_jsonl_stream",
     "sink_jsonl_stream_roundtrip",
+    # round-10: the registered cap consumers of the three density guards,
+    # both new JPEG frame types, and the multi-probe recall tier
+    "dedup_minhash_capped",
+    "dedup_setsim_capped",
+    "join_interval_capped",
+    "mm_decode_jpeg_arith_prog",
+    "mm_decode_jpeg_lossless",
+    "sim_lsh_multiprobe_topk",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to
