@@ -128,8 +128,11 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The original single-table 8-bit variant had recall@5 ≈ 0 on this
     corpus (same-bucket probability ≈ p^8 is negligible at the moderate
     cosines real neighbors have); banding flips the exponent into an OR
-    over 16 chances — measured recall@5 ≈ 0.8+ at ~the cost of scoring
-    the union of 16 small buckets. At 100 TB the probe side broadcasts and
+    over 16 chances — measured recall@5 = 0.52 at sf0.1 / 0.6 at smoke
+    (RECALL_sf01.json; floor 0.4), at ~the cost of scoring the union of
+    16 small buckets. sim_lsh_multiprobe_topk is the recall tier above
+    this one (0.96 at sf0.1) for callers who'll pay 7x the probe rows.
+    At 100 TB the probe side broadcasts and
     the corpus side reads the pre-partitioned index: no corpus shuffle."""
     bands = cos_lsh_index(spark, sf_dir)
     probes = bands.filter(F.col("vec_id") < N_QUERY_VECS).select(
