@@ -253,6 +253,7 @@ HEADLINE = [
     "join_interval_capped",
     "mm_decode_jpeg_arith_prog",
     "mm_decode_jpeg_lossless",
+    "mm_decode_jpeg_hierarchical",
     "sim_lsh_multiprobe_topk",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the

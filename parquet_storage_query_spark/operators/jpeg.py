@@ -15,9 +15,11 @@ batching — round 9), ARITHMETIC-CODED frames both sequential (SOF9 +
 DAC, QM coder in operators/jpeg_arith.py — round 9) and PROGRESSIVE
 (SOF10, the Annex-G scan kinds through the QM coder — round 10),
 LOSSLESS predictive frames (SOF3, Annex-H DPCM with all seven
-predictors — round 10), and YCbCr->RGB conversion. Hierarchical
-(SOF5+) and arithmetic-lossless (SOF11)
-frames raise NotImplementedError — the documented
+predictors — round 10), HIERARCHICAL streams (Annex J: DHP progression,
+§J.8 reference expansion, SOF5 differential frames — round 10), and
+YCbCr->RGB conversion. The arithmetic differential/lossless frame
+types (SOF11/13-15)
+raise NotImplementedError — the documented
 hook where a deployment plugs a C codec in (same boundary as PNG's
 interlace).
 
@@ -259,9 +261,10 @@ def decode_jpeg(data: bytes, components: bool = False):
     §G.1.2.2-3) — and one dequant+IDCT pass reconstructs after EOI.
     Arithmetic-coded frames (SOF9 sequential, SOF10 progressive + DAC
     conditioning) decode through the QM coder in jpeg_arith.py;
-    lossless (SOF3) decodes via the Annex-H predictive scan; only
-    hierarchical (SOF5+) and arithmetic-lossless (SOF11) stay
-    NotImplementedError hooks."""
+    lossless (SOF3) decodes via the Annex-H predictive scan;
+    hierarchical streams (DHP/EXP/SOF5) walk the Annex-J frame
+    sequence; only the arithmetic differential/lossless types
+    (SOF11/13-15) stay NotImplementedError hooks."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
     pos = 2
@@ -274,6 +277,9 @@ def decode_jpeg(data: bytes, components: bool = False):
     progressive = False
     arith = False
     lossless = False
+    differential = False
+    hier_full: tuple[int, int] | None = None  # DHP-declared final dims
+    hier_ref: np.ndarray | None = None  # reconstructed reference plane
     arith_dc_cond: dict[int, tuple[int, int]] = {}  # tbl -> (L, U)
     arith_ac_cond: dict[int, int] = {}  # tbl -> Kx
     coeffs: list[np.ndarray] = []  # per component: (gh, gw, 64) zigzag ints
@@ -312,11 +318,30 @@ def decode_jpeg(data: bytes, components: bool = False):
                 table = _build_decode_table(bits, vals)
                 (huff_ac if class_id >> 4 else huff_dc)[class_id & 0x0F] = table
                 i += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA):
-            # SOF0 / SOF2 / SOF3 lossless / SOF9 arith-seq / SOF10 arith-prog
+        elif marker == 0xDE:  # DHP: hierarchical progression (T.81 Annex J)
+            _prec, fh, fw, fn = struct.unpack(">BHHB", body[:6])
+            if fn != 1:
+                raise NotImplementedError(
+                    "JPEG hierarchical: single-component streams only"
+                )
+            hier_full = (fw, fh)
+        elif marker == 0xDF:  # EXP: expand reference (J.8) before a frame
+            if hier_ref is None:
+                raise ValueError("JPEG: EXP before any reference frame")
+            hier_ref = _exp_expand(hier_ref, body[0] >> 4, body[0] & 0x0F)
+        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA) or (
+            marker == 0xC5 and hier_full is not None
+        ):
+            # SOF0 / SOF2 / SOF3 lossless / SOF9 arith-seq / SOF10
+            # arith-prog / SOF5 differential-sequential (hierarchical only)
+            if hier_full is not None and marker not in (0xC0, 0xC5):
+                raise NotImplementedError(
+                    "JPEG hierarchical: only sequential Huffman frames"
+                )
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
             lossless = marker == 0xC3
+            differential = marker == 0xC5
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
@@ -358,6 +383,27 @@ def decode_jpeg(data: bytes, components: bool = False):
                 cid, tbl = body[1 + 2 * c], body[2 + 2 * c]
                 idx = next(i for i, comp in enumerate(comps) if comp[0] == cid)
                 scan.append((idx, tbl >> 4, tbl & 0x0F))
+            if hier_full is not None:
+                # hierarchical frame scan: build/refine the reference
+                # plane, then keep walking the frame sequence to EOI
+                if len(scan) != 1:
+                    raise NotImplementedError(
+                        "JPEG hierarchical: single-component scans only"
+                    )
+                if differential:
+                    hier_ref = _decode_differential_scan(
+                        data, pos, width, height, comps, scan,
+                        quant, huff_dc, huff_ac, restart_interval, hier_ref,
+                    )
+                else:
+                    _w, _h, _n, planes = _decode_scan(
+                        data, pos, width, height, comps, scan,
+                        quant, huff_dc, huff_ac, restart_interval,
+                        components=True,
+                    )
+                    hier_ref = planes[0].astype(np.int64)
+                pos = _next_marker_pos(data, pos)
+                continue
             if lossless:  # SOF3: single predictive scan, returns directly
                 ss = body[1 + 2 * ns]  # predictor selector (T.81 H.1)
                 ah_al = body[3 + 2 * ns]
@@ -397,6 +443,17 @@ def decode_jpeg(data: bytes, components: bool = False):
                 ss, se, ah_al >> 4, ah_al & 0x0F,
             )
         # APPn / COM / anything else: skipped
+    if hier_ref is not None:
+        fw, fh = hier_full
+        if hier_ref.shape != (fh, fw):
+            raise ValueError(
+                f"JPEG hierarchical: reference {hier_ref.shape[::-1]} != "
+                f"DHP dims {(fw, fh)} at EOI"
+            )
+        plane = np.clip(hier_ref, 0, 255).astype(np.uint8)
+        if components:
+            return fw, fh, 1, [plane]
+        return fw, fh, 1, plane.tobytes()
     if progressive and coeffs:
         return _reconstruct_progressive(
             width, height, comps, coeffs, quant, components
@@ -665,6 +722,183 @@ def _decode_progressive_scan(
             break
         p += 1
     return p
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (DHP/EXP/SOF5) decoding — T.81 Annex J
+# ---------------------------------------------------------------------------
+
+
+def _next_marker_pos(data: bytes, p: int) -> int:
+    """Position of the next marker after an entropy segment starting at
+    p — skips stuffed 0xFF00 pairs, fill bytes and RSTn, exactly the
+    progressive-scan tail's rule (used by the hierarchical frame walk,
+    whose scan decoders return pixels rather than stream positions)."""
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            if data[p + 1] == 0xFF:  # fill byte run — resolve at its end
+                p += 1
+                continue
+            break
+        p += 1
+    return p
+
+
+def _exp_expand(ref: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """T.81 §J.8.1 reference expansion: double a dimension by placing
+    input samples at even positions and the rounded mean of each
+    neighbor pair at odd ones, replicating the last sample at the edge
+    — out[2i] = in[i]; out[2i+1] = (in[i] + in[i+1] + 1) >> 1;
+    out[2W-1] = in[W-1]. Integer-exact, which is what lets the
+    hierarchical oracle replay it in closed form."""
+    ref = ref.astype(np.int64)
+    if eh:
+        h, w = ref.shape
+        out = np.empty((h, 2 * w), dtype=np.int64)
+        out[:, 0::2] = ref
+        if w > 1:
+            out[:, 1 : 2 * w - 1 : 2] = (ref[:, :-1] + ref[:, 1:] + 1) >> 1
+        out[:, 2 * w - 1] = ref[:, w - 1]
+        ref = out
+    if ev:
+        h, w = ref.shape
+        out = np.empty((2 * h, w), dtype=np.int64)
+        out[0::2, :] = ref
+        if h > 1:
+            out[1 : 2 * h - 1 : 2, :] = (ref[:-1, :] + ref[1:, :] + 1) >> 1
+        out[2 * h - 1, :] = ref[h - 1, :]
+        ref = out
+    return ref
+
+
+def _decode_differential_scan(
+    data, pos, width, height, comps, scan, quant, huff_dc, huff_ac, dri, ref,
+):
+    """Decode a DIFFERENTIAL sequential frame's scan (SOF5, T.81 Annex
+    J/F.2.1.3.1) and return the refined reference: each 8x8 block codes
+    the DCT of the RESIDUAL between the source and the (expanded)
+    reference — DC coded directly with NO predictor (differential
+    frames fix PRED = 0), AC exactly as sequential — and reconstruction
+    adds the residual IDCT (no +128 level shift) onto the reference,
+    clamping to the sample range per frame."""
+    if ref is None:
+        raise ValueError("JPEG: differential frame before any reference frame")
+    if ref.shape != (height, width):
+        raise ValueError(
+            f"JPEG hierarchical: frame dims {(width, height)} do not match "
+            f"the reference {ref.shape[::-1]} (missing/extra EXP?)"
+        )
+    if dri:
+        raise NotImplementedError(
+            "JPEG hierarchical: restart intervals in differential frames"
+        )
+    reader = _BitReader(data, pos)
+    ci, dc_id, ac_id = scan[0]
+    q = quant[comps[ci][3]]
+    out = ref.astype(np.float64).copy()
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.int64)
+            size = _decode_huff(reader, huff_dc[dc_id])
+            zz[0] = _extend(reader.read_bits(size), size)  # PRED = 0
+            k = 1
+            while k < 64:
+                sym = _decode_huff(reader, huff_ac[ac_id])
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                run, ssss = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG: AC run past block end")
+                zz[k] = _extend(reader.read_bits(ssss), ssss)
+                k += 1
+            block = np.empty(64, dtype=np.int64)
+            block[_ZZ_NP] = zz
+            res = idct_8x8((block.reshape(8, 8) * q.reshape(8, 8)).astype(np.float64))
+            r0, c0 = by * 8, bx * 8
+            h8, w8 = min(8, height - r0), min(8, width - c0)
+            out[r0 : r0 + h8, c0 : c0 + w8] += res[:h8, :w8]
+    return np.clip(np.round(out), 0, 255).astype(np.int64)
+
+
+def encode_jpeg_hierarchical(blocks_w: int, blocks_h: int, v0, residuals) -> bytes:
+    """HIERARCHICAL (Annex J) grayscale fixture: a DHP header declaring
+    the full 16·bw x 16·bh frame, an INITIAL half-resolution SOF0 frame
+    that is globally constant v0 (so the J.8 expansion — whose averaging
+    path the random-image pytest pins — reproduces a constant exactly),
+    an EXP(1,1) doubling both dimensions, and one DIFFERENTIAL (SOF5)
+    frame whose full-resolution 8x8 blocks each add the constant
+    residuals[b] (DC-only residual DCTs are exact, same construction as
+    every DCT fixture). Decoded output is therefore v0 + residuals[b]
+    per block in closed form, with every hierarchical structure real:
+    multi-frame walk, reference expansion, differential DC-without-
+    predictor, residual reconstruction without level shift.
+
+    v0 may also be a LIST of per-lowres-block constants (pytest surface):
+    the expansion then genuinely averages across block boundaries and the
+    expected image is the J.8 replay of the blocky reference plus the
+    residual grid — the composition the registered constant fixture
+    cannot reach."""
+    res = [int(r) for r in residuals]
+    v0s = (
+        [int(v) for v in v0]
+        if isinstance(v0, (list, tuple))
+        else [int(v0)] * (blocks_w * blocks_h)
+    )
+    if len(v0s) != blocks_w * blocks_h:
+        raise ValueError("v0 list must cover the lowres block grid")
+    if len(res) != (2 * blocks_w) * (2 * blocks_h):
+        raise ValueError("residuals must cover the full-res 8x8 block grid")
+    full_w, full_h = 16 * blocks_w, 16 * blocks_h
+    dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
+    dht_dc = bytes([0x00]) + bytes(FIX_DC_BITS) + bytes(FIX_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(FIX_AC_BITS) + bytes(FIX_AC_VALS)
+    dc_enc = _build_encode_table(FIX_DC_BITS, FIX_DC_VALS)
+    ac_enc = _build_encode_table(FIX_AC_BITS, FIX_AC_VALS)
+    dhp = struct.pack(">BHHB", 8, full_h, full_w, 1) + bytes([1, 0x11, 0])
+    sof0 = struct.pack(">BHHB", 8, full_h // 2, full_w // 2, 1) + bytes([1, 0x11, 0])
+    sof5 = struct.pack(">BHHB", 8, full_h, full_w, 1) + bytes([1, 0x11, 0])
+    out = bytearray(
+        b"\xff\xd8"
+        + _seg(0xDE, dhp)
+        + _seg(0xDB, dqt)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + _seg(0xC0, sof0)
+    )
+    # initial frame: per-block constants (DPCM across blocks)
+    w = _BitWriter()
+    pred = 0
+    eob_code, eob_len = ac_enc[0x00]
+    for v in v0s:
+        diff = (v - 128) - pred
+        pred = v - 128
+        size = _category(diff)
+        code, length = dc_enc[size]
+        w.write(code, length)
+        if size:
+            w.write(_mag_bits(diff, size), size)
+        w.write(eob_code, eob_len)
+    out += _sos_seg([(1, 0x00)], 0, 63, 0, 0) + w.flush()
+    # expand the reference to full resolution, then the differential frame
+    out += _seg(0xDF, bytes([0x11])) + _seg(0xC5, sof5)
+    w = _BitWriter()
+    for r in res:  # DC coded directly (PRED = 0), AC all-zero -> EOB
+        size = _category(r)
+        code, length = dc_enc[size]
+        w.write(code, length)
+        if size:
+            w.write(_mag_bits(r, size), size)
+        w.write(eob_code, eob_len)
+    out += _sos_seg([(1, 0x00)], 0, 63, 0, 0) + w.flush()
+    return bytes(out + b"\xff\xd9")
 
 
 # ---------------------------------------------------------------------------

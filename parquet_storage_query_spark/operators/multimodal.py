@@ -1434,7 +1434,9 @@ def mm_decode_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallbacks, the SSSS magnitude coding, or the restart reset shifts
     a pixel sum and breaks the hash. Dimensions are deliberately
     non-multiples of 8 (no block padding in lossless mode). Remaining
-    JPEG hooks after this: hierarchical (SOF5+) only. 100 TB shape
+    JPEG hooks after this: the arithmetic differential/lossless types
+    (SOF11/13-15) only — mm_decode_jpeg_hierarchical closes SOF5.
+    100 TB shape
     unchanged: one vectorized decode per Arrow batch, partitions scale
     with input splits."""
     import numpy as np
@@ -1464,6 +1466,129 @@ def mm_decode_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(
         stats,
         schema="doc_id long, width int, height int, predictor int, "
+        "sum_lum long, sum_sq long",
+    )
+
+
+# hierarchical (DHP/EXP/SOF5) fixture constants (mm_decode_jpeg_hierarchical)
+JHR_BW_BASE, JHR_BW_MOD = 1, 3  # lowres blocks wide 1..3 (full width 16..48)
+JHR_BH_BASE, JHR_BH_MOD = 1, 2  # lowres blocks high 1..2 (full height 16..32)
+JHR_V_A, JHR_V_B = 41, 64  # base value v0(d) = 64 + (d*41) % 64  (64..127)
+JHR_R_A, JHR_R_B = 17, 13  # residual r(d,b) = ((d*17 + b*13) % 121) - 60
+
+
+def _jpeg_hier_fixture(doc_id: int) -> bytes:
+    from .jpeg import encode_jpeg_hierarchical
+
+    bw = JHR_BW_BASE + doc_id % JHR_BW_MOD
+    bh = JHR_BH_BASE + doc_id % JHR_BH_MOD
+    v0 = JHR_V_B + (doc_id * JHR_V_A) % JHR_V_B
+    res = [
+        ((doc_id * JHR_R_A + b * JHR_R_B) % 121) - 60
+        for b in range(4 * bw * bh)
+    ]
+    return encode_jpeg_hierarchical(bw, bh, v0, res)
+
+
+def ensure_jpeg_hier_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture table of REAL hierarchical JPEG streams (DHP +
+    half-resolution SOF0 initial frame + EXP + SOF5 differential frame),
+    one per document id; corpus-scaled shards like every binary fixture."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                jpgs = [_jpeg_hier_fixture(int(did)) for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpg": jpgs})
+
+        ids.mapInPandas(gen, schema="doc_id long, jpg binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark,
+        sf_dir,
+        "jpeg_hier_fixture",
+        "v1",
+        [table_path(sf_dir, "documents")],
+        build,
+    )
+
+
+@query(
+    "mm_decode_jpeg_hierarchical",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {JHR_BW_BASE} + doc_id % {JHR_BW_MOD} AS bw,
+               {JHR_BH_BASE} + doc_id % {JHR_BH_MOD} AS bh,
+               {JHR_V_B} + (doc_id * {JHR_V_A}) % {JHR_V_B} AS v0
+        FROM documents),
+    blocks AS (
+        SELECT doc_id, bw, bh,
+               v0 + ((doc_id * {JHR_R_A} + t.b * {JHR_R_B}) % 121) - 60 AS v
+        FROM dims, unnest(range(4 * bw * bh)) AS t(b))
+    SELECT doc_id,
+           CAST(bw * 16 AS INT) AS width, CAST(bh * 16 AS INT) AS height,
+           CAST(4 * bw * bh AS INT) AS n_blocks,
+           CAST(64 * sum(v) AS BIGINT) AS sum_lum,
+           CAST(64 * sum(v * v) AS BIGINT) AS sum_sq
+    FROM blocks GROUP BY doc_id, bw, bh
+    """,
+)
+def mm_decode_jpeg_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL JPEG decode (T.81 Annex J) — the LAST Huffman frame
+    family, closed in round 10: a DHP progression header, an initial
+    half-resolution SOF0 frame, the §J.8 reference expansion (integer
+    neighbor-mean upsample), and a DIFFERENTIAL sequential frame (SOF5)
+    whose blocks code residual DCTs with DC fixed at PRED=0 and no
+    level shift, added onto the expanded reference. The fixture's
+    initial frame is globally constant per doc (expansion of a constant
+    is exact) and each full-resolution block adds a closed-form
+    residual, so the decoded image is v0 + r(b) per block — any defect
+    in the frame walk, the expansion, the differential DC convention,
+    or the residual reconstruction breaks the hash. The expansion
+    filter's AVERAGING path (which a constant reference cannot reach)
+    is pinned by the random-image pytest against a loop-written J.8
+    replay, composed with non-constant multi-block references.
+    Remaining JPEG hooks: the arithmetic differential/lossless frame
+    types (SOF11/13-15) only. 100 TB shape unchanged: one vectorized
+    decode per Arrow batch, partitions scale with input splits."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_jpeg_hier_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did, jpg in zip(pdf["doc_id"], pdf["jpg"]):
+                w, h, ch, px = decode_jpeg(bytes(jpg))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": w,
+                        "height": h,
+                        "n_blocks": (w // 8) * (h // 8),
+                        "sum_lum": int(arr.sum()),
+                        "sum_sq": int((arr * arr).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, n_blocks int, "
         "sum_lum long, sum_sq long",
     )
 

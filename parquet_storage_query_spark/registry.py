@@ -85,7 +85,7 @@ _PRIORITY = [
     # -- new round-10 operators (first driver rows) -----------------------
     "dedup_minhash_capped", "dedup_setsim_capped", "join_interval_capped",
     "mm_decode_jpeg_arith_prog", "mm_decode_jpeg_lossless",
-    "sim_lsh_multiprobe_topk",
+    "mm_decode_jpeg_hierarchical", "sim_lsh_multiprobe_topk",
     # (stream_tws_error_bursts was planned here but is NOT registered:
     # transformWithStateInPandas needs google.protobuf, absent from this
     # container — see streaming/stateful.py; unit-parity-pinned instead)

@@ -1512,3 +1512,83 @@ def test_jpeg_lossless_roundtrip():
         encode_jpeg_lossless(4, 2, [0] * 8, predictor=9)
     with _pytest.raises(ValueError):
         encode_jpeg_lossless(4, 2, [0] * 8, restart_interval=3)  # mid-line
+
+
+def test_jpeg_hierarchical_roundtrip():
+    """Hierarchical decode (T.81 Annex J, round 10) — three surfaces:
+    (1) the J.8 expansion filter equals a LOOP-WRITTEN replay (even
+        positions copy, odd positions neighbor-mean with +1 rounding,
+        edge replication) on random images including 1-wide/1-tall;
+    (2) constant-reference fixtures decode to exactly v0 + residual per
+        full-res block (the registered oracle's closed form), with DHP /
+        EXP / SOF5 markers genuinely present;
+    (3) NON-constant blocky references compose expansion averaging with
+        the differential frame: decode equals expand(reference) +
+        residual grid, clamped — the path the registered fixture's
+        constant reference cannot reach;
+    (4) loud failures: EXP before any frame, differential frame whose
+        dims don't match the reference."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.jpeg import (
+        _exp_expand,
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    rng = np.random.default_rng(12)
+    # (1) expansion vs loop replay
+    for _ in range(6):
+        h, w = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+        a = rng.integers(0, 256, (h, w)).astype(np.int64)
+        got = _exp_expand(a, 1, 1)
+        eh = np.empty((h, 2 * w), dtype=np.int64)
+        for r in range(h):
+            for c in range(w):
+                eh[r, 2 * c] = a[r, c]
+                eh[r, 2 * c + 1] = (
+                    (a[r, c] + a[r, c + 1] + 1) // 2 if c < w - 1 else a[r, c]
+                )
+        want = np.empty((2 * h, 2 * w), dtype=np.int64)
+        for c in range(2 * w):
+            for r in range(h):
+                want[2 * r, c] = eh[r, c]
+                want[2 * r + 1, c] = (
+                    (eh[r, c] + eh[r + 1, c] + 1) // 2 if r < h - 1 else eh[r, c]
+                )
+        assert (got == want).all()
+    # (2) constant-reference fixture
+    data = encode_jpeg_hierarchical(2, 1, 100, [-60, 0, 33, 60, -1, 7, 12, 25])
+    assert b"\xff\xde" in data and b"\xff\xdf" in data and b"\xff\xc5" in data
+    w, h, c, px = decode_jpeg(data)
+    assert (w, h, c) == (32, 16, 1)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    for b, r in enumerate([-60, 0, 33, 60, -1, 7, 12, 25]):
+        by, bx = divmod(b, 4)
+        assert (arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == 100 + r).all()
+    # (3) blocky reference + residuals, vs the (1)-verified expansion
+    for _ in range(4):
+        bw, bh = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        v0s = rng.integers(70, 186, bh * bw).tolist()
+        res = rng.integers(-60, 61, 4 * bh * bw).tolist()
+        gw, gh, _, gpx = decode_jpeg(encode_jpeg_hierarchical(bw, bh, v0s, res))
+        got = np.frombuffer(gpx, dtype=np.uint8).reshape(gh, gw).astype(np.int64)
+        low = np.zeros((8 * bh, 8 * bw), dtype=np.int64)
+        for b, v in enumerate(v0s):
+            by, bx = divmod(b, bw)
+            low[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+        want = _exp_expand(low, 1, 1).astype(np.float64)
+        for b, r in enumerate(res):
+            by, bx = divmod(b, 2 * bw)
+            want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] += r
+        assert (got == np.clip(np.round(want), 0, 255).astype(np.int64)).all()
+    # (4) loud failures
+    good = encode_jpeg_hierarchical(1, 1, 100, [0, 0, 0, 0])
+    exp_at = good.index(b"\xff\xdf")
+    no_init = good[:2] + good[exp_at:]  # SOI straight to EXP
+    with _pytest.raises(ValueError):
+        decode_jpeg(no_init)
+    with _pytest.raises(ValueError):
+        # drop the EXP: differential dims no longer match the reference
+        decode_jpeg(good[:exp_at] + good[exp_at + 5 :])
