@@ -73,6 +73,15 @@ ORDER = [
     "mm_video_shot_detect",  # gif_shots_fixture_build + SAD profile
     "sql_recursive_ledger",  # constant-depth recursion, width growth only
     "source_jsonl_stream",  # driver-funnel stream read (documented tail path)
+    # round-10 additions: the registered cap consumers (bounded-work
+    # claim under 3x bucket densification), the two new JPEG frame
+    # families' fixture builds, and the multi-probe recall tier
+    "dedup_minhash_capped",  # force-capped banding (work must flatten)
+    "dedup_setsim_capped",  # force-capped prefix join
+    "join_interval_capped",  # force-capped time-bucket join
+    "mm_decode_jpeg_lossless",  # jpeg_lossless_fixture_build (DPCM slope)
+    "mm_decode_jpeg_hierarchical",  # jpeg_hier_fixture_build (frame walk)
+    "sim_lsh_multiprobe_topk",  # 7x probe rows, bucket-bounded candidates
 ]
 BUILDS = {
     "dedup_embedding_cosine": "cos_lsh_index_build",
@@ -91,6 +100,8 @@ BUILDS = {
     "mm_decode_tiff": "tiff_fixture_build",
     "mm_audio_adpcm": "adpcm_fixture_build",
     "mm_video_shot_detect": "gif_shots_fixture_build",
+    "mm_decode_jpeg_lossless": "jpeg_lossless_fixture_build",
+    "mm_decode_jpeg_hierarchical": "jpeg_hier_fixture_build",
 }
 
 
