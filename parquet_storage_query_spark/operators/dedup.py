@@ -831,11 +831,16 @@ def cos_scale_guard(
     budget: int = COS_BUCKET_BUDGET,
 ) -> DataFrame:
     """Plan-build-time scale assertion for the cos-LSH verify (see the
-    COS_BUCKET_BUDGET notes): when the configuration is in the linear
-    regime the bands pass through untouched; otherwise the per-bucket
-    budget engages and the number of capped buckets / dropped memberships
-    is computed (one ~1k-row aggregate over bucket counts) and logged —
-    capping is a recall trade and silence would misreport coverage.
+    COS_BUCKET_BUDGET notes). The per-(band,bucket) budget is applied
+    UNCONDITIONALLY (r11, ADVICE r10 #1): the oracle replays the B=128
+    cap as a fixed part of the serving semantics, so the Spark plan must
+    carry it whether or not the sampled census engages — a corpus whose
+    ~1k-row sample looks quiet can still hold one dense cluster that
+    overflows a bucket, and a conditional cap would then diverge from the
+    differential check. Below the budget the cap is an exact no-op (every
+    driver-SF hash unchanged). The sampled census now only decides whether
+    to SPEND the diagnostic aggregate + warning log — capping is a recall
+    trade and silence would misreport coverage.
 
     Two independent engage signals, either fires:
     1. threshold ≤ sampled random-pair cosine q99.9 — the threshold sits
@@ -885,7 +890,10 @@ def cos_scale_guard(
             info["capped_buckets"],
             info["dropped_rows"],
         )
-        bands = _bucket_capped(bands, budget)
+    # Always cap — the census above is diagnostics, not a gate (see
+    # docstring). _bucket_capped is deterministic (md5 rank, vec_id
+    # tiebreak) and a no-op on every bucket within budget.
+    bands = _bucket_capped(bands, budget)
     LAST_COS_GUARD.clear()
     LAST_COS_GUARD.update(info)
     return bands
@@ -2322,8 +2330,14 @@ def _build_setsim_query(
     )
     tok = docs.select("doc_id", F.explode("sh").alias("s"))
     dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # NO broadcast hint on dfreq (VERDICT r10 #1): the shingle vocabulary
+    # grows with the corpus (27k at sf0.1, billions at 100 TB), so a
+    # pinned F.broadcast is a guaranteed OOM at scale. Same policy as
+    # text.py's df table: AQE broadcasts it while it fits (plan-tested
+    # at bench SF in tests/test_plans.py) and falls back to a shuffle
+    # join beyond — the safe default a pin would override.
     ordered = (
-        tok.join(F.broadcast(dfreq), "s")
+        tok.join(dfreq, "s")
         .groupBy("doc_id")
         .agg(
             F.array_sort(

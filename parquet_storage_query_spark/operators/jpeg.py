@@ -952,8 +952,12 @@ def _decode_lossless_scan(
             # byte-aligned RSTn between intervals, then prediction restarts
             reader.align()
             pp = reader.pos
-            while data[pp] == 0xFF and data[pp + 1] == 0xFF:
+            # bounds-guarded (ADVICE r10 #4): a stream truncated mid-restart
+            # must raise the parser's uniform ValueError, not IndexError
+            while pp + 1 < len(data) and data[pp] == 0xFF and data[pp + 1] == 0xFF:
                 pp += 1
+            if pp + 1 >= len(data):
+                raise ValueError("JPEG: truncated stream at restart marker")
             if data[pp] == 0xFF and 0xD0 <= data[pp + 1] <= 0xD7:
                 reader.pos = pp + 2
             seg_row = r

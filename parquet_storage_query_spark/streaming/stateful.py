@@ -135,13 +135,19 @@ def _fold_error_bursts(
     here; ACROSS batches the caller must deliver time-ordered
     micro-batches (log streams are; production guards stragglers with a
     watermark + sorted per-batch apply). State stays O(1) per user —
-    never a buffer of history."""
+    never a buffer of history.
+
+    All Arrow chunks for the key are concatenated BEFORE the sort
+    (ADVICE r10 #2): `batches` yields one pandas frame per Arrow chunk,
+    and a key whose micro-batch exceeds maxRecordsPerBatch spans several
+    — sorting each independently would fold timestamps out of global
+    order across the chunk boundary and miscount runs."""
     last_us, run_len, n_bursts, longest, total, seen = (
         state.get if state.exists else (_NO_LAST, 0, 0, 0, 0, 0)
     )
-    for pdf in batches:
-        if not len(pdf):
-            continue
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["ts", "event_id"])
         for us in (pdf["ts"].astype("int64") // 1000).tolist():
             if last_us != _NO_LAST and us - last_us <= _BURST_GAP_US:
@@ -222,13 +228,15 @@ def _fold_journey(
     the state-store write amortizes to nothing for mature users.
     Ordering contract matches _fold_error_bursts: rows sorted
     (ts, event_id) within each batch; micro-batches delivered in time
-    order."""
+    order. Arrow chunks are concatenated before the sort for the same
+    reason as _fold_error_bursts (ADVICE r10 #2) — a multi-chunk key
+    would otherwise append prefix codes out of global time order."""
     from ..operators.events import _JOURNEY_CAP
 
     journey, seen = state.get if state.exists else ("", 0)
-    for pdf in batches:
-        if not len(pdf):
-            continue
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["ts", "event_id"])
         for code in pdf["code"].tolist():
             if len(journey) < _JOURNEY_CAP:
@@ -324,9 +332,15 @@ class _BurstProcessor:
         last_us, run_len, n_bursts, longest, total, seen = (
             got if got is not None else (_NO_LAST, 0, 0, 0, 0, 0)
         )
-        for pdf in rows:
-            if not len(pdf):
-                continue
+        # Concatenate ALL Arrow chunks for this key BEFORE sorting (ADVICE
+        # r10 #2): a key whose micro-batch spans multiple chunks (> arrow
+        # maxRecordsPerBatch) would otherwise be folded chunk-by-chunk in
+        # out-of-global-order timestamp runs and miscount bursts. One key's
+        # batch is bounded by the micro-batch trigger, so the concat is
+        # small; the fold itself stays O(1)-state.
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["ts", "event_id"])
             for us in (pdf["ts"].astype("int64") // 1000).tolist():
                 if last_us != _NO_LAST and us - last_us <= _BURST_GAP_US:

@@ -136,8 +136,12 @@ def test_cos_scale_guard_engages_inside_the_bulk(spark, monkeypatch):
     looseness is deliberate — sim_lsh_topk recall shares the index), so
     the guard must engage the bucket budget — but at bench SFs every
     bucket is under B=128, so nothing may be dropped (this is what keeps
-    the oracle hash unchanged). A linear-regime estimate (tight banding,
-    threshold above the bulk) must pass the bands through untouched."""
+    the oracle hash unchanged). r11 (ADVICE r10 #1): the cap is now applied
+    UNCONDITIONALLY — the sampled census only gates the diagnostic log —
+    so even a linear-regime estimate must still return the capped plan,
+    value-identical whenever every bucket fits the budget. The oracle
+    replays the cap unconditionally; a quiet sample hiding one dense
+    bucket would otherwise diverge the differential check."""
     from parquet_storage_query_spark.catalog import load_parallel
     from parquet_storage_query_spark.functions.vectors import as_double
     from parquet_storage_query_spark.operators.dedup import (
@@ -164,8 +168,9 @@ def test_cos_scale_guard_engages_inside_the_bulk(spark, monkeypatch):
     assert LAST_COS_GUARD["dropped_rows"] == 0  # B clears every bench bucket
     assert guarded.count() == n_before
 
-    # linear regime (a tight-banding/high-threshold deployment): guard
-    # must be a no-op — the SAME DataFrame passes through, no cap window
+    # linear regime (a tight-banding/high-threshold deployment): the cap
+    # still applies (oracle parity), but must be value-identical when
+    # every bucket fits — same rows, only the census log is skipped
     from parquet_storage_query_spark.operators import dedup as dedup_mod
 
     monkeypatch.setattr(
@@ -173,8 +178,11 @@ def test_cos_scale_guard_engages_inside_the_bulk(spark, monkeypatch):
         "estimate_cos_scale_stats",
         lambda _e, n_sample=1024: {"quantile": 0.2, "admit_frac": 0.0, "n_sampled": 512.0},
     )
-    assert cos_scale_guard(bands, e) is bands
+    quiet = cos_scale_guard(bands, e)
     assert LAST_COS_GUARD["engaged"] is False
+    assert quiet.count() == n_before
+    # exact same membership set, not just the same count
+    assert quiet.exceptAll(bands).count() == 0
 
 
 def test_bucket_budget_bounds_pair_generation(spark):

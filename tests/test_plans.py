@@ -81,6 +81,23 @@ def test_q3_and_consensus_are_hint_free(spark):
     assert static_broadcast_hints(text_tfidf_keywords(spark, SF_SMOKE)) == 1
 
 
+def test_setsim_dfreq_join_is_hint_free_and_aqe_broadcast(spark):
+    """The prefix-filter join's shingle document-frequency table grows
+    with the corpus (27k shingles at sf0.1, billions at 100 TB), so it
+    must carry NO static broadcast hint (VERDICT r10 #1 — a pinned hint
+    is a guaranteed OOM at scale); at bench SF AQE must still pick a
+    broadcast join for it at runtime, so dropping the hint costs nothing
+    where it fit anyway."""
+    from parquet_storage_query_spark.operators.dedup import dedup_setsim_prefix
+
+    df = dedup_setsim_prefix(spark, SF_SMOKE)
+    assert static_broadcast_hints(df) == 0, "dfreq must be hint-free"
+    # AQE decisions only materialize in the executed plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed, executed
+
+
 def test_funnel_is_single_scan(spark):
     """events_funnel must read the events table ONCE: the running-min
     window rewrite replaced the per-stage-arm form that scanned events 7

@@ -1512,6 +1512,12 @@ def test_jpeg_lossless_roundtrip():
         encode_jpeg_lossless(4, 2, [0] * 8, predictor=9)
     with _pytest.raises(ValueError):
         encode_jpeg_lossless(4, 2, [0] * 8, restart_interval=3)  # mid-line
+    # (4) a stream truncated exactly mid-restart-marker must raise the
+    # parser's uniform ValueError, never IndexError (ADVICE r10 #4)
+    full = encode_jpeg_lossless(4, 3, list(range(12)), restart_interval=4)
+    rst = full.index(b"\xff\xd0", 2)
+    with _pytest.raises(ValueError):
+        decode_jpeg(full[: rst + 1])
 
 
 def test_jpeg_hierarchical_roundtrip():

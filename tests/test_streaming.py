@@ -915,7 +915,15 @@ def test_tws_processor_fold_parity_with_batch(spark):
         cuts = [updf.iloc[: n // 3], updf.iloc[n // 3 : 2 * n // 3], updf.iloc[2 * n // 3 :]]
         last = None
         for cut in cuts:  # three sequential micro-batches per user
-            for out in proc.handleInputRows((uid,), iter([cut]), None):
+            # Each micro-batch arrives as MULTIPLE Arrow chunks, and the
+            # chunk boundary is arbitrary w.r.t. time order (ADVICE r10
+            # #2): scramble the cut and split it in two, so a fold that
+            # sorts per-chunk instead of per-batch miscounts runs that
+            # span the chunk boundary. The processor must concat-then-sort.
+            scrambled = cut.sort_values(["event_id", "ts"])  # != time order
+            m = len(scrambled)
+            chunks = [scrambled.iloc[: m // 2], scrambled.iloc[m // 2 :]]
+            for out in proc.handleInputRows((uid,), iter(chunks), None):
                 last = out
         r = last.iloc[0]
         if r["n_bursts"] > 0:
