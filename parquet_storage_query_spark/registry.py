@@ -74,6 +74,8 @@ def query(name: str, oracle: str | None = None):
 # round-9 head (all 50 green in CORRECTNESS_r09) moves below the line.
 # Names not yet registered are skipped.
 _PRIORITY = [
+    # -- ROUND-11 HEAD: new operators (first driver rows) -----------------
+    "sim_pq_adaptive_topk",
     # -- ROUND-10 HEAD: the 19 never-driver-sampled r9 continuations ------
     "mm_decode_gif", "profile_mutual_information", "train_weighted_sample",
     "mm_gif_frame_stats", "sink_jsonl_codec_matrix",

@@ -483,6 +483,28 @@ def test_ann_recall_vs_bruteforce(spark):
         assert recall >= floor, (name, recall)
 
 
+def test_pq_adaptive_sentinel_decides_the_path(spark):
+    """The adaptive PQ tier's path column must agree with the sentinel's
+    integer decision (hits < PQ_SENTINEL_MIN_HITS -> refine), the
+    sentinel guard dict must expose it, and the output must carry the
+    hit count on every row — the non-silent contract (VERDICT r10 #2):
+    a recall collapse is measured, logged, and visible in the result."""
+    from parquet_storage_query_spark.operators.similarity import (
+        LAST_PQ_GUARD,
+        PQ_SENTINEL_MIN_HITS,
+        sim_pq_adaptive_topk,
+    )
+
+    rows = sim_pq_adaptive_topk(spark, SF_SMOKE).collect()
+    assert LAST_PQ_GUARD["total"] == 25
+    hits = LAST_PQ_GUARD["hits"]
+    want_path = "pq_refine" if hits < PQ_SENTINEL_MIN_HITS else "pq"
+    assert LAST_PQ_GUARD["escalate"] == (hits < PQ_SENTINEL_MIN_HITS)
+    assert rows and all(r["path"] == want_path for r in rows)
+    assert all(r["sentinel_hits"] == hits for r in rows)
+    assert all(1 <= r["rk"] <= 5 for r in rows)
+
+
 # --- benchmark contamination (planted) ---
 
 
