@@ -261,10 +261,14 @@ def decode_jpeg(data: bytes, components: bool = False):
     §G.1.2.2-3) — and one dequant+IDCT pass reconstructs after EOI.
     Arithmetic-coded frames (SOF9 sequential, SOF10 progressive + DAC
     conditioning) decode through the QM coder in jpeg_arith.py;
-    lossless (SOF3) decodes via the Annex-H predictive scan;
-    hierarchical streams (DHP/EXP/SOF5) walk the Annex-J frame
-    sequence; only the arithmetic differential/lossless types
-    (SOF11/13-15) stay NotImplementedError hooks."""
+    lossless (SOF3 Huffman, SOF11 arithmetic) decodes via the Annex-H
+    predictive scan; hierarchical streams (DHP/EXP + differential
+    frames SOF5/6/7 Huffman and SOF13/14/15 arithmetic) walk the
+    Annex-J frame sequence. As of round 11 EVERY T.81 frame type
+    decodes at 8-bit precision (SOF1 extended-sequential is baseline
+    at 8 bits); the remaining loud failures are genuine stream errors
+    (differential frame without DHP, 12/16-bit precision, non-integral
+    sampling)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
     pos = 2
@@ -283,6 +287,38 @@ def decode_jpeg(data: bytes, components: bool = False):
     arith_dc_cond: dict[int, tuple[int, int]] = {}  # tbl -> (L, U)
     arith_ac_cond: dict[int, int] = {}  # tbl -> Kx
     coeffs: list[np.ndarray] = []  # per component: (gh, gw, 64) zigzag ints
+
+    def _finalize_hier_prog():
+        """Fold a pending DIFFERENTIAL PROGRESSIVE frame (SOF6/SOF14)
+        into the hierarchical reference: a progressive frame's scans
+        accumulate coefficients until the next frame boundary (another
+        SOF, an EXP, or EOI — T.81 Annex J frames have no explicit end
+        marker), at which point one dequant+IDCT pass reconstructs the
+        residual (no +128 level shift, DC coded with PRED = 0) and adds
+        it onto the reference, clamping per frame."""
+        nonlocal hier_ref, coeffs, progressive, differential
+        if hier_full is None or not (progressive and differential and coeffs):
+            return
+        q = quant[comps[0][3]]
+        store = coeffs[0]
+        gh, gw = store.shape[:2]
+        out = hier_ref.astype(np.float64).copy()
+        for by in range(gh):
+            for bx in range(gw):
+                block = np.empty(64, dtype=np.int64)
+                block[_ZZ_NP] = store[by, bx]
+                res = idct_8x8(
+                    (block.reshape(8, 8) * q.reshape(8, 8)).astype(np.float64)
+                )
+                r0, c0 = by * 8, bx * 8
+                h8 = min(8, height - r0)
+                w8 = min(8, width - c0)
+                if h8 > 0 and w8 > 0:
+                    out[r0 : r0 + h8, c0 : c0 + w8] += res[:h8, :w8]
+        hier_ref = np.clip(np.round(out), 0, 255).astype(np.int64)
+        coeffs = []
+        progressive = differential = False
+
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
@@ -326,22 +362,30 @@ def decode_jpeg(data: bytes, components: bool = False):
                 )
             hier_full = (fw, fh)
         elif marker == 0xDF:  # EXP: expand reference (J.8) before a frame
+            _finalize_hier_prog()  # a pending prog-diff frame ends here
             if hier_ref is None:
                 raise ValueError("JPEG: EXP before any reference frame")
             hier_ref = _exp_expand(hier_ref, body[0] >> 4, body[0] & 0x0F)
-        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA) or (
-            marker == 0xC5 and hier_full is not None
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB) or (
+            marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
+            and hier_full is not None
         ):
-            # SOF0 / SOF2 / SOF3 lossless / SOF9 arith-seq / SOF10
-            # arith-prog / SOF5 differential-sequential (hierarchical only)
-            if hier_full is not None and marker not in (0xC0, 0xC5):
+            # Every T.81 8-bit frame type (round 11 closes the set):
+            # SOF0/1 baseline+extended-seq Huffman, SOF2 progressive,
+            # SOF3 lossless, SOF9/10/11 their arithmetic twins, and —
+            # inside a hierarchical process only — the differential
+            # types SOF5/6/7 (Huffman seq/prog/lossless) and
+            # SOF13/14/15 (arithmetic seq/prog/lossless).
+            _finalize_hier_prog()  # a pending prog-diff frame ends here
+            if hier_full is not None and marker in (0xC2, 0xCA):
                 raise NotImplementedError(
-                    "JPEG hierarchical: only sequential Huffman frames"
+                    "JPEG hierarchical: initial frame must be "
+                    "non-progressive (sequential or lossless)"
                 )
-            progressive = marker in (0xC2, 0xCA)
-            arith = marker in (0xC9, 0xCA)
-            lossless = marker == 0xC3
-            differential = marker == 0xC5
+            progressive = marker in (0xC2, 0xCA, 0xC6, 0xCE)
+            arith = marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+            lossless = marker in (0xC3, 0xCB, 0xC7, 0xCF)
+            differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
@@ -360,10 +404,12 @@ def decode_jpeg(data: bytes, components: bool = False):
                     np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
                     for _, hs, vs, _ in comps
                 ]
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCB):
-            raise NotImplementedError(
-                "JPEG: only SOF0/SOF2/SOF3 Huffman and SOF9/SOF10 "
-                "arithmetic frames supported"
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            # differential frames are only legal inside a hierarchical
+            # process (T.81 Annex J: they refine a DHP-declared reference)
+            raise ValueError(
+                "JPEG: differential frame outside a hierarchical process "
+                "(no DHP marker seen)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (§B.2.4.3)
             i = 0
@@ -390,12 +436,87 @@ def decode_jpeg(data: bytes, components: bool = False):
                     raise NotImplementedError(
                         "JPEG hierarchical: single-component scans only"
                     )
-                if differential:
-                    hier_ref = _decode_differential_scan(
+                ss = body[1 + 2 * ns]
+                se = body[2 + 2 * ns]
+                ah_al = body[3 + 2 * ns]
+                if differential and progressive:
+                    # SOF6/SOF14: scans accumulate into the coefficient
+                    # store; _finalize_hier_prog folds it at the next
+                    # frame boundary / EOI
+                    if arith:
+                        from .jpeg_arith import decode_arith_prog_scan
+
+                        pos = decode_arith_prog_scan(
+                            data, pos, width, height, comps, scan, coeffs,
+                            arith_dc_cond, arith_ac_cond, restart_interval,
+                            ss, se, ah_al >> 4, ah_al & 0x0F,
+                            differential=True,
+                        )
+                    else:
+                        pos = _decode_progressive_scan(
+                            data, pos, width, height, comps, scan, coeffs,
+                            huff_dc, huff_ac, restart_interval,
+                            ss, se, ah_al >> 4, ah_al & 0x0F,
+                            differential=True,
+                        )
+                    continue
+                if differential and lossless:
+                    # SOF7/SOF15: per-sample residuals against the
+                    # reference, mod-2^16 reconstruction (Annex J)
+                    if arith:
+                        from .jpeg_arith import decode_lossless_arith_scan
+
+                        hier_ref = decode_lossless_arith_scan(
+                            data, pos, width, height, comps, scan,
+                            arith_dc_cond, restart_interval, ss,
+                            ah_al & 0x0F, True, ref=hier_ref,
+                        )
+                    else:
+                        hier_ref = _decode_differential_lossless_scan(
+                            data, pos, width, height, comps, scan,
+                            huff_dc, restart_interval, hier_ref,
+                        )
+                elif differential:
+                    if arith:  # SOF13
+                        from .jpeg_arith import decode_arith_differential_scan
+
+                        hier_ref = decode_arith_differential_scan(
+                            data, pos, width, height, comps, scan, quant,
+                            arith_dc_cond, arith_ac_cond, restart_interval,
+                            hier_ref,
+                        )
+                    else:  # SOF5
+                        hier_ref = _decode_differential_scan(
+                            data, pos, width, height, comps, scan,
+                            quant, huff_dc, huff_ac, restart_interval,
+                            hier_ref,
+                        )
+                elif lossless:
+                    if arith:  # SOF11 initial frame
+                        from .jpeg_arith import decode_lossless_arith_scan
+
+                        _w, _h, _n, planes = decode_lossless_arith_scan(
+                            data, pos, width, height, comps, scan,
+                            arith_dc_cond, restart_interval, ss,
+                            ah_al & 0x0F, True,
+                        )
+                        hier_ref = planes[0].astype(np.int64)
+                    else:  # SOF3 initial frame
+                        _w, _h, _n, planes = _decode_lossless_scan(
+                            data, pos, width, height, comps, scan, huff_dc,
+                            restart_interval, ss, ah_al & 0x0F, True,
+                        )
+                        hier_ref = planes[0].astype(np.int64)
+                elif arith:  # SOF9 initial frame
+                    from .jpeg_arith import decode_arith_scan
+
+                    _w, _h, _n, planes = decode_arith_scan(
                         data, pos, width, height, comps, scan,
-                        quant, huff_dc, huff_ac, restart_interval, hier_ref,
+                        quant, arith_dc_cond, arith_ac_cond,
+                        restart_interval, True,
                     )
-                else:
+                    hier_ref = planes[0].astype(np.int64)
+                else:  # SOF0/SOF1 initial frame
                     _w, _h, _n, planes = _decode_scan(
                         data, pos, width, height, comps, scan,
                         quant, huff_dc, huff_ac, restart_interval,
@@ -404,9 +525,17 @@ def decode_jpeg(data: bytes, components: bool = False):
                     hier_ref = planes[0].astype(np.int64)
                 pos = _next_marker_pos(data, pos)
                 continue
-            if lossless:  # SOF3: single predictive scan, returns directly
+            if lossless:  # SOF3/SOF11: single predictive scan, returns directly
                 ss = body[1 + 2 * ns]  # predictor selector (T.81 H.1)
                 ah_al = body[3 + 2 * ns]
+                if arith:  # SOF11
+                    from .jpeg_arith import decode_lossless_arith_scan
+
+                    return decode_lossless_arith_scan(
+                        data, pos, width, height, comps, scan,
+                        arith_dc_cond, restart_interval, ss,
+                        ah_al & 0x0F, components,
+                    )
                 return _decode_lossless_scan(
                     data, pos, width, height, comps, scan, huff_dc,
                     restart_interval, ss, ah_al & 0x0F, components,
@@ -443,6 +572,7 @@ def decode_jpeg(data: bytes, components: bool = False):
                 ss, se, ah_al >> 4, ah_al & 0x0F,
             )
         # APPn / COM / anything else: skipped
+    _finalize_hier_prog()  # a prog-diff final frame ends at EOI
     if hier_ref is not None:
         fw, fh = hier_full
         if hier_ref.shape != (fh, fw):
@@ -564,7 +694,7 @@ def _assemble_output(planes, samps, width, height, components):
 
 def _decode_progressive_scan(
     data, pos, width, height, comps, scan, coeffs, huff_dc, huff_ac, dri,
-    ss, se, ah, al,
+    ss, se, ah, al, differential=False,
 ):
     """Decode ONE progressive scan's entropy segment into the coefficient
     store and return the stream position of the next marker. Four scan
@@ -593,8 +723,11 @@ def _decode_progressive_scan(
     def dc_first(zz, dc_tbl, si):
         size = _decode_huff(reader, dc_tbl)
         diff = _extend(reader.read_bits(size), size)
-        pred[si] += diff
-        zz[0] = pred[si] << al
+        if differential:  # T.81 differential frames: PRED fixed at 0
+            zz[0] = diff << al
+        else:
+            pred[si] += diff
+            zz[0] = pred[si] << al
 
     def dc_refine(zz):
         # two's-complement |= appends the next magnitude bit for either
@@ -828,18 +961,62 @@ def _decode_differential_scan(
     return np.clip(np.round(out), 0, 255).astype(np.int64)
 
 
-def encode_jpeg_hierarchical(blocks_w: int, blocks_h: int, v0, residuals) -> bytes:
+def _decode_differential_lossless_scan(
+    data, pos, width, height, comps, scan, huff_dc, dri, ref,
+):
+    """Decode a DIFFERENTIAL LOSSLESS frame's scan (SOF7, T.81 Annex J):
+    each sample is a Huffman-coded residual (the DC category/magnitude
+    coding, sample-wise) between the frame input and the REFERENCE —
+    no spatial predictor (the SOS predictor field is 0 in differential
+    lossless frames) — and reconstruction is (ref + diff) mod 2^16,
+    clipped to the sample range at EOI like every hierarchical plane."""
+    if ref is None:
+        raise ValueError("JPEG: differential frame before any reference frame")
+    if ref.shape != (height, width):
+        raise ValueError(
+            f"JPEG hierarchical: frame dims {(width, height)} do not match "
+            f"the reference {ref.shape[::-1]} (missing/extra EXP?)"
+        )
+    if dri:
+        raise NotImplementedError(
+            "JPEG hierarchical: restart intervals in differential frames"
+        )
+    reader = _BitReader(data, pos)
+    tbl = huff_dc[scan[0][1]]
+    out = np.zeros((height, width), dtype=np.int64)
+    for r in range(height):
+        for c in range(width):
+            size = _decode_huff(reader, tbl)
+            if size == 16:
+                diff = 32768
+            elif size == 0:
+                diff = 0
+            else:
+                diff = _extend(reader.read_bits(size), size)
+            out[r, c] = (int(ref[r, c]) + diff) & 0xFFFF
+    return out
+
+
+def encode_jpeg_hierarchical(
+    blocks_w: int, blocks_h: int, v0, residuals, kind: str = "sof5"
+) -> bytes:
     """HIERARCHICAL (Annex J) grayscale fixture: a DHP header declaring
     the full 16·bw x 16·bh frame, an INITIAL half-resolution SOF0 frame
     that is globally constant v0 (so the J.8 expansion — whose averaging
     path the random-image pytest pins — reproduces a constant exactly),
-    an EXP(1,1) doubling both dimensions, and one DIFFERENTIAL (SOF5)
-    frame whose full-resolution 8x8 blocks each add the constant
-    residuals[b] (DC-only residual DCTs are exact, same construction as
-    every DCT fixture). Decoded output is therefore v0 + residuals[b]
-    per block in closed form, with every hierarchical structure real:
-    multi-frame walk, reference expansion, differential DC-without-
-    predictor, residual reconstruction without level shift.
+    an EXP(1,1) doubling both dimensions, and one DIFFERENTIAL frame
+    whose full-resolution 8x8 blocks each add the constant residuals[b].
+    Decoded output is therefore v0 + residuals[b] per block in closed
+    form, with every hierarchical structure real: multi-frame walk,
+    reference expansion, differential DC-without-predictor, residual
+    reconstruction without level shift.
+
+    `kind` selects the differential frame type (round 11 closes all
+    six): 'sof5' Huffman sequential (DC-only residual DCTs, exact),
+    'sof6' Huffman progressive (a DC scan then an all-EOB AC scan),
+    'sof7' Huffman lossless (per-SAMPLE residuals, mod-2^16),
+    'sof13'/'sof14'/'sof15' their QM-arithmetic twins with a DAC
+    segment. All six decode to the identical closed form.
 
     v0 may also be a LIST of per-lowres-block constants (pytest surface):
     the expansion then genuinely averages across block boundaries and the
@@ -864,7 +1041,6 @@ def encode_jpeg_hierarchical(blocks_w: int, blocks_h: int, v0, residuals) -> byt
     ac_enc = _build_encode_table(FIX_AC_BITS, FIX_AC_VALS)
     dhp = struct.pack(">BHHB", 8, full_h, full_w, 1) + bytes([1, 0x11, 0])
     sof0 = struct.pack(">BHHB", 8, full_h // 2, full_w // 2, 1) + bytes([1, 0x11, 0])
-    sof5 = struct.pack(">BHHB", 8, full_h, full_w, 1) + bytes([1, 0x11, 0])
     out = bytearray(
         b"\xff\xd8"
         + _seg(0xDE, dhp)
@@ -888,16 +1064,108 @@ def encode_jpeg_hierarchical(blocks_w: int, blocks_h: int, v0, residuals) -> byt
         w.write(eob_code, eob_len)
     out += _sos_seg([(1, 0x00)], 0, 63, 0, 0) + w.flush()
     # expand the reference to full resolution, then the differential frame
-    out += _seg(0xDF, bytes([0x11])) + _seg(0xC5, sof5)
-    w = _BitWriter()
-    for r in res:  # DC coded directly (PRED = 0), AC all-zero -> EOB
-        size = _category(r)
-        code, length = dc_enc[size]
-        w.write(code, length)
-        if size:
-            w.write(_mag_bits(r, size), size)
-        w.write(eob_code, eob_len)
-    out += _sos_seg([(1, 0x00)], 0, 63, 0, 0) + w.flush()
+    marker_by_kind = {
+        "sof5": 0xC5, "sof6": 0xC6, "sof7": 0xC7,
+        "sof13": 0xCD, "sof14": 0xCE, "sof15": 0xCF,
+    }
+    if kind not in marker_by_kind:
+        raise ValueError(f"unknown hierarchical differential kind: {kind}")
+    out += _seg(0xDF, bytes([0x11]))
+    sof_d = struct.pack(">BHHB", 8, full_h, full_w, 1) + bytes([1, 0x11, 0])
+    if kind in ("sof13", "sof14", "sof15"):
+        from .jpeg_arith import (
+            AC_KX_DEFAULT,
+            DC_L_DEFAULT,
+            DC_U_DEFAULT,
+            FIXED_STATE,
+            _enc_ac,
+            _enc_dc,
+            _ll_arith_entropy,
+            _QMEncoder,
+        )
+
+        dac = bytes(
+            [0x00, (DC_U_DEFAULT << 4) | DC_L_DEFAULT, 0x10, AC_KX_DEFAULT]
+        )
+        out += _seg(marker_by_kind[kind], sof_d) + _seg(0xCC, dac)
+    else:
+        out += _seg(marker_by_kind[kind], sof_d)
+    if kind == "sof5":
+        w = _BitWriter()
+        for r in res:  # DC coded directly (PRED = 0), AC all-zero -> EOB
+            size = _category(r)
+            code, length = dc_enc[size]
+            w.write(code, length)
+            if size:
+                w.write(_mag_bits(r, size), size)
+            w.write(eob_code, eob_len)
+        out += _sos_seg([(1, 0x00)], 0, 63, 0, 0) + w.flush()
+    elif kind == "sof6":
+        # progressive differential, two scans: DC (PRED = 0) then all-EOB AC
+        w = _BitWriter()
+        for r in res:
+            size = _category(r)
+            code, length = dc_enc[size]
+            w.write(code, length)
+            if size:
+                w.write(_mag_bits(r, size), size)
+        out += _sos_seg([(1, 0x00)], 0, 0, 0, 0) + w.flush()
+        w = _BitWriter()
+        for _ in res:  # AC scan: every block is one EOB0
+            w.write(eob_code, eob_len)
+        out += _sos_seg([(1, 0x00)], 1, 63, 0, 0) + w.flush()
+    elif kind == "sof13":
+        enc = _QMEncoder()
+        dc_st = bytearray(64)
+        ac_st = bytearray(256)
+        fixed = bytearray([FIXED_STATE])
+        ctx = 0
+        zz0 = np.zeros(64, dtype=np.int64)
+        for r in res:
+            ctx = _enc_dc(enc, dc_st, ctx, r, DC_L_DEFAULT, DC_U_DEFAULT)
+            _enc_ac(enc, ac_st, fixed, zz0, AC_KX_DEFAULT)
+        out += _sos_seg([(1, 0x00)], 0, 63, 0, 0) + enc.flush()
+    elif kind == "sof14":
+        enc = _QMEncoder()
+        dc_st = bytearray(64)
+        ctx = 0
+        for r in res:
+            ctx = _enc_dc(enc, dc_st, ctx, r, DC_L_DEFAULT, DC_U_DEFAULT)
+        out += _sos_seg([(1, 0x00)], 0, 0, 0, 0) + enc.flush()
+        enc = _QMEncoder()
+        ac_st = bytearray(256)
+        fixed = bytearray([FIXED_STATE])
+        zz0 = np.zeros(64, dtype=np.int64)
+        for _ in res:
+            _enc_ac(enc, ac_st, fixed, zz0, AC_KX_DEFAULT)
+        out += _sos_seg([(1, 0x00)], 1, 63, 0, 0) + enc.flush()
+    else:
+        # lossless differential: per-sample residuals vs the expanded
+        # reference — constant r within each full-res 8x8 block
+        res_grid = np.zeros((full_h, full_w), dtype=np.int64)
+        for b, r in enumerate(res):
+            by, bx = divmod(b, 2 * blocks_w)
+            res_grid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = r
+        if kind == "sof7":
+            w = _BitWriter()
+            for rr in range(full_h):
+                for cc in range(full_w):
+                    d = int(res_grid[rr, cc])
+                    size = _category(d)
+                    code, length = dc_enc[size]
+                    w.write(code, length)
+                    if size:
+                        w.write(_mag_bits(d, size), size)
+            out += _sos_seg([(1, 0x00)], 0, 0, 0, 0) + w.flush()
+        else:  # sof15: residuals through the QM lossless model (ref = 0
+            # plane makes coded diffs equal the residuals; conditioning
+            # replays the decoder's Da/Db chain exactly)
+            vals = res_grid & 0xFFFF
+            zref = np.zeros((full_h, full_w), dtype=np.int64)
+            out += _sos_seg([(1, 0x00)], 0, 0, 0, 0)
+            out += _ll_arith_entropy(
+                vals, full_w, full_h, None, 0, zref, DC_L_DEFAULT, DC_U_DEFAULT
+            )
     return bytes(out + b"\xff\xd9")
 
 

