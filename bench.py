@@ -255,6 +255,12 @@ HEADLINE = [
     "mm_decode_jpeg_lossless",
     "mm_decode_jpeg_hierarchical",
     "sim_lsh_multiprobe_topk",
+    # round 11: the sentinel-gated PQ tier and the final two JPEG frame
+    # families (SOF11 lossless-arith; all six differential kinds)
+    "sim_pq_adaptive_topk",
+    "mm_decode_jpeg_lossless_arith",
+    "mm_decode_jpeg_hier_kinds",
+    "profile_shuffle_skew",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

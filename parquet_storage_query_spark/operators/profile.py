@@ -1337,3 +1337,97 @@ def profile_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sj").alias("sj"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew audit (round 11) — the diagnostic you run BEFORE
+# choosing a salting factor for a 100 TB join/groupBy
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 5
+
+_SKEW_ORACLE = f"""
+    WITH counts AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    summary AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS total_rows,
+               CAST(max(n) AS BIGINT) AS max_rows
+        FROM counts),
+    top AS (
+        SELECT user_id, n, rk FROM (
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   row_number() OVER (ORDER BY n DESC, user_id) AS rk
+            FROM counts) WHERE rk <= {SKEW_TOP_K})
+    SELECT t.rk AS rank, t.user_id AS hot_key, t.n AS key_rows,
+           s.n_keys, s.total_rows, s.max_rows,
+           CAST((2 * 10000 * s.max_rows * s.n_keys + s.total_rows)
+                // (2 * s.total_rows) AS BIGINT) AS skew_e4,
+           CAST((s.max_rows * s.n_keys + s.total_rows - 1)
+                // s.total_rows AS BIGINT) AS salt_buckets
+    FROM top t CROSS JOIN summary s
+    ORDER BY rank
+"""
+
+
+@query("profile_shuffle_skew", oracle=_SKEW_ORACLE)
+def profile_shuffle_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key SKEW AUDIT over the events join key (user_id): per-key
+    row counts reduce to the hottest-{SKEW_TOP_K} keys plus the summary
+    statistics a salting decision needs — max/avg skew ratio (e4 integer
+    units) and the derived salt-bucket count ceil(max_rows / avg_rows),
+    i.e. how many average-sized hash buckets the hottest key spans. That
+    integer is exactly the fan-out join_skew_salted's manual path needs
+    and what AQE's skew-join split discovers at runtime; auditing it
+    AHEAD of the join is how a 100 TB pipeline picks between plain hash
+    join, salting, and broadcast.
+
+    Scale shape: one scan, one map-side-combined shuffle of O(keys)
+    partials, materialized ONCE (localCheckpoint — the summary and the
+    top-k both read it, so the events scan never repeats), then a
+    TakeOrdered top-k (distributed heads, never a single-partition
+    global window over all keys) + a 1-row summary broadcast back onto
+    the 5 survivors (the bounded 1-row BNLJ the probe-broadcast queries
+    also carry by design). All-integer outputs (the skew ratio uses the
+    driver-proof (2*scale*x + n) DIV (2*n) rounding form)."""
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    summary = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+    )
+    # TakeOrderedAndProject: distributed per-partition heads, k rows to
+    # the driver stage — the global row_number window would instead move
+    # EVERY key count to one partition
+    top5 = counts.orderBy(F.col("n").desc(), "user_id").limit(SKEW_TOP_K)
+    w = W.orderBy(F.col("n").desc(), "user_id")  # over <= 5 rows
+    top = top5.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        F.col("user_id").alias("hot_key"),
+        F.col("n").cast("long").alias("key_rows"),
+    )
+    return (
+        top.join(F.broadcast(summary))
+        .select(
+            "rank",
+            "hot_key",
+            "key_rows",
+            "n_keys",
+            "total_rows",
+            "max_rows",
+            F.expr(
+                "CAST((2 * 10000 * max_rows * n_keys + total_rows) "
+                "DIV (2 * total_rows) AS BIGINT)"
+            ).alias("skew_e4"),
+            F.expr(
+                "CAST((max_rows * n_keys + total_rows - 1) "
+                "DIV total_rows AS BIGINT)"
+            ).alias("salt_buckets"),
+        )
+        .orderBy("rank")
+    )

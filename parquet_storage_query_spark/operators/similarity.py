@@ -1788,7 +1788,10 @@ def sim_pq_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + one exact pass for 5 probes, memoized per session; a real
     deployment schedules it per index build), and both serving branches
     are the already-plan-audited sim_pq_topk / sim_pq_refine_topk scans.
-    Final display cosine touches only |Q|·k original vectors."""
+    Final display cosine touches only |Q|·k original vectors (the plan
+    auditor's vec_id rescan pair is the refine tier's documented shape:
+    one pushdown-pruned 5-row probe scan + one broadcast-semi-join pass
+    that keeps |Q|·k rows)."""
     hits, total, escalate = pq_recall_sentinel(spark, sf_dir)
     base = sim_pq_refine_topk(spark, sf_dir) if escalate else sim_pq_topk(spark, sf_dir)
     top = base.select("query_id", "neighbor_id", "rk")
