@@ -141,6 +141,47 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_watermarked",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           date_trunc('hour', ts) AS hr
+    FROM events
+    """,
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedup — dropDuplicatesWithinWatermark,
+    the production variant stream_dedup's docstring names (round 11
+    closes it): state for a key is evicted once the watermark passes its
+    event time + delay, so total state is O(keys per watermark horizon)
+    instead of O(all distinct keys ever) — the difference between a
+    dedup that survives a year of 100 TB ingest and one that OOMs.
+
+    Exactness contract, and why the DISTINCT oracle is still valid: the
+    dedup key includes the event's HOUR bucket, so two occurrences of a
+    key are at most one hour apart in event time, while the watermark
+    delay is TWO hours — a duplicate always arrives while its twin's
+    state is still live (watermark = max_seen - 2h < first_seen + 2h =
+    eviction time), hence no double emission, hence exact parity with
+    DISTINCT (user, type, hour). Keys whose repeats can straddle an
+    unbounded gap need the unwatermarked stream_dedup (exact, unbounded
+    state) or accept re-emission past the horizon — that trade is the
+    operator's documented semantic, not a defect."""
+    flt = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hr"),
+            "ts",
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hr"])
+        .select("user_id", "event_type", "hr")
+    )
+    return _run_to_memory(flt, "stream_dedup_wm_out", "append")
+
+
+@query(
     "stream_session_windows",
     oracle="""
     WITH gaps AS (
