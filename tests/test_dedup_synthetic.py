@@ -505,6 +505,26 @@ def test_pq_adaptive_sentinel_decides_the_path(spark):
     assert all(1 <= r["rk"] <= 5 for r in rows)
 
 
+def test_pq_adaptive_escalation_serves_refine(spark, monkeypatch):
+    """Force the sentinel's collapse verdict (the branch only a 10×-scale
+    corpus reaches naturally — /tmp/sf1 measures 3/25) and assert the
+    adaptive tier actually serves the exact-refine ranking: identical
+    (query_id, neighbor_id, rk) triples to sim_pq_refine_topk, path
+    column flipped, hit count carried through."""
+    from parquet_storage_query_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "pq_recall_sentinel", lambda s, d: (2, 25, True))
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rk"], r["path"], r["sentinel_hits"])
+        for r in sim.sim_pq_adaptive_topk(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rk"], "pq_refine", 2)
+        for r in sim.sim_pq_refine_topk(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
 # --- benchmark contamination (planted) ---
 
 

@@ -82,6 +82,14 @@ ORDER = [
     "mm_decode_jpeg_lossless",  # jpeg_lossless_fixture_build (DPCM slope)
     "mm_decode_jpeg_hierarchical",  # jpeg_hier_fixture_build (frame walk)
     "sim_lsh_multiprobe_topk",  # 7x probe rows, bucket-bounded candidates
+    # round-11 additions: the sentinel-gated PQ tier (sentinel cost must
+    # stay constant-probe), the final two JPEG frame families, the skew
+    # audit (one keyed shuffle + top-k), and the bounded-state stream dedup
+    "sim_pq_adaptive_topk",
+    "mm_decode_jpeg_lossless_arith",  # jpeg_lossless_arith_fixture_build
+    "mm_decode_jpeg_hier_kinds",  # jpeg_hier_kinds_fixture_build
+    "profile_shuffle_skew",
+    "stream_dedup_watermarked",
 ]
 BUILDS = {
     "dedup_embedding_cosine": "cos_lsh_index_build",
@@ -102,6 +110,8 @@ BUILDS = {
     "mm_video_shot_detect": "gif_shots_fixture_build",
     "mm_decode_jpeg_lossless": "jpeg_lossless_fixture_build",
     "mm_decode_jpeg_hierarchical": "jpeg_hier_fixture_build",
+    "mm_decode_jpeg_lossless_arith": "jpeg_lossless_arith_fixture_build",
+    "mm_decode_jpeg_hier_kinds": "jpeg_hier_kinds_fixture_build",
 }
 
 
