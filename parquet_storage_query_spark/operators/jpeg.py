@@ -128,6 +128,11 @@ def _build_encode_table(bits: list[int], values: list[int]) -> dict[int, tuple[i
 # symbols for the pytest AC round-trip
 FIX_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 FIX_DC_VALS = list(range(12))
+# high-precision lossless DC table: SSSS 0..16 (a 16-bit DPCM diff can
+# reach category 16, the no-magnitude-bits 32768 escape); 17 canonical
+# codes at length 5 (32 >= 17, all-ones free)
+LL16_DC_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+LL16_DC_VALS = list(range(17))
 FIX_AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 5)]
 # 66 symbols: 40 at length 6, 26 at length 7 (canonical; all-ones free)
 FIX_AC_BITS = [0, 0, 0, 0, 0, 40, 26, 0, 0, 0, 0, 0, 0, 0, 0, 0]
@@ -382,13 +387,24 @@ def decode_jpeg(data: bytes, components: bool = False):
                     "JPEG hierarchical: initial frame must be "
                     "non-progressive (sequential or lossless)"
                 )
+            if hier_full is not None and body[0] != 8:
+                raise NotImplementedError(
+                    "JPEG hierarchical: 8-bit sample planes only"
+                )
             progressive = marker in (0xC2, 0xCA, 0xC6, 0xCE)
             arith = marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
             lossless = marker in (0xC3, 0xCB, 0xC7, 0xCF)
             differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8:
-                raise NotImplementedError("JPEG: only 8-bit precision")
+            if lossless:
+                # T.81 lossless allows P in 2..16 (the DICOM archives the
+                # SOF3 docstring cites are typically 12/16-bit); DCT modes
+                # stay 8-bit (extended 12-bit DCT is a quant-table format
+                # change this decoder does not claim)
+                if not 2 <= precision <= 16:
+                    raise ValueError(f"JPEG: bad lossless precision {precision}")
+            elif precision != 8:
+                raise NotImplementedError("JPEG: only 8-bit precision in DCT modes")
             comps = []
             for c in range(ncomp):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
@@ -534,11 +550,12 @@ def decode_jpeg(data: bytes, components: bool = False):
                     return decode_lossless_arith_scan(
                         data, pos, width, height, comps, scan,
                         arith_dc_cond, restart_interval, ss,
-                        ah_al & 0x0F, components,
+                        ah_al & 0x0F, components, precision=precision,
                     )
                 return _decode_lossless_scan(
                     data, pos, width, height, comps, scan, huff_dc,
                     restart_interval, ss, ah_al & 0x0F, components,
+                    precision=precision,
                 )
             if arith and progressive:  # SOF10
                 from .jpeg_arith import decode_arith_prog_scan
@@ -1187,7 +1204,7 @@ _LL_PREDICTORS = {
 
 def _decode_lossless_scan(
     data, pos, width, height, comps, scan, huff_dc, dri, predictor, pt,
-    components,
+    components, precision=8,
 ):
     """Decode a LOSSLESS (SOF3) scan — T.81 Annex H: each sample is a
     Huffman-coded DPCM residual (the DC category/magnitude coding reused
@@ -1212,7 +1229,7 @@ def _decode_lossless_scan(
     reader = _BitReader(data, pos)
     tbl = huff_dc[scan[0][1]]
     out = np.zeros((height, width), dtype=np.int64)
-    default = 1 << (8 - pt - 1)
+    default = 1 << (precision - pt - 1)
     seg_row = 0  # first row of the current restart segment
     n = 0
     for r in range(height):
@@ -1247,7 +1264,8 @@ def _decode_lossless_scan(
                 )
             out[r, c] = (pred + diff) & 0xFFFF
             n += 1
-    plane = ((out & 0xFFFF) << pt).astype(np.uint8)
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    plane = ((out & 0xFFFF) << pt).astype(dtype)
     if components:
         return width, height, 1, [plane]
     return width, height, 1, plane.tobytes()
@@ -1255,6 +1273,7 @@ def _decode_lossless_scan(
 
 def encode_jpeg_lossless(
     width: int, height: int, pix, predictor: int = 1, restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """LOSSLESS (SOF3) grayscale encoder over arbitrary 8-bit pixels
     (row-major iterable) — unlike every DCT fixture encoder this one is
@@ -1267,18 +1286,22 @@ def encode_jpeg_lossless(
         raise ValueError(f"JPEG lossless: bad predictor {predictor}")
     if restart_interval and restart_interval % width != 0:
         raise ValueError("JPEG lossless: restart interval must cover whole lines")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"JPEG lossless: bad precision {precision}")
     pred_fn = _LL_PREDICTORS[predictor]
     vals = np.asarray(list(pix), dtype=np.int64).reshape(height, width)
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
-    dht_dc = bytes([0x00]) + bytes(FIX_DC_BITS) + bytes(FIX_DC_VALS)
-    dc_enc = _build_encode_table(FIX_DC_BITS, FIX_DC_VALS)
+    sof = struct.pack(">BHHB", precision, height, width, 1) + bytes([1, 0x11, 0])
+    # P > 8 diffs reach SSSS 16; the 8-bit fixture table stops at 11
+    bits, vv = (LL16_DC_BITS, LL16_DC_VALS) if precision > 8 else (FIX_DC_BITS, FIX_DC_VALS)
+    dht_dc = bytes([0x00]) + bytes(bits) + bytes(vv)
+    dc_enc = _build_encode_table(bits, vv)
     dri_seg = (
         _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     )
     out = bytearray(b"\xff\xd8" + _seg(0xC3, sof) + _seg(0xC4, dht_dc) + dri_seg)
     out += _sos_seg([(1, 0x00)], predictor, 0, 0, 0)
     w = _BitWriter()
-    default = 1 << 7
+    default = 1 << (precision - 1)
     seg_row = 0
     n = 0
     rst = 0
@@ -1299,10 +1322,12 @@ def encode_jpeg_lossless(
                     int(vals[r, c - 1]), int(vals[r - 1, c]), int(vals[r - 1, c - 1])
                 )
             diff = ((int(vals[r, c]) - pred + 0x8000) & 0xFFFF) - 0x8000
+            if diff == -32768:
+                diff = 32768  # the SSSS=16 escape codes +32768 (≡ mod 2^16)
             size = _category(diff)
             code, length = dc_enc[size]
             w.write(code, length)
-            if size:
+            if size and size != 16:  # SSSS=16 carries no magnitude bits
                 w.write(_mag_bits(diff, size), size)
             n += 1
     out += w.flush()

@@ -1086,7 +1086,7 @@ def _dec_ll_diff(dec: _QMDecoder, st: bytearray, ca: int, cb: int) -> int:
 
 def decode_lossless_arith_scan(
     data, pos, width, height, comps, scan, dc_cond, dri, predictor, pt,
-    components, ref=None,
+    components, ref=None, precision=8,
 ):
     """Decode a LOSSLESS arithmetic scan — SOF11 (`ref is None`: the
     Annex-H spatial predictors, same selection/first-line/first-column
@@ -1118,7 +1118,7 @@ def decode_lossless_arith_scan(
     st = bytearray(LL_STATS_SIZE)
     out = np.zeros((height, width), dtype=np.int64)
     diffs = np.zeros((height, width), dtype=np.int64)  # coded-diff history
-    default = 1 << (8 - pt - 1)
+    default = 1 << (precision - pt - 1)
     seg_row = 0
     n = 0
     for r in range(height):
@@ -1156,13 +1156,16 @@ def decode_lossless_arith_scan(
             n += 1
     if ref is not None:
         return out  # hierarchical reference plane (clipped at EOI)
-    plane = ((out & 0xFFFF) << pt).astype(np.uint8)
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    plane = ((out & 0xFFFF) << pt).astype(dtype)
     if components:
         return width, height, 1, [plane]
     return width, height, 1, plane.tobytes()
 
 
-def _ll_arith_entropy(vals, width, height, pred_fn, dri, ref, lo, up) -> bytes:
+def _ll_arith_entropy(
+    vals, width, height, pred_fn, dri, ref, lo, up, precision=8
+) -> bytes:
     """Shared QM entropy writer for SOF11 (spatial predictor) and SOF15
     (reference prediction) — the encoder mirror of
     decode_lossless_arith_scan's loop."""
@@ -1170,7 +1173,7 @@ def _ll_arith_entropy(vals, width, height, pred_fn, dri, ref, lo, up) -> bytes:
     enc = _QMEncoder()
     st = bytearray(LL_STATS_SIZE)
     diffs = np.zeros((height, width), dtype=np.int64)
-    default = 1 << 7
+    default = 1 << (precision - 1)
     seg_row = 0
     n = 0
     rst = 0
@@ -1205,6 +1208,7 @@ def _ll_arith_entropy(vals, width, height, pred_fn, dri, ref, lo, up) -> bytes:
 
 def encode_jpeg_lossless_arith(
     width: int, height: int, pix, predictor: int = 1, restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """LOSSLESS ARITHMETIC (SOF11) grayscale encoder over arbitrary
     8-bit pixels — bit-exact for any image by definition of the mode,
@@ -1216,8 +1220,10 @@ def encode_jpeg_lossless_arith(
         raise ValueError(f"JPEG lossless: bad predictor {predictor}")
     if restart_interval and restart_interval % width != 0:
         raise ValueError("JPEG lossless: restart interval must cover whole lines")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"JPEG lossless: bad precision {precision}")
     vals = np.asarray(list(pix), dtype=np.int64).reshape(height, width)
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    sof = struct.pack(">BHHB", precision, height, width, 1) + bytes([1, 0x11, 0])
     dac = bytes([0x00, (DC_U_DEFAULT << 4) | DC_L_DEFAULT])
     dri_seg = (
         _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
@@ -1226,7 +1232,7 @@ def encode_jpeg_lossless_arith(
     out += _sos_seg([(1, 0x00)], predictor, 0, 0, 0)
     out += _ll_arith_entropy(
         vals, width, height, _LL_PREDICTORS[predictor], restart_interval,
-        None, DC_L_DEFAULT, DC_U_DEFAULT,
+        None, DC_L_DEFAULT, DC_U_DEFAULT, precision=precision,
     )
     return bytes(out + b"\xff\xd9")
 

@@ -1707,6 +1707,119 @@ def mm_decode_jpeg_lossless_arith(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# 12-bit lossless fixture constants (mm_decode_jpeg_lossless16)
+J16_W_BASE, J16_W_MOD = 7, 6  # width  7..12
+J16_H_BASE, J16_H_MOD = 5, 5  # height 5..9
+J16_A, J16_B = 811, 157  # pixel i of doc d: (d*A + B*i) % 4096
+
+
+def _jpeg_lossless16_fixture(doc_id: int) -> bytes:
+    # alternate entropy layer by doc parity: even docs Huffman (SOF3 with
+    # the 17-symbol SSSS table), odd docs arithmetic (SOF11)
+    from .jpeg import encode_jpeg_lossless
+    from .jpeg_arith import encode_jpeg_lossless_arith
+
+    w = J16_W_BASE + doc_id % J16_W_MOD
+    h = J16_H_BASE + doc_id % J16_H_MOD
+    pix = [(doc_id * J16_A + J16_B * i) % 4096 for i in range(w * h)]
+    enc = encode_jpeg_lossless if doc_id % 2 == 0 else encode_jpeg_lossless_arith
+    return enc(w, h, pix, predictor=1 + doc_id % 7, precision=12)
+
+
+def ensure_jpeg_lossless16_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture table of 12-bit lossless JPEGs (Huffman/arith
+    alternating by doc parity); corpus-scaled shards."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                jpgs = [_jpeg_lossless16_fixture(int(did)) for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpg": jpgs})
+
+        ids.mapInPandas(gen, schema="doc_id long, jpg binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark,
+        sf_dir,
+        "jpeg_lossless16_fixture",
+        "v1",
+        [table_path(sf_dir, "documents")],
+        build,
+    )
+
+
+@query(
+    "mm_decode_jpeg_lossless16",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {J16_W_BASE} + doc_id % {J16_W_MOD} AS w,
+               {J16_H_BASE} + doc_id % {J16_H_MOD} AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h,
+               (doc_id * {J16_A} + {J16_B} * t.i) % 4096 AS v
+        FROM dims, unnest(range(w * h)) AS t(i))
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'huffman' ELSE 'arith' END AS entropy,
+           CAST(sum(v) AS BIGINT) AS sum_lum,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm_decode_jpeg_lossless16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGH-PRECISION (12-bit) lossless JPEG decode — the sample depth
+    DICOM grayscale archives actually ship (T.81 lossless allows P in
+    2..16; the 8-bit twins are mm_decode_jpeg_lossless and
+    mm_decode_jpeg_lossless_arith). The fixture alternates the entropy
+    layer by doc parity — Huffman SOF3 with the 17-symbol SSSS table a
+    16-bit DPCM diff needs, arithmetic SOF11 with the §H.1.2.2 model —
+    and sweeps all seven predictors; decode returns uint16 planes and
+    the closed-form oracle checks both layers against one pixel
+    formula. 100 TB shape unchanged: Arrow-batched mapInPandas decode,
+    partitions scale with input splits."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_jpeg_lossless16_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did, jpg in zip(pdf["doc_id"], pdf["jpg"]):
+                w, h, ch, planes = decode_jpeg(bytes(jpg), components=True)
+                arr = planes[0].astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": w,
+                        "height": h,
+                        "entropy": "huffman" if int(did) % 2 == 0 else "arith",
+                        "sum_lum": int(arr.sum()),
+                        "sum_sq": int((arr * arr).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, entropy string, "
+        "sum_lum long, sum_sq long",
+    )
+
+
 # hierarchical all-differential-kinds fixture constants (mm_decode_jpeg_hier_kinds)
 JHK_KINDS = ("sof5", "sof6", "sof7", "sof13", "sof14", "sof15")
 JHK_V_A, JHK_V_B = 43, 64  # base value v0(d) = 64 + (d*43) % 64

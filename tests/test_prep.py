@@ -1562,6 +1562,54 @@ def test_jpeg_lossless_arith_roundtrip():
         encode_jpeg_lossless_arith(4, 2, [0] * 8, restart_interval=3)
 
 
+def test_jpeg_lossless_high_precision_roundtrip():
+    """T.81 lossless at P > 8 (the DICOM 12/16-bit shape): random images
+    round-trip bit-exactly through BOTH entropy layers — Huffman SOF3
+    needs the 17-symbol SSSS table (a 16-bit DPCM diff reaches category
+    16, the no-magnitude-bits 32768 escape) and arithmetic SOF11's
+    magnitude ladder peaks at X15 — with uint16 output planes, the
+    midpoint default 2^(P-1), and mod-2^16 wrap at full range. DCT
+    modes still reject P != 8 loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_blocks,
+        encode_jpeg_lossless,
+    )
+    from parquet_storage_query_spark.operators.jpeg_arith import (
+        encode_jpeg_lossless_arith,
+    )
+
+    rng = np.random.default_rng(29)
+    for prec in (12, 16):
+        for pred in (1, 4, 7):
+            w, h = int(rng.integers(3, 12)), int(rng.integers(3, 9))
+            pix = rng.integers(0, 1 << prec, w * h).tolist()
+            for enc in (encode_jpeg_lossless, encode_jpeg_lossless_arith):
+                gw, gh, gc, px = decode_jpeg(
+                    enc(w, h, pix, predictor=pred, precision=prec)
+                )
+                assert (gw, gh, gc) == (w, h, 1)
+                assert np.frombuffer(px, dtype=np.uint16).tolist() == pix, (
+                    prec, pred, enc.__name__,
+                )
+    # full-range 16-bit checkerboard through the widest predictor (wrap
+    # stress: intermediates overflow int16 on both sides of zero)
+    board = [0 if (r + c) % 2 == 0 else 65535 for r in range(6) for c in range(5)]
+    for enc in (encode_jpeg_lossless, encode_jpeg_lossless_arith):
+        _, _, _, px = decode_jpeg(enc(5, 6, board, predictor=4, precision=16))
+        assert np.frombuffer(px, dtype=np.uint16).tolist() == board
+    # DCT modes keep the 8-bit contract
+    dct12 = encode_jpeg_blocks(1, 1, [42]).replace(b"\xff\xc0\x00\x0b\x08",
+                                                   b"\xff\xc0\x00\x0b\x0c", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(dct12)
+    with _pytest.raises(ValueError):
+        encode_jpeg_lossless(4, 2, [0] * 8, precision=17)
+
+
 def test_jpeg_hierarchical_all_differential_kinds():
     """All six T.81 differential frame types reconstruct the identical
     closed form v0 + r(b) inside the same DHP/EXP hierarchical walk:
