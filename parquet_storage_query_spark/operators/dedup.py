@@ -2316,26 +2316,20 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _build_setsim_query(spark, sf_dir)
 
 
-def _build_setsim_query(
-    spark: SparkSession,
-    sf_dir: str,
-    budget: int | None = None,
-    force: bool = False,
-) -> DataFrame:
-    docs = (
-        load_parallel(spark, sf_dir, "documents")
-        .select("doc_id", words_col().alias("ws"))
-        .select("doc_id", F.expr(_SHINGLES).alias("sh"))
-        .localCheckpoint(eager=True)
-    )
+def setsim_prefix_plan(docs: DataFrame) -> DataFrame:
+    """The LAZY prefix-table plan (doc_id, n, s): df-ascending shingle
+    ordering, integer-ceil prefix length, exploded prefix shingles —
+    exposed un-checkpointed so tests can audit the physical plan (the
+    serving path materializes it once per session via session_memo).
+
+    NO broadcast hint on dfreq (VERDICT r10 #1): the shingle vocabulary
+    grows with the corpus (27k at sf0.1, billions at 100 TB), so a
+    pinned F.broadcast is a guaranteed OOM at scale. Same policy as
+    text.py's df table: AQE broadcasts it while it fits (plan-tested at
+    bench SF in tests/test_plans.py) and falls back to a shuffle join
+    beyond — the safe default a pin would override."""
     tok = docs.select("doc_id", F.explode("sh").alias("s"))
     dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # NO broadcast hint on dfreq (VERDICT r10 #1): the shingle vocabulary
-    # grows with the corpus (27k at sf0.1, billions at 100 TB), so a
-    # pinned F.broadcast is a guaranteed OOM at scale. Same policy as
-    # text.py's df table: AQE broadcasts it while it fits (plan-tested
-    # at bench SF in tests/test_plans.py) and falls back to a shuffle
-    # join beyond — the safe default a pin would override.
     ordered = (
         tok.join(dfreq, "s")
         .groupBy("doc_id")
@@ -2358,9 +2352,38 @@ def _build_setsim_query(
         )
         + F.lit(1)
     )
+    return ordered.select(
+        "doc_id", "n", F.explode(F.slice("toks", F.lit(1), plen)).alias("s")
+    )
+
+
+def _build_setsim_query(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int | None = None,
+    force: bool = False,
+) -> DataFrame:
+    # the checkpointed shingle table is shared between the exact and the
+    # capped variants (r11: the two queries rebuilt it independently —
+    # the single largest serving cost in BENCH_DETAIL at 7.1s + 5.4s)
+    docs = session_memo(
+        spark,
+        sf_dir,
+        "setsim_docs",
+        lambda: load_parallel(spark, sf_dir, "documents")
+        .select("doc_id", words_col().alias("ws"))
+        .select("doc_id", F.expr(_SHINGLES).alias("sh"))
+        .localCheckpoint(eager=True),
+    )
+    # the UNguarded exploded prefix (O(docs × prefix_len) rows, ≪ tok) is
+    # shared between the exact and capped variants too; the guard/cap is
+    # variant-specific and applies downstream of the checkpoint
     pre = setsim_density_guard(
-        ordered.select(
-            "doc_id", "n", F.explode(F.slice("toks", F.lit(1), plen)).alias("s")
+        session_memo(
+            spark,
+            sf_dir,
+            "setsim_pre_raw",
+            lambda: setsim_prefix_plan(docs).localCheckpoint(eager=True),
         ),
         budget=budget,
         force=force,

@@ -87,15 +87,30 @@ def test_setsim_dfreq_join_is_hint_free_and_aqe_broadcast(spark):
     must carry NO static broadcast hint (VERDICT r10 #1 — a pinned hint
     is a guaranteed OOM at scale); at bench SF AQE must still pick a
     broadcast join for it at runtime, so dropping the hint costs nothing
-    where it fit anyway."""
-    from parquet_storage_query_spark.operators.dedup import dedup_setsim_prefix
+    where it fit anyway. Audited on the LAZY prefix plan (the serving
+    path checkpoints it once per session, which would hide the join);
+    the registered query is additionally asserted hint-free end to end."""
+    from parquet_storage_query_spark.catalog import load_parallel
+    from parquet_storage_query_spark.operators.dedup import (
+        _SHINGLES,
+        dedup_setsim_prefix,
+        setsim_prefix_plan,
+        words_col,
+    )
+    from pyspark.sql import functions as F
 
-    df = dedup_setsim_prefix(spark, SF_SMOKE)
-    assert static_broadcast_hints(df) == 0, "dfreq must be hint-free"
+    docs = (
+        load_parallel(spark, SF_SMOKE, "documents")
+        .select("doc_id", words_col().alias("ws"))
+        .select("doc_id", F.expr(_SHINGLES).alias("sh"))
+    )
+    pre = setsim_prefix_plan(docs)
+    assert static_broadcast_hints(pre) == 0, "dfreq must be hint-free"
     # AQE decisions only materialize in the executed plan
-    df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
+    pre.collect()
+    executed = pre._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in executed, executed
+    assert static_broadcast_hints(dedup_setsim_prefix(spark, SF_SMOKE)) == 0
 
 
 def test_funnel_is_single_scan(spark):
