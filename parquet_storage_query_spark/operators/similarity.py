@@ -1367,29 +1367,46 @@ def _train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[floa
             [[float(x) for x in r["v"][s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]] for r in seeds]
             for s in range(PQ_S)
         ]
-        for s in range(PQ_S):
-            cb = codebooks[s]
-            off = s * PQ_SUBDIM
-            for _ in range(PQ_ITERS):
-                assigned = e.withColumn("a", F.expr(_pq_assign_expr(cb, s))).select(
-                    "vec_id", "v", F.col("a.c").alias("j")
+        # ONE corpus scan per Lloyd's round for ALL subspaces (r11: the
+        # per-subspace loop scanned the corpus PQ_S × PQ_ITERS = 8 times;
+        # at 100 TB the scans ARE the training cost). Each round: assign
+        # every subspace map-side against its inlined codewords, explode
+        # to (s, j, pos, x), one grouped average. The per-(s, j, pos)
+        # means and their 4-decimal rounding are computed identically to
+        # the sequential form, so the resulting codebooks — and the
+        # oracle replay — are bit-unchanged.
+        for _ in range(PQ_ITERS):
+            assigned = e.withColumns(
+                {f"a{s}": F.expr(_pq_assign_expr(codebooks[s], s) + ".c")
+                 for s in range(PQ_S)}
+            )
+            sub = F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.col(f"a{s}").alias("j"),
+                    F.slice("v", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
                 )
-                rows = (
-                    assigned.select(
-                        "j", F.posexplode(F.slice("v", off + 1, PQ_SUBDIM)).alias("pos", "x")
-                    )
-                    .groupBy("j", "pos")
-                    .agg(F.round(F.avg("x"), 4).alias("m"))
-                    .collect()
-                )
-                by_j: dict[int, dict[int, float]] = {}
-                for r in rows:
-                    by_j.setdefault(int(r["j"]), {})[int(r["pos"])] = float(r["m"])
-                cb = [
-                    [by_j[j][d] for d in range(PQ_SUBDIM)] if j in by_j else cb[j]
+                for s in range(PQ_S)
+            ])
+            rows = (
+                assigned.select(F.explode(sub).alias("t"))
+                .select("t.s", "t.j", F.posexplode("t.sv").alias("pos", "x"))
+                .groupBy("s", "j", "pos")
+                .agg(F.round(F.avg("x"), 4).alias("m"))
+                .collect()
+            )
+            by_sj: dict[tuple[int, int], dict[int, float]] = {}
+            for r in rows:
+                by_sj.setdefault((int(r["s"]), int(r["j"])), {})[int(r["pos"])] = float(r["m"])
+            codebooks = [
+                [
+                    [by_sj[(s, j)][d] for d in range(PQ_SUBDIM)]
+                    if (s, j) in by_sj
+                    else codebooks[s][j]
                     for j in range(PQ_K)
                 ]
-            codebooks[s] = cb
+                for s in range(PQ_S)
+            ]
         return codebooks
 
     return session_memo(spark, sf_dir, "pq_codebooks", _train)
