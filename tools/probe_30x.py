@@ -90,6 +90,7 @@ ORDER = [
     "mm_decode_jpeg_hier_kinds",  # jpeg_hier_kinds_fixture_build
     "profile_shuffle_skew",
     "stream_dedup_watermarked",
+    "mm_decode_jpeg_lossless16",  # jpeg_lossless16_fixture_build
 ]
 BUILDS = {
     "dedup_embedding_cosine": "cos_lsh_index_build",
@@ -112,6 +113,7 @@ BUILDS = {
     "mm_decode_jpeg_hierarchical": "jpeg_hier_fixture_build",
     "mm_decode_jpeg_lossless_arith": "jpeg_lossless_arith_fixture_build",
     "mm_decode_jpeg_hier_kinds": "jpeg_hier_kinds_fixture_build",
+    "mm_decode_jpeg_lossless16": "jpeg_lossless16_fixture_build",
 }
 
 
