@@ -422,6 +422,10 @@ class JsonlCorpusDataSource(DataSource):
         return JsonlCorpusStreamWriter(self.options)
 
 
+_REGISTER_LOCK = __import__("threading").Lock()
+_REGISTERED_SESSIONS: set[int] = set()
+
+
 def register(spark) -> None:
     # the reader classes pickle BY REFERENCE — ship the package zip so
     # executor-side Python workers can import this module even when the
@@ -446,4 +450,18 @@ def register(spark) -> None:
     from pyspark import cloudpickle
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    spark.dataSource.register(JsonlCorpusDataSource)
+    # dataSource.register is NOT idempotent on the JVM side and two
+    # concurrent query builders (the driver runs its sample with a
+    # thread pool) can race past any Python-side "already registered"
+    # check — serialize the attempt per session and treat the loser's
+    # DATA_SOURCE_ALREADY_EXISTS as success (caught live by the
+    # --threads 8 driver emulation, r11: 1-in-3 flake on the head-50)
+    with _REGISTER_LOCK:
+        if id(spark) in _REGISTERED_SESSIONS:
+            return
+        try:
+            spark.dataSource.register(JsonlCorpusDataSource)
+        except Exception as exc:  # noqa: BLE001
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+                raise
+        _REGISTERED_SESSIONS.add(id(spark))
