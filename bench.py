@@ -263,6 +263,7 @@ HEADLINE = [
     "profile_shuffle_skew",
     "stream_dedup_watermarked",
     "mm_decode_jpeg_lossless16",
+    "join_asof_tolerance",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

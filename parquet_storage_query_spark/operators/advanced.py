@@ -86,6 +86,74 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: max staleness for the tolerance-bounded as-of join (30 min, in µs)
+ASOF_TOL_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH a AS (SELECT * FROM events WHERE event_type = 'click'),
+         b AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT a.event_id, a.user_id, a.ts AS click_ts,
+           CAST(CASE WHEN b.ts IS NOT NULL
+                      AND date_diff('microsecond', b.ts, a.ts) <= {ASOF_TOL_US}
+                THEN 1 ELSE 0 END AS INT) AS matched,
+           CAST(CASE WHEN b.ts IS NOT NULL
+                      AND date_diff('microsecond', b.ts, a.ts) <= {ASOF_TOL_US}
+                THEN date_diff('microsecond', b.ts, a.ts)
+                ELSE -1 END AS BIGINT) AS staleness_us
+    FROM a ASOF LEFT JOIN b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound — pandas merge_asof(tolerance=)
+    semantics as a distributed operator: each click keeps its latest
+    at-or-before view ONLY if that view is within 30 minutes; staler
+    matches are treated as no-match (the point-in-time-correct feature
+    lookup contract: a feature older than its freshness SLA must read
+    as missing, not silently stale). LEFT form: every click emits one
+    row; `matched` and the -1 staleness sentinel keep every output
+    column non-null (a nullable BIGINT renders float64 under the pandas
+    fetch — the round-7 hash-red class).
+
+    Same 100 TB plan as join_asof: union-tag both sides, ONE shuffle on
+    user_id, one ordered window pass carrying the last view forward —
+    never a pairwise inequality join. The tolerance is a post-carry
+    filter on the µs difference, so it adds zero shuffles."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("side"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value", F.lit(0).alias("side")
+    )
+    tagged = clicks.unionByName(views)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_view",
+        F.last(
+            F.when(F.col("side") == 0, F.struct("ts", "value")), ignorenulls=True
+        ).over(w),
+    )
+    diff = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_view.ts"))
+    fresh = F.col("last_view").isNotNull() & (diff <= ASOF_TOL_US)
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.when(fresh, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("matched"),
+        F.when(fresh, diff).otherwise(F.lit(-1)).cast("long").alias("staleness_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subqueries (scalar + IN) — Catalyst decorrelates / rewrites to joins
 # ---------------------------------------------------------------------------
