@@ -264,6 +264,7 @@ HEADLINE = [
     "stream_dedup_watermarked",
     "mm_decode_jpeg_lossless16",
     "join_asof_tolerance",
+    "stream_join_asof",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

@@ -454,3 +454,109 @@ def stream_tws_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     emissions are monotone in `seen` so the final report is one max_by
     per user."""
     return streaming_error_bursts_tws(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming AS-OF join (round 11): the third stateful shape —
+# JOIN output (one row per probe event), not a per-key aggregate
+# ---------------------------------------------------------------------------
+
+_ASOF_OUT = (
+    "event_id LONG, user_id LONG, click_ts TIMESTAMP, view_ts TIMESTAMP, "
+    "view_value DOUBLE"
+)
+_ASOF_STATE = "last_us LONG, vval DOUBLE"
+
+
+def _fold_asof(
+    key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming as-of enrich fold: per user, O(1) state = the latest
+    view (event-time µs, value); each CLICK row emits one joined output
+    the moment it is processed — the incremental form of join_asof's
+    batch window-carry, with the identical same-instant rule (a view at
+    the click's exact timestamp is visible: views sort before clicks at
+    equal ts). Chunks concatenate before the sort (the ADVICE r10 #2
+    contract shared by every order-sensitive fold here); across batches
+    the caller delivers time-ordered micro-batches."""
+    last_us, vval = state.get if state.exists else (_NO_LAST, 0.0)
+    chunks = [pdf for pdf in batches if len(pdf)]
+    out: dict[str, list] = {
+        "event_id": [], "user_id": [], "click_ts": [], "view_ts": [],
+        "view_value": [],
+    }
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["ts", "side", "event_id"])
+        us_col = (pdf["ts"].astype("int64") // 1000).tolist()
+        for us, side, eid, val in zip(
+            us_col, pdf["side"].tolist(), pdf["event_id"].tolist(),
+            pdf["value"].tolist(),
+        ):
+            if side == 0:  # view: refresh state
+                last_us, vval = us, float(val)
+            elif last_us != _NO_LAST:  # click with a prior view: emit
+                out["event_id"].append(int(eid))
+                out["user_id"].append(int(key[0]))
+                out["click_ts"].append(pd.Timestamp(us, unit="us"))
+                out["view_ts"].append(pd.Timestamp(last_us, unit="us"))
+                out["view_value"].append(round(vval, 2))
+    state.update((last_us, vval))
+    if out["event_id"]:
+        yield pd.DataFrame(out)
+
+
+def streaming_join_asof(
+    spark: SparkSession, sf_dir: str, stream: DataFrame | None = None
+) -> DataFrame:
+    """Run the as-of enrich incrementally: one stream carrying both
+    event types, keyed by user, append-mode output (each click's joined
+    row is emitted exactly once, in the micro-batch that processes it).
+    At 100 TB/day the state is one (ts, value) pair per active user —
+    the feature-serving "latest value per key" store, maintained by the
+    state backend instead of a nightly rebuild."""
+    if stream is None:
+        stream = read_events_stream(spark, sf_dir)
+    tagged = (
+        stream.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce("value", F.lit(0.0)).alias("value"),
+            F.when(F.col("event_type") == "view", F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("side"),
+        )
+    )
+    joined = tagged.groupBy("user_id").applyInPandasWithState(
+        _fold_asof,
+        outputStructType=_ASOF_OUT,
+        stateStructType=_ASOF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from .windows import _run_to_memory
+
+    return _run_to_memory(joined, "stream_join_asof_out", "append")
+
+
+@query(
+    "stream_join_asof",
+    oracle="""
+    SELECT a.event_id, a.user_id, a.ts AS click_ts,
+           b.ts AS view_ts, round(b.value, 2) AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def stream_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of join — join_asof's point-in-time enrich as a live
+    stateful operator (applyInPandasWithState, the third stateful shape
+    here: JOIN output rather than per-key aggregates). The oracle is the
+    identical ASOF JOIN the batch twin is checked against, so streaming
+    execution across real micro-batches must reproduce the batch result
+    value-for-value — runs spanning micro-batch boundaries included
+    (a click in batch N joins a view from batch N-1 via state)."""
+    return streaming_join_asof(spark, sf_dir)
