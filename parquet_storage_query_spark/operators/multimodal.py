@@ -4117,9 +4117,10 @@ TIF_A, TIF_B = 23, 19  # pixel byte k of doc d: (d*TIF_A + k*TIF_B) % 256
 
 def ensure_tiff_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per corpus version) the TIFF fixture table — one REAL
-    strip-organized TIFF per document, sweeping LZW/uncompressed x
-    horizontal-predictor x little/big-endian by doc_id so every decoder
-    path is value-checked under the registered query."""
+    strip-organized TIFF per document, sweeping compression
+    (LZW / uncompressed / PackBits, round 11) x horizontal-predictor x
+    little/big-endian by doc_id so every decoder path is value-checked
+    under the registered query."""
     from ..cache import ensure_artifact
     from ..catalog import table_path
 
@@ -4147,7 +4148,7 @@ def ensure_tiff_fixture(spark: SparkSession, sf_dir: str) -> str:
                             w,
                             h,
                             v.astype(np.uint8).tobytes(),
-                            compression=5 if d % 2 == 0 else 1,
+                            compression=(5, 1, 32773)[d % 3],
                             predictor=2 if (d >> 1) % 2 == 0 else 1,
                             big_endian=(d >> 2) % 2 == 1,
                             rows_per_strip=3,
@@ -4160,7 +4161,7 @@ def ensure_tiff_fixture(spark: SparkSession, sf_dir: str) -> str:
         ).parquet(dest)
 
     return ensure_artifact(
-        spark, sf_dir, "tiff_fixture", "v1", [table_path(sf_dir, "documents")], build
+        spark, sf_dir, "tiff_fixture", "v2", [table_path(sf_dir, "documents")], build
     )
 
 

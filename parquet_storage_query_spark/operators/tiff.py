@@ -9,9 +9,15 @@ LSB-first without early change — a decoder that reuses the GIF bit
 reader verbatim desynchronizes within the first dozen codes, which is
 exactly what the round-trip pytests pin.
 
+Round 11 adds Compression 32773 = PackBits (TIFF 6.0 §9 / the Apple RLE:
+literal runs for n in 0..127 emit the next n+1 bytes, replicate runs for
+n in 129..255 repeat the next byte 257-n times, n = 128 is a no-op),
+packed per ROW within each strip as the spec recommends — the third
+compression mode in the sweep.
+
 Scope hooks (documented NotImplementedError, same contract as the JPEG
 hierarchical modes): tiled TIFFs, palette/grayscale photometric modes,
-PackBits, and >8-bit samples.
+and >8-bit samples.
 
 Reference parity: the reference repo's source surface is
 format-conversion DTOs (see SURVEY.md S3/D3); image payload decode is an
@@ -122,6 +128,67 @@ def _lzw_encode(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits expansion (TIFF 6.0 §9): agnostic to row boundaries —
+    the encoder packs per row, the decoder just expands runs."""
+    out = bytearray()
+    i = 0
+    n_data = len(data)
+    while i < n_data:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run: next n+1 bytes
+            if i + n + 1 > n_data:
+                raise ValueError("PackBits: truncated literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # replicate run: next byte 257-n times
+            if i >= n_data:
+                raise ValueError("PackBits: truncated replicate run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    return bytes(out)
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """Greedy PackBits for one row: replicate runs of >= 3 (or >= 2 when
+    not breaking a literal), literals otherwise — the standard Apple
+    packer shape, split at 128-byte run limits."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        # measure the replicate run at i
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        run = j - i
+        if run >= 2:
+            out.append(257 - run)
+            out.append(row[i])
+            i = j
+            continue
+        # literal run: until the next >= 3 replicate or 128 bytes
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            if i + 2 < n and row[i] == row[i + 1] == row[i + 2]:
+                break
+            i += 1
+        out.append(i - lit_start - 1)
+        out += row[lit_start:i]
+    return bytes(out)
+
+
+def _packbits_encode(seg: bytes, row_bytes: int) -> bytes:
+    """Pack a strip per ROW (TIFF 6.0 §9 recommendation: rows never share
+    a run, so a decoder that processes rows independently stays valid)."""
+    return b"".join(
+        _packbits_encode_row(seg[r : r + row_bytes])
+        for r in range(0, len(seg), row_bytes)
+    )
+
+
 def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     """Baseline-TIFF decode to (width, height, 3, interleaved RGB)."""
     if data[:4] == b"II*\x00":
@@ -156,8 +223,10 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     rps = tags.get(278, [h])[0]
     if photo != 2 or spp != 3 or any(b != 8 for b in bps):
         raise NotImplementedError("only 8-bit RGB TIFF decodable here")
-    if comp not in (1, 5):
-        raise NotImplementedError("only uncompressed or LZW TIFF supported")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            "only uncompressed, LZW, or PackBits TIFF supported"
+        )
     if pred not in (1, 2):
         raise NotImplementedError("unsupported TIFF predictor")
     if tags.get(284, [1])[0] != 1:
@@ -166,7 +235,12 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     out = bytearray()
     for off, cnt in zip(offs, cnts):
         strip = data[off : off + cnt]
-        out += _lzw_decode(strip) if comp == 5 else strip
+        if comp == 5:
+            out += _lzw_decode(strip)
+        elif comp == 32773:
+            out += _packbits_decode(strip)
+        else:
+            out += strip
     if len(out) != w * h * 3:
         raise ValueError("TIFF payload size mismatch")
     if pred == 2:  # undo horizontal differencing, per channel
@@ -198,7 +272,12 @@ def encode_tiff(
     strips = []
     for r0 in range(0, h, rows_per_strip):
         seg = bytes(raw[r0 * w * 3 : min(r0 + rows_per_strip, h) * w * 3])
-        strips.append(_lzw_encode(seg) if compression == 5 else seg)
+        if compression == 5:
+            strips.append(_lzw_encode(seg))
+        elif compression == 32773:
+            strips.append(_packbits_encode(seg, w * 3))
+        else:
+            strips.append(seg)
     n_strips = len(strips)
 
     entries: list[tuple[int, int, int, bytes | int]] = []

@@ -1246,7 +1246,7 @@ def test_tiff_codec_roundtrip_matrix():
     rng = np.random.RandomState(9)
     for w, h in ((6, 5), (11, 3), (1, 1)):
         px = bytes(rng.randint(0, 256, size=w * h * 3, dtype=np.uint8))
-        for comp in (1, 5):
+        for comp in (1, 5, 32773):  # + PackBits, round 11
             for pred in (1, 2):
                 for be in (False, True):
                     for rps in (2, 64):
@@ -1254,6 +1254,22 @@ def test_tiff_codec_roundtrip_matrix():
                         assert decode_tiff(blob) == (w, h, 3, px)
                         # decode_image dispatches on the TIFF magic too
                         assert decode_image(blob) == (w, h, 3, px)
+    # PackBits specifics: replicate-run-heavy rows (the RLE win case),
+    # the 128 no-op byte, and truncation loudness
+    from parquet_storage_query_spark.operators.tiff import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    flat = bytes(np.repeat(rng.randint(0, 256, 60), 11).astype(np.uint8))[:600]
+    blob = encode_tiff(10, 20, flat, 32773, 1, False, 4)
+    assert decode_tiff(blob) == (10, 20, 3, flat)
+    assert len(_packbits_encode(flat, 30)) < len(flat) // 3  # RLE actually wins
+    assert _packbits_decode(bytes([0x80])) == b""  # spec no-op
+    with _pytest.raises(ValueError):
+        _packbits_decode(bytes([0x05, 0x01]))  # truncated literal
+    with _pytest.raises(ValueError):
+        _packbits_decode(bytes([0xFE]))  # truncated replicate
 
     # LZW stress: 12-bit widths + table-full CLEAR (needs >4k entries)
     big = bytes(rng.randint(0, 256, size=50_000, dtype=np.uint8))
