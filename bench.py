@@ -265,6 +265,7 @@ HEADLINE = [
     "mm_decode_jpeg_lossless16",
     "join_asof_tolerance",
     "stream_join_asof",
+    "mm_decode_png_variants",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

@@ -174,34 +174,27 @@ def _png_chunks(data: bytes):
             return
 
 
-def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    import struct
-    import zlib
+#: Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass — note
+#: passes 4 and 6 START at row 0 (their marks appear in the top row of
+#: the canonical 8x8 tile), with y-steps 4 and 2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    w = h = None
-    channels = 0
-    idat = bytearray()
-    for ctype, body in _png_chunks(data):
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-                raise NotImplementedError("PNG: only 8-bit non-interlaced supported")
-            channels = {0: 1, 2: 3}.get(color)
-            if channels is None:
-                raise NotImplementedError(f"PNG color type {color} unsupported")
-        elif ctype == b"IDAT":
-            idat.extend(body)
-    if w is None:
-        raise ValueError("PNG: missing IHDR")
-    raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG: decompressed size mismatch")
-    out = bytearray(h * stride)
+
+def _png_unfilter(raw: bytes, pos: int, pw: int, ph: int, channels: int) -> tuple[bytearray, int]:
+    """Reverse the five scanline filters over one (sub-)image of ph rows
+    of pw pixels starting at raw[pos]; returns (pixels, next position).
+    Shared by the sequential path and each Adam7 pass (each pass filters
+    independently, with its own zeroed 'previous' row — spec §8.2)."""
+    stride = pw * channels
+    out = bytearray(ph * stride)
     prev = bytearray(stride)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+    for y in range(ph):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
         if ftype == 1:  # Sub
             for i in range(channels, stride):
                 line[i] = (line[i] + line[i - channels]) & 0xFF
@@ -225,6 +218,68 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"PNG: unknown filter {ftype}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
+    return out, pos
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    import struct
+    import zlib
+
+    w = h = None
+    channels = 0
+    color = -1
+    interlace = 0
+    palette = b""
+    idat = bytearray()
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or comp != 0 or filt != 0:
+                raise NotImplementedError("PNG: only 8-bit depth supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG: bad interlace method {interlace}")
+            # round 11: +palette (type 3, PLTE-mapped to RGB) and Adam7
+            channels = {0: 1, 2: 3, 3: 1}.get(color)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color} unsupported")
+        elif ctype == b"PLTE":
+            palette = body
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if w is None:
+        raise ValueError("PNG: missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if interlace == 0:
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG: decompressed size mismatch")
+        out, _ = _png_unfilter(raw, 0, w, h, channels)
+    else:  # Adam7: seven independently-filtered passes scattered on the grid
+        out = bytearray(h * stride)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos = _png_unfilter(raw, pos, pw, ph, channels)
+            for py in range(ph):
+                for px_i in range(pw):
+                    src = (py * pw + px_i) * channels
+                    dst = ((y0 + py * dy) * w + (x0 + px_i * dx)) * channels
+                    out[dst : dst + channels] = sub[src : src + channels]
+        if pos != len(raw):
+            raise ValueError("PNG: decompressed size mismatch")
+    if color == 3:  # indexed: map through PLTE to RGB
+        if not palette:
+            raise ValueError("PNG: color type 3 without PLTE")
+        rgb = bytearray(w * h * 3)
+        for i, idx in enumerate(out):
+            off = 3 * idx
+            if off + 3 > len(palette):
+                raise ValueError("PNG: palette index out of range")
+            rgb[3 * i : 3 * i + 3] = palette[off : off + 3]
+        return w, h, 3, bytes(rgb)
     return w, h, channels, bytes(out)
 
 
@@ -254,6 +309,52 @@ def encode_png(w: int, h: int, channels: int, pixels: bytes) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_png_ext(
+    w: int, h: int, channels: int, pixels: bytes,
+    palette: bytes | None = None, interlace: int = 0,
+) -> bytes:
+    """Extended PNG encoder (round 11 fixtures/tests): optional PLTE
+    palette (pixels are then 1-byte indexes, color type 3) and Adam7
+    interlacing (seven filter-0 passes in spec order). Stdlib zlib only."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    color = 3 if palette is not None else {1: 0, 3: 2}[channels]
+    ch = 1 if palette is not None else channels
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
+    if interlace == 0:
+        stride = w * ch
+        raw = b"".join(
+            b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(h)
+        )
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for py in range(ph):
+                row = bytearray()
+                for px_i in range(pw):
+                    src = ((y0 + py * dy) * w + (x0 + px_i * dx)) * ch
+                    row += pixels[src : src + ch]
+                parts.append(b"\x00" + bytes(row))
+        raw = b"".join(parts)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    return out + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
 
 
 # fake_decode_meta's formula constants — single source for the scalar
@@ -4557,4 +4658,155 @@ def mm_video_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         shots,
         schema="doc_id long, n_frames long, n_shots long, total_sad long, "
         "max_sad long, first_cut_frame long",
+    )
+
+
+# PNG variants fixture constants (mm_decode_png_variants, round 11):
+# palette (PLTE-mapped color type 3) and Adam7 interlace — the two
+# wire-layout features the sequential RGB/gray fixture cannot reach.
+# variant v = doc_id % 4: 0 gray+Adam7, 1 RGB+Adam7, 2 paletted
+# sequential, 3 paletted+Adam7 (2 and 3 decode IDENTICALLY — interlace
+# only permutes the wire layout, which is exactly the claim under test).
+PNV_W_BASE, PNV_W_MOD = 5, 9  # width  5..13
+PNV_H_BASE, PNV_H_MOD = 4, 7  # height 4..10
+PNV_A, PNV_B = 61, 23  # gray/RGB byte j of doc d: (d*A + j*B) % 256
+PNV_NPAL = 64  # palette entries
+PNV_IA, PNV_IB = 13, 5  # palette index of pixel i: (d*IA + i*IB) % 64
+# palette entry k of doc d, channels (r, g, b):
+PNV_PR, PNV_PG, PNV_PB = 17, 29, 41  # (k*Pc + c_mult*d) % 256, c_mult=1/2/3
+
+
+def _png_variant_fixture(doc_id: int) -> bytes:
+    d = int(doc_id)
+    w = PNV_W_BASE + d % PNV_W_MOD
+    h = PNV_H_BASE + d % PNV_H_MOD
+    v = d % 4
+    if v in (0, 1):
+        ch = 1 if v == 0 else 3
+        px = bytes((d * PNV_A + j * PNV_B) % 256 for j in range(w * h * ch))
+        return encode_png_ext(w, h, ch, px, interlace=1)
+    pal = bytes(
+        b
+        for k in range(PNV_NPAL)
+        for b in (
+            (k * PNV_PR + d) % 256,
+            (k * PNV_PG + 2 * d) % 256,
+            (k * PNV_PB + 3 * d) % 256,
+        )
+    )
+    idx = bytes((d * PNV_IA + i * PNV_IB) % PNV_NPAL for i in range(w * h))
+    return encode_png_ext(w, h, 1, idx, palette=pal, interlace=0 if v == 2 else 1)
+
+
+def ensure_png_variants_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture table of palette/Adam7 PNGs; corpus-scaled shards."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pngs = [_png_variant_fixture(int(did)) for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": pngs})
+
+        ids.mapInPandas(gen, schema="doc_id long, png binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark,
+        sf_dir,
+        "png_variants_fixture",
+        "v1",
+        [table_path(sf_dir, "documents")],
+        build,
+    )
+
+
+@query(
+    "mm_decode_png_variants",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {PNV_W_BASE} + doc_id % {PNV_W_MOD} AS w,
+               {PNV_H_BASE} + doc_id % {PNV_H_MOD} AS h,
+               doc_id % 4 AS v
+        FROM documents),
+    flat AS (
+        -- gray/RGB variants: byte j = (d*A + j*B) % 256 over w*h*ch bytes
+        SELECT doc_id, w, h, v,
+               (doc_id * {PNV_A} + t.j * {PNV_B}) % 256 AS b
+        FROM dims, unnest(range(w * h * (CASE WHEN v = 1 THEN 3 ELSE 1 END))) AS t(j)
+        WHERE v IN (0, 1)),
+    pal AS (
+        -- paletted variants: pixel i maps through the PLTE formula
+        SELECT doc_id, w, h, v, t.i,
+               (doc_id * {PNV_IA} + t.i * {PNV_IB}) % {PNV_NPAL} AS k
+        FROM dims, unnest(range(w * h)) AS t(i)
+        WHERE v IN (2, 3)),
+    palb AS (
+        SELECT doc_id, w, h, v, b FROM (
+            SELECT doc_id, w, h, v, (k * {PNV_PR} + doc_id) % 256 AS b FROM pal
+            UNION ALL
+            SELECT doc_id, w, h, v, (k * {PNV_PG} + 2 * doc_id) % 256 FROM pal
+            UNION ALL
+            SELECT doc_id, w, h, v, (k * {PNV_PB} + 3 * doc_id) % 256 FROM pal)),
+    allb AS (
+        SELECT doc_id, w, h, v, b FROM flat
+        UNION ALL SELECT doc_id, w, h, v, b FROM palb)
+    SELECT doc_id,
+           CASE v WHEN 0 THEN 'gray_adam7' WHEN 1 THEN 'rgb_adam7'
+                  WHEN 2 THEN 'palette' ELSE 'palette_adam7' END AS variant,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(CASE WHEN v = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(sum(b) AS BIGINT) AS sum_bytes,
+           CAST(sum(b * b) AS BIGINT) AS sum_sq
+    FROM allb GROUP BY doc_id, w, h, v
+    """,
+)
+def mm_decode_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG PALETTE + ADAM7 decode — round 11 closes the two wire-layout
+    features the sequential fixture could not reach: indexed color
+    (PLTE-mapped, type 3) and seven-pass Adam7 interlacing (each pass
+    independently filtered and scattered back onto the pixel grid; the
+    pass-grid constants for passes 4/6 are the classic transcription
+    trap, which this fixture's non-multiple-of-8 dimensions would
+    expose). Variants 2 and 3 carry IDENTICAL pixels with different wire
+    layouts — interlace must be decode-invisible, and the shared oracle
+    branch enforces it. All decoded-byte sums replay in closed form.
+    100 TB shape unchanged: Arrow-batched mapInPandas decode."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_png_variants_fixture(spark, sf_dir))
+    names = ("gray_adam7", "rgb_adam7", "palette", "palette_adam7")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, png in zip(pdf["doc_id"], pdf["png"]):
+                w, h, ch, px = _decode_png(bytes(png))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "variant": names[int(did) % 4],
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "sum_bytes": int(arr.sum()),
+                        "sum_sq": int((arr * arr).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, variant string, width int, height int, "
+        "channels int, sum_bytes long, sum_sq long",
     )

@@ -91,6 +91,7 @@ ORDER = [
     "profile_shuffle_skew",
     "stream_dedup_watermarked",
     "mm_decode_jpeg_lossless16",  # jpeg_lossless16_fixture_build
+    "mm_decode_png_variants",  # png_variants_fixture_build (palette/Adam7)
 ]
 BUILDS = {
     "dedup_embedding_cosine": "cos_lsh_index_build",
@@ -114,6 +115,7 @@ BUILDS = {
     "mm_decode_jpeg_lossless_arith": "jpeg_lossless_arith_fixture_build",
     "mm_decode_jpeg_hier_kinds": "jpeg_hier_kinds_fixture_build",
     "mm_decode_jpeg_lossless16": "jpeg_lossless16_fixture_build",
+    "mm_decode_png_variants": "png_variants_fixture_build",
 }
 
 
