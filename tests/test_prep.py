@@ -429,6 +429,49 @@ def test_read_ignoring_corrupt_files_skips_garbage_blob(spark, tmp_path):
     assert got.count() == n_valid
 
 
+def test_png_palette_adam7_roundtrip():
+    """PNG indexed color (PLTE, type 3) and Adam7 interlace (round 11):
+    random images round-trip through all four variant combinations, with
+    non-multiple-of-8 dimensions so every Adam7 pass geometry (incl. the
+    pass-4/6 y0=0 offsets, the classic transcription trap) is exercised;
+    interlace must be decode-invisible (same pixels, different wire);
+    palette-index overflow and missing PLTE fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.multimodal import (
+        _decode_png,
+        encode_png_ext,
+    )
+
+    rng = np.random.default_rng(23)
+    for _ in range(10):
+        w, h = int(rng.integers(1, 18)), int(rng.integers(1, 15))
+        for ch in (1, 3):
+            px = rng.integers(0, 256, w * h * ch).astype(np.uint8).tobytes()
+            assert _decode_png(encode_png_ext(w, h, ch, px, interlace=1)) == (
+                w, h, ch, px,
+            )
+        npal = int(rng.integers(2, 256))
+        pal = rng.integers(0, 256, npal * 3).astype(np.uint8).tobytes()
+        idx = rng.integers(0, npal, w * h).astype(np.uint8).tobytes()
+        want = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+        seq = _decode_png(encode_png_ext(w, h, 1, idx, palette=pal, interlace=0))
+        il = _decode_png(encode_png_ext(w, h, 1, idx, palette=pal, interlace=1))
+        assert seq == il == (w, h, 3, want)  # interlace decode-invisible
+    # loud failures: index past the palette; type 3 without PLTE
+    with _pytest.raises(ValueError):
+        _decode_png(encode_png_ext(2, 2, 1, bytes([0, 1, 2, 3]), palette=bytes(6)))
+    import re as _re
+
+    blob = bytearray(encode_png_ext(2, 2, 1, bytes(4), palette=bytes(12)))
+    i = bytes(blob).find(b"PLTE") - 4
+    ln = int.from_bytes(blob[i : i + 4], "big")
+    del blob[i : i + 12 + ln]  # strip the PLTE chunk
+    with _pytest.raises(ValueError):
+        _decode_png(bytes(blob))
+
+
 def test_png_codec_roundtrip_all_filters():
     """The pure-stdlib PNG decoder must invert every scanline filter type
     (None/Sub/Up/Average/Paeth), not just the filter-0 rows our own
