@@ -266,6 +266,7 @@ HEADLINE = [
     "join_asof_tolerance",
     "stream_join_asof",
     "mm_decode_png_variants",
+    "mm_audio_pcm_depths",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

@@ -2113,20 +2113,32 @@ def decode_audio_np(data: bytes):
                 "<HHIIHH", body[:16]
             )
             if not (
-                (fmt_code == 1 and bits == 16)
+                (fmt_code == 1 and bits in (16, 24))
+                or (fmt_code == 3 and bits == 32)
                 or (fmt_code in (6, 7) and bits == 8)
                 or (fmt_code == 17 and bits == 4 and channels == 1)
             ):
                 raise NotImplementedError(
-                    "only 16-bit PCM, 8-bit G.711 (A-law/mu-law), or mono "
-                    "IMA-ADPCM WAV supported"
+                    "only 16/24-bit PCM, float32, 8-bit G.711 "
+                    "(A-law/mu-law), or mono IMA-ADPCM WAV supported"
                 )
             align = _align
         elif ctype == b"data":
             if rate is None:
                 raise ValueError("WAV: data before fmt")
-            if fmt_code == 1:
+            if fmt_code == 1 and bits == 16:
                 samples = np.frombuffer(body[: (len(body) // 2) * 2], dtype="<i2")
+            elif fmt_code == 1:  # 24-bit PCM: vectorized 3-byte assemble
+                nb3 = (len(body) // 3) * 3
+                b3 = np.frombuffer(body[:nb3], dtype=np.uint8).reshape(-1, 3)
+                v = (
+                    b3[:, 0].astype(np.int32)
+                    | (b3[:, 1].astype(np.int32) << 8)
+                    | (b3[:, 2].astype(np.int32) << 16)
+                )
+                samples = v - ((v & 0x800000) << 1)  # sign-extend bit 23
+            elif fmt_code == 3:  # IEEE float32 PCM
+                samples = np.frombuffer(body[: (len(body) // 4) * 4], dtype="<f4")
             elif fmt_code == 17:  # IMA ADPCM: block-seeded nibble decode
                 nb = len(body) // align
                 samples = _adpcm_decode_block_matrix(
@@ -4809,4 +4821,136 @@ def mm_decode_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         schema="doc_id long, variant string, width int, height int, "
         "channels int, sum_bytes long, sum_sq long",
+    )
+
+
+# PCM-depth fixture constants (mm_audio_pcm_depths, round 11): 24-bit
+# integer PCM (even docs) and IEEE float32 PCM (odd docs) — the two
+# studio/production sample depths beyond CD-style int16. Float samples
+# are exact k/256 dyadics so the scaled-integer oracle is lossless.
+PCMD_N_BASE, PCMD_N_MOD = 240, 97  # samples per clip: 240..336
+PCMD_A, PCMD_B = 97, 31
+
+
+def encode_wav_pcm(fmt_code: int, bits: int, payload: bytes, rate: int = 8000) -> bytes:
+    """Minimal mono WAV container around a raw PCM payload (fixture
+    builder for the non-16-bit depths; format 1 = integer PCM, 3 = IEEE
+    float)."""
+    import struct
+
+    align = max(1, bits // 8)
+    fmt = struct.pack("<HHIIHH", fmt_code, 1, rate, rate * align, align, bits)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _pcm_depth_fixture(doc_id: int) -> bytes:
+    import numpy as np
+
+    d = int(doc_id)
+    n = PCMD_N_BASE + d % PCMD_N_MOD
+    k = (d * PCMD_A + PCMD_B * np.arange(n, dtype=np.int64))
+    if d % 2 == 0:  # 24-bit PCM: 20-bit-range samples, sign-extended
+        v = (k % (1 << 20)) - (1 << 19)
+        payload = b"".join(int(x & 0xFFFFFF).to_bytes(3, "little") for x in v)
+        return encode_wav_pcm(1, 24, payload)
+    v = ((k % 513) - 256).astype(np.float64) / 256.0  # exact f4 dyadics
+    return encode_wav_pcm(3, 32, v.astype("<f4").tobytes())
+
+
+def ensure_pcm_depth_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture table of 24-bit / float32 WAV clips."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                wavs = [_pcm_depth_fixture(int(did)) for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": wavs})
+
+        ids.mapInPandas(gen, schema="doc_id long, wav binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark,
+        sf_dir,
+        "pcm_depth_fixture",
+        "v1",
+        [table_path(sf_dir, "documents")],
+        build,
+    )
+
+
+@query(
+    "mm_audio_pcm_depths",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, {PCMD_N_BASE} + doc_id % {PCMD_N_MOD} AS n
+        FROM documents),
+    samp AS (
+        SELECT doc_id, n,
+               CASE WHEN doc_id % 2 = 0
+                    THEN (doc_id * {PCMD_A} + {PCMD_B} * t.i) % {1 << 20} - {1 << 19}
+                    ELSE (doc_id * {PCMD_A} + {PCMD_B} * t.i) % 513 - 256
+               END AS a
+        FROM dims, unnest(range(n)) AS t(i))
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'pcm24' ELSE 'float32' END AS fmt,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(a) AS BIGINT) AS sum_amp,
+           CAST(sum(a * a) AS BIGINT) AS sum_sq
+    FROM samp GROUP BY doc_id, n
+    """,
+)
+def mm_audio_pcm_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGH-DEPTH PCM decode — 24-bit integer PCM (the vectorized 3-byte
+    sign-extended assemble) and IEEE float32 (format 3), the studio and
+    DSP-pipeline sample depths beyond CD int16 (round 11 closes both
+    decode_audio_np hooks). Float fixtures are exact k/256 dyadics so
+    the ×256 integer scaling is lossless and the closed-form oracle
+    stays all-integer — any defect in the byte assembly, the bit-23
+    sign extension, or the float view shifts a sum. 100 TB shape
+    unchanged: Arrow-batched mapInPandas decode."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_pcm_depth_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, wav in zip(pdf["doc_id"], pdf["wav"]):
+                _r, _c, s = decode_audio_np(bytes(wav))
+                if int(did) % 2 == 0:
+                    a = s.astype(np.int64)
+                    fmt = "pcm24"
+                else:
+                    a = np.round(s.astype(np.float64) * 256.0).astype(np.int64)
+                    fmt = "float32"
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "fmt": fmt,
+                        "n_samples": int(len(a)),
+                        "sum_amp": int(a.sum()),
+                        "sum_sq": int((a * a).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, fmt string, n_samples long, sum_amp long, "
+        "sum_sq long",
     )

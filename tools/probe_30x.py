@@ -92,6 +92,7 @@ ORDER = [
     "stream_dedup_watermarked",
     "mm_decode_jpeg_lossless16",  # jpeg_lossless16_fixture_build
     "mm_decode_png_variants",  # png_variants_fixture_build (palette/Adam7)
+    "mm_audio_pcm_depths",  # pcm_depth_fixture_build (24-bit/float32)
 ]
 BUILDS = {
     "dedup_embedding_cosine": "cos_lsh_index_build",
@@ -116,6 +117,7 @@ BUILDS = {
     "mm_decode_jpeg_hier_kinds": "jpeg_hier_kinds_fixture_build",
     "mm_decode_jpeg_lossless16": "jpeg_lossless16_fixture_build",
     "mm_decode_png_variants": "png_variants_fixture_build",
+    "mm_audio_pcm_depths": "pcm_depth_fixture_build",
 }
 
 
