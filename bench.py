@@ -267,6 +267,7 @@ HEADLINE = [
     "stream_join_asof",
     "mm_decode_png_variants",
     "mm_audio_pcm_depths",
+    "mm_decode_bmp_indexed",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

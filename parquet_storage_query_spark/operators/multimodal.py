@@ -107,9 +107,11 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     traps a byte-copier gets wrong and a decoder must reverse — BGR
     channel order, 4-byte row padding, and bottom-up row storage when
     biHeight is positive (top-down when negative, both handled).
-    Palette/RLE BMPs (biBitCount != 24 or biCompression != 0) raise
-    NotImplementedError — the documented hook, same contract as the
-    JPEG hierarchical modes."""
+    Round 11 adds the INDEXED modes: 8-bit palette (BGRA-quad color
+    table, BI_RGB) and BI_RLE8 (run pairs, absolute mode with word
+    padding, EOL/EOB/delta escapes; positive height only, per spec).
+    Other depths/compressions raise NotImplementedError — the
+    documented hook, same contract as the JPEG hierarchical modes."""
     import struct
 
     if data[:2] != b"BM":
@@ -121,8 +123,12 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     (comp,) = struct.unpack("<I", data[30:34])
     if hdr_size < 40 or planes != 1:
         raise ValueError("unsupported BMP header")
+    if bpp == 8 and comp in (0, 1):
+        return _decode_bmp_indexed(data, off, hdr_size, w, h_raw, comp)
     if bpp != 24 or comp != 0:
-        raise NotImplementedError("only 24-bit BI_RGB BMP decodable here")
+        raise NotImplementedError(
+            "only 24-bit BI_RGB or 8-bit palette/RLE8 BMP decodable here"
+        )
     h = abs(h_raw)
     row = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
     out = bytearray(w * h * 3)
@@ -138,6 +144,146 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         out[base + 1 : base + w * 3 : 3] = line[1::3]
         out[base + 2 : base + w * 3 : 3] = line[0::3]
     return w, h, 3, bytes(out)
+
+
+def _decode_bmp_indexed(
+    data: bytes, off: int, hdr_size: int, w: int, h_raw: int, comp: int
+) -> tuple[int, int, int, bytes]:
+    """8-bit indexed BMP: BGRA-quad palette after the info header
+    (biClrUsed entries, 0 meaning 256), rows either raw padded indexes
+    (BI_RGB) or BI_RLE8 — encoded run pairs (count, index), escape 0
+    followed by 0 = end of line, 1 = end of bitmap, 2 = (dx, dy) delta
+    (skipped cells keep index 0), or n >= 3 = absolute mode (n literal
+    indexes, padded to a word boundary). RLE8 is bottom-up only (the
+    format carries no top-down variant)."""
+    import struct
+
+    (clr_used,) = struct.unpack("<I", data[46:50])
+    n_pal = clr_used or 256
+    pal_off = 14 + hdr_size
+    pal = data[pal_off : pal_off + 4 * n_pal]
+    if len(pal) < 4 * n_pal:
+        raise ValueError("truncated BMP palette")
+    h = abs(h_raw)
+    idx = bytearray(w * h)  # top-down index grid
+    if comp == 0:
+        row = (w + 3) & ~3
+        for r in range(h):
+            src_r = h - 1 - r if h_raw > 0 else r
+            line = data[off + src_r * row : off + src_r * row + w]
+            if len(line) != w:
+                raise ValueError("truncated BMP payload")
+            idx[r * w : (r + 1) * w] = line
+    else:  # BI_RLE8
+        if h_raw < 0:
+            raise ValueError("BMP: RLE8 cannot be top-down")
+        x = y = 0  # bottom-up coordinates
+        i = off
+        n_data = len(data)
+        while i + 1 < n_data:
+            n, v = data[i], data[i + 1]
+            i += 2
+            if n > 0:  # encoded run
+                if x + n > w:
+                    raise ValueError("BMP: RLE8 run past row end")
+                r = h - 1 - y
+                idx[r * w + x : r * w + x + n] = bytes([v]) * n
+                x += n
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta
+                if i + 1 >= n_data:
+                    raise ValueError("BMP: truncated RLE8 delta")
+                x += data[i]
+                y += data[i + 1]
+                i += 2
+            else:  # absolute mode: v literal indexes, word-padded
+                if i + v > n_data:
+                    raise ValueError("BMP: truncated RLE8 absolute run")
+                if x + v > w:
+                    raise ValueError("BMP: RLE8 absolute run past row end")
+                r = h - 1 - y
+                idx[r * w + x : r * w + x + v] = data[i : i + v]
+                x += v
+                i += v + (v & 1)  # pad to word boundary
+        else:
+            raise ValueError("BMP: RLE8 stream missing end-of-bitmap")
+    out = bytearray(w * h * 3)
+    for i, k in enumerate(idx):
+        q = pal[4 * k : 4 * k + 4]  # BGRA quad
+        out[3 * i] = q[2]
+        out[3 * i + 1] = q[1]
+        out[3 * i + 2] = q[0]
+    return w, h, 3, bytes(out)
+
+
+def _rle8_encode(idx: bytes, w: int, h: int) -> bytes:
+    """BI_RLE8 encoder (fixture/tests): per bottom-up row, greedy runs
+    plus absolute mode for literal stretches >= 3, EOL after each row,
+    EOB at the end."""
+    out = bytearray()
+    for y in range(h):
+        row = idx[(h - 1 - y) * w : (h - y) * w]
+        x = 0
+        while x < w:
+            j = x + 1
+            while j < w and j - x < 255 and row[j] == row[x]:
+                j += 1
+            run = j - x
+            if run >= 2:
+                out += bytes([run, row[x]])
+                x = j
+                continue
+            lit = x
+            while x < w and x - lit < 255:
+                if x + 2 < w and row[x] == row[x + 1] == row[x + 2]:
+                    break
+                x += 1
+            n = x - lit
+            if n >= 3:
+                out += bytes([0, n]) + row[lit:x]
+                if n & 1:
+                    out.append(0)  # word padding
+            else:  # 1-2 literals: cheaper as count-1 runs
+                for k in range(lit, x):
+                    out += bytes([1, row[k]])
+        out += bytes([0, 0])  # EOL
+    out += bytes([0, 1])  # EOB
+    return bytes(out)
+
+
+def encode_bmp_indexed(
+    w: int, h: int, idx: bytes, palette: bytes, rle: bool = False,
+    top_down: bool = False,
+) -> bytes:
+    """8-bit indexed BMP encoder: `palette` is n RGB triples (stored as
+    BGRA quads), `idx` top-down row-major indexes; rle=True emits
+    BI_RLE8 (bottom-up only, per the format)."""
+    import struct
+
+    if rle and top_down:
+        raise ValueError("BMP: RLE8 cannot be top-down")
+    n_pal = len(palette) // 3
+    quads = b"".join(
+        bytes([palette[3 * k + 2], palette[3 * k + 1], palette[3 * k], 0])
+        for k in range(n_pal)
+    )
+    if rle:
+        body = _rle8_encode(idx, w, h)
+    else:
+        row_pad = b"\x00" * (((w + 3) & ~3) - w)
+        order = range(h) if top_down else range(h - 1, -1, -1)
+        body = b"".join(idx[r * w : (r + 1) * w] + row_pad for r in order)
+    h_field = -h if top_down else h
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h_field, 1, 8, 1 if rle else 0,
+        len(body), 2835, 2835, n_pal, 0,
+    )
+    off = 14 + 40 + len(quads)
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return file_hdr + info + quads + body
 
 
 def encode_bmp(w: int, h: int, pixels: bytes, top_down: bool = False) -> bytes:
@@ -4953,4 +5099,137 @@ def mm_audio_pcm_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         schema="doc_id long, fmt string, n_samples long, sum_amp long, "
         "sum_sq long",
+    )
+
+
+# indexed-BMP fixture constants (mm_decode_bmp_indexed, round 11):
+# variant v = doc_id % 3: 0 palette bottom-up, 1 palette top-down,
+# 2 BI_RLE8 (runs-heavy index pattern so the RLE genuinely compresses).
+BMI_W_BASE, BMI_W_MOD = 6, 9  # width  6..14
+BMI_H_BASE, BMI_H_MOD = 4, 7  # height 4..10
+BMI_NPAL = 64
+BMI_IA, BMI_IB = 11, 7  # pixel i index: (d*IA + (i DIV rep)*IB) % 64
+BMI_PR, BMI_PG, BMI_PB = 19, 31, 43  # palette entry channels
+
+
+def _bmp_indexed_fixture(doc_id: int) -> bytes:
+    d = int(doc_id)
+    w = BMI_W_BASE + d % BMI_W_MOD
+    h = BMI_H_BASE + d % BMI_H_MOD
+    v = d % 3
+    rep = 5 if v == 2 else 1  # runs-heavy for the RLE variant
+    pal = bytes(
+        b
+        for k in range(BMI_NPAL)
+        for b in (
+            (k * BMI_PR + d) % 256,
+            (k * BMI_PG + 2 * d) % 256,
+            (k * BMI_PB + 3 * d) % 256,
+        )
+    )
+    idx = bytes(
+        (d * BMI_IA + (i // rep) * BMI_IB) % BMI_NPAL for i in range(w * h)
+    )
+    return encode_bmp_indexed(
+        w, h, idx, pal, rle=(v == 2), top_down=(v == 1)
+    )
+
+
+def ensure_bmp_indexed_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture table of 8-bit palette / RLE8 BMPs."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                bmps = [_bmp_indexed_fixture(int(did)) for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "bmp": bmps})
+
+        ids.mapInPandas(gen, schema="doc_id long, bmp binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark,
+        sf_dir,
+        "bmp_indexed_fixture",
+        "v1",
+        [table_path(sf_dir, "documents")],
+        build,
+    )
+
+
+@query(
+    "mm_decode_bmp_indexed",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {BMI_W_BASE} + doc_id % {BMI_W_MOD} AS w,
+               {BMI_H_BASE} + doc_id % {BMI_H_MOD} AS h,
+               doc_id % 3 AS v
+        FROM documents),
+    pix AS (
+        SELECT doc_id, w, h, v,
+               (doc_id * {BMI_IA}
+                + (t.i // (CASE WHEN v = 2 THEN 5 ELSE 1 END)) * {BMI_IB})
+               % {BMI_NPAL} AS k
+        FROM dims, unnest(range(w * h)) AS t(i)),
+    b AS (
+        SELECT doc_id, w, h, v, (k * {BMI_PR} + doc_id) % 256 AS b FROM pix
+        UNION ALL
+        SELECT doc_id, w, h, v, (k * {BMI_PG} + 2 * doc_id) % 256 FROM pix
+        UNION ALL
+        SELECT doc_id, w, h, v, (k * {BMI_PB} + 3 * doc_id) % 256 FROM pix)
+    SELECT doc_id,
+           CASE v WHEN 0 THEN 'palette' WHEN 1 THEN 'palette_topdown'
+                  ELSE 'rle8' END AS variant,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(b) AS BIGINT) AS sum_bytes,
+           CAST(sum(b * b) AS BIGINT) AS sum_sq
+    FROM b GROUP BY doc_id, w, h, v
+    """,
+)
+def mm_decode_bmp_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEXED BMP decode — 8-bit palette (BGRA-quad color table) in
+    both row orientations plus BI_RLE8 (encoded runs, absolute mode
+    with word padding, EOL/EOB escapes; the fixture's runs-heavy index
+    pattern makes the RLE genuinely compress) — round 11 closes the
+    documented palette/RLE hook. Any defect in the quad unswizzle, the
+    bottom-up flip, the run/absolute framing, or the word padding
+    shifts a decoded-byte sum the closed-form oracle catches. 100 TB
+    shape unchanged: Arrow-batched mapInPandas decode."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_bmp_indexed_fixture(spark, sf_dir))
+    names = ("palette", "palette_topdown", "rle8")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, bmp in zip(pdf["doc_id"], pdf["bmp"]):
+                w, h, ch, px = _decode_bmp(bytes(bmp))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "variant": names[int(did) % 3],
+                        "width": w,
+                        "height": h,
+                        "sum_bytes": int(arr.sum()),
+                        "sum_sq": int((arr * arr).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, variant string, width int, height int, "
+        "sum_bytes long, sum_sq long",
     )

@@ -79,7 +79,7 @@ _PRIORITY = [
     "mm_decode_jpeg_hier_kinds", "profile_shuffle_skew",
     "stream_dedup_watermarked", "mm_decode_jpeg_lossless16",
     "join_asof_tolerance", "stream_join_asof", "mm_decode_png_variants",
-    "mm_audio_pcm_depths",
+    "mm_audio_pcm_depths", "mm_decode_bmp_indexed",
     # -- ROUND-10 HEAD: the 19 never-driver-sampled r9 continuations ------
     "mm_decode_gif", "profile_mutual_information", "train_weighted_sample",
     "mm_gif_frame_stats", "sink_jsonl_codec_matrix",

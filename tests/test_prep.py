@@ -1162,6 +1162,65 @@ def test_wav_codec_roundtrip():
         decode_audio(b"ID3\x03" + b"\x00" * 64)  # mp3-ish payload
 
 
+def test_bmp_indexed_roundtrip():
+    """8-bit palette + BI_RLE8 BMP (round 11): random and runs-heavy
+    index grids round-trip through both orientations (palette) and the
+    RLE encoder (runs, absolute mode with word padding, EOL/EOB); a
+    hand-built stream exercises the DELTA escape (skipped cells keep
+    index 0); RLE8 top-down is rejected; the RLE genuinely compresses
+    on runs-heavy content."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.multimodal import (
+        _decode_bmp,
+        _rle8_encode,
+        encode_bmp_indexed,
+    )
+
+    rng = np.random.default_rng(31)
+    for trial in range(10):
+        w, h = int(rng.integers(1, 20)), int(rng.integers(1, 14))
+        npal = int(rng.integers(2, 256))
+        pal = rng.integers(0, 256, npal * 3).astype(np.uint8).tobytes()
+        if trial % 2 == 0:
+            idx = rng.integers(0, npal, w * h).astype(np.uint8).tobytes()
+        else:
+            idx = np.resize(
+                np.repeat(rng.integers(0, npal, max(1, w * h // 6)), 6), w * h
+            ).astype(np.uint8).tobytes()
+        want = b"".join(pal[3 * k : 3 * k + 3] for k in idx)
+        for rle in (False, True):
+            for td in ((False, True) if not rle else (False,)):
+                got = _decode_bmp(
+                    encode_bmp_indexed(w, h, idx, pal, rle=rle, top_down=td)
+                )
+                assert got == (w, h, 3, want), (trial, rle, td)
+    # RLE compresses runs-heavy content
+    flat = bytes(np.repeat(np.arange(20, dtype=np.uint8), 30))
+    assert len(_rle8_encode(flat, 60, 10)) < len(flat) // 5
+    with _pytest.raises(ValueError):
+        encode_bmp_indexed(4, 2, bytes(8), bytes(6), rle=True, top_down=True)
+    # hand-built DELTA escape: run of palette[1], delta (2,1), EOB —
+    # every skipped cell must read palette[0]
+    stream = bytes([2, 1, 0, 2, 2, 1, 0, 1])
+    quads = bytes([7, 8, 9, 0, 30, 20, 10, 0])
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, len(stream), 2835, 2835, 2, 0
+    )
+    off = 14 + 40 + len(quads)
+    blob = (
+        struct.pack("<2sIHHI", b"BM", off + len(stream), 0, 0, off)
+        + info + quads + stream
+    )
+    w, h, c, px = _decode_bmp(blob)
+    a = np.frombuffer(px, np.uint8).reshape(2, 4, 3)
+    assert a[1, 0].tolist() == [10, 20, 30] and a[1, 1].tolist() == [10, 20, 30]
+    assert a[0, 0].tolist() == [9, 8, 7]
+
+
 def test_bmp_codec_roundtrip():
     """24-bit BI_RGB BMP: both row orientations (positive biHeight =
     bottom-up, negative = top-down) must decode to identical RGB pixels,
@@ -1188,14 +1247,20 @@ def test_bmp_codec_roundtrip():
     _, _, _, out = decode_image(encode_bmp(4, 3, red))
     assert out[:3] == bytes([200, 10, 30])
 
-    # documented hooks: 8-bit palette and RLE8 compression
+    # 8-bit palette and RLE8 are REAL paths as of r11 (see
+    # test_bmp_indexed_roundtrip); the remaining documented hooks are
+    # the other depths/compressions — and a truncated palette is loud
     blob = bytearray(encode_bmp(4, 3, bytes(36)))
-    blob[28:30] = struct.pack("<H", 8)  # biBitCount = 8
+    blob[28:30] = struct.pack("<H", 4)  # biBitCount = 4 (RLE4 family)
     with _pytest.raises(NotImplementedError):
         decode_image(bytes(blob))
     blob = bytearray(encode_bmp(4, 3, bytes(36)))
-    blob[30:34] = struct.pack("<I", 1)  # biCompression = BI_RLE8
+    blob[30:34] = struct.pack("<I", 2)  # biCompression = BI_RLE4
     with _pytest.raises(NotImplementedError):
+        decode_image(bytes(blob))
+    blob = bytearray(encode_bmp(4, 3, bytes(36)))
+    blob[28:30] = struct.pack("<H", 8)  # 8-bit but no palette bytes
+    with _pytest.raises(ValueError):
         decode_image(bytes(blob))
 
 

@@ -93,6 +93,7 @@ ORDER = [
     "mm_decode_jpeg_lossless16",  # jpeg_lossless16_fixture_build
     "mm_decode_png_variants",  # png_variants_fixture_build (palette/Adam7)
     "mm_audio_pcm_depths",  # pcm_depth_fixture_build (24-bit/float32)
+    "mm_decode_bmp_indexed",  # bmp_indexed_fixture_build (palette/RLE8)
 ]
 BUILDS = {
     "dedup_embedding_cosine": "cos_lsh_index_build",
@@ -118,6 +119,7 @@ BUILDS = {
     "mm_decode_jpeg_lossless16": "jpeg_lossless16_fixture_build",
     "mm_decode_png_variants": "png_variants_fixture_build",
     "mm_audio_pcm_depths": "pcm_depth_fixture_build",
+    "mm_decode_bmp_indexed": "bmp_indexed_fixture_build",
 }
 
 
