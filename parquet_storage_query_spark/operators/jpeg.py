@@ -342,13 +342,21 @@ def decode_jpeg(data: bytes, components: bool = False):
             i = 0
             while i < len(body):
                 prec_id = body[i]
-                if prec_id >> 4 != 0:
-                    raise NotImplementedError("JPEG: 16-bit quant tables")
+                pq = prec_id >> 4  # 0 = 8-bit entries, 1 = 16-bit (§B.2.4.1)
+                if pq not in (0, 1):
+                    raise ValueError(f"JPEG: bad quant-table precision {pq}")
                 tbl = np.empty(64, dtype=np.int32)
-                for z in range(64):
-                    tbl[ZIGZAG[z]] = body[i + 1 + z]  # stored zigzag -> raster
+                if pq:  # 16-bit entries: the 12-bit-sample table format
+                    for z in range(64):
+                        tbl[ZIGZAG[z]] = struct.unpack(
+                            ">H", body[i + 1 + 2 * z : i + 3 + 2 * z]
+                        )[0]
+                    i += 129
+                else:
+                    for z in range(64):
+                        tbl[ZIGZAG[z]] = body[i + 1 + z]  # stored zigzag -> raster
+                    i += 65
                 quant[prec_id & 0x0F] = tbl
-                i += 65
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -403,8 +411,15 @@ def decode_jpeg(data: bytes, components: bool = False):
                 # change this decoder does not claim)
                 if not 2 <= precision <= 16:
                     raise ValueError(f"JPEG: bad lossless precision {precision}")
-            elif precision != 8:
-                raise NotImplementedError("JPEG: only 8-bit precision in DCT modes")
+            elif precision not in (8, 12):
+                # T.81 Table B.2: DCT modes carry 8- or 12-bit samples only
+                raise NotImplementedError("JPEG: DCT-mode precision must be 8 or 12")
+            elif precision == 12 and marker == 0xC0:
+                raise ValueError("JPEG: baseline (SOF0) is 8-bit by definition")
+            elif precision == 12 and arith:
+                # the QM-coded 12-bit path has no in-container fixture
+                # encoder to prove it against; keep the boundary loud
+                raise NotImplementedError("JPEG: 12-bit arithmetic DCT modes")
             comps = []
             for c in range(ncomp):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
@@ -580,6 +595,7 @@ def decode_jpeg(data: bytes, components: bool = False):
                 return _decode_scan(
                     data, pos, width, height, comps, scan,
                     quant, huff_dc, huff_ac, restart_interval, components,
+                    precision,
                 )
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah_al = body[3 + 2 * ns]
@@ -603,14 +619,14 @@ def decode_jpeg(data: bytes, components: bool = False):
         return fw, fh, 1, plane.tobytes()
     if progressive and coeffs:
         return _reconstruct_progressive(
-            width, height, comps, coeffs, quant, components
+            width, height, comps, coeffs, quant, components, precision
         )
     raise ValueError("JPEG: no SOS marker found")
 
 
 def _decode_scan(
     data, pos, width, height, comps, scan, quant, huff_dc, huff_ac, dri,
-    components=False,
+    components=False, precision=8,
 ):
     """MCU-interleaved entropy decode (T.81 §A.2.3): one MCU carries
     h_i*v_i data units per scan component (row-major within the MCU), so
@@ -666,16 +682,16 @@ def _decode_scan(
                         block = np.empty(64, dtype=np.int64)
                         block[_ZZ_NP] = zz  # vectorized de-zigzag
                         block = (block.reshape(8, 8) * q.reshape(8, 8)).astype(np.float64)
-                        px = idct_8x8(block) + 128.0
+                        px = idct_8x8(block) + float(1 << (precision - 1))
                         r0 = (my * vs + byy) * 8
                         c0 = (mx * hs + bxx) * 8
                         planes[si][r0 : r0 + 8, c0 : c0 + 8] = px
             mcu += 1
     samps = [(comps[ci][1], comps[ci][2]) for ci, _, _ in scan]
-    return _assemble_output(planes, samps, width, height, components)
+    return _assemble_output(planes, samps, width, height, components, precision)
 
 
-def _assemble_output(planes, samps, width, height, components):
+def _assemble_output(planes, samps, width, height, components, precision=8):
     """Shared output tail (baseline + progressive): upsample each
     component's native-resolution float plane by replication, crop,
     clamp, and either return the planes (`components=True`) or convert
@@ -687,11 +703,17 @@ def _assemble_output(planes, samps, width, height, components):
         if hs != hmax or vs != vmax:  # replicate up to full resolution
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:height, :width])
-    out = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in full]
+    maxval = (1 << precision) - 1
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    out = [np.clip(np.round(p), 0, maxval).astype(dtype) for p in full]
     if components:
         return width, height, len(out), out
     if len(out) == 1:
         return width, height, 1, out[0].tobytes()
+    if len(out) == 3 and precision != 8:
+        # the float RGB matrix contract is 8-bit; 12-bit color callers
+        # take the integer-exact planes via components=True
+        raise NotImplementedError("JPEG: 12-bit color output is plane-only")
     if len(out) == 3:
         y, cb, cr = (o.astype(np.float64) for o in out)
         r = y + 1.402 * (cr - 128)
@@ -1334,7 +1356,8 @@ def encode_jpeg_lossless(
     return bytes(out + b"\xff\xd9")
 
 
-def _reconstruct_progressive(width, height, comps, coeffs, quant, components):
+def _reconstruct_progressive(width, height, comps, coeffs, quant, components,
+                             precision=8):
     """One dequant + IDCT pass over the accumulated coefficient store
     (all scans applied), vectorized per component: de-zigzag by fancy
     indexing, broadcast dequant, batched matmul IDCT (the same
@@ -1347,10 +1370,10 @@ def _reconstruct_progressive(width, height, comps, coeffs, quant, components):
         raster[..., _ZZ_NP] = cf
         raster *= q[None, None, :]
         blocks = raster.reshape(gh, gw, 8, 8)
-        px = np.matmul(np.matmul(_B, blocks), _B.T) + 128.0
+        px = np.matmul(np.matmul(_B, blocks), _B.T) + float(1 << (precision - 1))
         planes.append(px.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8))
     samps = [(hs, vs) for _, hs, vs, _ in comps]
-    return _assemble_output(planes, samps, width, height, components)
+    return _assemble_output(planes, samps, width, height, components, precision)
 
 
 # ---------------------------------------------------------------------------
@@ -1362,17 +1385,37 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
-def _fixture_headers(width: int, height: int, restart_interval: int = 0) -> bytes:
-    dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
-    dht_dc = bytes([0x00]) + bytes(FIX_DC_BITS) + bytes(FIX_DC_VALS)
+# 12-bit DC table: SSSS 0..12 (a 12-bit DPCM diff spans +-4095), 13
+# codes of length 5. The AC table is shared with the 8-bit fixtures —
+# constant blocks emit only EOB.
+FIX12_DC_BITS = [0, 0, 0, 0, 13, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+FIX12_DC_VALS = list(range(13))
+# AC steps > 255 force the Pq=1 16-bit DQT wire format — the quant-table
+# format change that WAS the documented 12-bit boundary. ACs are all
+# zero in the fixture, so the large steps never touch pixel values.
+FIX12_QUANT = np.array([8] + [516] * 63, dtype=np.int32)
+
+
+def _fixture_headers(width: int, height: int, restart_interval: int = 0,
+                     precision: int = 8) -> bytes:
+    if precision == 8:
+        dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
+        sof_marker = 0xC0
+        dht_dc = bytes([0x00]) + bytes(FIX_DC_BITS) + bytes(FIX_DC_VALS)
+    else:  # 12-bit: Pq=1 16-bit quant entries, SOF1 extended sequential
+        dqt = bytes([0x10]) + b"".join(
+            struct.pack(">H", int(FIX12_QUANT[ZIGZAG[z]])) for z in range(64)
+        )
+        sof_marker = 0xC1
+        dht_dc = bytes([0x00]) + bytes(FIX12_DC_BITS) + bytes(FIX12_DC_VALS)
+    sof = struct.pack(">BHHB", precision, height, width, 1) + bytes([1, 0x11, 0])
     dht_ac = bytes([0x10]) + bytes(FIX_AC_BITS) + bytes(FIX_AC_VALS)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + _seg(0xDB, dqt)
-        + _seg(0xC0, sof)
+        + _seg(sof_marker, sof)
         + dri
         + _seg(0xC4, dht_dc)
         + _seg(0xC4, dht_ac)
@@ -1381,7 +1424,8 @@ def _fixture_headers(width: int, height: int, restart_interval: int = 0) -> byte
 
 
 def encode_jpeg_blocks(
-    blocks_w: int, blocks_h: int, values, restart_interval: int = 0
+    blocks_w: int, blocks_h: int, values, restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Grayscale baseline JPEG of (blocks_w*8) x (blocks_h*8) pixels where
     block i (row-major) is the CONSTANT value values[i] in 0..255 — the
@@ -1391,15 +1435,19 @@ def encode_jpeg_blocks(
     emitted (byte-aligned, cycling D0..D7) every N MCUs with the DC
     predictor reset — the resync path a parallel/robust decoder relies
     on (pinned by the restart-marker pytest)."""
-    dc_enc = _build_encode_table(FIX_DC_BITS, FIX_DC_VALS)
+    if precision == 8:
+        dc_enc = _build_encode_table(FIX_DC_BITS, FIX_DC_VALS)
+    else:  # 12-bit samples: DPCM diffs reach category 12
+        dc_enc = _build_encode_table(FIX12_DC_BITS, FIX12_DC_VALS)
     ac_enc = _build_encode_table(FIX_AC_BITS, FIX_AC_VALS)
+    level = 1 << (precision - 1)
     w = _BitWriter()
     pred = 0
     for i, v in enumerate(values):
         if restart_interval and i and i % restart_interval == 0:
             w.emit_marker(0xD0 + ((i // restart_interval - 1) % 8))
             pred = 0  # predictors reset at every restart (§F.2.1.3.1)
-        dc = int(v) - 128  # quantized DC: 8*(v-128) / q00=8
+        dc = int(v) - level  # quantized DC: 8*(v-level) / q00=8
         diff = dc - pred
         pred = dc
         size = _category(diff)
@@ -1409,7 +1457,7 @@ def encode_jpeg_blocks(
         code, length = ac_enc[0x00]  # EOB
         w.write(code, length)
     return (
-        _fixture_headers(blocks_w * 8, blocks_h * 8, restart_interval)
+        _fixture_headers(blocks_w * 8, blocks_h * 8, restart_interval, precision)
         + w.flush()
         + b"\xff\xd9"
     )
@@ -1442,7 +1490,8 @@ def _write_eobrun(w: "_BitWriter", ac_enc, n: int) -> None:
         w.write(n - (1 << r), r)
 
 
-def encode_jpeg_progressive(blocks_w: int, blocks_h: int, values) -> bytes:
+def encode_jpeg_progressive(blocks_w: int, blocks_h: int, values,
+                            precision: int = 8) -> bytes:
     """PROGRESSIVE (SOF2) grayscale fixture with the same exactness
     construction as encode_jpeg_blocks — block i is the constant
     values[i] — rendered as a REAL three-scan progressive stream:
@@ -1461,12 +1510,22 @@ def encode_jpeg_progressive(blocks_w: int, blocks_h: int, values) -> bytes:
     _encode_progressive_coeff_blocks. Decoded output is bit-identical to
     the baseline encoding of the same values — which is what lets
     mm_decode_jpeg_progressive share the closed-form oracle algebra."""
-    dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
-    sof = struct.pack(">BHHB", 8, blocks_h * 8, blocks_w * 8, 1) + bytes([1, 0x11, 0])
-    dht_dc = bytes([0x00]) + bytes(FIX_DC_BITS) + bytes(FIX_DC_VALS)
+    if precision == 8:
+        dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
+        dht_dc = bytes([0x00]) + bytes(FIX_DC_BITS) + bytes(FIX_DC_VALS)
+        dc_enc = _build_encode_table(FIX_DC_BITS, FIX_DC_VALS)
+    else:  # 12-bit progressive: 16-bit DQT + the category-12 DC table
+        dqt = bytes([0x10]) + b"".join(
+            struct.pack(">H", int(FIX12_QUANT[ZIGZAG[z]])) for z in range(64)
+        )
+        dht_dc = bytes([0x00]) + bytes(FIX12_DC_BITS) + bytes(FIX12_DC_VALS)
+        dc_enc = _build_encode_table(FIX12_DC_BITS, FIX12_DC_VALS)
+    sof = struct.pack(">BHHB", precision, blocks_h * 8, blocks_w * 8, 1) + bytes(
+        [1, 0x11, 0]
+    )
     dht_ac = bytes([0x10]) + bytes(FIX_AC_PROG_BITS) + bytes(FIX_AC_PROG_VALS)
-    dc_enc = _build_encode_table(FIX_DC_BITS, FIX_DC_VALS)
     ac_enc = _build_encode_table(FIX_AC_PROG_BITS, FIX_AC_PROG_VALS)
+    level = 1 << (precision - 1)
     out = bytearray(
         b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof) + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
     )
@@ -1474,7 +1533,7 @@ def encode_jpeg_progressive(blocks_w: int, blocks_h: int, values) -> bytes:
     w = _BitWriter()
     pred = 0
     for v in values:
-        t = (int(v) - 128) >> 1
+        t = (int(v) - level) >> 1
         diff = t - pred
         pred = t
         size = _category(diff)
@@ -1485,7 +1544,7 @@ def encode_jpeg_progressive(blocks_w: int, blocks_h: int, values) -> bytes:
     # scan 2: DC refinement, one raw bit per block (bit 0 of dc)
     w = _BitWriter()
     for v in values:
-        w.write((int(v) - 128) & 1, 1)
+        w.write((int(v) - level) & 1, 1)
     out += _sos_seg([(1, 0x00)], 0, 0, 1, 0) + w.flush()
     # scan 3: AC band 1..63, all zero -> a single EOB-run over all blocks
     w = _BitWriter()

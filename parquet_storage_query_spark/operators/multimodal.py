@@ -2067,6 +2067,125 @@ def mm_decode_jpeg_lossless16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 12-bit DCT fixture constants (mm_decode_jpeg12)
+J12_BW_BASE, J12_BW_MOD = 2, 3  # blocks wide 2..4
+J12_BH_BASE, J12_BH_MOD = 2, 2  # blocks high 2..3
+J12_A, J12_B = 997, 313  # block b of doc d: (d*A + B*b) % 4096
+
+
+def _jpeg12_fixture(doc_id: int) -> bytes:
+    # alternate the DCT process by doc parity: even docs extended
+    # sequential (SOF1, with restart markers every 2 MCUs on every third
+    # doc), odd docs progressive (SOF2: split DC + EOB-run AC scans)
+    from .jpeg import encode_jpeg_blocks, encode_jpeg_progressive
+
+    bw = J12_BW_BASE + doc_id % J12_BW_MOD
+    bh = J12_BH_BASE + doc_id % J12_BH_MOD
+    vals = [(doc_id * J12_A + J12_B * b) % 4096 for b in range(bw * bh)]
+    if doc_id % 2 == 0:
+        dri = 2 if doc_id % 3 == 0 else 0
+        return encode_jpeg_blocks(bw, bh, vals, restart_interval=dri, precision=12)
+    return encode_jpeg_progressive(bw, bh, vals, precision=12)
+
+
+def ensure_jpeg12_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture table of 12-bit DCT JPEGs (extended-sequential /
+    progressive alternating by doc parity); corpus-scaled shards."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                jpgs = [_jpeg12_fixture(int(did)) for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpg": jpgs})
+
+        ids.mapInPandas(gen, schema="doc_id long, jpg binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark,
+        sf_dir,
+        "jpeg12_fixture",
+        "v1",
+        [table_path(sf_dir, "documents")],
+        build,
+    )
+
+
+@query(
+    "mm_decode_jpeg12",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {J12_BW_BASE} + doc_id % {J12_BW_MOD} AS bw,
+               {J12_BH_BASE} + doc_id % {J12_BH_MOD} AS bh
+        FROM documents),
+    blk AS (
+        SELECT doc_id, bw, bh,
+               (doc_id * {J12_A} + {J12_B} * t.i) % 4096 AS v
+        FROM dims, unnest(range(bw * bh)) AS t(i))
+    SELECT doc_id,
+           CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'seq' ELSE 'prog' END AS kind,
+           CAST(64 * sum(v) AS BIGINT) AS sum_lum,
+           CAST(64 * sum(v * v) AS BIGINT) AS sum_sq
+    FROM blk GROUP BY doc_id, bw, bh
+    """,
+)
+def mm_decode_jpeg12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-BIT DCT JPEG decode — the extended-precision DCT modes that
+    were the decoder's last documented DCT boundary ('quant-table format
+    change'): the DQT carries Pq=1 16-bit quantizer entries (the fixture
+    puts steps > 255 in the AC positions so the 8-bit parse CANNOT fake
+    it), the level shift is 2048, output planes are uint16 clamped to
+    4095, and the DC Huffman table spans SSSS 0..12. Even docs decode
+    extended-sequential SOF1 (with RSTn resync on every third doc), odd
+    docs progressive SOF2 (split DC + EOB-run AC scans at 12 bits) —
+    both against one closed-form per-block oracle, exact because the
+    fixture's blocks are constant (IDCT of a DC-only block). Baseline
+    SOF0 at 12 bits stays a loud ValueError (illegal per T.81 Table
+    B.2), 12-bit arithmetic DCT a loud NotImplementedError. 100 TB
+    shape: Arrow-batched mapInPandas, partitions scale with splits."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_jpeg12_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did, jpg in zip(pdf["doc_id"], pdf["jpg"]):
+                w, h, ch, planes = decode_jpeg(bytes(jpg), components=True)
+                assert planes[0].dtype == np.uint16, "12-bit plane must be uint16"
+                arr = planes[0].astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": w,
+                        "height": h,
+                        "kind": "seq" if int(did) % 2 == 0 else "prog",
+                        "sum_lum": int(arr.sum()),
+                        "sum_sq": int((arr * arr).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, kind string, "
+        "sum_lum long, sum_sq long",
+    )
+
+
 # hierarchical all-differential-kinds fixture constants (mm_decode_jpeg_hier_kinds)
 JHK_KINDS = ("sof5", "sof6", "sof7", "sof13", "sof14", "sof15")
 JHK_V_A, JHK_V_B = 43, 64  # base value v0(d) = 64 + (d*43) % 64

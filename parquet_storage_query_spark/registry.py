@@ -78,7 +78,7 @@ _PRIORITY = [
     # audit twins closing VERDICT r10 #1: the last 4 rows-only queries'
     # hash-checkable evidence channel
     "agg_approx_distinct_audit", "agg_approx_percentiles_audit",
-    "agg_hll_sketch_audit", "agg_windowed_hll_audit",
+    "agg_hll_sketch_audit", "agg_windowed_hll_audit", "mm_decode_jpeg12",
     "sim_pq_adaptive_topk", "mm_decode_jpeg_lossless_arith",
     "mm_decode_jpeg_hier_kinds", "profile_shuffle_skew",
     "stream_dedup_watermarked", "mm_decode_jpeg_lossless16",

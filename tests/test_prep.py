@@ -1693,7 +1693,9 @@ def test_jpeg_lossless_high_precision_roundtrip():
     16, the no-magnitude-bits 32768 escape) and arithmetic SOF11's
     magnitude ladder peaks at X15 — with uint16 output planes, the
     midpoint default 2^(P-1), and mod-2^16 wrap at full range. DCT
-    modes still reject P != 8 loudly."""
+    modes accept 8/12 only (12-bit DCT has its own roundtrip test):
+    baseline SOF0 at 12 bits is a loud ValueError (illegal per T.81
+    Table B.2) and 16-bit DCT a loud NotImplementedError."""
     import numpy as np
     import pytest as _pytest
 
@@ -1725,13 +1727,65 @@ def test_jpeg_lossless_high_precision_roundtrip():
     for enc in (encode_jpeg_lossless, encode_jpeg_lossless_arith):
         _, _, _, px = decode_jpeg(enc(5, 6, board, predictor=4, precision=16))
         assert np.frombuffer(px, dtype=np.uint16).tolist() == board
-    # DCT modes keep the 8-bit contract
-    dct12 = encode_jpeg_blocks(1, 1, [42]).replace(b"\xff\xc0\x00\x0b\x08",
-                                                   b"\xff\xc0\x00\x0b\x0c", 1)
-    with _pytest.raises(NotImplementedError):
-        decode_jpeg(dct12)
+    # DCT precision contract: baseline SOF0 is 8-bit BY DEFINITION
+    # (byte-patching 12 into a SOF0 header is an illegal stream ->
+    # ValueError), and precisions outside {8, 12} stay loud hooks
+    dct12_sof0 = encode_jpeg_blocks(1, 1, [42]).replace(
+        b"\xff\xc0\x00\x0b\x08", b"\xff\xc0\x00\x0b\x0c", 1
+    )
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(dct12_sof0)
+    dct16 = encode_jpeg_blocks(1, 1, [42], precision=12).replace(
+        b"\xff\xc1\x00\x0b\x0c", b"\xff\xc1\x00\x0b\x10", 1
+    )
+    with _pytest.raises(NotImplementedError, match="8 or 12"):
+        decode_jpeg(dct16)
     with _pytest.raises(ValueError):
         encode_jpeg_lossless(4, 2, [0] * 8, precision=17)
+
+
+def test_jpeg12_dct_roundtrip():
+    """12-bit DCT modes (T.81 extended precision, VERDICT r10's last
+    documented DCT boundary): constant-block fixtures round-trip exactly
+    through SOF1 extended-sequential (restart layouts 0/1/2, DC
+    categories up to SSSS 12) and SOF2 progressive (split DC + EOB-run
+    AC at 12 bits), via the Pq=1 16-bit DQT wire format — the fixture's
+    AC steps exceed 255 so an 8-bit table parse cannot pass — with
+    uint16 planes clamped to 4095 and level shift 2048. 12-bit
+    arithmetic DCT stays a loud NotImplementedError (no in-container
+    fixture encoder to prove it against)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_blocks,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        bw, bh = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        vals = rng.integers(0, 4096, bw * bh).tolist()
+        # extremes: full range and the level-shift midpoint
+        vals[0] = [0, 4095, 2048][trial]
+        streams = [encode_jpeg_progressive(bw, bh, vals, precision=12)] + [
+            encode_jpeg_blocks(bw, bh, vals, restart_interval=ri, precision=12)
+            for ri in (0, 1, 2)
+        ]
+        for data in streams:
+            w, h, n, planes = decode_jpeg(data, components=True)
+            assert (w, h, n) == (bw * 8, bh * 8, 1)
+            assert planes[0].dtype == np.uint16
+            for i, v in enumerate(vals):
+                by, bx = divmod(i, bw)
+                blk = planes[0][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (blk == v).all(), (trial, i, v)
+    # 12-bit arithmetic DCT: patch a 12-bit SOF1 into SOF9 -> loud hook
+    seq12 = encode_jpeg_blocks(1, 1, [7], precision=12)
+    arith12 = seq12.replace(b"\xff\xc1\x00\x0b\x0c", b"\xff\xc9\x00\x0b\x0c", 1)
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith12)
 
 
 def test_jpeg_hierarchical_all_differential_kinds():
