@@ -521,15 +521,25 @@ KCORE_ROUNDS = 4
 def _kcore_oracle() -> str:
     """Unrolled peeling: each round drops nodes of degree < K and the
     edges touching them; the census row per round is the convergence
-    trace (fixed point reached when two consecutive rows match)."""
-    ctes = [f"e0 AS (SELECT src, dst FROM sym)"]
+    trace (fixed point reached when two consecutive rows match).
+
+    MATERIALIZED is load-bearing (same lesson as _bfs_oracle): DuckDB
+    inlines plain CTEs, and every round references e{i-1} three times
+    (degree, edge filter, census), so inlined the MinHash pairs pipeline
+    re-expands ~3^ROUNDS times — measured 123 s at sf0.001 (it was the
+    single slowest row in the whole pytest correctness suite);
+    materialized it is sub-second."""
+    ctes = [f"e0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
     for i in range(1, KCORE_ROUNDS + 1):
         ctes.append(
-            f"d{i} AS (SELECT src, count(*) AS d FROM e{i - 1} GROUP BY src)"
+            f"d{i} AS MATERIALIZED "
+            f"(SELECT src, count(*) AS d FROM e{i - 1} GROUP BY src)"
         )
-        ctes.append(f"k{i} AS (SELECT src FROM d{i} WHERE d >= {KCORE_K})")
         ctes.append(
-            f"e{i} AS (SELECT e.src, e.dst FROM e{i - 1} e "
+            f"k{i} AS MATERIALIZED (SELECT src FROM d{i} WHERE d >= {KCORE_K})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e "
             f"JOIN k{i} a ON a.src = e.src JOIN k{i} b ON b.src = e.dst)"
         )
     arms = "\n        UNION ALL ".join(

@@ -12,6 +12,11 @@ holds exactly one committed artifact with no orphaned temp dirs.
 
 from __future__ import annotations
 
+import pytest
+
+# spawns a second Python/Spark process for the cold-dir race
+pytestmark = pytest.mark.slow
+
 import json
 import subprocess
 import sys

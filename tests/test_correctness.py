@@ -30,7 +30,30 @@ def oracle_con():
     return con
 
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
+# Queries whose sf0.001 differential row measures >= ~2.5 s (iterative
+# fixpoints, BPE training, rsd-0.01 HLL, stream harnesses, k-means) —
+# marked slow so the fast lane (`pytest -m "not slow"`, <5 min) stays a
+# gate people actually run. The FULL suite, the driver's sf0.01 gate,
+# and tools/check.py still cover every one of these.
+_SLOW_ROWS = {
+    "graph_kcore", "graph_pagerank", "text_bpe_vocab_train",
+    "text_bpe_tokenize_apply", "agg_approx_distinct",
+    "agg_approx_distinct_audit", "sim_pq_adaptive_topk",
+    "sink_jsonl_codec_matrix", "dedup_canonicalize",
+    "dedup_embedding_cosine", "source_jsonl_stream", "sim_ivfpq_topk",
+    "agg_grouped_median", "train_leakage_safe_split", "sim_kmeans_train",
+    "sim_mmr_rerank", "agg_topk_twophase", "sim_random_projection",
+    "sql_recursive_ledger", "dedup_setsim_capped",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ROWS else n
+        for n in sorted(_QUERIES)
+    ],
+)
 def test_query_matches_oracle(name, spark, oracle_con):
     qd = _QUERIES[name]
     sdf = qd.builder(spark, SF_SMOKE)

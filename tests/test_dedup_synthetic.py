@@ -6,6 +6,10 @@ so these tests construct them."""
 from __future__ import annotations
 
 import pytest
+
+# synthetic-corpus recall suites rebuild signature tables per case -- ~100 s wall
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from parquet_storage_query_spark.operators.dedup import (

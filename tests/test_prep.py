@@ -15,6 +15,7 @@ from parquet_storage_query_spark.sources import prep
 from .conftest import SF_SMOKE
 
 
+@pytest.mark.slow
 def test_schema_evolution_merge(spark, tmp_path):
     """Folder with files written under two schema versions (a column added
     later) reads as the union schema with mergeSchema; old rows surface
@@ -164,6 +165,7 @@ def test_jsonl_roundtrip(spark, tmp_path):
     assert back.count() == len(orig)
 
 
+@pytest.mark.slow
 def test_jsonl_writer_hidden_files_and_orphan_sweep(spark, tmp_path):
     """Exactly-once hardening of the custom jsonl_corpus sink (ADVICE r8
     medium): (a) the READER must skip '_'/'.'-prefixed basenames (Hadoop
@@ -205,6 +207,7 @@ def test_jsonl_writer_hidden_files_and_orphan_sweep(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_jsonl_codec_matrix_roundtrip(spark, tmp_path):
     """The jsonl_corpus source/sink codec matrix (round 9): xz and bz2
     shards (stdlib lzma/bz2) round-trip exactly like gzip through the
@@ -303,6 +306,7 @@ def test_zorder_rewrite_clusters_both_dims(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_z_value_matches_python_morton(spark):
     """Property: the JVM bit-interleave agrees with a pure-Python Morton
     reference on arbitrary 8-bit coordinates, and is monotone-decodable
@@ -358,6 +362,7 @@ def test_table_stats_match_duckdb_footers(spark):
         assert got[t] == (n_rows, n_rgs), (t, got[t], (n_rows, n_rgs))
 
 
+@pytest.mark.slow
 def test_training_shard_writer_matches_manifest(spark, tmp_path):
     """The executable shard writer's on-disk manifest must equal the
     queryable planner's manifest exactly — what lands in

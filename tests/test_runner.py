@@ -3,6 +3,11 @@
 
 from __future__ import annotations
 
+import pytest
+
+# config-runner e2e: full runner invocations over committed artifacts -- ~100 s wall
+pytestmark = pytest.mark.slow
+
 import json
 
 from pyspark.sql import functions as F

@@ -5,6 +5,11 @@ incremental execution)."""
 
 from __future__ import annotations
 
+import pytest
+
+# streaming e2e: every test spins real micro-batch queries (watermark waits, checkpoint restarts) -- ~3 min wall
+pytestmark = pytest.mark.slow
+
 from parquet_storage_query_spark.streaming import windows as sw
 
 from .conftest import SF_SMOKE
@@ -31,9 +36,6 @@ def test_streaming_session_windows_match_batch(spark):
     got = sw.streaming_session_windows(spark, SF_SMOKE)
     want = sw.stream_session_windows(spark, SF_SMOKE)
     assert _rows(got) == _rows(want)
-
-
-import pytest
 
 
 @pytest.mark.parametrize(

@@ -65,6 +65,13 @@ FLOORS = {
     # enforced on EVERY corpus (the sentinel escalation is the mechanism
     # that keeps it true at scale — see the pq_adaptive block below)
     "pq_adaptive": 0.2,
+    # sq8 (round 11): per-dimension 8-bit lattice, asymmetric
+    # reconstruction cosine — measured 0.88 at sf0.01 / 1.0 at sf0.1;
+    # 8 bits/dim barely dents a cosine ranking, so a drop below 0.6 is
+    # a collapse signal, enforced everywhere (quantization is
+    # per-vector, so permutation scaling cannot break it the way it
+    # breaks one global PQ codebook)
+    "sq8": 0.6,
 }
 
 
@@ -91,10 +98,13 @@ def main() -> int:
     total = sum(len(v) for v in exact.values())
     report: dict[str, object] = {"sf_dir": sf_dir, "n_queries": len(exact), "k_total": total}
     ok = True
+    from parquet_storage_query_spark.operators.similarity import sim_sq8_topk
+
     for name, builder in (
         ("ivf", sim_ivf_topk),
         ("lsh", sim_lsh_topk),
         ("lsh_mp", sim_lsh_multiprobe_topk),
+        ("sq8", sim_sq8_topk),
     ):
         approx = topk_sets(builder(spark, sf_dir))
         assert set(approx) <= set(exact), f"{name}: phantom query ids"
