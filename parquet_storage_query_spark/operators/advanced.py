@@ -5409,3 +5409,90 @@ def sql_recursive_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prior)
+
+@query(
+    "source_fixedwidth_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def source_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text ingest round trip — the mainframe/legacy-extract
+    format (COBOL copybook layouts, bank/telco archives) that Spark has
+    no native reader for, closed source_csvgz_roundtrip-style: orders
+    egest to 68-byte records (zero-padded numerics, right-padded
+    strings, yyyyMMddHHmmss timestamps — no delimiters anywhere), read
+    back as spark.read.text + SUBSTRING/CAST column carving (pure JVM
+    expressions, no UDF), and roll up counts / key checksum / exact
+    cents / date extents per (status, priority) against the oracle's
+    rollup over the ORIGINAL parquet. An off-by-one in any field offset,
+    a lost leading zero, or a timestamp format drift breaks the checksum
+    or the extents — the whole layout contract is value-hash-checked.
+
+    Layout: orderkey [1,12] custkey [13,12] status [25,1]
+    cents [26,14] ts [40,14] priority [54,15].
+
+    100 TB shape: egest is a corpus-scaled partitioned text write; read
+    back is line-per-row with column pruning useless by construction
+    (fixed-width IS why these archives migrate to parquet — the query
+    documents the cost as much as the capability); the substring carve
+    stays in whole-stage codegen and the rollup is one partial-merged
+    aggregate."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        n = load(spark, sf_dir, "orders").count()
+        shards = max(8, min(64, n // 200_000))
+        line = F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            F.lpad(F.col("o_custkey").cast("string"), 12, "0"),
+            F.col("o_orderstatus"),
+            F.lpad(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                14,
+                "0",
+            ),
+            F.date_format("o_orderdate", "yyyyMMddHHmmss"),
+            F.rpad(F.col("o_orderpriority"), 15, " "),
+        )
+        (
+            load(spark, sf_dir, "orders")
+            .repartition(shards)
+            .select(line.alias("value"))
+            .write.mode("overwrite")
+            .text(dest)
+        )
+
+    dest = ensure_artifact(
+        spark, sf_dir, "orders_fixedwidth", "v1", [table_path(sf_dir, "orders")], build
+    )
+    t = spark.read.text(dest)
+    carved = t.select(
+        F.substring("value", 1, 12).cast("long").alias("o_orderkey"),
+        F.substring("value", 25, 1).alias("o_orderstatus"),
+        F.substring("value", 26, 14).cast("long").alias("cents"),
+        F.to_timestamp(F.substring("value", 40, 14), "yyyyMMddHHmmss").alias(
+            "o_orderdate"
+        ),
+        F.rtrim(F.substring("value", 54, 15)).alias("o_orderpriority"),
+    )
+    return (
+        carved.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.sum("cents").alias("total_cents"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )

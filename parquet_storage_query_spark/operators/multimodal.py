@@ -3024,6 +3024,99 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RS_TARGET = 4000  # resample target rate; fixture rates are 2x..4x in q/2 steps
+
+
+@query(
+    "mm_audio_resample",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {WAV_N_BASE} + doc_id % {WAV_N_MOD} AS n,
+               4 + (doc_id % 5) AS q,
+               8000 + (doc_id % 5) * {WAV_RATES} AS rate
+        FROM documents),
+    o AS (
+        SELECT doc_id, rate, t.j * q AS k2
+        FROM dims, unnest(range((n - 1) * 2 // q + 1)) AS t(j)),
+    v AS (
+        SELECT doc_id, rate,
+               CASE WHEN k2 % 2 = 0
+                    THEN 2 * ((doc_id * {WAV_A} + {WAV_B} * (k2 // 2)) % 4001 - 2000)
+                    ELSE ((doc_id * {WAV_A} + {WAV_B} * (k2 // 2)) % 4001 - 2000)
+                         + ((doc_id * {WAV_A} + {WAV_B} * (k2 // 2 + 1)) % 4001 - 2000)
+               END AS out2
+        FROM o)
+    SELECT doc_id, CAST(rate AS INT) AS src_rate,
+           CAST(count(*) AS BIGINT) AS n_out,
+           CAST(sum(out2) AS BIGINT) AS sum_amp2,
+           CAST(sum(abs(out2)) AS BIGINT) AS sum_abs2,
+           CAST(max(abs(out2)) AS BIGINT) AS peak_abs2
+    FROM v GROUP BY doc_id, rate
+    """,
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate conversion to a fixed {RS_TARGET} Hz — the ASR-prep
+    step every speech pipeline runs before the model (Whisper/wav2vec
+    expect one rate; archives arrive at many). Output sample j sits at
+    source position j·rate/target; the fixture rates make that ratio a
+    half-integer (q/2, q = rate/2000 ∈ 4..8), so linear interpolation
+    needs only integer samples and midpoints — held EXACT on a 2×
+    amplitude lattice (out2 = 2·s[k] at integers, s[k]+s[k+1] at
+    midpoints), which is what lets the DuckDB oracle value-check the
+    RESAMPLED waveform (sums/peak per clip) with zero float seams. The
+    real RIFF/PCM16 decode runs in the loop; the resample kernel is one
+    vectorized gather over the whole Arrow batch (global index
+    arithmetic + reduceat, no per-clip Python loop — the r8 slope
+    discipline). 100 TB shape: embarrassingly parallel map over clips,
+    output rows are fixed-size stats; the general irrational-ratio case
+    would swap the midpoint gather for a polyphase FIR, same plumbing."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_wav_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            samples, offs, rates = _pcm_batch(pdf["wav"])
+            samples = samples.astype(np.int64)
+            n_in = offs[1:] - offs[:-1]
+            q = (rates // (RS_TARGET // 2)).astype(np.int64)
+            n_out = (n_in - 1) * 2 // q + 1
+            starts_out = np.concatenate(([0], np.cumsum(n_out)))
+            total = int(starts_out[-1])
+            j = np.arange(total, dtype=np.int64) - np.repeat(starts_out[:-1], n_out)
+            k2 = j * np.repeat(q, n_out)
+            base = np.repeat(offs[:-1], n_out)
+            k = base + k2 // 2
+            even = (k2 % 2) == 0
+            # odd k2 -> position k+0.5 is strictly interior, so k+1 is in
+            # range; clip only to keep the vectorized gather total
+            out2 = np.where(
+                even,
+                2 * samples[k],
+                samples[k] + samples[np.minimum(k + 1, len(samples) - 1)],
+            )
+            cuts = starts_out[:-1]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "src_rate": rates.astype("int32"),
+                    "n_out": n_out,
+                    "sum_amp2": np.add.reduceat(out2, cuts),
+                    "sum_abs2": np.add.reduceat(np.abs(out2), cuts),
+                    "peak_abs2": np.maximum.reduceat(np.abs(out2), cuts),
+                }
+            )
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, src_rate int, n_out long, sum_amp2 long, "
+        "sum_abs2 long, peak_abs2 long",
+    )
+
+
 # GIF fixture constants: pixel p of image d is palette index
 # (d*GIF_A + GIF_B*p) % 256 over the grayscale identity palette, so the
 # oracle replays the DECODED luminance statistics in closed form.
