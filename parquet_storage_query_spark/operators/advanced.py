@@ -1303,16 +1303,30 @@ def agg_hll_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = per_type.unionByName(merged).select(
         "event_type", F.hll_sketch_estimate("sk").alias("est")
     )
+    # exact side in ONE input scan: collapse to (event_type, user_id, n)
+    # partials first (the only shuffle that touches event rows), then both
+    # the per-type and the global-ALL exact counts aggregate the PAIRS
+    # table — the plan-audit rescan smell the first cut had is gone
+    pairs = session_memo(
+        spark,
+        sf_dir,
+        "hll_audit_pairs",
+        lambda: (
+            ev.groupBy("event_type", "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        ),
+    )
     exact = (
-        ev.groupBy("event_type")
+        pairs.groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("exact_users"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.lit(1)).alias("exact_users"),
+            F.sum("n").alias("n_events"),
         )
         .unionByName(
-            ev.agg(
+            pairs.agg(
                 F.countDistinct("user_id").alias("exact_users"),
-                F.count(F.lit(1)).alias("n_events"),
+                F.sum("n").alias("n_events"),
             ).select(F.lit("ALL").alias("event_type"), "exact_users", "n_events")
         )
     )
@@ -1778,7 +1792,8 @@ def agg_windowed_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows), so the green state is the oracle's literal 1 and any breach
     is an integer step away — BIGINT math only. Oracle replays the bucket
     arithmetic (epoch_us // 6 h) and the exact counts."""
-    win = (
+    win = (  # checkpointed: both the breach total and the output read it,
+        # and without the checkpoint each reference rescans events
         load_parallel(spark, sf_dir, "events")
         .groupBy(F.window("ts", "6 hours").alias("w"))
         .agg(
@@ -1794,6 +1809,7 @@ def agg_windowed_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("breach"),
         )
+        .localCheckpoint(eager=True)
     )
     # one tiny cross-joined breach total (windows-count rows, constant per
     # corpus duration): every output row carries it, so a single breach

@@ -2680,9 +2680,13 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats is one map-side-combined aggregate row, encode one scan
     emitting 64 B rows, serving broadcasts the 1-row stats + 5 probes
     and scans the codes table once; same window top-k tail as every
-    other tier. Value-hash-checked end to end (train -> encode ->
-    dequantize -> rank) against DuckDB replaying identical expression
-    shapes — same float-parity contract sim_bruteforce_topk pins."""
+    other tier. The plan's two BroadcastNestedLoopJoins are by design:
+    both build sides are constant-size (the 1-row stats, the 5 probe
+    vectors) and the stream side is scanned exactly once — the same
+    shape sim_bruteforce_topk documents. Value-hash-checked end to end
+    (train -> encode -> dequantize -> rank) against DuckDB replaying
+    identical expression shapes — the float-parity contract
+    sim_bruteforce_topk pins."""
     codes, stats = _sq8_index(spark, sf_dir)
     e = load_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
