@@ -5445,3 +5445,120 @@ def mm_decode_bmp_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, variant string, width int, height int, "
         "sum_bytes long, sum_sq long",
     )
+
+LB_S = 16  # letterbox canvas side
+
+
+@query(
+    "mm_image_letterbox",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {PNG_BASE} + doc_id % {PNG_W_MOD} AS w,
+               {PNG_BASE} + doc_id % {PNG_H_MOD} AS h
+        FROM documents),
+    geo AS (
+        SELECT doc_id, w, h,
+               CASE WHEN w >= h THEN {LB_S} ELSE greatest(1, w * {LB_S} // h) END AS nw,
+               CASE WHEN w >= h THEN greatest(1, h * {LB_S} // w) ELSE {LB_S} END AS nh
+        FROM dims),
+    px AS (
+        SELECT doc_id, nw, nh,
+               ({LB_S} - nw) // 2 + t.i % nw AS cx,
+               ({LB_S} - nh) // 2 + t.i // nw AS cy,
+               ((t.i // nw) * h) // nh * w + ((t.i % nw) * w) // nw AS p
+        FROM geo, unnest(range(nw * nh)) AS t(i)),
+    lum AS (
+        SELECT doc_id, nw, nh, cy * {LB_S} + cx + 1 AS wgt,
+               ((doc_id * {PNG_A} + {PNG_B} * (3 * p)) % 256
+                + (doc_id * {PNG_A} + {PNG_B} * (3 * p + 1)) % 256
+                + (doc_id * {PNG_A} + {PNG_B} * (3 * p + 2)) % 256) // 3 AS y
+        FROM px)
+    SELECT doc_id,
+           CAST(nw AS INT) AS new_w, CAST(nh AS INT) AS new_h,
+           CAST({LB_S} * {LB_S} - nw * nh AS BIGINT) AS n_pad,
+           CAST(sum(y) AS BIGINT) AS sum_lum,
+           CAST(sum(y * wgt) AS BIGINT) AS pos_checksum
+    FROM lum GROUP BY doc_id, nw, nh
+    """,
+)
+def mm_image_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LETTERBOX preprocessing — the aspect-preserving resize + center
+    pad every fixed-input vision model front-end runs (CLIP/YOLO-style:
+    longer side to {LB_S}, nearest-neighbor sample, zero bars on the
+    short axis). All geometry is integer: scaled dims are floored
+    ratios, the sample map is (y·h)//nh, (x·w)//nw, pad offsets are
+    floored halves — so both engines agree bit-for-bit with no
+    fractional weights. The output carries a POSITION-WEIGHTED checksum
+    over canvas coordinates (Σ lum·(cy·{LB_S}+cx+1)): an off-by-one in
+    the pad offset or a transposed sample map shifts weights and breaks
+    the hash even when the plain luminance sum survives — the same
+    position-sensitivity discipline as mm_image_resize_pool. The real
+    PNG decode runs in the loop; the sample/pad kernel is one global
+    gather over the concatenated Arrow batch (no per-image Python
+    loop beyond the per-payload zlib decode). 100 TB shape: map-only,
+    fixed-size feature row per image."""
+    import numpy as np
+
+    pngs = spark.read.parquet(ensure_png_fixture(spark, sf_dir))
+    S = LB_S
+
+    def letterbox(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs, ws, hs = [], [], []
+            for blob in pdf["png"]:
+                w, h, _ch, px = decode_image(bytes(blob))
+                bufs.append(px)
+                ws.append(w)
+                hs.append(h)
+            nimg = len(bufs)
+            arr = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+            luma = arr.reshape(-1, 3).sum(axis=1) // 3
+            ws_a = np.asarray(ws, dtype=np.int64)
+            hs_a = np.asarray(hs, dtype=np.int64)
+            wide = ws_a >= hs_a
+            nw = np.where(wide, S, np.maximum(1, ws_a * S // hs_a))
+            nh = np.where(wide, np.maximum(1, hs_a * S // ws_a), S)
+            offx = (S - nw) // 2
+            offy = (S - nh) // 2
+            pxc_in = ws_a * hs_a
+            starts_in = np.concatenate((np.zeros(1, np.int64), np.cumsum(pxc_in)))
+            pxc_out = nw * nh
+            starts_out = np.concatenate((np.zeros(1, np.int64), np.cumsum(pxc_out)))
+            i = np.arange(starts_out[-1], dtype=np.int64) - np.repeat(
+                starts_out[:-1], pxc_out
+            )
+            nw_v = np.repeat(nw, pxc_out)
+            nh_v = np.repeat(nh, pxc_out)
+            w_v = np.repeat(ws_a, pxc_out)
+            h_v = np.repeat(hs_a, pxc_out)
+            y_out = i // nw_v
+            x_out = i % nw_v
+            src = (
+                np.repeat(starts_in[:-1], pxc_out)
+                + (y_out * h_v) // nh_v * w_v
+                + (x_out * w_v) // nw_v
+            )
+            lum = luma[src]
+            wgt = (y_out + np.repeat(offy, pxc_out)) * S + x_out + np.repeat(
+                offx, pxc_out
+            ) + 1
+            cuts = starts_out[:-1]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "new_w": nw.astype("int32"),
+                    "new_h": nh.astype("int32"),
+                    "n_pad": S * S - pxc_out,
+                    "sum_lum": np.add.reduceat(lum, cuts),
+                    "pos_checksum": np.add.reduceat(lum * wgt, cuts),
+                }
+            )
+
+    return pngs.mapInPandas(
+        letterbox,
+        schema="doc_id long, new_w int, new_h int, n_pad long, sum_lum long, "
+        "pos_checksum long",
+    )
