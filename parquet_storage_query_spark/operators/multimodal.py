@@ -5562,3 +5562,94 @@ def mm_image_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, new_w int, new_h int, n_pad long, sum_lum long, "
         "pos_checksum long",
     )
+
+@query(
+    "mm_video_keyframes",
+    oracle=f"""
+    WITH vdims AS (
+        SELECT doc_id,
+               {GS_W_BASE} + doc_id % {GS_W_MOD} AS w,
+               {GS_H_BASE} + doc_id % {GS_H_MOD} AS h,
+               {GS_F_BASE} + doc_id % {GS_F_MOD} AS nf
+        FROM documents),
+    vsad AS (
+        SELECT doc_id, w, h, nf, fr.f AS f,
+               CASE WHEN fr.f = 0 THEN 0 ELSE (
+                   SELECT sum(abs(
+                       (doc_id * {GS_A} + {GS_B} * t.p
+                        + {GS_C} * (fr.f // {GS_LEN})) % 256
+                       - (doc_id * {GS_A} + {GS_B} * t.p
+                          + {GS_C} * ((fr.f - 1) // {GS_LEN})) % 256))
+                   FROM unnest(range(w * h)) AS t(p)) END AS sad
+        FROM vdims, unnest(range(nf)) AS fr(f)),
+    seg AS (
+        SELECT doc_id, w, h, f,
+               sum(CASE WHEN sad > {GS_THRESH} * w * h THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY f) AS shot_id
+        FROM vsad),
+    shots AS (
+        SELECT doc_id, w, h, CAST(shot_id AS BIGINT) AS shot_id,
+               min(f) AS key_frame, count(*) AS shot_len
+        FROM seg GROUP BY doc_id, w, h, shot_id)
+    SELECT doc_id, shot_id, CAST(key_frame AS BIGINT) AS key_frame,
+           CAST(shot_len AS BIGINT) AS shot_len,
+           CAST((SELECT sum((doc_id * {GS_A} + {GS_B} * t.p
+                             + {GS_C} * (key_frame // {GS_LEN})) % 256)
+                 FROM unnest(range(w * h)) AS t(p)) AS BIGINT) AS key_luma_sum
+    FROM shots ORDER BY doc_id, shot_id
+    """,
+)
+def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SHOT keyframe selection — the sampling primitive
+    mm_video_shot_detect's docstring promises ('sample K frames per
+    SHOT, not per fixed stride'), now composed end to end: decode the
+    frame stack, segment at SAD cuts (identical rule as shot detect),
+    and emit one representative frame per shot — earliest frame wins
+    (the fixture's within-shot frames are identical by construction, so
+    any sharpness score ties; on real footage the tiebreak slot is
+    where mm_image_blur_metric's Laplacian-energy score plugs in). The
+    output row per shot carries the keyframe index, shot length, and
+    the keyframe's luminance sum — all replayed in closed form by the
+    oracle (a segmentation off-by-one moves a shot boundary and breaks
+    shot_len; a wrong keyframe index breaks the luma sum). 100 TB
+    shape: embarrassingly parallel per clip, output rows = shots (a
+    few per clip), nothing shuffles."""
+    import numpy as np
+
+    from .gif import decode_gif_frames
+
+    src = spark.read.parquet(ensure_gif_shots_fixture(spark, sf_dir))
+
+    def keyframes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["gif"]):
+                frames = decode_gif_frames(bytes(blob))
+                w, h = frames[0][0], frames[0][1]
+                stack = np.stack(
+                    [f[2].astype(np.int64).reshape(-1) for f in frames]
+                )
+                sad = np.abs(np.diff(stack, axis=0)).sum(axis=1)
+                cuts = sad > GS_THRESH * w * h
+                shot_of = np.concatenate(
+                    ([0], np.cumsum(cuts.astype(np.int64)))
+                )
+                for s in range(int(shot_of[-1]) + 1):
+                    members = np.nonzero(shot_of == s)[0]
+                    kf = int(members[0])
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "shot_id": s,
+                            "key_frame": kf,
+                            "shot_len": int(len(members)),
+                            "key_luma_sum": int(stack[kf].sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        keyframes,
+        schema="doc_id long, shot_id long, key_frame long, shot_len long, "
+        "key_luma_sum long",
+    )
