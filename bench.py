@@ -268,6 +268,21 @@ HEADLINE = [
     "mm_decode_png_variants",
     "mm_audio_pcm_depths",
     "mm_decode_bmp_indexed",
+    # round-11 second session: the four sketch audit twins, 12-bit DCT,
+    # the SQ8 tier, resample/letterbox/keyframes, fixed-width ingest,
+    # and the batch+stream incremental-join-view pair
+    "agg_approx_distinct_audit",
+    "agg_approx_percentiles_audit",
+    "agg_hll_sketch_audit",
+    "agg_windowed_hll_audit",
+    "mm_decode_jpeg12",
+    "sim_sq8_topk",
+    "mm_audio_resample",
+    "source_fixedwidth_roundtrip",
+    "mm_image_letterbox",
+    "prep_incremental_join_view",
+    "stream_join_view",
+    "mm_video_keyframes",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to
