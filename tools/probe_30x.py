@@ -94,6 +94,20 @@ ORDER = [
     "mm_decode_png_variants",  # png_variants_fixture_build (palette/Adam7)
     "mm_audio_pcm_depths",  # pcm_depth_fixture_build (24-bit/float32)
     "mm_decode_bmp_indexed",  # bmp_indexed_fixture_build (palette/RLE8)
+    # round-11 second session: the two steepest new 10x ratios (letterbox
+    # 3.98 / resample 3.68 on ~0.35 s sf0.1 bases — small-base noise or
+    # slope?), the 12-bit DCT fixture build, the SQ8 encode+serve, the
+    # per-shot sampler, the fixed-width carve, and the batch+stream
+    # incremental-join-view pair (delta work must stay delta-sized)
+    "mm_image_letterbox",
+    "mm_audio_resample",
+    "mm_decode_jpeg12",  # jpeg12_fixture_build (16-bit DQT wire)
+    "sim_sq8_topk",  # sq8 stats+encode scans + reconstruction serve
+    "mm_video_keyframes",
+    "source_fixedwidth_roundtrip",
+    "prep_incremental_join_view",
+    "stream_join_view",
+    "agg_hll_sketch_audit",  # exact-pairs scan + sketch audit linearity
 ]
 BUILDS = {
     "dedup_embedding_cosine": "cos_lsh_index_build",
