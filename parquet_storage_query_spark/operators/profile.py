@@ -1431,3 +1431,102 @@ def profile_shuffle_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "profile_fk_coverage",
+    oracle="""
+    WITH rel AS (
+        SELECT 'orders->customer' AS rel,
+               (SELECT count(*) FROM orders) AS n_child,
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)) AS n_orphan,
+               (SELECT count(*) FROM customer) AS n_parent,
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey)) AS n_childless
+        UNION ALL
+        SELECT 'lineitem->orders',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)),
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey))
+        UNION ALL
+        SELECT 'events->customer(user)',
+               (SELECT count(*) FROM events),
+               (SELECT count(*) FROM events e
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = e.user_id)),
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM events e
+                                  WHERE e.user_id = c.c_custkey)))
+    SELECT rel, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphan AS BIGINT) AS n_orphan,
+           CAST(n_parent AS BIGINT) AS n_parent,
+           CAST(n_childless AS BIGINT) AS n_childless,
+           CAST((2 * 10000 * (n_child - n_orphan) + n_child) // (2 * n_child)
+                AS BIGINT) AS coverage_e4
+    FROM rel ORDER BY rel
+    """,
+)
+def profile_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the first check a warehouse
+    onboarding pipeline runs on a new drop: for each declared FK edge
+    (orders→customer, lineitem→orders, events→customer-as-user), the
+    orphan count (child rows whose key has no parent) and the childless
+    count (parents never referenced), plus an e4 integer coverage ratio
+    (the `(2·scale·x + n) DIV (2n)` display rule). profile_expectations
+    asserts column-level predicates; this audits the RELATIONSHIP
+    layer — the one that breaks silently when an upstream load drops a
+    partition of the dimension.
+
+    Scale shape: each edge needs only the DISTINCT key sets on both
+    sides — the child table collapses map-side to its distinct FK
+    values before any join, so the anti-join shuffles keys, never rows;
+    orphan counts then weight each missing key by its row count. At
+    100 TB that is |keys| traffic for a |rows| question. Output is one
+    row per edge, integer-only."""
+    edges = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("events->customer(user)", "events", "user_id", "customer", "c_custkey"),
+    ]
+    out = None
+    for rel, child_t, fk, parent_t, pk in edges:
+        child_keys = (
+            load(spark, sf_dir, child_t)
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        parent_keys = load(spark, sf_dir, parent_t).select(F.col(pk).alias("k")).distinct()
+        orphans = child_keys.join(parent_keys, "k", "left_anti")
+        childless = parent_keys.join(child_keys.select("k"), "k", "left_anti")
+        row = (
+            child_keys.agg(F.sum("n_rows").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_orphan")
+                )
+            )
+            .crossJoin(parent_keys.agg(F.count(F.lit(1)).alias("n_parent")))
+            .crossJoin(childless.agg(F.count(F.lit(1)).alias("n_childless")))
+            .select(
+                F.lit(rel).alias("rel"),
+                "n_child",
+                "n_orphan",
+                "n_parent",
+                "n_childless",
+                F.expr(
+                    "CAST((2 * 10000 * (n_child - n_orphan) + n_child)"
+                    " DIV (2 * n_child) AS BIGINT)"
+                ).alias("coverage_e4"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rel")

@@ -1588,3 +1588,82 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("labeled_lang", "detected_lang")
     )
+
+
+@query(
+    "text_url_canonicalize",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id,
+               'https://site' || (doc_id % 7) || '.example.com/Path/'
+                   || (doc_id % 50) || '/page?a=' || (doc_id % 3)
+                   || '&z=' || (doc_id % 5) AS canon_url
+        FROM documents)
+    SELECT canon_url, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc
+    FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization step EVERY web-corpus
+    dedup runs before hashing (C4/CommonCrawl pipelines key on the
+    canonical URL): lowercase scheme and host, strip a leading 'www.',
+    strip the protocol-default port, drop the fragment, drop utm_*
+    tracking parameters, and SORT the surviving query parameters. The
+    raw URLs are synthesized per doc in four wire variants (±www,
+    ±explicit :443, ±fragment, shuffled param order, mixed case) from a
+    closed form, and the REAL canonicalizer — parse_url component
+    extraction + filter + array_sort, all JVM expressions — must
+    collapse every variant onto the single expected canonical string
+    the oracle states directly: any missed rule (a surviving utm param,
+    an unsorted query, a case-leaked host) yields a different string
+    and a hash mismatch. Output is the canonical-key dedup census
+    (n_docs per canonical URL, keep-lowest doc) — the actual join key
+    a 100 TB web dedup shuffles on. Path case is PRESERVED (paths are
+    case-sensitive per RFC 3986; only scheme/host fold)."""
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.lit("HTTPS://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 7).cast("string"), F.lit(".EXAMPLE.COM"),
+        F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Path/"), (d % 50).cast("string"), F.lit("/page"),
+        F.lit("?utm_source=feed&z="), (d % 5).cast("string"),
+        F.lit("&a="), (d % 3).cast("string"),
+        F.when(d % 4 == 0, F.lit("#Sec")).otherwise(F.lit("")),
+    )
+    urls = load(spark, sf_dir, "documents").select("doc_id", raw.alias("url"))
+    scheme = F.lower(F.parse_url("url", F.lit("PROTOCOL")))
+    # parse_url HOST already excludes the port; fold case + strip www.
+    host = F.regexp_replace(
+        F.lower(F.parse_url("url", F.lit("HOST"))), r"^www\.", ""
+    )
+    # keep a NON-default explicit port (default 443/80 stripped)
+    port = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]*?:(\d+)(?:[/?#]|$)", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "https") & (port == "443"))
+        & ~((scheme == "http") & (port == "80"))
+    )
+    path = F.parse_url("url", F.lit("PATH"))
+    params = F.filter(
+        F.split(F.parse_url("url", F.lit("QUERY")), "&"),
+        lambda p: ~p.startswith("utm_"),
+    )
+    query_part = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query_part != "", F.concat(F.lit("?"), query_part)).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        urls.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+        .orderBy("canon_url")
+    )
