@@ -1003,3 +1003,128 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2000000 * n_recip + n_edges) DIV (2 * n_edges) AS BIGINT)"
         ).alias("reciprocity_e6"),
     )
+
+
+def _modularity_oracle() -> str:
+    """Newman modularity over the LPA partition, all-integer: with the
+    symmetric edge list (two_m rows), intra2_c = directed intra-community
+    edge count and degsum_c = per-community degree mass,
+    Q = (two_m·Σintra2 − Σdegsum²) / two_m² — emitted as separate BIGINT
+    numerator/denominator (no float, and no DIV: Spark truncates toward
+    zero while DuckDB floors, which diverges on negative numerators).
+    MATERIALIZED everywhere sym/l{i} is referenced more than once — the
+    kcore lesson."""
+    steps = []
+    for i in range(1, LPA_ITERS + 1):
+        steps.append(f"""l{i} AS MATERIALIZED (
+        SELECT doc, lbl FROM (
+            SELECT e.dst AS doc, p.lbl, count(*) AS c,
+                   row_number() OVER (PARTITION BY e.dst
+                                      ORDER BY count(*) DESC, p.lbl) AS rn
+            FROM symm e JOIN l{i - 1} p ON p.doc = e.src
+            GROUP BY e.dst, p.lbl)
+        WHERE rn = 1)""")
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_pairs_ctes()},
+    symm AS MATERIALIZED (SELECT src, dst FROM sym),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS doc, src AS lbl FROM symm),
+    {chain},
+    el AS MATERIALIZED (
+        SELECT ls.lbl AS cs, ld.lbl AS cd
+        FROM symm e
+        JOIN l{LPA_ITERS} ls ON ls.doc = e.src
+        JOIN l{LPA_ITERS} ld ON ld.doc = e.dst),
+    intra AS (SELECT cs AS c, count(*) AS intra2 FROM el WHERE cs = cd GROUP BY 1),
+    deg AS (SELECT cs AS c, count(*) AS degsum FROM el GROUP BY 1),
+    agg AS (SELECT (SELECT count(*) FROM el) AS two_m,
+                   (SELECT count(*) FROM deg) AS n_communities,
+                   (SELECT sum(intra2) FROM intra) AS sum_intra2,
+                   (SELECT sum(degsum * degsum) FROM deg) AS sum_deg_sq)
+    SELECT CAST(two_m AS BIGINT) AS two_m,
+           CAST(n_communities AS BIGINT) AS n_communities,
+           CAST(sum_intra2 AS BIGINT) AS sum_intra2,
+           CAST(sum_deg_sq AS BIGINT) AS sum_deg_sq,
+           CAST(two_m * sum_intra2 - sum_deg_sq AS BIGINT) AS q_num,
+           CAST(two_m * two_m AS BIGINT) AS q_den
+    FROM agg
+    """
+
+
+@query("graph_modularity", oracle=_modularity_oracle())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the LPA partition (Newman 2006) — the quality
+    score that tells you whether the community structure the label
+    propagation found is real or noise (Q near 0 = no better than a
+    random degree-preserving rewiring; the near-dup graph's template
+    families should score high). Computed EXACTLY on the integer
+    lattice: Q = (2m·Σ_c intra2_c − Σ_c degsum_c²) / (2m)², emitted as
+    BIGINT numerator/denominator so no float — and no integer DIV,
+    whose negative-operand rounding differs between engines (Spark
+    truncates, DuckDB floors). One row out.
+
+    Scale shape: the label map joins onto the checkpointed symmetric
+    edge list twice (src- then dst-keyed shuffles, both |E| rows of two
+    BIGINTs); everything after is community-sized aggregates. The LPA
+    fixpoint itself is the memoized per-round loop the census query
+    runs — shared via session_memo, so scoring adds two joins and three
+    aggregates to an already-materialized partition."""
+
+    def build_labels() -> DataFrame:
+        from .dedup import dedup_minhash_lsh
+
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .unionAll(
+                pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = edges.select(F.col("src").alias("doc")).distinct().withColumn(
+            "lbl", F.col("doc")
+        )
+        for _ in range(LPA_ITERS):
+            labels = (
+                edges.join(labels, edges.src == labels.doc)
+                .groupBy(F.col("dst"), F.col("lbl"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("dst")
+                .agg(
+                    F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m")
+                )
+                .select(F.col("dst").alias("doc"), (-F.col("m.nl")).alias("lbl"))
+            )
+        return labels.localCheckpoint(eager=True), edges
+
+    def build() -> DataFrame:
+        labels, edges = build_labels()
+        ls = labels.select(F.col("doc").alias("src"), F.col("lbl").alias("cs"))
+        ld = labels.select(F.col("doc").alias("dst"), F.col("lbl").alias("cd"))
+        el = edges.join(ls, "src").join(ld, "dst").select("cs", "cd")
+        intra = (
+            el.filter(F.col("cs") == F.col("cd"))
+            .groupBy("cs")
+            .agg(F.count(F.lit(1)).alias("intra2"))
+        )
+        deg = el.groupBy("cs").agg(F.count(F.lit(1)).alias("degsum"))
+        return (
+            el.agg(F.count(F.lit(1)).alias("two_m"))
+            .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_communities")))
+            .crossJoin(intra.agg(F.sum("intra2").alias("sum_intra2")))
+            .crossJoin(
+                deg.agg(F.sum(F.col("degsum") * F.col("degsum")).alias("sum_deg_sq"))
+            )
+            .select(
+                "two_m",
+                "n_communities",
+                "sum_intra2",
+                "sum_deg_sq",
+                (F.col("two_m") * F.col("sum_intra2") - F.col("sum_deg_sq")).alias(
+                    "q_num"
+                ),
+                (F.col("two_m") * F.col("two_m")).alias("q_den"),
+            )
+        )
+
+    return session_memo(spark, sf_dir, "graph_modularity", build)
