@@ -283,6 +283,10 @@ HEADLINE = [
     "prep_incremental_join_view",
     "stream_join_view",
     "mm_video_keyframes",
+    "profile_fk_coverage",
+    "text_url_canonicalize",
+    "graph_modularity",
+    "agg_histogram_equidepth",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

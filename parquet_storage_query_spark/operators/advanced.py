@@ -5604,3 +5604,67 @@ def prep_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_orders"), F.sum("sc").alias("total_cents"))
         .orderBy("c_nationkey", "o_orderstatus")
     )
+
+EQD_BUCKETS = 8
+
+
+@query(
+    "agg_histogram_equidepth",
+    oracle=f"""
+    WITH b AS (
+        SELECT list_value(CAST(round(quantile_cont(o_totalprice, 1/8.0) * 100) AS BIGINT), CAST(round(quantile_cont(o_totalprice, 2/8.0) * 100) AS BIGINT), CAST(round(quantile_cont(o_totalprice, 3/8.0) * 100) AS BIGINT), CAST(round(quantile_cont(o_totalprice, 4/8.0) * 100) AS BIGINT), CAST(round(quantile_cont(o_totalprice, 5/8.0) * 100) AS BIGINT), CAST(round(quantile_cont(o_totalprice, 6/8.0) * 100) AS BIGINT), CAST(round(quantile_cont(o_totalprice, 7/8.0) * 100) AS BIGINT)) AS bounds FROM orders),
+    rows_b AS (
+        SELECT len(list_filter(b.bounds,
+                   x -> x < CAST(round(o_totalprice * 100) AS BIGINT)))
+                   AS bucket,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders, b)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM rows_b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram of o_totalprice — the statistic ANALYZE
+    builds for a cost-based optimizer (equal-POPULATION buckets track
+    skew where equi-width cannot; profile_histogram is the equi-width
+    twin). Boundaries are the exact interpolated k/{EQD_BUCKETS}
+    quantiles ROUNDED TO INTEGER CENTS, and each row's bucket is the
+    count of boundaries strictly below its cent value — a pure integer
+    comparison, so the bucket assignment (including rows tied exactly
+    on a boundary) is bit-identical across engines; the float quantile
+    interpolation only ever touches the hash through the rounded cent
+    lattice. Deliberately NOT ntile(): that is one global-window sort
+    (SinglePartition) over the corpus, while this shape is one exact
+    percentile aggregate (or at scale approx_percentile, same call
+    shape) + one broadcast map pass — the boundaries table is
+    {EQD_BUCKETS - 1} integers at any corpus size. Bucket populations
+    vary by the tie mass at the boundaries — that is the honest
+    equi-depth contract, and the per-bucket [lo, hi] extents ride the
+    output so the skew is visible."""
+    pcts = [k / EQD_BUCKETS for k in range(1, EQD_BUCKETS)]
+    bounds = load(spark, sf_dir, "orders").agg(
+        F.array(
+            *[
+                F.round(F.percentile("o_totalprice", F.lit(q)) * 100).cast("long")
+                for q in pcts
+            ]
+        ).alias("bounds")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bucket = F.size(F.filter("bounds", lambda x: x < F.col("cents")))
+    return (
+        load(spark, sf_dir, "orders")
+        .select(cents.alias("cents"))
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.cast("long").alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
