@@ -1490,7 +1490,9 @@ def profile_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides — the child table collapses map-side to its distinct FK
     values before any join, so the anti-join shuffles keys, never rows;
     orphan counts then weight each missing key by its row count. At
-    100 TB that is |keys| traffic for a |rows| question. Output is one
+    100 TB that is |keys| traffic for a |rows| question. The plan's nine
+    BroadcastNestedLoopJoins are by design: each is a cross join of
+    1-row aggregates assembling an edge's summary row. Output is one
     row per edge, integer-only."""
     edges = [
         ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
@@ -1499,12 +1501,22 @@ def profile_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = None
     for rel, child_t, fk, parent_t, pk in edges:
+        # checkpoint the |keys|-sized tables once: each is read by three
+        # downstream branches (totals, orphan anti-join, childless
+        # anti-join), and without the checkpoint every branch re-scans
+        # the |rows|-sized base table (plan_audit caught exactly that)
         child_keys = (
             load(spark, sf_dir, child_t)
             .groupBy(F.col(fk).alias("k"))
             .agg(F.count(F.lit(1)).alias("n_rows"))
+            .localCheckpoint(eager=True)
         )
-        parent_keys = load(spark, sf_dir, parent_t).select(F.col(pk).alias("k")).distinct()
+        parent_keys = (
+            load(spark, sf_dir, parent_t)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         orphans = child_keys.join(parent_keys, "k", "left_anti")
         childless = parent_keys.join(child_keys.select("k"), "k", "left_anti")
         row = (

@@ -995,3 +995,87 @@ def train_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority_e9", "o_orderkey")
         .limit(WSAMPLE_K)
     )
+
+
+@query(
+    "train_pit_features",
+    oracle="""
+    WITH se AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts) // 1000000 AS sec,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+    w AS (
+        SELECT event_id, user_id, event_type, sec,
+               count(*) OVER pit AS n_all,
+               coalesce(sum(cents) OVER pit, 0) AS sum_cents,
+               count(*) FILTER (event_type = 'click') OVER pit AS n_clicks,
+               count(*) FILTER (event_type = 'error') OVER pit AS n_errors
+        FROM se
+        WINDOW pit AS (PARTITION BY user_id ORDER BY sec
+                       RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING))
+    SELECT event_id AS anchor_id, user_id, CAST(sec AS BIGINT) AS anchor_sec,
+           CAST(n_all AS BIGINT) AS n_prior_24h,
+           CAST(sum_cents AS BIGINT) AS sum_prior_cents,
+           CAST(n_clicks AS BIGINT) AS n_prior_clicks,
+           CAST(n_errors AS BIGINT) AS n_prior_errors
+    FROM w WHERE event_type = 'purchase' ORDER BY anchor_id
+    """,
+)
+def train_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature materialization — the training-set build
+    every feature store must get right or the model trains on the
+    future: for each label anchor (purchase events), per-user activity
+    features aggregated over the trailing 24 h STRICTLY BEFORE the
+    anchor (RANGE frame [−86400 s, −1 s] on epoch seconds — same-second
+    events are excluded too, the second-grain strictness contract the
+    oracle replays verbatim). join_asof fetches one latest row; this
+    aggregates a bounded window per anchor — the other half of the
+    point-in-time contract, and the one that silently leaks when
+    implemented as a naive groupBy-then-join of daily aggregates.
+
+    Scale shape: ONE user-keyed shuffle; the RANGE frame runs inside
+    the sorted partition with a sliding accumulator (no per-anchor
+    rescan, no self-join blow-up — the interval-join formulation of the
+    same feature is O(anchors × window_events) in candidates, this is
+    O(events)). Every feature is integer (counts + exact cents), so the
+    hash has no float seam. Anchor timestamps emit as epoch-second
+    BIGINTs (driver-proof policy)."""
+    sec = (F.unix_micros(F.col("ts")) / 1_000_000).cast("long")
+    se = load_parallel(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        sec.alias("sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pit = (
+        W.partitionBy("user_id").orderBy("sec").rangeBetween(-86400, -1)
+    )
+    feat = se.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "sec",
+        F.count(F.lit(1)).over(pit).alias("n_prior_24h"),
+        F.coalesce(F.sum("cents").over(pit), F.lit(0)).alias("sum_prior_cents"),
+        F.count(F.when(F.col("event_type") == "click", 1)).over(pit).alias(
+            "n_prior_clicks"
+        ),
+        F.count(F.when(F.col("event_type") == "error", 1)).over(pit).alias(
+            "n_prior_errors"
+        ),
+    )
+    return (
+        feat.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            "user_id",
+            F.col("sec").alias("anchor_sec"),
+            "n_prior_24h",
+            "sum_prior_cents",
+            "n_prior_clicks",
+            "n_prior_errors",
+        )
+        .orderBy("anchor_id")
+    )
