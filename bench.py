@@ -288,6 +288,7 @@ HEADLINE = [
     "graph_modularity",
     "agg_histogram_equidepth",
     "train_pit_features",
+    "events_attribution_shapley",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

@@ -2100,3 +2100,135 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("day", "state")
     )
+
+
+# Shapley attribution: channel index map and the 24x factorial weights
+# s!(3-s)! for coalition size s (n=4 channels, denominator n!=24)
+SHAP_CHANNELS = ("click", "view", "signup", "error")
+SHAP_W24 = (6, 2, 2, 6)
+
+
+def _shapley_oracle() -> str:
+    ch_case = " ".join(
+        f"WHEN '{c}' THEN {1 << i}" for i, c in enumerate(SHAP_CHANNELS)
+    )
+    arms = []
+    for ci, c in enumerate(SHAP_CHANNELS):
+        bit = 1 << ci
+        terms = []
+        for S in range(16):
+            if S & bit:
+                continue
+            s_size = bin(S).count("1")
+            terms.append(
+                f"{SHAP_W24[s_size]} * ((SELECT v FROM v WHERE s = {S | bit})"
+                f" - (SELECT v FROM v WHERE s = {S}))"
+            )
+        arms.append(
+            f"SELECT '{c}' AS channel, CAST({' + '.join(terms)} AS BIGINT) AS phi_e24"
+        )
+    return f"""
+    WITH fp AS MATERIALIZED (
+        SELECT user_id, min(epoch_us(ts)) AS fp_us
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    masks AS MATERIALIZED (
+        SELECT fp.user_id,
+               coalesce(bit_or(CASE e.event_type {ch_case} ELSE 0 END), 0) AS mask
+        FROM fp LEFT JOIN events e
+          ON e.user_id = fp.user_id AND epoch_us(e.ts) < fp.fp_us
+             AND e.event_type <> 'purchase'
+        GROUP BY fp.user_id),
+    cnt AS MATERIALIZED (
+        SELECT mask, count(*) AS n FROM masks WHERE mask <> 0 GROUP BY mask),
+    v AS MATERIALIZED (
+        SELECT t.s AS s, coalesce(sum(c.n), 0) AS v
+        FROM range(16) t(s) LEFT JOIN cnt c ON (c.mask & t.s) = c.mask
+        GROUP BY t.s)
+    SELECT channel, phi_e24 FROM ({" UNION ALL ".join(arms)}) ORDER BY channel
+    """
+
+
+@query("events_attribution_shapley", oracle=_shapley_oracle())
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE channel attribution — the fourth attribution model
+    beside last-touch, linear, and Markov removal (Shapley 1953; the
+    data-driven marketing formulation of Zhao et al. 2018): the
+    coalition game is v(S) = number of converters whose pre-first-
+    purchase channel set is a non-empty subset of S, and each channel's
+    credit is its exact Shapley value. With n = 4 channels the weights
+    s!(n−1−s)!/n! have common denominator 24, so φ·24 is a pure BIGINT
+    (no float anywhere) and the efficiency axiom Σφ = v(full) − v(∅)
+    holds exactly on the lattice. Channel sets compare at MICROsecond
+    grain (epoch_us on both engines — the events table's nanos fold
+    identically).
+
+    Scale shape: per-user masks are one bit_or aggregate after an
+    equi-join against the first-purchase table (user-keyed shuffles,
+    O(events)); everything after runs on the 15-row mask census — the
+    2^n subset enumeration (the thing that makes exact Shapley
+    intractable) happens on the CENSUS, not the corpus, so n caps the
+    cost and the corpus never re-enters. Output: one φ·24 per channel."""
+    ch_map = F.create_map(
+        *[x for i, c in enumerate(SHAP_CHANNELS) for x in (F.lit(c), F.lit(1 << i))]
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("fp_us"))
+    )
+    masks = (
+        fp.join(
+            ev.filter(F.col("event_type") != "purchase").withColumnRenamed(
+                "user_id", "uid"
+            ),
+            (F.col("uid") == F.col("user_id")) & (F.col("us") < F.col("fp_us")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.bit_or(ch_map[F.col("event_type")]), F.lit(0)
+            ).alias("mask")
+        )
+    )
+    cnt = (
+        masks.filter(F.col("mask") != 0)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    subsets = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(cnt),
+            (F.col("mask").bitwiseAND(F.col("s"))) == F.col("mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for ci, c in enumerate(SHAP_CHANNELS):
+        bit = 1 << ci
+        for S in range(16):
+            if S & bit:
+                continue
+            rows.append((c, S | bit, S, SHAP_W24[bin(S).count("1")]))
+    terms = spark.createDataFrame(rows, "channel string, s_with int, s_without int, w24 long")
+    v1 = v.select(F.col("s").alias("s_with"), F.col("v").alias("v_with"))
+    v0 = v.select(F.col("s").alias("s_without"), F.col("v").alias("v_without"))
+    return (
+        terms.join(F.broadcast(v1), "s_with")
+        .join(F.broadcast(v0), "s_without")
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w24") * (F.col("v_with") - F.col("v_without"))).alias(
+                "phi_e24"
+            )
+        )
+        .orderBy("channel")
+    )

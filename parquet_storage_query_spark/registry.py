@@ -83,6 +83,7 @@ _PRIORITY = [
     "mm_image_letterbox", "prep_incremental_join_view", "stream_join_view",
     "mm_video_keyframes", "profile_fk_coverage", "text_url_canonicalize",
     "graph_modularity", "agg_histogram_equidepth", "train_pit_features",
+    "events_attribution_shapley",
     "sim_pq_adaptive_topk", "mm_decode_jpeg_lossless_arith",
     "mm_decode_jpeg_hier_kinds", "profile_shuffle_skew",
     "stream_dedup_watermarked", "mm_decode_jpeg_lossless16",

@@ -1909,3 +1909,43 @@ def test_jpeg_hierarchical_roundtrip():
     with _pytest.raises(ValueError):
         # drop the EXP: differential dims no longer match the reference
         decode_jpeg(good[:exp_at] + good[exp_at + 5 :])
+
+
+def test_shapley_attribution_efficiency_axiom(spark):
+    """Σ_c φ_c = v(full) − v(∅) must hold EXACTLY on the ×24 lattice —
+    the Shapley efficiency axiom is the structural invariant that
+    catches a wrong coalition weight or a miscounted marginal term
+    (both would still produce plausible-looking per-channel numbers)."""
+    from parquet_storage_query_spark.operators.events import (
+        events_attribution_shapley,
+    )
+    from .conftest import SF_SMOKE
+    import pyspark.sql.functions as F
+
+    from parquet_storage_query_spark.catalog import load
+
+    rows = events_attribution_shapley(spark, SF_SMOKE).collect()
+    total = sum(r.phi_e24 for r in rows)
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("fp_us"))
+    )
+    v_full = (
+        fp.join(
+            ev.filter(F.col("event_type") != "purchase").withColumnRenamed(
+                "user_id", "uid"
+            ),
+            (F.col("uid") == F.col("user_id")) & (F.col("us") < F.col("fp_us")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(F.count("uid").alias("n"))
+        .filter(F.col("n") > 0)
+        .count()
+    )
+    assert total == 24 * v_full
+    assert {r.channel for r in rows} == {"click", "view", "signup", "error"}
