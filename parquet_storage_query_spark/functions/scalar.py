@@ -511,3 +511,91 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cents % bucket).alias("cents_mod"),
         F.expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").alias("prio_digit"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_inet",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               (c_custkey * 2654435761) % 4294967296 AS ip_u32,
+               8 + (c_custkey % 17) AS prefix_len
+        FROM customer WHERE c_custkey <= 500
+    ), net AS (
+        SELECT c_custkey, ip_u32, prefix_len,
+               (1::BIGINT << (32 - prefix_len)) AS block,
+               ip_u32 - (ip_u32 % (1::BIGINT << (32 - prefix_len))) AS net_u32
+        FROM base
+    ), dotted AS (
+        SELECT *,
+               ip_u32 // 16777216 AS o1, (ip_u32 // 65536) % 256 AS o2,
+               (ip_u32 // 256) % 256 AS o3, ip_u32 % 256 AS o4
+        FROM net
+    )
+    SELECT c_custkey,
+           CAST(ip_u32 AS BIGINT) AS ip_u32,
+           o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip,
+           CAST(prefix_len AS BIGINT) AS prefix_len,
+           (net_u32 // 16777216) || '.' || ((net_u32 // 65536) % 256) || '.'
+               || ((net_u32 // 256) % 256) || '.' || (net_u32 % 256)
+               || '/' || prefix_len AS cidr,
+           CAST(net_u32 + block - 1 AS BIGINT) AS broadcast_u32,
+           CAST(block - 2 AS BIGINT) AS n_hosts,
+           CAST(CASE WHEN ip_u32 // 16777216 = 10 THEN 1 ELSE 0 END
+                AS BIGINT) AS in_10_slash_8,
+           CAST(CASE WHEN o1 * 16777216 + o2 * 65536 + o3 * 256 + o4
+                          = ip_u32 THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
+    FROM dotted ORDER BY c_custkey
+    """,
+)
+def scalar_inet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 / CIDR function pack (the `inet` extension surface engines
+    ship for log analytics): dotted-quad render, string->uint32 re-parse
+    (round-trip asserted per row), CIDR network derivation by prefix
+    length, broadcast address, usable-host count, and a /8 containment
+    probe. IPs are synthesized deterministically from customer keys
+    (Knuth multiplicative hash mod 2^32), so both engines derive the
+    same addresses with exact BIGINT math — masks are `shiftleft(1,
+    32-p)` blocks, never float pow, and every cell is BIGINT/STRING.
+
+    Scale shape: row-local codegen expressions only — no shuffle, no
+    UDF; at 100 TB this is a map-only pass whose cost is the scan.
+    Reference analogue: none (function-pack extension, SURVEY §2.8)."""
+    base = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            F.expr("(c_custkey * 2654435761) % 4294967296").alias("ip_u32"),
+            F.expr("8 + (c_custkey % 17)").alias("prefix_len"),
+        )
+        .withColumn("block", F.expr("shiftleft(CAST(1 AS BIGINT), 32 - prefix_len)"))
+        .withColumn("net_u32", F.expr("ip_u32 - (ip_u32 % block)"))
+        .withColumn("o1", F.expr("ip_u32 DIV 16777216"))
+        .withColumn("o2", F.expr("(ip_u32 DIV 65536) % 256"))
+        .withColumn("o3", F.expr("(ip_u32 DIV 256) % 256"))
+        .withColumn("o4", F.expr("ip_u32 % 256"))
+        .withColumn("ip", F.expr("concat(o1, '.', o2, '.', o3, '.', o4)"))
+    )
+    reparsed = (
+        F.expr("CAST(split(ip, '\\\\.')[0] AS BIGINT) * 16777216")
+        + F.expr("CAST(split(ip, '\\\\.')[1] AS BIGINT) * 65536")
+        + F.expr("CAST(split(ip, '\\\\.')[2] AS BIGINT) * 256")
+        + F.expr("CAST(split(ip, '\\\\.')[3] AS BIGINT)")
+    )
+    return base.select(
+        "c_custkey",
+        F.col("ip_u32").cast("long").alias("ip_u32"),
+        "ip",
+        F.col("prefix_len").cast("long").alias("prefix_len"),
+        F.expr(
+            "concat(net_u32 DIV 16777216, '.', (net_u32 DIV 65536) % 256, '.',"
+            " (net_u32 DIV 256) % 256, '.', net_u32 % 256, '/', prefix_len)"
+        ).alias("cidr"),
+        F.expr("CAST(net_u32 + block - 1 AS BIGINT)").alias("broadcast_u32"),
+        F.expr("CAST(block - 2 AS BIGINT)").alias("n_hosts"),
+        F.expr(
+            "CAST(CASE WHEN ip_u32 DIV 16777216 = 10 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("in_10_slash_8"),
+        F.when(reparsed == F.col("ip_u32"), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("roundtrip_ok"),
+    ).orderBy("c_custkey")
