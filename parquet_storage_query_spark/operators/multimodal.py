@@ -4623,6 +4623,13 @@ def ensure_tiff_fixture(spark: SparkSession, sf_dir: str) -> str:
                             predictor=2 if (d >> 1) % 2 == 0 else 1,
                             big_endian=(d >> 2) % 2 == 1,
                             rows_per_strip=3,
+                            # real EXIF sub-IFD (round 11): ISO SHORT +
+                            # pixel-dimension LONGs, ascending tag order
+                            exif=[
+                                (34855, 3, 100 + (d % 16) * 25),
+                                (40962, 4, w),
+                                (40963, 4, h),
+                            ],
                         )
                     )
                 yield pd.DataFrame({"doc_id": pdf["doc_id"], "tif": blobs})
@@ -4632,7 +4639,7 @@ def ensure_tiff_fixture(spark: SparkSession, sf_dir: str) -> str:
         ).parquet(dest)
 
     return ensure_artifact(
-        spark, sf_dir, "tiff_fixture", "v2", [table_path(sf_dir, "documents")], build
+        spark, sf_dir, "tiff_fixture", "v3", [table_path(sf_dir, "documents")], build
     )
 
 
@@ -4705,6 +4712,88 @@ def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, "
         "sum_r long, sum_g long, sum_b long, psum long",
     )
+
+
+@query(
+    "mm_exif_metadata",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               {TIF_W_BASE} + doc_id % {TIF_W_MOD} AS w,
+               {TIF_H_BASE} + doc_id % {TIF_H_MOD} AS h
+        FROM documents)
+    SELECT doc_id,
+           CASE WHEN (doc_id // 4) % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+           CAST(11 AS BIGINT) AS n_ifd_entries,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 1
+                ELSE 32773 END AS BIGINT) AS compression,
+           CAST(CASE WHEN (doc_id // 2) % 2 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS predictor,
+           CAST(3 AS BIGINT) AS rows_per_strip,
+           CAST((h + 2) // 3 AS BIGINT) AS n_strips,
+           CAST(100 + (doc_id % 16) * 25 AS BIGINT) AS exif_iso,
+           CAST(1 AS BIGINT) AS dims_consistent
+    FROM m ORDER BY doc_id
+    """,
+)
+def mm_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY image catalog scan — the image analog of the
+    footer-only parquet aggregate (ref_total_count_meta, reference
+    QueryOrchestration.cs:425-439's cheap-pass idea): walk the TIFF IFD
+    chain (main IFD + the EXIF 34665 sub-IFD every camera writes) and
+    emit the catalog row — byte order, entry census, dimensions,
+    compression, predictor, strip layout, ISO — WITHOUT touching a
+    single strip byte. On a 100 TB image lake this is the triage pass
+    that costs header-reads where a decode pass costs the lake: the
+    kernel reads ~200 bytes per blob regardless of image size.
+
+    The fixture's per-doc option sweep (compression x predictor x byte
+    order x dims x ISO) means every output cell is closed-form in
+    doc_id, so a mis-parsed field on ANY variant reddens the hash;
+    dims_consistent cross-checks the EXIF PixelX/YDimension sub-IFD
+    values against the main-IFD width/height (= 1 everywhere by
+    construction, parsed independently from both IFDs). All cells
+    BIGINT/STRING."""
+    src = spark.read.parquet(ensure_tiff_fixture(spark, sf_dir))
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .tiff import read_tiff_metadata
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["tif"]):
+                m = read_tiff_metadata(bytes(blob))
+                t = m["tags"]
+                w, h = t[256][2], t[257][2]
+                ex = m["exif"]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "byte_order": m["byte_order"],
+                        "n_ifd_entries": m["n_entries"],
+                        "width": w,
+                        "height": h,
+                        "compression": t[259][2],
+                        "predictor": t[317][2],
+                        "rows_per_strip": t[278][2],
+                        "n_strips": t[273][1],
+                        "exif_iso": ex[34855][2],
+                        "dims_consistent": int(
+                            ex[40962][2] == w and ex[40963][2] == h
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        meta,
+        schema="doc_id long, byte_order string, n_ifd_entries long, "
+        "width long, height long, compression long, predictor long, "
+        "rows_per_strip long, n_strips long, exif_iso long, "
+        "dims_consistent long",
+    ).orderBy("doc_id")
 
 
 @query(

@@ -259,9 +259,12 @@ def encode_tiff(
     predictor: int = 2,
     big_endian: bool = False,
     rows_per_strip: int = 4,
+    exif: list[tuple[int, int, int]] | None = None,
 ) -> bytes:
     """Baseline-TIFF encoder: 8-bit RGB, strip-organized, optional LZW +
-    horizontal differencing, either byte order."""
+    horizontal differencing, either byte order. `exif` adds a real EXIF
+    sub-IFD (tag 34665 LONG pointer) of (tag, type, value) entries with
+    inline SHORT/LONG values — the layout every camera writes."""
     e = ">" if big_endian else "<"
     raw = bytearray(pixels)
     if predictor == 2:
@@ -283,7 +286,9 @@ def encode_tiff(
     entries: list[tuple[int, int, int, bytes | int]] = []
     extra = bytearray()  # out-of-line values, appended after the IFD
     header = 8
-    ifd_size = 2 + 12 * 10 + 4
+    n_main = 10 + (1 if exif else 0)
+    ifd_size = 2 + 12 * n_main + 4
+    sub_size = (2 + 12 * len(exif) + 4) if exif else 0
 
     def defer(fmt: str, values: list[int]) -> int:
         pos = header + ifd_size + len(extra)
@@ -292,10 +297,10 @@ def encode_tiff(
 
     bps_off = defer("H", [8, 8, 8])
     # strip offset/count arrays live out-of-line only when there are
-    # multiple strips (4+4 bytes per strip); a single strip inlines both
-    strip_data_start = (
-        header + ifd_size + len(extra) + (8 * n_strips if n_strips > 1 else 0)
-    )
+    # multiple strips (4+4 bytes per strip); a single strip inlines both;
+    # the EXIF sub-IFD (if any) sits after the out-of-line block
+    sub_off = header + ifd_size + len(extra) + (8 * n_strips if n_strips > 1 else 0)
+    strip_data_start = sub_off + sub_size
     offsets = []
     pos = strip_data_start
     for s in strips:
@@ -327,10 +332,68 @@ def encode_tiff(
         struct.pack(e + "HHII", 279, 4, n_strips, cnt_off),
         entry(317, 3, 1, predictor),
     ]
+    sub = b""
+    if exif:
+        ents.append(entry(34665, 4, 1, sub_off))
+        sub_ents = [entry(t, typ, 1, v) for t, typ, v in exif]
+        sub = (
+            struct.pack(e + "H", len(sub_ents))
+            + b"".join(sub_ents)
+            + struct.pack(e + "I", 0)
+        )
+        assert len(sub) == sub_size
     ifd = struct.pack(e + "H", len(ents)) + b"".join(ents) + struct.pack(
         e + "I", 0
     )
     assert len(ifd) == ifd_size
     magic = b"MM\x00*" if big_endian else b"II*\x00"
     head = magic + struct.pack(e + "I", header)
-    return head + ifd + bytes(extra) + b"".join(strips)
+    return head + ifd + bytes(extra) + sub + b"".join(strips)
+
+
+def read_tiff_metadata(data: bytes) -> dict:
+    """IFD walk ONLY — never touches strip payloads: the image analog of
+    a parquet footer-only scan (cf. ref_total_count_meta). Returns byte
+    order, main-IFD entry census, the scalar tags a catalog needs, the
+    StripOffsets count, and the EXIF sub-IFD (tag 34665) when present.
+    """
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF stream")
+
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+
+    def walk(ifd_off: int) -> tuple[int, dict[int, tuple[int, int, int]]]:
+        (n_entries,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+        out: dict[int, tuple[int, int, int]] = {}
+        for i in range(n_entries):
+            ent = data[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+            tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+            if typ not in type_size:
+                out[tag] = (typ, cnt, -1)
+                continue
+            if type_size[typ] * cnt <= 4:
+                first = struct.unpack(e + type_fmt[typ], ent[8 : 8 + type_size[typ]])[0]
+            else:
+                (off,) = struct.unpack(e + "I", ent[8:12])
+                first = struct.unpack(e + type_fmt[typ], data[off : off + type_size[typ]])[0]
+            out[tag] = (typ, cnt, first)
+        return n_entries, out
+
+    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    n_entries, tags = walk(ifd_off)
+    exif: dict[int, tuple[int, int, int]] = {}
+    n_exif = 0
+    if 34665 in tags:
+        n_exif, exif = walk(tags[34665][2])
+    return {
+        "byte_order": "MM" if e == ">" else "II",
+        "n_entries": n_entries,
+        "tags": tags,
+        "n_exif": n_exif,
+        "exif": exif,
+    }
