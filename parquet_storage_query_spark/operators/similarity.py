@@ -2719,3 +2719,122 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sq8"), "rk"
         )
     )
+
+
+KNN_G_K = 3  # neighbors per node in the graph
+KNN_G_BUDGET = 16  # deterministic per-(band,bucket) candidate budget
+
+
+def _knn_graph_oracle() -> str:
+    from .dedup import COS_PLANES_PER_BAND, N_COS_BANDS, _cos_planes_duck
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id,
+                 list_transform({_cos_planes_duck()},
+                                p -> CASE WHEN list_dot_product(v, p) > 0
+                                     THEN 1 ELSE 0 END) AS sig
+          FROM e),
+    bands AS (
+        SELECT vec_id, bd.band,
+               list_reduce(sig[bd.band * {COS_PLANES_PER_BAND} + 1
+                               : bd.band * {COS_PLANES_PER_BAND} + {COS_PLANES_PER_BAND}],
+                           (a, x) -> a * 2 + x) AS bucket
+        FROM s, range({N_COS_BANDS}) bd(band)),
+    rb AS (SELECT vec_id, band, bucket FROM (
+               SELECT vec_id, band, bucket,
+                      row_number() OVER (PARTITION BY band, bucket
+                                         ORDER BY vec_id) AS bn
+               FROM bands) WHERE bn <= {KNN_G_BUDGET}),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS vec_id, r.vec_id AS neighbor_id
+        FROM bands l JOIN rb r
+          ON l.band = r.band AND l.bucket = r.bucket
+         AND l.vec_id <> r.vec_id),
+    scored AS (
+        SELECT cd.vec_id, cd.neighbor_id,
+               list_dot_product(el.v, er.v)
+               / (sqrt(list_dot_product(el.v, el.v))
+                  * sqrt(list_dot_product(er.v, er.v))) AS cos_raw
+        FROM cand cd
+        JOIN e el ON el.vec_id = cd.vec_id
+        JOIN e er ON er.vec_id = cd.neighbor_id),
+    knn AS (
+        SELECT vec_id, neighbor_id, cos_raw, rk FROM (
+            SELECT vec_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rk
+            FROM scored) WHERE rk <= {KNN_G_K})
+    SELECT a.vec_id, a.neighbor_id, a.rk,
+           round(a.cos_raw, 4) AS cos_sim,
+           CAST(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS mutual
+    FROM knn a LEFT JOIN knn b
+      ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+    ORDER BY a.vec_id, a.rk
+    """
+
+
+@query("sim_knn_graph", oracle=_knn_graph_oracle())
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-CORPUS k-NN graph construction — the precursor every
+    clustering / UMAP / label-propagation stage consumes, and the shape
+    that separates "serve 5 probes" (sim_lsh_topk) from "wire up N
+    nodes": the banded LSH index self-joins on (band, bucket), so
+    candidate generation is a co-located equi-join — never the N^2
+    cross product — and the candidate-side is budgeted to the first
+    {KNN_G_BUDGET} members per (band, bucket) by vec_id (deterministic,
+    so DuckDB replays the identical membership and the approximate
+    semantics stay hash-checked end-to-end, the dedup_embedding_cosine
+    discipline). Per node: exact cosine on the candidate union, top-3
+    by (cos desc, id), plus a MUTUAL flag from a self-join on the
+    3-NN edge set — mutual k-NN edges are the standard high-precision
+    subgraph used for agglomerative cluster seeding.
+
+    At 100 TB: the index is the only table touched (plan-tested to
+    build once), the self-join shuffles on (band, bucket) keys, the
+    budget bounds any hot bucket at B candidates, and the final graph
+    is O(N * k) rows. Reference analogue: none (ANN extension family).
+    """
+    bands = cos_lsh_index(spark, sf_dir)
+    wb = W.partitionBy("band", "bucket").orderBy("vec_id")
+    rb = (
+        bands.withColumn("bn", F.row_number().over(wb))
+        .filter(F.col("bn") <= KNN_G_BUDGET)
+        .select(
+            F.col("band").alias("rband"),
+            F.col("bucket").alias("rbucket"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("rv"),
+            F.col("n").alias("rn"),
+        )
+    )
+    cs = dot(F.col("v"), F.col("rv")) / (F.col("n") * F.col("rn"))
+    scored = (
+        bands.join(
+            rb,
+            (F.col("band") == F.col("rband"))
+            & (F.col("bucket") == F.col("rbucket"))
+            & (F.col("vec_id") != F.col("neighbor_id")),
+        )
+        .select("vec_id", "neighbor_id", cs.alias("cos_raw"))
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "neighbor_id")
+    knn = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_G_K)
+        .localCheckpoint(eager=True)  # reused by the mutual self-join
+    )
+    rev = knn.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("neighbor_id").alias("vec_id")
+    ).withColumn("mutual", F.lit(1))
+    return (
+        knn.join(rev, ["vec_id", "neighbor_id"], "left")
+        .select(
+            "vec_id", "neighbor_id", "rk",
+            F.round("cos_raw", 4).alias("cos_sim"),
+            F.coalesce("mutual", F.lit(0)).cast("long").alias("mutual"),
+        )
+        .orderBy("vec_id", "rk")
+    )
