@@ -76,7 +76,7 @@ def query(name: str, oracle: str | None = None):
 _PRIORITY = [
     # -- ROUND-11 HEAD: new operators (first driver rows) -----------------
     "scalar_inet", "graph_connected_components", "mm_exif_metadata",
-    "sim_knn_graph",
+    "sim_knn_graph", "stream_cdc_apply",
     # audit twins closing VERDICT r10 #1: the last 4 rows-only queries'
     # hash-checkable evidence channel
     "agg_approx_distinct_audit", "agg_approx_percentiles_audit",

@@ -462,3 +462,135 @@ def stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_orders"), F.sum("sc").alias("total_cents"))
         .orderBy("c_nationkey", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: an ordered insert/update/delete change log folded to final
+# table state by SEQUENCE number (last-writer-wins), not arrival order.
+# ---------------------------------------------------------------------------
+
+
+def _cdc_log_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic CDC change log over orders — every order INSERTs
+    (seq k*4+1); every 3rd key UPDATEs its price +777 cents (seq k*4+2);
+    every 7th key DELETEs (seq k*4+3) — re-sharded into 4 files HASHED
+    BY SEQ, so one key's I/U/D events deliberately land in different
+    micro-batches and can arrive with a LATER batch carrying an EARLIER
+    sequence number. A fold that picks last-arrival instead of max-seq
+    fails this corpus."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+    from ..operators.advanced import _cents
+
+    def build(dest: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            _cents("o_totalprice").alias("cents"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        ins = o.select(
+            "k", (F.col("k") * 4 + 1).alias("seq"), F.lit("I").alias("op"),
+            "cents", "st",
+        )
+        upd = o.filter(F.col("k") % 3 == 0).select(
+            "k", (F.col("k") * 4 + 2).alias("seq"), F.lit("U").alias("op"),
+            (F.col("cents") + 777).alias("cents"), "st",
+        )
+        dele = o.filter(F.col("k") % 7 == 0).select(
+            "k", (F.col("k") * 4 + 3).alias("seq"), F.lit("D").alias("op"),
+            F.lit(0).cast("long").alias("cents"), "st",
+        )
+        (
+            ins.unionByName(upd).unionByName(dele)
+            .repartition(4, "seq")
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+
+    return ensure_artifact(
+        spark, sf_dir, "cdc_log_shards", "v1", [table_path(sf_dir, "orders")], build
+    )
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH chg AS (
+        SELECT o_orderkey AS k, o_orderkey * 4 + 1 AS seq, 'I' AS op,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS st
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderkey * 4 + 2, 'U',
+               CAST(round(o_totalprice * 100) AS BIGINT) + 777, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderkey * 4 + 3, 'D', 0, o_orderstatus
+        FROM orders WHERE o_orderkey % 7 = 0),
+    last AS (
+        SELECT k, op, cents, st FROM (
+            SELECT k, op, cents, st,
+                   row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+            FROM chg) WHERE rn = 1)
+    SELECT st AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_live,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(((k % 1000003) * (cents % 1000003)) % 1000003)
+                AS BIGINT) AS key_checksum
+    FROM last WHERE op <> 'D'
+    GROUP BY st ORDER BY st
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE CDC APPLY — the Debezium-shaped contract every lakehouse
+    ingest runs: an insert/update/delete change log arrives as
+    micro-batches and must fold to final table state by SEQUENCE
+    NUMBER, not arrival order. The shard layout is adversarial by
+    construction (events hashed by seq across 4 files), so a key's
+    DELETE can arrive a batch BEFORE its INSERT — the update-mode
+    max_by(struct(op, cents, st), seq) aggregate still converges
+    because max-seq is commutative over any delivery interleaving; the
+    memory sink's per-batch snapshots are then reduced by the same
+    max-seq rule (monotone, so the final snapshot per key wins).
+    Deletes participate as tombstones and are filtered only at serving.
+
+    Output is the per-status live-row census with an exact integer
+    key*cents checksum (on the mod-1000003 lattice so the sum fits
+    BIGINT at any corpus scale) — a resurrection (applied-after-delete), a lost
+    update, or an arrival-order fold reddens the hash. The DuckDB
+    oracle states the same last-writer-wins semantics as one window.
+
+    At 100 TB: state is O(live keys) per-key structs, each micro-batch
+    shuffles only its own rows on k, and history is never re-read —
+    the standing contrast to prep_upsert_merge's batch MERGE.
+    Reference analogue: none (streaming extension, SURVEY §2.9)."""
+    from .windows import _run_to_memory
+
+    shards = _cdc_log_shards(spark, sf_dir)
+    chg = (
+        spark.readStream.schema("k long, seq long, op string, cents long, st string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+    state = chg.groupBy("k").agg(
+        F.max("seq").alias("mseq"),
+        F.max_by(F.struct("op", "cents", "st"), F.col("seq")).alias("s"),
+    )
+    snap = _run_to_memory(state, "stream_cdc_apply_out", "update")
+    final = (
+        snap.groupBy("k")
+        .agg(F.max_by(F.struct("s.op", "s.cents", "s.st"), F.col("mseq")).alias("s"))
+        .select("k", "s.op", "s.cents", "s.st")
+        .filter(F.col("op") != "D")
+    )
+    return (
+        final.groupBy(F.col("st").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(
+                ((F.col("k") % 1000003) * (F.col("cents") % 1000003)) % 1000003
+            ).alias("key_checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )
