@@ -289,6 +289,12 @@ HEADLINE = [
     "agg_histogram_equidepth",
     "train_pit_features",
     "events_attribution_shapley",
+    # round-11 wave 5
+    "scalar_inet",
+    "graph_connected_components",
+    "mm_exif_metadata",
+    "sim_knn_graph",
+    "stream_cdc_apply",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to
