@@ -416,10 +416,6 @@ def decode_jpeg(data: bytes, components: bool = False):
                 raise NotImplementedError("JPEG: DCT-mode precision must be 8 or 12")
             elif precision == 12 and marker == 0xC0:
                 raise ValueError("JPEG: baseline (SOF0) is 8-bit by definition")
-            elif precision == 12 and arith:
-                # the QM-coded 12-bit path has no in-container fixture
-                # encoder to prove it against; keep the boundary loud
-                raise NotImplementedError("JPEG: 12-bit arithmetic DCT modes")
             comps = []
             for c in range(ncomp):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
@@ -589,7 +585,7 @@ def decode_jpeg(data: bytes, components: bool = False):
                 return decode_arith_scan(
                     data, pos, width, height, comps, scan,
                     quant, arith_dc_cond, arith_ac_cond, restart_interval,
-                    components,
+                    components, precision=precision,
                 )
             if not progressive:
                 return _decode_scan(

@@ -489,7 +489,7 @@ def _dec_ac(
 
 def decode_arith_scan(
     data, pos, width, height, comps, scan, quant, dc_cond, ac_cond, dri,
-    components=False,
+    components=False, precision=8,
 ):
     """MCU-interleaved sequential scan decode, arithmetic entropy layer.
     Mirrors jpeg._decode_scan: per-component native-resolution planes,
@@ -556,13 +556,13 @@ def decode_arith_scan(
                         block = (block.reshape(8, 8) * q.reshape(8, 8)).astype(
                             np.float64
                         )
-                        px = idct_8x8(block) + 128.0
+                        px = idct_8x8(block) + float(1 << (precision - 1))
                         r0 = (my * vs + byy) * 8
                         c0 = (mx * hs + bxx) * 8
                         planes[si][r0 : r0 + 8, c0 : c0 + 8] = px
             mcu += 1
     samps = [(comps[ci][1], comps[ci][2]) for ci, _, _ in scan]
-    return _assemble_output(planes, samps, width, height, components)
+    return _assemble_output(planes, samps, width, height, components, precision)
 
 
 # ---------------------------------------------------------------------------
@@ -570,11 +570,17 @@ def decode_arith_scan(
 # ---------------------------------------------------------------------------
 
 
-def _arith_headers(width: int, height: int, restart_interval: int = 0) -> bytes:
-    from .jpeg import FIX_QUANT, ZIGZAG, _seg
+def _arith_headers(width: int, height: int, restart_interval: int = 0,
+                   precision: int = 8) -> bytes:
+    from .jpeg import FIX12_QUANT, FIX_QUANT, ZIGZAG, _seg
 
-    dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    if precision == 8:
+        dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
+    else:  # 12-bit samples: Pq=1 16-bit quantizer entries (T.81 B.2.4.1)
+        dqt = bytes([0x10]) + b"".join(
+            struct.pack(">H", int(FIX12_QUANT[ZIGZAG[z]])) for z in range(64)
+        )
+    sof = struct.pack(">BHHB", precision, height, width, 1) + bytes([1, 0x11, 0])
     # DAC (§B.2.4.3): DC table 0 -> Cs=(U<<4)|L, AC table 0 -> Cs=Kx
     dac = bytes([0x00, (DC_U_DEFAULT << 4) | DC_L_DEFAULT, 0x10, AC_KX_DEFAULT])
     dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
@@ -590,7 +596,8 @@ def _arith_headers(width: int, height: int, restart_interval: int = 0) -> bytes:
 
 
 def encode_jpeg_arith_blocks(
-    blocks_w: int, blocks_h: int, values, restart_interval: int = 0
+    blocks_w: int, blocks_h: int, values, restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Grayscale ARITHMETIC-CODED (SOF9) JPEG where block i is the
     constant values[i] — the same exact-roundtrip construction as
@@ -598,12 +605,13 @@ def encode_jpeg_arith_blocks(
     the QM coder replacing Huffman. Restart intervals flush the QM
     encoder, emit byte-aligned RSTn, and reset statistics + predictors."""
     blocks = []
+    level = 1 << (precision - 1)
     for v in values:
         zz = np.zeros(64, dtype=np.int64)
-        zz[0] = int(v) - 128
+        zz[0] = int(v) - level
         blocks.append(zz)
     return (
-        _arith_headers(blocks_w * 8, blocks_h * 8, restart_interval)
+        _arith_headers(blocks_w * 8, blocks_h * 8, restart_interval, precision)
         + _encode_arith_entropy(blocks, restart_interval)
         + b"\xff\xd9"
     )
@@ -851,18 +859,25 @@ def _enc_ac_refine(
 # ---------------------------------------------------------------------------
 
 
-def _arith_prog_headers(width: int, height: int, restart_interval: int = 0) -> bytes:
-    from .jpeg import FIX_QUANT, ZIGZAG, _seg
+def _arith_prog_headers(width: int, height: int, restart_interval: int = 0,
+                        precision: int = 8) -> bytes:
+    from .jpeg import FIX12_QUANT, FIX_QUANT, ZIGZAG, _seg
 
-    dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    if precision == 8:
+        dqt = bytes([0x00]) + bytes(int(FIX_QUANT[ZIGZAG[z]]) for z in range(64))
+    else:
+        dqt = bytes([0x10]) + b"".join(
+            struct.pack(">H", int(FIX12_QUANT[ZIGZAG[z]])) for z in range(64)
+        )
+    sof = struct.pack(">BHHB", precision, height, width, 1) + bytes([1, 0x11, 0])
     dac = bytes([0x00, (DC_U_DEFAULT << 4) | DC_L_DEFAULT, 0x10, AC_KX_DEFAULT])
     dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xCA, sof) + _seg(0xCC, dac) + dri
 
 
 def encode_jpeg_arith_progressive(
-    blocks_w: int, blocks_h: int, values, restart_interval: int = 0
+    blocks_w: int, blocks_h: int, values, restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """PROGRESSIVE ARITHMETIC (SOF10) grayscale fixture — the QM-coded
     twin of jpeg.encode_jpeg_progressive, same three-scan script and the
@@ -881,7 +896,8 @@ def encode_jpeg_arith_progressive(
 
     vals = [int(v) for v in values]
     ri = restart_interval
-    out = bytearray(_arith_prog_headers(blocks_w * 8, blocks_h * 8, ri))
+    level = 1 << (precision - 1)
+    out = bytearray(_arith_prog_headers(blocks_w * 8, blocks_h * 8, ri, precision))
 
     def rst(i: int) -> bytes:  # byte-aligned RSTn between intervals
         return bytes([0xFF, 0xD0 + ((i // ri - 1) % 8)])
@@ -895,7 +911,7 @@ def encode_jpeg_arith_progressive(
         if ri and i and i % ri == 0:
             body += enc.flush() + rst(i)
             enc, dc_st, pred, ctx = _QMEncoder(), bytearray(64), 0, 0
-        t = (v - 128) >> 1
+        t = (v - level) >> 1
         ctx = _enc_dc(enc, dc_st, ctx, t - pred, DC_L_DEFAULT, DC_U_DEFAULT)
         pred = t
     out += _sos_seg([(1, 0x00)], 0, 0, 0, 1) + body + enc.flush()
@@ -907,7 +923,7 @@ def encode_jpeg_arith_progressive(
         if ri and i and i % ri == 0:
             body += enc.flush() + rst(i)
             enc, fixed = _QMEncoder(), bytearray([FIXED_STATE])
-        enc.encode(fixed, 0, (v - 128) & 1)
+        enc.encode(fixed, 0, (v - level) & 1)
     out += _sos_seg([(1, 0x00)], 0, 0, 1, 0) + body + enc.flush()
     # scan 3: AC band 1..63 all zero — per-block EOB decisions
     enc = _QMEncoder()

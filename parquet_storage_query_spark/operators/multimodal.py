@@ -2074,18 +2074,27 @@ J12_A, J12_B = 997, 313  # block b of doc d: (d*A + B*b) % 4096
 
 
 def _jpeg12_fixture(doc_id: int) -> bytes:
-    # alternate the DCT process by doc parity: even docs extended
-    # sequential (SOF1, with restart markers every 2 MCUs on every third
-    # doc), odd docs progressive (SOF2: split DC + EOB-run AC scans)
+    # cycle the DCT process AND entropy layer by doc_id % 4: 0 = Huffman
+    # extended sequential SOF1 (restart markers every 2 MCUs on every
+    # third doc), 1 = Huffman progressive SOF2, 2 = ARITHMETIC extended
+    # sequential SOF9 (same restart layout), 3 = ARITHMETIC progressive
+    # SOF10 — all four 12-bit entropy x mode combinations of T.81 Table
+    # B.2 against the one closed-form oracle
     from .jpeg import encode_jpeg_blocks, encode_jpeg_progressive
+    from .jpeg_arith import encode_jpeg_arith_blocks, encode_jpeg_arith_progressive
 
     bw = J12_BW_BASE + doc_id % J12_BW_MOD
     bh = J12_BH_BASE + doc_id % J12_BH_MOD
     vals = [(doc_id * J12_A + J12_B * b) % 4096 for b in range(bw * bh)]
-    if doc_id % 2 == 0:
-        dri = 2 if doc_id % 3 == 0 else 0
+    dri = 2 if doc_id % 3 == 0 else 0
+    kind = doc_id % 4
+    if kind == 0:
         return encode_jpeg_blocks(bw, bh, vals, restart_interval=dri, precision=12)
-    return encode_jpeg_progressive(bw, bh, vals, precision=12)
+    if kind == 1:
+        return encode_jpeg_progressive(bw, bh, vals, precision=12)
+    if kind == 2:
+        return encode_jpeg_arith_blocks(bw, bh, vals, restart_interval=dri, precision=12)
+    return encode_jpeg_arith_progressive(bw, bh, vals, precision=12)
 
 
 def ensure_jpeg12_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -2114,7 +2123,7 @@ def ensure_jpeg12_fixture(spark: SparkSession, sf_dir: str) -> str:
         spark,
         sf_dir,
         "jpeg12_fixture",
-        "v1",
+        "v2",
         [table_path(sf_dir, "documents")],
         build,
     )
@@ -2134,7 +2143,8 @@ def ensure_jpeg12_fixture(spark: SparkSession, sf_dir: str) -> str:
         FROM dims, unnest(range(bw * bh)) AS t(i))
     SELECT doc_id,
            CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
-           CASE WHEN doc_id % 2 = 0 THEN 'seq' ELSE 'prog' END AS kind,
+           CASE doc_id % 4 WHEN 0 THEN 'seq' WHEN 1 THEN 'prog'
+                WHEN 2 THEN 'aseq' ELSE 'aprog' END AS kind,
            CAST(64 * sum(v) AS BIGINT) AS sum_lum,
            CAST(64 * sum(v * v) AS BIGINT) AS sum_sq
     FROM blk GROUP BY doc_id, bw, bh
@@ -2149,10 +2159,14 @@ def mm_decode_jpeg12(spark: SparkSession, sf_dir: str) -> DataFrame:
     4095, and the DC Huffman table spans SSSS 0..12. Even docs decode
     extended-sequential SOF1 (with RSTn resync on every third doc), odd
     docs progressive SOF2 (split DC + EOB-run AC scans at 12 bits) —
-    both against one closed-form per-block oracle, exact because the
-    fixture's blocks are constant (IDCT of a DC-only block). Baseline
-    SOF0 at 12 bits stays a loud ValueError (illegal per T.81 Table
-    B.2), 12-bit arithmetic DCT a loud NotImplementedError. 100 TB
+    all against one closed-form per-block oracle, exact because the
+    fixture's blocks are constant (IDCT of a DC-only block). The v2
+    fixture cycles the ENTROPY LAYER too: doc_id %% 4 = 2/3 encode the
+    same values through the QM coder (SOF9 extended-sequential with
+    restart-statistics reset / SOF10 progressive) at precision 12 —
+    with this, EVERY T.81 frame type decodes at EVERY legal precision
+    in-container. Baseline SOF0 at 12 bits stays a loud ValueError
+    (illegal per T.81 Table B.2). 100 TB
     shape: Arrow-batched mapInPandas, partitions scale with splits."""
     import numpy as np
 
@@ -2172,7 +2186,7 @@ def mm_decode_jpeg12(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id": did,
                         "width": w,
                         "height": h,
-                        "kind": "seq" if int(did) % 2 == 0 else "prog",
+                        "kind": ("seq", "prog", "aseq", "aprog")[int(did) % 4],
                         "sum_lum": int(arr.sum()),
                         "sum_sq": int((arr * arr).sum()),
                     }

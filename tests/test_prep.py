@@ -1756,9 +1756,9 @@ def test_jpeg12_dct_roundtrip():
     categories up to SSSS 12) and SOF2 progressive (split DC + EOB-run
     AC at 12 bits), via the Pq=1 16-bit DQT wire format — the fixture's
     AC steps exceed 255 so an 8-bit table parse cannot pass — with
-    uint16 planes clamped to 4095 and level shift 2048. 12-bit
-    arithmetic DCT stays a loud NotImplementedError (no in-container
-    fixture encoder to prove it against)."""
+    uint16 planes clamped to 4095 and level shift 2048 — and (round 11
+    third session) through SOF9/SOF10, the ARITHMETIC twins, closing
+    the last in-container T.81 boundary."""
     import numpy as np
     import pytest as _pytest
 
@@ -1786,11 +1786,31 @@ def test_jpeg12_dct_roundtrip():
                 by, bx = divmod(i, bw)
                 blk = planes[0][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 assert (blk == v).all(), (trial, i, v)
-    # 12-bit arithmetic DCT: patch a 12-bit SOF1 into SOF9 -> loud hook
-    seq12 = encode_jpeg_blocks(1, 1, [7], precision=12)
-    arith12 = seq12.replace(b"\xff\xc1\x00\x0b\x0c", b"\xff\xc9\x00\x0b\x0c", 1)
-    with _pytest.raises(NotImplementedError, match="arithmetic"):
-        decode_jpeg(arith12)
+    # 12-bit ARITHMETIC DCT (the gate this test used to pin as a loud
+    # hook, closed now that the QM fixture encoders are
+    # precision-parameterized): the same extremes sweep through SOF9
+    # extended-sequential (restart layouts 0/1/2) and SOF10 progressive
+    from parquet_storage_query_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_blocks,
+        encode_jpeg_arith_progressive,
+    )
+
+    for trial in range(3):
+        bw, bh = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        vals = rng.integers(0, 4096, bw * bh).tolist()
+        vals[0] = [0, 4095, 2048][trial]
+        streams = [encode_jpeg_arith_progressive(bw, bh, vals, precision=12)] + [
+            encode_jpeg_arith_blocks(bw, bh, vals, restart_interval=ri, precision=12)
+            for ri in (0, 1, 2)
+        ]
+        for data in streams:
+            w, h, n, planes = decode_jpeg(data, components=True)
+            assert (w, h, n) == (bw * 8, bh * 8, 1)
+            assert planes[0].dtype == np.uint16
+            for i, v in enumerate(vals):
+                by, bx = divmod(i, bw)
+                blk = planes[0][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (blk == v).all(), ("arith", trial, i, v)
 
 
 def test_jpeg_hierarchical_all_differential_kinds():
