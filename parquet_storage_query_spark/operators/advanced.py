@@ -5668,3 +5668,103 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_day,
+           CAST(count(*) AS BIGINT) AS n_rt_ok
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest round trip over Spark 4's NATIVE XML file source (the
+    spark-xml package folded into core) — the B2B/EDI/feed format the
+    reference's format-conversion family (SURVEY D3) never had a
+    shredder for: orders egest as <order> row elements across
+    corpus-scaled shards, read back with an EXPLICIT schema (schema
+    inference over 100 TB of XML is its own full scan — declaring the
+    schema is the production contract), and roll up counts / key
+    checksum / exact cents / date extents per (status, priority)
+    against the oracle's rollup over the ORIGINAL parquet. A lost row,
+    a mis-shredded element, or a type drift in the StAX parse breaks
+    the checksum. `n_rt_ok` additionally pins the SCALAR seam: every
+    row's struct survives an inline to_xml -> from_xml round trip
+    (counted JVM-side, so the expression pair itself is value-checked).
+
+    Timestamps ride as ISO strings (XML has no binary timestamp; ISO
+    min/max = chronological extents, and the driver-proof output policy
+    bans bare DATE cells anyway). 100 TB shape: the egest is a
+    partitioned text-format write, the read-back is record-per-element
+    with predicate pushdown unavailable by construction — the query
+    documents WHY these feeds land in parquet after one hop — and the
+    rollup is one partial-merged aggregate."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    cols = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "cents long, o_orderpriority string, ts string"
+    )
+
+    def build(dest: str) -> None:
+        n = load(spark, sf_dir, "orders").count()
+        shards = max(8, min(64, n // 200_000))
+        (
+            load(spark, sf_dir, "orders")
+            .repartition(shards)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+                "o_orderpriority",
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            )
+            .write.format("xml")
+            .option("rowTag", "order")
+            .mode("overwrite")
+            .save(dest)
+        )
+
+    dest = ensure_artifact(
+        spark, sf_dir, "orders_xml", "v1", [table_path(sf_dir, "orders")], build
+    )
+    x = (
+        spark.read.format("xml")
+        .schema(cols)
+        .option("rowTag", "order")
+        .load(dest)
+    )
+    s = F.struct("o_orderkey", "o_custkey", "o_orderstatus", "cents", "o_orderpriority", "ts")
+    rt = F.from_xml(F.to_xml(s), cols)
+    x = x.withColumn(
+        "rt_ok",
+        (
+            (rt["o_orderkey"] == F.col("o_orderkey"))
+            & (rt["cents"] == F.col("cents"))
+            & (rt["ts"] == F.col("ts"))
+            & (rt["o_orderpriority"] == F.col("o_orderpriority"))
+        ).cast("long"),
+    )
+    return (
+        x.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.sum("cents").alias("total_cents"),
+            F.substring(F.min("ts"), 1, 10).alias("first_day"),
+            F.substring(F.max("ts"), 1, 10).alias("last_day"),
+            F.sum("rt_ok").alias("n_rt_ok"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )

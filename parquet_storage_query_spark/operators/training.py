@@ -1079,3 +1079,97 @@ def train_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+def _pref_oracle() -> str:
+    from .text import cls_score_num_sql
+
+    num = cls_score_num_sql()
+    return f"""
+    WITH sc AS (
+        SELECT doc_id, doc_id // 4 AS prompt_id,
+               (({num} + 10000000 * len(string_split(trim(text), ' '))) * 100)
+                   // len(string_split(trim(text), ' ')) AS skey
+        FROM documents),
+    g AS (SELECT prompt_id, count(*) AS n_candidates FROM sc GROUP BY prompt_id
+          HAVING count(*) >= 2),
+    best AS (
+        SELECT prompt_id, doc_id AS chosen_id, skey AS ck FROM (
+            SELECT prompt_id, doc_id, skey,
+                   row_number() OVER (PARTITION BY prompt_id
+                                      ORDER BY skey DESC, doc_id) AS rn
+            FROM sc) WHERE rn = 1),
+    worst AS (
+        SELECT prompt_id, doc_id AS rejected_id, skey AS rk FROM (
+            SELECT prompt_id, doc_id, skey,
+                   row_number() OVER (PARTITION BY prompt_id
+                                      ORDER BY skey ASC, doc_id) AS rn
+            FROM sc) WHERE rn = 1)
+    SELECT g.prompt_id, CAST(n_candidates AS BIGINT) AS n_candidates,
+           chosen_id, rejected_id,
+           CAST(ck - rk AS BIGINT) AS margin_e6
+    FROM g JOIN best USING (prompt_id) JOIN worst USING (prompt_id)
+    ORDER BY g.prompt_id
+    """
+
+
+@query("train_preference_pairs", oracle=_pref_oracle())
+def train_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR construction — the DPO/RLHF dataset-build step:
+    group candidate completions by prompt (here the deterministic
+    prompt_id = doc_id DIV 4, four candidates per prompt), score each
+    with the SHARED hashing-trick quality classifier
+    (text.cls_score_num — the same model text_quality_classifier and
+    train_curriculum serve), and emit one (chosen, rejected) pair per
+    prompt: the argmax and argmin by score with doc_id tiebreaks, plus
+    the preference margin.
+
+    Exactness: ranking happens on an INTEGER key — the e6-floored
+    score ((S + 1e7·n)·100) DIV n, offset so the numerator is always
+    positive (floor and truncate divide diverge on negatives across
+    engines; positive DIV is both). Same formula in the oracle, so the
+    chosen/rejected assignment and margin are value-hash-checked.
+
+    At 100 TB: one keyed shuffle on prompt_id, windows over
+    prompt-sized groups (bounded at the candidate fan-out, never
+    corpus-sized), scoring map-side. Reference analogue: none
+    (training-prep extension, SURVEY §2.12)."""
+    from .text import cls_score_num
+
+    ws = words_col()
+    sc = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("doc_id DIV 4").alias("prompt_id"),
+        ((cls_score_num() + F.lit(10000000) * F.size(ws).cast("long")) * 100)
+        .cast("long")
+        .alias("sn"),
+        F.size(ws).cast("long").alias("nw"),
+    ).select("doc_id", "prompt_id", F.expr("sn DIV nw").alias("skey"))
+    wd = W.partitionBy("prompt_id").orderBy(F.col("skey").desc(), "doc_id")
+    wa = W.partitionBy("prompt_id").orderBy(F.col("skey").asc(), "doc_id")
+    ranked = sc.select(
+        "prompt_id",
+        "doc_id",
+        "skey",
+        F.row_number().over(wd).alias("rn_best"),
+        F.row_number().over(wa).alias("rn_worst"),
+        F.count(F.lit(1)).over(W.partitionBy("prompt_id")).alias("n_candidates"),
+    ).filter(F.col("n_candidates") >= 2)
+    best = ranked.filter(F.col("rn_best") == 1).select(
+        "prompt_id", "n_candidates",
+        F.col("doc_id").alias("chosen_id"), F.col("skey").alias("ck"),
+    )
+    worst = ranked.filter(F.col("rn_worst") == 1).select(
+        "prompt_id", F.col("doc_id").alias("rejected_id"), F.col("skey").alias("rk")
+    )
+    return (
+        best.join(worst, "prompt_id")
+        .select(
+            "prompt_id",
+            "n_candidates",
+            "chosen_id",
+            "rejected_id",
+            (F.col("ck") - F.col("rk")).alias("margin_e6"),
+        )
+        .orderBy("prompt_id")
+    )
