@@ -297,6 +297,8 @@ HEADLINE = [
     "stream_cdc_apply",
     "source_xml_roundtrip",
     "train_preference_pairs",
+    "join_spatial_grid",
+    "scalar_geohash",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

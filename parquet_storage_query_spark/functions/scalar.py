@@ -599,3 +599,133 @@ def scalar_inet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("in_10_slash_8"),
         F.when(reparsed == F.col("ip_u32"), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("roundtrip_ok"),
     ).orderBy("c_custkey")
+
+
+GH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"  # geohash base32 (no a,i,l,o)
+
+
+def _gh_interleave_sql(qlon: str, qlat: str) -> str:
+    """DuckDB: interleave two 20-bit quantized coords into the 40-bit
+    geohash code (lon takes the even bit positions from the MSB)."""
+    return (
+        f"list_reduce(list_transform(range(20), i -> "
+        f"((({qlon} >> (19 - i)) & 1) * (1::BIGINT << CAST(39 - 2 * i AS INT))"
+        f" + (({qlat} >> (19 - i)) & 1) * (1::BIGINT << CAST(38 - 2 * i AS INT)))"
+        f"), (a, x) -> a + x)"
+    )
+
+
+def _gh_chars_sql(code: str) -> str:
+    parts = " || ".join(
+        f"substr('{GH_ALPHA}', CAST((({code} >> {35 - 5 * g}) & 31) + 1 AS INT), 1)"
+        for g in range(8)
+    )
+    return f"({parts})"
+
+
+@query(
+    "scalar_geohash",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               ((c_custkey * 2654435761) % 180000000) - 90000000 AS lat_e6,
+               ((c_custkey * 97654321) % 360000000) - 180000000 AS lon_e6
+        FROM customer WHERE c_custkey <= 400),
+    q AS (
+        SELECT id, lat_e6, lon_e6,
+               ((lat_e6 + 90000000) * 1048576) // 180000000 AS qlat,
+               ((lon_e6 + 180000000) * 1048576) // 360000000 AS qlon
+        FROM pts),
+    c AS (SELECT *, {_gh_interleave_sql('qlon', 'qlat')} AS code FROM q),
+    d AS (
+        SELECT *,
+               list_reduce(list_transform(range(20), i ->
+                   ((code >> CAST(39 - 2 * i AS INT)) & 1)
+                       * (1::BIGINT << CAST(19 - i AS INT))),
+                   (a, x) -> a + x) AS qlon_rt,
+               list_reduce(list_transform(range(20), i ->
+                   ((code >> CAST(38 - 2 * i AS INT)) & 1)
+                       * (1::BIGINT << CAST(19 - i AS INT))),
+                   (a, x) -> a + x) AS qlat_rt
+        FROM c)
+    SELECT id, CAST(lat_e6 AS BIGINT) AS lat_e6, CAST(lon_e6 AS BIGINT) AS lon_e6,
+           {_gh_chars_sql('code')} AS geohash8,
+           substr({_gh_chars_sql('code')}, 1, 4) AS cell4,
+           CAST(CASE WHEN qlon_rt = qlon AND qlat_rt = qlat
+                THEN 1 ELSE 0 END AS BIGINT) AS rt_ok
+    FROM d ORDER BY id
+    """,
+)
+def scalar_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOHASH encode (the Niemeyer base32 Z-order cell id every geo
+    index keys on) in PURE integer codegen: quantize lat/lon
+    microdegrees to 20-bit grid coordinates (integer DIV — no float
+    degrees anywhere), interleave to the 40-bit Z-order code with a
+    fold over shiftleft/shiftright (lon takes even bit positions from
+    the MSB, per the public geohash spec), then map 5-bit groups
+    through the base32 alphabet. `rt_ok` proves the DECODE inverse per
+    row (de-interleave returns the exact quantized coords), and
+    `cell4` is the prefix every proximity bucketing groups by — the
+    geohash twin of join_spatial_grid's cell key. Coordinates derive
+    from customer keys via the same Knuth hash as scalar_inet, so both
+    engines synthesize identical points; every cell is BIGINT/STRING.
+
+    Scale shape: row-local expressions only (a fold over a 20-element
+    sequence inside whole-stage codegen) — map-only at 100 TB.
+    Reference analogue: none (function-pack extension, SURVEY §2.8)."""
+    pts = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 400)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.expr("((c_custkey * 2654435761) % 180000000) - 90000000").alias("lat_e6"),
+            F.expr("((c_custkey * 97654321) % 360000000) - 180000000").alias("lon_e6"),
+        )
+        .withColumn("qlat", F.expr("((lat_e6 + 90000000) * 1048576) DIV 180000000"))
+        .withColumn("qlon", F.expr("((lon_e6 + 180000000) * 1048576) DIV 360000000"))
+        .withColumn(
+            "code",
+            F.expr(
+                "aggregate(sequence(0, 19), CAST(0 AS BIGINT), (a, i) -> a"
+                " + shiftleft(shiftright(qlon, 19 - i) & 1, 39 - 2 * i)"
+                " + shiftleft(shiftright(qlat, 19 - i) & 1, 38 - 2 * i))"
+            ),
+        )
+        .withColumn(
+            "qlon_rt",
+            F.expr(
+                "aggregate(sequence(0, 19), CAST(0 AS BIGINT), (a, i) -> a"
+                " + shiftleft(shiftright(code, 39 - 2 * i) & 1, 19 - i))"
+            ),
+        )
+        .withColumn(
+            "qlat_rt",
+            F.expr(
+                "aggregate(sequence(0, 19), CAST(0 AS BIGINT), (a, i) -> a"
+                " + shiftleft(shiftright(code, 38 - 2 * i) & 1, 19 - i))"
+            ),
+        )
+    )
+    ch = F.concat(
+        *[
+            F.expr(
+                f"substr('{GH_ALPHA}', CAST((shiftright(code, {35 - 5 * g}) & 31)"
+                f" + 1 AS INT), 1)"
+            )
+            for g in range(8)
+        ]
+    )
+    return pts.select(
+        "id",
+        "lat_e6",
+        "lon_e6",
+        ch.alias("geohash8"),
+        F.substring(ch, 1, 4).alias("cell4"),
+        F.when(
+            (F.col("qlon_rt") == F.col("qlon")) & (F.col("qlat_rt") == F.col("qlat")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rt_ok"),
+    ).orderBy("id")

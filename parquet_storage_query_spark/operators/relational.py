@@ -792,3 +792,103 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
         )
     )
+
+
+# Spatial grid-join constants: synthetic planar points on a 1,000,000 x
+# 1,000,000 integer lattice (micro-units), derived from entity keys with
+# the same Knuth multiplicative hash scalar_inet uses. Cell size >= R so
+# any pair within R sits in the same or an adjacent cell (3x3 probe).
+GEO_SPAN = 1_000_000
+GEO_R = 12_000          # radius in micro-units
+GEO_CELL = 12_500       # grid pitch (>= GEO_R)
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH a AS (
+        SELECT c_custkey AS id,
+               (c_custkey * 2654435761) % {GEO_SPAN} AS x,
+               (c_custkey * 97654321) % {GEO_SPAN} AS y
+        FROM customer),
+    b AS (
+        SELECT s_suppkey AS id,
+               (s_suppkey * 2654435761) % {GEO_SPAN} AS x,
+               (s_suppkey * 97654321) % {GEO_SPAN} AS y
+        FROM supplier),
+    pairs AS (
+        SELECT a.id AS cust_id, b.id AS supp_id,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        FROM a JOIN b
+          ON abs(a.x - b.x) <= {GEO_R} AND abs(a.y - b.y) <= {GEO_R}
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= {GEO_R} * {GEO_R})
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT cust_id) AS BIGINT) AS n_custs,
+           CAST(count(DISTINCT supp_id) AS BIGINT) AS n_supps,
+           CAST(sum(cust_id * 131 + supp_id) AS BIGINT) AS pair_checksum,
+           CAST(min(d2) AS BIGINT) AS min_d2,
+           CAST(sum(d2) AS BIGINT) AS sum_d2
+    FROM pairs
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BUCKETED SPATIAL RADIUS JOIN — the geospatial analog of the
+    banded-LSH candidate join and the standard distributed answer to
+    "all (customer, supplier) pairs within distance R": snap each point
+    to a grid cell of pitch >= R, replicate the PROBE side into its
+    3x3 neighbor cells (a bounded 9x explode — never a theta-join), and
+    equi-join on the cell key so Spark executes a plain shuffled hash
+    join; the exact squared-distance predicate then filters the
+    bounded candidate set. All geometry is exact int64 on a micro-unit
+    lattice (squared distances, no sqrt/trig — the float seam every
+    naive haversine join ships is absent by construction).
+
+    The DuckDB oracle states the O(n*m) truth directly (banded by a
+    bounding-box predicate so test scale stays fast) — correct at test
+    size, impossible at 100 TB, which is the point of the grid path:
+    candidate volume is sum over cells of |A_cell|*|B_3x3|, linear for
+    any bounded point density, and the cell key shuffle co-locates by
+    spatial locality. Output is the pair census with a pair checksum.
+    Points derive from entity keys via the Knuth hash so both engines
+    synthesize identical coordinates. Reference analogue: none
+    (relational extension family, SURVEY §2.4)."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.expr(f"(c_custkey * 2654435761) % {GEO_SPAN}").alias("ax"),
+        F.expr(f"(c_custkey * 97654321) % {GEO_SPAN}").alias("ay"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_id"),
+        F.expr(f"(s_suppkey * 2654435761) % {GEO_SPAN}").alias("bx"),
+        F.expr(f"(s_suppkey * 97654321) % {GEO_SPAN}").alias("by"),
+    )
+    # build side: home cell only
+    b = supp.withColumn("cx", F.expr(f"bx DIV {GEO_CELL}")).withColumn(
+        "cy", F.expr(f"by DIV {GEO_CELL}")
+    )
+    # probe side: replicated into the 3x3 neighborhood
+    offs = F.expr("explode(array(-1, 0, 1))")
+    a = (
+        cust.withColumn("ox", offs)
+        .withColumn("oy", F.expr("explode(array(-1, 0, 1))"))
+        .withColumn("cx", F.expr(f"ax DIV {GEO_CELL} + ox"))
+        .withColumn("cy", F.expr(f"ay DIV {GEO_CELL} + oy"))
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= GEO_R * GEO_R)
+        .select("cust_id", "supp_id", "d2")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("cust_id").alias("n_custs"),
+        F.countDistinct("supp_id").alias("n_supps"),
+        F.sum(F.col("cust_id") * 131 + F.col("supp_id")).alias("pair_checksum"),
+        F.min("d2").alias("min_d2"),
+        F.sum("d2").alias("sum_d2"),
+    )
