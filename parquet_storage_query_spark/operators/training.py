@@ -1145,31 +1145,27 @@ def train_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sn"),
         F.size(ws).cast("long").alias("nw"),
     ).select("doc_id", "prompt_id", F.expr("sn DIV nw").alias("skey"))
-    wd = W.partitionBy("prompt_id").orderBy(F.col("skey").desc(), "doc_id")
-    wa = W.partitionBy("prompt_id").orderBy(F.col("skey").asc(), "doc_id")
-    ranked = sc.select(
-        "prompt_id",
-        "doc_id",
-        "skey",
-        F.row_number().over(wd).alias("rn_best"),
-        F.row_number().over(wa).alias("rn_worst"),
-        F.count(F.lit(1)).over(W.partitionBy("prompt_id")).alias("n_candidates"),
-    ).filter(F.col("n_candidates") >= 2)
-    best = ranked.filter(F.col("rn_best") == 1).select(
-        "prompt_id", "n_candidates",
-        F.col("doc_id").alias("chosen_id"), F.col("skey").alias("ck"),
-    )
-    worst = ranked.filter(F.col("rn_worst") == 1).select(
-        "prompt_id", F.col("doc_id").alias("rejected_id"), F.col("skey").alias("rk")
+    # one scan, one shuffle: argmax/argmin fold instead of two windows
+    # (plan_audit flagged the two-window form as a double corpus scan).
+    # Tie rules match the oracle row_numbers exactly: chosen = max skey
+    # then SMALLEST doc_id (hence -doc_id in the ordering struct),
+    # rejected = min skey then smallest doc_id.
+    agg = sc.groupBy("prompt_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max_by(
+            F.struct("doc_id", "skey"),
+            F.struct("skey", (-F.col("doc_id")).alias("nd")),
+        ).alias("b"),
+        F.min_by(F.struct("doc_id", "skey"), F.struct("skey", "doc_id")).alias("w"),
     )
     return (
-        best.join(worst, "prompt_id")
+        agg.filter(F.col("n_candidates") >= 2)
         .select(
             "prompt_id",
             "n_candidates",
-            "chosen_id",
-            "rejected_id",
-            (F.col("ck") - F.col("rk")).alias("margin_e6"),
+            F.col("b.doc_id").alias("chosen_id"),
+            F.col("w.doc_id").alias("rejected_id"),
+            (F.col("b.skey") - F.col("w.skey")).alias("margin_e6"),
         )
         .orderBy("prompt_id")
     )
