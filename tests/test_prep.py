@@ -1969,3 +1969,41 @@ def test_shapley_attribution_efficiency_axiom(spark):
     )
     assert total == 24 * v_full
     assert {r.channel for r in rows} == {"click", "view", "signup", "error"}
+
+
+def test_geohash_matches_classic_algorithm(spark):
+    """ORACLE-INDEPENDENT pin for scalar_geohash: the integer
+    quantize-and-interleave formula must reproduce the classic
+    binary-search geohash (Niemeyer's reference refinement loop) for
+    every row the query emits — the DuckDB oracle shares the integer
+    formula, so without this test a shared transcription error would be
+    invisible to the differential gate."""
+    from parquet_storage_query_spark.functions.scalar import GH_ALPHA, scalar_geohash
+
+    def classic(lat: float, lon: float, length: int = 8) -> str:
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        bits, out, even, b = 0, [], True, 0
+        while len(out) < length:
+            rng = lon_r if even else lat_r
+            mid = (rng[0] + rng[1]) / 2
+            v = lon if even else lat
+            if v >= mid:
+                b = b * 2 + 1
+                rng[0] = mid
+            else:
+                b = b * 2
+                rng[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(GH_ALPHA[b])
+                bits = b = 0
+        return "".join(out)
+
+    rows = scalar_geohash(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 100
+    for r in rows:
+        assert r.rt_ok == 1, r.id
+        want = classic(r.lat_e6 / 1e6, r.lon_e6 / 1e6)
+        assert r.geohash8 == want, (r.id, r.geohash8, want)
+        assert r.cell4 == want[:4]

@@ -108,6 +108,18 @@ ORDER = [
     "prep_incremental_join_view",
     "stream_join_view",
     "agg_hll_sketch_audit",  # exact-pairs scan + sketch audit linearity
+    # round-11 wave 5/6: star-contraction round growth, bucket-bounded
+    # kNN-graph candidates, CDC fold, footer-only IFD walk (must be flat
+    # per blob), StAX parse slope, cell-density-bounded spatial join,
+    # preference fold, geohash codegen fold
+    "graph_connected_components",
+    "sim_knn_graph",
+    "stream_cdc_apply",
+    "mm_exif_metadata",
+    "source_xml_roundtrip",
+    "join_spatial_grid",
+    "train_preference_pairs",
+    "scalar_geohash",
 ]
 BUILDS = {
     "dedup_embedding_cosine": "cos_lsh_index_build",
