@@ -1542,3 +1542,108 @@ def profile_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("rel")
+
+
+@query(
+    "profile_join_cardinality",
+    oracle="""
+    WITH edges(rel) AS (VALUES ('orders->customer'), ('lineitem->orders'),
+                               ('lineitem->part')),
+    stats AS (
+        SELECT 'orders->customer' AS rel,
+               (SELECT count(*) FROM orders) AS n_left,
+               (SELECT count(*) FROM customer) AS n_right,
+               (SELECT count(DISTINCT o_custkey) FROM orders) AS d_left,
+               (SELECT count(DISTINCT c_custkey) FROM customer) AS d_right,
+               (SELECT count(*) FROM orders JOIN customer
+                 ON o_custkey = c_custkey) AS actual
+        UNION ALL
+        SELECT 'lineitem->orders',
+               (SELECT count(*) FROM lineitem), (SELECT count(*) FROM orders),
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+               (SELECT count(DISTINCT o_orderkey) FROM orders),
+               (SELECT count(*) FROM lineitem JOIN orders
+                 ON l_orderkey = o_orderkey)
+        UNION ALL
+        SELECT 'lineitem->part',
+               (SELECT count(*) FROM lineitem), (SELECT count(*) FROM part),
+               (SELECT count(DISTINCT l_partkey) FROM lineitem),
+               (SELECT count(DISTINCT p_partkey) FROM part),
+               (SELECT count(*) FROM lineitem JOIN part
+                 ON l_partkey = p_partkey))
+    SELECT rel, CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(d_left AS BIGINT) AS d_left, CAST(d_right AS BIGINT) AS d_right,
+           CAST(n_left * n_right // greatest(d_left, d_right) AS BIGINT)
+               AS est_uniform,
+           CAST(actual AS BIGINT) AS actual,
+           CAST((2 * 10000 * (n_left * n_right // greatest(d_left, d_right))
+                 + actual) // (2 * actual) AS BIGINT) AS est_over_actual_e4
+    FROM stats ORDER BY rel
+    """,
+)
+def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION AUDIT — the System-R uniform-frequency
+    formula every cost-based planner starts from, |R ⋈ S| ≈
+    |R|·|S| / max(d_R, d_S), computed from the same column statistics
+    ANALYZE collects (row counts + key NDVs) and compared against the
+    EXACT join cardinality, per declared FK edge. The e4 ratio column
+    is the estimation-error diagnostic: ~10000 means the uniform
+    assumption holds (FK joins on this schema), large deviations flag
+    the skewed keys where a planner mis-chooses build sides — the
+    measurement behind profile_shuffle_skew's salt recommendation and
+    prep_analyze_stats' statistics.
+
+    Scale shape: NDVs are one map-side-combined distinct per side, and
+    the exact actual needs only per-key counts joined on the key —
+    keys shuffle, never rows. All cells BIGINT; ratios use the
+    (2·scale·x + n) DIV (2n) display rule. Reference analogue: none
+    (profiling extension, SURVEY §2.12)."""
+    edges = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    out = None
+    for rel, lt, lk, rt, rk in edges:
+        lc = (
+            load(spark, sf_dir, lt)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("nl"))
+        )
+        rc = (
+            load(spark, sf_dir, rt)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("nr"))
+        )
+        joined = lc.join(rc, "k").agg(
+            F.coalesce(F.sum(F.col("nl") * F.col("nr")), F.lit(0)).alias("actual")
+        )
+        row = (
+            lc.agg(
+                F.sum("nl").alias("n_left"), F.count(F.lit(1)).alias("d_left")
+            )
+            .crossJoin(
+                rc.agg(
+                    F.sum("nr").alias("n_right"), F.count(F.lit(1)).alias("d_right")
+                )
+            )
+            .crossJoin(joined)
+            .select(
+                F.lit(rel).alias("rel"),
+                "n_left",
+                "n_right",
+                "d_left",
+                "d_right",
+                F.expr(
+                    "CAST(n_left * n_right DIV greatest(d_left, d_right) AS BIGINT)"
+                ).alias("est_uniform"),
+                "actual",
+                F.expr(
+                    "CAST((2 * 10000 * (n_left * n_right DIV greatest(d_left,"
+                    " d_right)) + actual) DIV (2 * actual) AS BIGINT)"
+                ).alias("est_over_actual_e4"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rel")
