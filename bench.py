@@ -300,6 +300,7 @@ HEADLINE = [
     "join_spatial_grid",
     "scalar_geohash",
     "profile_join_cardinality",
+    "timeseries_holt_forecast",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

@@ -5768,3 +5768,120 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+# Holt fold packing: (level, trend) in e3 milli-count units packed into
+# one BIGINT accumulator — level in the high bits, offset trend in the
+# low 31 — because neither engine's list fold takes a struct accumulator
+# with an initial value. alpha = beta = 1/2 makes every step a dyadic
+# rational; the per-step floor() to the e3 lattice keeps the integers
+# bounded (no 2^T denominator growth) and is replayed identically by
+# both engines (floor of an exact small-integer half — positive or
+# negative — unlike DIV, whose negative rounding differs cross-engine).
+HOLT_SHIFT = 1 << 31
+HOLT_OFF = 1 << 30
+
+_HOLT_STEP_SPARK = (
+    "(acc, x) -> "
+    f"CAST(floor((x * 1000 + CAST(acc DIV {HOLT_SHIFT} AS BIGINT)"
+    f" + (acc % {HOLT_SHIFT} - {HOLT_OFF})) / 2) AS BIGINT) * {HOLT_SHIFT}"
+    f" + (CAST(floor((CAST(floor((x * 1000 + CAST(acc DIV {HOLT_SHIFT} AS BIGINT)"
+    f" + (acc % {HOLT_SHIFT} - {HOLT_OFF})) / 2) AS BIGINT)"
+    f" - CAST(acc DIV {HOLT_SHIFT} AS BIGINT)"
+    f" + (acc % {HOLT_SHIFT} - {HOLT_OFF})) / 2) AS BIGINT) + {HOLT_OFF})"
+)
+
+_HOLT_STEP_DUCK = (
+    "(acc, x) -> "
+    f"CAST(floor((x * 1000 + (acc // {HOLT_SHIFT})"
+    f" + (acc % {HOLT_SHIFT} - {HOLT_OFF})) / 2) AS BIGINT) * {HOLT_SHIFT}"
+    f" + (CAST(floor((CAST(floor((x * 1000 + (acc // {HOLT_SHIFT})"
+    f" + (acc % {HOLT_SHIFT} - {HOLT_OFF})) / 2) AS BIGINT)"
+    f" - (acc // {HOLT_SHIFT})"
+    f" + (acc % {HOLT_SHIFT} - {HOLT_OFF})) / 2) AS BIGINT) + {HOLT_OFF})"
+)
+
+
+@query(
+    "timeseries_holt_forecast",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+        FROM events GROUP BY 1, 2),
+    arr AS (
+        SELECT event_type, list(x ORDER BY day) AS xs, count(*) AS n_days
+        FROM daily GROUP BY 1 HAVING count(*) >= 3),
+    folded AS (
+        SELECT event_type, n_days,
+               list_reduce(
+                   list_prepend(
+                       CAST(xs[1] * 1000 AS BIGINT) * {HOLT_SHIFT}
+                       + (CAST((xs[2] - xs[1]) * 1000 AS BIGINT) + {HOLT_OFF}),
+                       xs[3:]),
+                   {_HOLT_STEP_DUCK}) AS code
+        FROM arr)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(code // {HOLT_SHIFT} AS BIGINT) AS level_e3,
+           CAST(code % {HOLT_SHIFT} - {HOLT_OFF} AS BIGINT) AS trend_e3,
+           CAST(code // {HOLT_SHIFT} + 1 * (code % {HOLT_SHIFT} - {HOLT_OFF})
+                AS BIGINT) AS f1_e3,
+           CAST(code // {HOLT_SHIFT} + 2 * (code % {HOLT_SHIFT} - {HOLT_OFF})
+                AS BIGINT) AS f2_e3,
+           CAST(code // {HOLT_SHIFT} + 3 * (code % {HOLT_SHIFT} - {HOLT_OFF})
+                AS BIGINT) AS f3_e3
+    FROM folded ORDER BY event_type
+    """,
+)
+def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT'S LINEAR TREND forecast (double exponential smoothing,
+    alpha = beta = 1/2) — the trend-aware tier above
+    timeseries_forecast_ewma's level-only SES, answering the question
+    SES cannot: is tomorrow's volume GROWING? The inherently sequential
+    recurrence (l_t, b_t each depend on l_{t-1}, b_{t-1}) is executed
+    as an IN-ROW FOLD over the per-type ordered daily series — the
+    corpus-sized work is one (type, day) partial-merged count; the
+    O(days) recurrence then runs inside a single row per type, the
+    right decomposition for any bounded-length-series op at 100 TB
+    (cf. the bounded-array policy of timeseries_seasonal_decompose).
+
+    Exactness: alpha = 1/2 makes each step floor((x·e3 + l + b)/2) on
+    an integer lattice — floor of an exact dyadic half, identical on
+    both engines even for NEGATIVE trends (DIV would diverge:
+    truncate-toward-zero vs floor). (l, b) pack into one BIGINT
+    (level·2^31 + trend + 2^30) because neither engine's list fold
+    takes a struct accumulator with an init value; the oracle replays
+    the identical packed fold via list_reduce + list_prepend. Output:
+    smoothed level/trend and the h = 1..3 forecasts, all e3 BIGINTs.
+    Reference analogue: none (time-series extension, SURVEY §2.12)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    arr = (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)").alias("xs"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 3)
+    )
+    folded = arr.withColumn(
+        "code",
+        F.expr(
+            f"aggregate(slice(xs, 3, size(xs)),"
+            f" CAST(element_at(xs, 1) * 1000 AS BIGINT) * {HOLT_SHIFT}"
+            f" + (CAST((element_at(xs, 2) - element_at(xs, 1)) * 1000 AS BIGINT)"
+            f" + {HOLT_OFF}), {_HOLT_STEP_SPARK})"
+        ),
+    )
+    lvl = F.expr(f"CAST(code DIV {HOLT_SHIFT} AS BIGINT)")
+    trd = F.expr(f"CAST(code % {HOLT_SHIFT} - {HOLT_OFF} AS BIGINT)")
+    return folded.select(
+        "event_type",
+        "n_days",
+        lvl.alias("level_e3"),
+        trd.alias("trend_e3"),
+        (lvl + 1 * trd).alias("f1_e3"),
+        (lvl + 2 * trd).alias("f2_e3"),
+        (lvl + 3 * trd).alias("f3_e3"),
+    ).orderBy("event_type")
