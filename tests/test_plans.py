@@ -878,3 +878,56 @@ def test_interval_density_guard_census_and_cap(spark):
     n = advanced.join_interval_bucketed(spark, SF_SMOKE).count()
     assert n > 0
     assert advanced.LAST_INTERVAL_GUARD["capped_rows"] == 0
+
+
+def test_spatial_grid_join_is_equi_join(spark):
+    """join_spatial_grid's scale claim: the radius join must execute as
+    a plain equi-join on the (cx, cy) cell key — a hashed/sort-merge
+    shuffle join, never BroadcastNestedLoop/Cartesian (which is what a
+    naive theta-join on |dx|<=R would plan); and the 3x3 replication
+    must appear as a bounded Generate (explode), not a join blowup."""
+    from parquet_storage_query_spark.operators.relational import join_spatial_grid
+
+    plan = formatted_plan(join_spatial_grid(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan  # the 3x3 neighbor explode
+
+
+def test_exif_metadata_single_pass_no_shuffle(spark):
+    """mm_exif_metadata's footer-only claim, plan side: the IFD walk is
+    one mapInPandas pass over the fixture scan with no aggregate and no
+    join — the only exchange allowed is the final orderBy's range
+    partitioning."""
+    from parquet_storage_query_spark.operators.multimodal import mm_exif_metadata
+
+    plan = formatted_plan(mm_exif_metadata(spark, SF_SMOKE))
+    assert "MapInPandas" in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_inet_and_geohash_stay_in_codegen(spark):
+    """scalar_inet / scalar_geohash are map-only function packs: a
+    single parquet scan each, zero joins/aggregates, and the expression
+    work inside WholeStageCodegen (the geohash interleave fold is a
+    codegen-able higher-order function, not a Python boundary)."""
+    from parquet_storage_query_spark.functions.scalar import scalar_geohash, scalar_inet
+
+    for fn in (scalar_inet, scalar_geohash):
+        df = fn(spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert "Join" not in plan and "HashAggregate" not in plan, plan
+        assert "Pandas" not in plan and "BatchEvalPython" not in plan, plan
+        assert whole_stage_codegen_spans(df) >= 1, plan
+
+
+def test_knn_graph_candidates_are_equi_join(spark):
+    """sim_knn_graph must generate candidates through the (band, bucket)
+    equi-join of the LSH index with its budgeted self — never a
+    cross/nested-loop pairing of the corpus with itself."""
+    from parquet_storage_query_spark.operators.similarity import sim_knn_graph
+
+    plan = formatted_plan(sim_knn_graph(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
