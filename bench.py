@@ -301,6 +301,7 @@ HEADLINE = [
     "scalar_geohash",
     "profile_join_cardinality",
     "timeseries_holt_forecast",
+    "prep_row_level_security",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

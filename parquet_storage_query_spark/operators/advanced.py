@@ -5885,3 +5885,101 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lvl + 2 * trd).alias("f2_e3"),
         (lvl + 3 * trd).alias("f3_e3"),
     ).orderBy("event_type")
+
+
+# Row-level-security policy table: (role, allowed_region, can_see_balance).
+# allowed_region -1 = all regions (the admin wildcard).
+RLS_POLICIES = [
+    ("emea_analyst", 1, 0),
+    ("amer_finance", 2, 1),
+    ("global_admin", -1, 1),
+]
+
+
+@query(
+    "prep_row_level_security",
+    oracle=f"""
+    WITH pol(role, allowed_region, can_see_balance) AS (
+        VALUES {", ".join(f"('{r}', {ar}, {cb})" for r, ar, cb in RLS_POLICIES)}),
+    vis AS (
+        SELECT pol.role, pol.can_see_balance, c.c_mktsegment,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents,
+               CASE WHEN pol.can_see_balance = 1 THEN c.c_name
+                    ELSE 'MASKED-' || substr(md5(c.c_name), 1, 8) END AS rname
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN pol ON pol.allowed_region = -1
+                 OR pol.allowed_region = n.n_regionkey)
+    SELECT role, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_visible,
+           CAST(max(can_see_balance) AS BIGINT) AS balance_visible,
+           CAST(CASE WHEN max(can_see_balance) = 1 THEN sum(cents)
+                ELSE 0 END AS BIGINT) AS balance_cents,
+           CAST(sum(CAST(('0x' || substr(md5(rname), 1, 8)) AS BIGINT)
+                    % 1000003) AS BIGINT) AS name_token_checksum
+    FROM vis GROUP BY role, c_mktsegment
+    ORDER BY role, c_mktsegment
+    """,
+)
+def prep_row_level_security(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL SECURITY + COLUMN MASKING serve — the governance layer
+    (Ranger/Unity-style policies) a multi-tenant lakehouse puts between
+    raw tables and every query: a per-role policy table (region row
+    filter + balance column entitlement) joined as a broadcast dim, the
+    row filter applied BEFORE any aggregate (so an unauthorized row
+    never reaches downstream operators), and the name column REDACTED
+    to a deterministic md5 token for roles without the entitlement —
+    deterministic so the masked census is value-hash-checked: the
+    name_token_checksum differs between a role seeing real names and
+    one seeing tokens, which is exactly the property that catches a
+    policy applied after the aggregate or not at all. balance_cents is
+    0 (not NULL) for unentitled roles — the driver-proof no-nullable-
+    BIGINT rule. At 100 TB: the policy and nation dims broadcast, the
+    customer side scans once per serve with the filter pushed into the
+    scan, masks are map-side expressions. Reference analogue: none
+    (lakehouse-governance extension, SURVEY §2.12)."""
+    pol = spark.createDataFrame(
+        RLS_POLICIES, "role string, allowed_region int, can_see_balance int"
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    vis = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(pol),
+            (F.col("allowed_region") == -1)
+            | (F.col("allowed_region") == F.col("n_regionkey")),
+        )
+        .select(
+            "role",
+            "can_see_balance",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+            F.when(F.col("can_see_balance") == 1, F.col("c_name"))
+            .otherwise(F.concat(F.lit("MASKED-"), F.substring(F.md5("c_name"), 1, 8)))
+            .alias("rname"),
+        )
+    )
+    return (
+        vis.groupBy("role", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_visible"),
+            F.max("can_see_balance").cast("long").alias("balance_visible"),
+            F.sum("cents").alias("_cents"),
+            F.sum(
+                F.expr("CAST(conv(substr(md5(rname), 1, 8), 16, 10) AS BIGINT) % 1000003")
+            ).alias("name_token_checksum"),
+        )
+        .select(
+            "role",
+            "c_mktsegment",
+            "n_visible",
+            "balance_visible",
+            F.when(F.col("balance_visible") == 1, F.col("_cents"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("balance_cents"),
+            "name_token_checksum",
+        )
+        .orderBy("role", "c_mktsegment")
+    )
