@@ -302,6 +302,7 @@ HEADLINE = [
     "profile_join_cardinality",
     "timeseries_holt_forecast",
     "prep_row_level_security",
+    "mm_decode_avi_mjpeg",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

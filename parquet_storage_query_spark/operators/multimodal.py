@@ -5756,3 +5756,145 @@ def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, shot_id long, key_frame long, shot_len long, "
         "key_luma_sum long",
     )
+
+
+# AVI/MJPEG fixture constants (mm_decode_avi_mjpeg)
+AV_BW_BASE, AV_BW_MOD = 2, 3  # blocks wide 2..4
+AV_BH_BASE, AV_BH_MOD = 2, 2  # blocks high 2..3
+AV_F_BASE, AV_F_MOD = 4, 4  # frames 4..7
+AV_A, AV_B, AV_C = 97, 31, 13  # block b of frame f: (d*A + f*B + b*C) % 256
+
+
+def ensure_avi_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture of REAL AVI/MJPEG videos — every frame a
+    genuine baseline JPEG muxed through the RIFF writer; corpus-scaled
+    shards."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .avi import encode_avi_mjpeg
+            from .jpeg import encode_jpeg_blocks
+
+            for pdf in batches:
+                blobs = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    bw = AV_BW_BASE + d % AV_BW_MOD
+                    bh = AV_BH_BASE + d % AV_BH_MOD
+                    nf = AV_F_BASE + d % AV_F_MOD
+                    frames = [
+                        encode_jpeg_blocks(
+                            bw,
+                            bh,
+                            [
+                                (d * AV_A + f * AV_B + b * AV_C) % 256
+                                for b in range(bw * bh)
+                            ],
+                        )
+                        for f in range(nf)
+                    ]
+                    blobs.append(encode_avi_mjpeg(bw * 8, bh * 8, frames))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "avi": blobs})
+
+        ids.mapInPandas(gen, schema="doc_id long, avi binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark, sf_dir, "avi_fixture", "v1", [table_path(sf_dir, "documents")], build
+    )
+
+
+@query(
+    "mm_decode_avi_mjpeg",
+    oracle=f"""
+    WITH adims AS (
+        SELECT doc_id,
+               {AV_BW_BASE} + doc_id % {AV_BW_MOD} AS bw,
+               {AV_BH_BASE} + doc_id % {AV_BH_MOD} AS bh,
+               {AV_F_BASE} + doc_id % {AV_F_MOD} AS nf
+        FROM documents),
+    ab AS (
+        SELECT doc_id, bw, bh, nf, fr.f AS f,
+               sum((doc_id * {AV_A} + fr.f * {AV_B} + t.b * {AV_C}) % 256)
+                   AS bsum
+        FROM adims,
+             unnest(range(nf)) AS fr(f),
+             unnest(range(bw * bh)) AS t(b)
+        GROUP BY 1, 2, 3, 4, 5)
+    SELECT doc_id,
+           CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(1 AS BIGINT) AS container_consistent,
+           CAST(64 * sum(bsum) AS BIGINT) AS sum_lum,
+           CAST(64 * sum((f + 1) * bsum) AS BIGINT) AS frame_weighted_lum
+    FROM ab GROUP BY doc_id, bw, bh, nf
+    ORDER BY doc_id
+    """,
+)
+def mm_decode_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VIDEO CONTAINER decode — AVI/MJPEG (the second RIFF family
+    beside WAV, and the first container whose payload is a full codec):
+    the demux walks RIFF with LIST recursion, parses avih/strf headers
+    and idx1 independently, and every '00dc' frame decodes through the
+    verified baseline-JPEG path. `container_consistent` is the triple
+    cross-check (header frame count == demuxed chunk count == idx1
+    entries, avih dims == BITMAPINFOHEADER dims == decoded JPEG dims) —
+    a muxer off-by-one, a padding-alignment walk error, or an idx
+    mismatch zeroes it and reddens the hash. The frame_weighted_lum
+    checksum pins FRAME ORDER (a demux that returns frames in idx1
+    order vs movi order with any swap breaks it) where the plain sum
+    cannot. Per-doc work is bounded by the blob; Arrow-batched
+    mapInPandas, partitions scale with input splits at 100 TB."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_avi_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi import decode_avi_mjpeg
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["avi"]):
+                d = decode_avi_mjpeg(bytes(blob))
+                sums = []
+                dims_ok = True
+                for jf in d["frames"]:
+                    w, h, _n, planes = decode_jpeg(jf, components=True)
+                    dims_ok = dims_ok and (w, h) == (d["hdr_w"], d["hdr_h"])
+                    sums.append(int(planes[0].astype(np.int64).sum()))
+                consistent = int(
+                    d["hdr_n_frames"] == len(d["frames"]) == d["n_idx1"]
+                    and (d["hdr_w"], d["hdr_h"]) == (d["bmp_w"], d["bmp_h"])
+                    and dims_ok
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": d["hdr_w"],
+                        "height": d["hdr_h"],
+                        "n_frames": len(d["frames"]),
+                        "container_consistent": consistent,
+                        "sum_lum": sum(sums),
+                        "frame_weighted_lum": sum(
+                            (f + 1) * s for f, s in enumerate(sums)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, width long, height long, n_frames long, "
+        "container_consistent long, sum_lum long, frame_weighted_lum long",
+    ).orderBy("doc_id")

@@ -2007,3 +2007,52 @@ def test_geohash_matches_classic_algorithm(spark):
         want = classic(r.lat_e6 / 1e6, r.lon_e6 / 1e6)
         assert r.geohash8 == want, (r.id, r.geohash8, want)
         assert r.cell4 == want[:4]
+
+
+def test_avi_mjpeg_roundtrip_and_loud_failures():
+    """AVI/MJPEG container codec: mux real JPEG frames, demux, decode —
+    frame ORDER, dims, header/idx1 consistency all pinned; truncated
+    and non-AVI streams fail with the parser's uniform ValueError, an
+    audio stream with the documented NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_storage_query_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from parquet_storage_query_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_blocks,
+    )
+
+    rng = np.random.default_rng(17)
+    for _ in range(3):
+        bw, bh = int(rng.integers(1, 4)), int(rng.integers(1, 3))
+        nf = int(rng.integers(2, 7))
+        vals = [
+            [int(v) for v in rng.integers(0, 256, bw * bh)] for _ in range(nf)
+        ]
+        frames = [encode_jpeg_blocks(bw, bh, v) for v in vals]
+        avi = encode_avi_mjpeg(bw * 8, bh * 8, frames)
+        d = decode_avi_mjpeg(avi)
+        assert d["hdr_n_frames"] == len(d["frames"]) == d["n_idx1"] == nf
+        assert (d["hdr_w"], d["hdr_h"]) == (d["bmp_w"], d["bmp_h"]) == (bw * 8, bh * 8)
+        for f, jf in enumerate(d["frames"]):
+            w, h, _n, planes = decode_jpeg(jf, components=True)
+            for b, v in enumerate(vals[f]):
+                by, bx = divmod(b, bw)
+                blk = planes[0][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (blk == v).all(), (f, b)
+
+    with _pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_avi_mjpeg(avi[:4] + struct.pack("<I", len(avi) * 2) + avi[8:])
+    # a stream whose strh declares a non-MJPG vids handler must raise
+    # the documented loud hook
+    bad = avi.replace(b"vidsMJPG", b"vidsH264", 1)
+    with _pytest.raises(NotImplementedError, match="MJPG"):
+        decode_avi_mjpeg(bad)
