@@ -303,6 +303,7 @@ HEADLINE = [
     "timeseries_holt_forecast",
     "prep_row_level_security",
     "mm_decode_avi_mjpeg",
+    "mm_decode_avi_interleaved",
     # udtf_top_bigrams is deliberately absent: it is the documented
     # row-at-a-time slow-lane DEMO of the UDTF seam; timing it in the
     # headline would just measure the Python boundary we tell users to

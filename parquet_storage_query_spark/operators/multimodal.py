@@ -5898,3 +5898,174 @@ def mm_decode_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width long, height long, n_frames long, "
         "container_consistent long, sum_lum long, frame_weighted_lum long",
     ).orderBy("doc_id")
+
+
+# interleaved A/V fixture: audio sample k of frame f:
+# ((d*AVA_A + f*AVA_B + k*AVA_C) % 4096) - 2048, AV_SPF samples/frame
+AVA_A, AVA_B, AVA_C = 5, 29, 11
+AV_SPF = 40
+AV_RATE = 8000
+
+
+def ensure_avi_av_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed fixture of interleaved A/V AVIs — MJPEG video plus a
+    mono PCM16 `auds` stream, chunks interleaved 00dc/01wb per frame."""
+    from ..cache import ensure_artifact
+    from ..catalog import table_path
+
+    def build(dest: str) -> None:
+        ids = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(_fixture_shards(spark, sf_dir))
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            from .avi import encode_avi_mjpeg
+            from .jpeg import encode_jpeg_blocks
+
+            for pdf in batches:
+                blobs = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    bw = AV_BW_BASE + d % AV_BW_MOD
+                    bh = AV_BH_BASE + d % AV_BH_MOD
+                    nf = AV_F_BASE + d % AV_F_MOD
+                    frames = [
+                        encode_jpeg_blocks(
+                            bw,
+                            bh,
+                            [
+                                (d * AV_A + f * AV_B + b * AV_C) % 256
+                                for b in range(bw * bh)
+                            ],
+                        )
+                        for f in range(nf)
+                    ]
+                    pcm = [
+                        (
+                            (
+                                (d * AVA_A + f * AVA_B
+                                 + np.arange(AV_SPF, dtype=np.int64) * AVA_C)
+                                % 4096
+                            )
+                            - 2048
+                        ).astype("<i2").tobytes()
+                        for f in range(nf)
+                    ]
+                    blobs.append(
+                        encode_avi_mjpeg(
+                            bw * 8, bh * 8, frames,
+                            pcm_frames=pcm, sample_rate=AV_RATE,
+                        )
+                    )
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "avi": blobs})
+
+        ids.mapInPandas(gen, schema="doc_id long, avi binary").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    return ensure_artifact(
+        spark, sf_dir, "avi_av_fixture", "v1", [table_path(sf_dir, "documents")], build
+    )
+
+
+@query(
+    "mm_decode_avi_interleaved",
+    oracle=f"""
+    WITH vdims AS (
+        SELECT doc_id,
+               {AV_BW_BASE} + doc_id % {AV_BW_MOD} AS bw,
+               {AV_BH_BASE} + doc_id % {AV_BH_MOD} AS bh,
+               {AV_F_BASE} + doc_id % {AV_F_MOD} AS nf
+        FROM documents),
+    vb AS (
+        SELECT doc_id, sum((doc_id * {AV_A} + fr.f * {AV_B}
+                            + t.b * {AV_C}) % 256) AS vsum
+        FROM vdims, unnest(range(nf)) AS fr(f), unnest(range(bw * bh)) AS t(b)
+        GROUP BY doc_id),
+    ab AS (
+        SELECT doc_id, fr.f AS f,
+               sum(abs((doc_id * {AVA_A} + fr.f * {AVA_B}
+                        + t.k * {AVA_C}) % 4096 - 2048)) AS asum
+        FROM vdims, unnest(range(nf)) AS fr(f), unnest(range({AV_SPF})) AS t(k)
+        GROUP BY doc_id, fr.f)
+    SELECT d.doc_id,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(d.nf AS BIGINT) AS n_audio_chunks,
+           CAST(1 AS BIGINT) AS interleave_ok,
+           CAST({AV_RATE} AS BIGINT) AS audio_rate,
+           CAST(64 * vb.vsum AS BIGINT) AS sum_lum,
+           CAST(sum(ab.asum) AS BIGINT) AS audio_sum_abs,
+           CAST(sum((ab.f + 1) * ab.asum) AS BIGINT) AS audio_fweighted
+    FROM vdims d JOIN vb USING (doc_id) JOIN ab USING (doc_id)
+    GROUP BY d.doc_id, d.nf, vb.vsum
+    ORDER BY d.doc_id
+    """,
+)
+def mm_decode_avi_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL A/V CONTAINER decode — the interleaved AVI every camera and
+    capture card writes: an MJPEG `vids` stream AND a mono PCM16 `auds`
+    stream whose 00dc/01wb chunks alternate per frame. The demux
+    collects both with their interleave ORDER; `interleave_ok` = 1 only
+    if the sequence is a strict v,a,v,a,... alternation (the A/V sync
+    contract — a muxer that batches all video then all audio plays
+    desynchronized, and this flag is how the pipeline catches it at
+    ingest). Video pins the per-frame JPEG decode as in
+    mm_decode_avi_mjpeg; audio is value-checked sample-exactly via the
+    closed-form PCM lattice with a frame-weighted |sample| checksum
+    (catches chunk-order and sample-boundary errors), and the
+    WAVEFORMATEX rate rides the output. Arrow-batched mapInPandas;
+    per-doc work bounded by the blob. Reference analogue: none."""
+    import numpy as np
+
+    src = spark.read.parquet(ensure_avi_av_fixture(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi import decode_avi_interleaved
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["avi"]):
+                d = decode_avi_interleaved(bytes(blob))
+                nf = len(d["frames"])
+                vsum = 0
+                for jf in d["frames"]:
+                    _w, _h, _n, planes = decode_jpeg(jf, components=True)
+                    vsum += int(planes[0].astype(np.int64).sum())
+                a_abs = 0
+                a_fw = 0
+                for f, ab in enumerate(d["audio"]):
+                    arr = np.abs(
+                        np.frombuffer(ab, dtype="<i2").astype(np.int64)
+                    ).sum()
+                    a_abs += int(arr)
+                    a_fw += (f + 1) * int(arr)
+                ok = int(
+                    d["order"] == ["v", "a"] * nf
+                    and d["hdr_n_frames"] == nf == len(d["audio"])
+                    and d["n_idx1"] == 2 * nf
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_frames": nf,
+                        "n_audio_chunks": len(d["audio"]),
+                        "interleave_ok": ok,
+                        "audio_rate": d.get("audio_rate", 0),
+                        "sum_lum": vsum,
+                        "audio_sum_abs": a_abs,
+                        "audio_fweighted": a_fw,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        stats,
+        schema="doc_id long, n_frames long, n_audio_chunks long, "
+        "interleave_ok long, audio_rate long, sum_lum long, "
+        "audio_sum_abs long, audio_fweighted long",
+    ).orderBy("doc_id")

@@ -80,6 +80,7 @@ _PRIORITY = [
     "train_preference_pairs", "join_spatial_grid", "scalar_geohash",
     "profile_join_cardinality", "timeseries_holt_forecast",
     "prep_row_level_security", "mm_decode_avi_mjpeg",
+    "mm_decode_avi_interleaved",
     # audit twins closing VERDICT r10 #1: the last 4 rows-only queries'
     # hash-checkable evidence channel
     "agg_approx_distinct_audit", "agg_approx_percentiles_audit",
