@@ -4931,7 +4931,20 @@ def agg_topk_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     provable = kth_lb > miss_bound
     base = ev
     if provable:
-        base = ev.filter(F.col("user_id").isin(cands))
+        # broadcast SEMI-join on the candidate set instead of
+        # .isin(cands): isin() materializes one JVM literal per key —
+        # thousands of py4j round trips of pure plan-construction latency
+        # (measured 10s+ for 8k candidates on a slow control socket) and
+        # an O(candidates)-sized expression tree in every task. The
+        # candidate table ships once via Arrow and broadcasts; same rows
+        # survive, and the shape is the one that still works when
+        # partitions×m grows past any sane literal list (guide §3.2).
+        import pandas as pd
+
+        cand_df = spark.createDataFrame(
+            pd.DataFrame({"user_id": pd.Series(cands, dtype="int64")})
+        )
+        base = ev.join(F.broadcast(cand_df), "user_id", "semi")
     # else: recall not provable at this data shape — exact full fallback
     # (correctness-first; the candidate path is the 100 TB fast lane)
     return (

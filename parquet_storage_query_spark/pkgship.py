@@ -81,4 +81,9 @@ def ship_package(spark) -> None:
         if app in _SHIPPED:
             return
         sc.addPyFile(_package_zip())
+        # same once-per-session seam: a vanilla harness session never goes
+        # through get_spark, so sweep its pre-existing py4j sockets here
+        from .session import _nodelay_existing_connections
+
+        _nodelay_existing_connections(spark)
         _SHIPPED.add(app)

@@ -15,8 +15,50 @@ answered from parquet footers without scanning data.
 from __future__ import annotations
 
 import os
+import socket
 
 from pyspark.sql import SparkSession
+
+
+def _enable_py4j_nodelay() -> None:
+    """Disable Nagle on every py4j control socket (guide §4: you cannot
+    remove the JVM↔Python boundary, but you control how efficiently it is
+    crossed). py4j leaves TCP_NODELAY unset on its localhost sockets, and
+    every Column/DataFrame method is a tiny write-read ping-pong — exactly
+    the pattern where Nagle + delayed-ACK stalls each round trip. Measured
+    on this box: DataFrame.select() plan-construction drops ~2x (16.6ms →
+    8.2ms per call) with NODELAY on. This is plan-CONSTRUCTION overhead
+    paid once per query, not data-path work — the Arrow batch channels the
+    executors use are large buffered writes where Nagle is irrelevant.
+    Idempotent; patches the connection classes so sockets created later
+    (one per Python thread under the pin-thread ClientServer) inherit it."""
+    import contextlib
+
+    def _patch(cls, method_name: str) -> None:
+        orig = getattr(cls, method_name, None)
+        if orig is None or getattr(orig, "_nodelay_wrapped", False):
+            return
+
+        def wrapped(self, *a, **kw):  # noqa: ANN001
+            out = orig(self, *a, **kw)
+            with contextlib.suppress(Exception):
+                self.socket.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            return out
+
+        wrapped._nodelay_wrapped = True
+        setattr(cls, method_name, wrapped)
+
+    with contextlib.suppress(Exception):
+        from py4j.clientserver import ClientServerConnection
+
+        _patch(ClientServerConnection, "connect_to_java_server")
+    with contextlib.suppress(Exception):
+        from py4j.java_gateway import GatewayConnection
+
+        _patch(GatewayConnection, "start")
+
+
+_enable_py4j_nodelay()
 
 # local[32] single-JVM test box; a real deployment overrides master/memory
 # via spark-submit and these become per-executor settings.
@@ -77,4 +119,18 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _nodelay_existing_connections(spark)
     return spark
+
+
+def _nodelay_existing_connections(spark: SparkSession) -> None:
+    """Best-effort NODELAY for connections opened BEFORE this module was
+    imported (a harness that built its own session first): the class patch
+    in _enable_py4j_nodelay only covers sockets created after import."""
+    import contextlib
+
+    with contextlib.suppress(Exception):
+        pool = spark.sparkContext._gateway._gateway_client.deque
+        for conn in list(pool):
+            with contextlib.suppress(Exception):
+                conn.socket.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
