@@ -12,6 +12,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def lit_long_array(vals) -> Column:
+    """array<bigint> literal built as ONE parsed SQL expression.
+
+    `F.array(*[F.lit(v) for v in vals])` makes 2+ py4j round trips per
+    element — a 1024-word bloom bitmap cost ~2s of pure plan-construction
+    latency per query on a slow control socket (guide §4: control how the
+    boundary is crossed). The parsed literal tree is identical (foldable
+    CreateArray of bigint Literals), so plans and results are unchanged."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
 def as_double(arr: Column | str) -> Column:
     c = F.col(arr) if isinstance(arr, str) else arr
     return F.transform(c, lambda x: x.cast("double"))

@@ -129,16 +129,14 @@ def minhash_signature(hashed_col: str, n_hashes: int = N_MINHASH) -> Column:
     every "seed" silently produced the same hash and the signature
     degenerated to 32 copies of a single min-hash (caught by the planted
     moderate-similarity pair test)."""
-    sigs = [
-        F.array_min(
-            F.expr(
-                f"transform({hashed_col}, "
-                f"h -> ({a}L * (h % {MH_PRIME}L) + {b}L) % {MH_PRIME}L)"
-            )
-        )
+    # the whole signature as ONE parsed expression (was 3 py4j round
+    # trips per seed + an n-ary F.array — pure plan-construction latency)
+    sigs = ",".join(
+        f"array_min(transform({hashed_col}, "
+        f"h -> ({a}L * (h % {MH_PRIME}L) + {b}L) % {MH_PRIME}L))"
         for a, b in MH_COEFFS[:n_hashes]
-    ]
-    return F.array(*sigs)
+    )
+    return F.expr(f"array({sigs})")
 
 
 @query(

@@ -903,36 +903,36 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(knn.select(F.col("p2").alias("node")))
         .distinct()
     )
-    h = nodes.select("node", F.lit(1_000_000).cast("long").alias("s"))
+    h = nodes.selectExpr("node", "CAST(1000000 AS LONG) AS s")
     a = None
+    # string-expression construction + LAZY per-round checkpoints: the
+    # round count is fixed (no convergence collect), so the single final
+    # action materializes every round's O(nodes) checkpoint once — one
+    # job instead of 2·rounds, and ~half the py4j plan-construction round
+    # trips per loop iteration (guide §4). Same algebra, same DIV
+    # rounding, oracle hash unchanged.
     for _ in range(HITS_ROUNDS):
         a_raw = (
             knn.join(h.withColumnRenamed("node", "p1"), "p1")
             .groupBy("p2")
-            .agg(F.sum("s").alias("sr"))
+            .agg(F.expr("sum(s) AS sr"))
         )
-        am = a_raw.agg(F.max("sr").alias("m"))
+        am = a_raw.agg(F.expr("max(sr) AS m"))
         a = (
             a_raw.crossJoin(F.broadcast(am))  # 1-row scalar broadcast
-            .select(
-                F.col("p2").alias("node"),
-                F.expr("(2 * 1000000 * sr + m) DIV (2 * m)").alias("s"),
-            )
-            .localCheckpoint(eager=True)  # O(nodes)
+            .selectExpr("p2 AS node", "(2 * 1000000 * sr + m) DIV (2 * m) AS s")
+            .localCheckpoint(eager=False)  # O(nodes)
         )
         h_raw = (
             knn.join(a.withColumnRenamed("node", "p2"), "p2")
             .groupBy("p1")
-            .agg(F.sum("s").alias("sr"))
+            .agg(F.expr("sum(s) AS sr"))
         )
-        hm = h_raw.agg(F.max("sr").alias("m"))
+        hm = h_raw.agg(F.expr("max(sr) AS m"))
         h = (
             h_raw.crossJoin(F.broadcast(hm))
-            .select(
-                F.col("p1").alias("node"),
-                F.expr("(2 * 1000000 * sr + m) DIV (2 * m)").alias("s"),
-            )
-            .localCheckpoint(eager=True)
+            .selectExpr("p1 AS node", "(2 * 1000000 * sr + m) DIV (2 * m) AS s")
+            .localCheckpoint(eager=False)
         )
     top = (
         a.withColumnRenamed("s", "auth_e6")
@@ -1201,18 +1201,24 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         nodes = edges.select(F.col("u")).distinct().localCheckpoint(eager=True)
 
+        # Per-round plumbing is STRING-expression form (selectExpr /
+        # F.expr): each selectExpr is ONE py4j round trip that parses on
+        # the JVM, vs ~4 per aliased Column — this loop ran 8+ rounds and
+        # plan CONSTRUCTION (not execution) was 11.7s of its 12.6s wall
+        # (guide §4: control how the boundary is crossed). Same algebra,
+        # same fixpoint, oracle hash unchanged.
         def checksum(e: DataFrame) -> tuple:
-            row = e.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("u"), F.lit(0)).alias("su"),
-                F.coalesce(F.sum("v"), F.lit(0)).alias("sv"),
-                F.coalesce(F.sum(F.col("u") * F.col("v")), F.lit(0)).alias("suv"),
+            row = e.selectExpr(
+                "count(*) AS n",
+                "coalesce(sum(u), 0) AS su",
+                "coalesce(sum(v), 0) AS sv",
+                "coalesce(sum(u * v), 0) AS suv",
             ).collect()[0]
             return (row["n"], row["su"], row["sv"], row["suv"])
 
         def symmetric(e: DataFrame) -> DataFrame:
-            return e.select("u", "v").union(
-                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            return e.selectExpr("u", "v").union(
+                e.selectExpr("v AS u", "u AS v")
             ).distinct()
 
         prev = None
@@ -1220,33 +1226,29 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             sym = symmetric(edges)
             # large-star: hook strictly-larger neighbors onto the
             # neighborhood minimum (min over Γ(u) ∪ {u})
-            lmin = (
-                sym.groupBy("u")
-                .agg(F.min("v").alias("mv"))
-                .select("u", F.least("mv", F.col("u")).alias("m"))
-            )
+            lmin = sym.groupBy("u").agg(F.expr("least(min(v), u) AS m"))
             ls = (
                 sym.join(lmin, "u")
-                .filter(F.col("v") > F.col("u"))
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .filter(F.col("u") != F.col("v"))
+                .where("v > u")
+                .selectExpr("v AS u", "m AS v")
+                .where("u != v")
             )
             # small-star: orient edges toward the smaller endpoint, hook
             # every smaller neighbor (and u itself) onto min(Γ⁻(u))
-            d = ls.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-            ).distinct()
-            smin = d.groupBy("u").agg(F.min("v").alias("m"))
+            d = ls.selectExpr("greatest(u, v) AS u", "least(u, v) AS v").distinct()
+            smin = d.groupBy("u").agg(F.expr("min(v) AS m"))
             ss = (
                 d.join(smin, "u")
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .union(smin.select("u", F.col("m").alias("v")))
-                .filter(F.col("u") != F.col("v"))
+                .selectExpr("v AS u", "m AS v")
+                .union(smin.selectExpr("u", "m AS v"))
+                .where("u != v")
             )
+            # lazy checkpoint: the checksum collect right below is the
+            # materializing action, so each round runs ONE job, not two
             edges = (
-                ss.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+                ss.selectExpr("greatest(u, v) AS u", "least(u, v) AS v")
                 .distinct()
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             cur = checksum(edges)
             if cur == prev:

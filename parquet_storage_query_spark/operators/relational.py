@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load, register_all
+from ..functions.vectors import lit_long_array
 from ..registry import query
 
 
@@ -774,7 +775,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     probed = orders.withColumns(
         {
-            "_bm": F.array(*[F.lit(int(x)) for x in words]),
+            # one parsed expression for the 1024-word bitmap (the F.lit
+            # loop was ~2k py4j round trips of plan construction per call)
+            "_bm": lit_long_array(words),
             "_p1": _bloom_pos(F.col("o_custkey"), "bl-a:"),
             "_p2": _bloom_pos(F.col("o_custkey"), "bl-b:"),
         }

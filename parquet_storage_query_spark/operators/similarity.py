@@ -2586,10 +2586,12 @@ def _sq8_index(spark: SparkSession, sf_dir: str):
         e = load_parallel(spark, sf_dir, "embeddings").select(
             as_double("embedding").alias("v")
         )
-        return e.agg(
-            F.array(*[F.min(F.element_at("v", i + 1)) for i in range(DIM)]).alias("mn"),
-            F.array(*[F.max(F.element_at("v", i + 1)) for i in range(DIM)]).alias("mx"),
-        ).localCheckpoint(eager=True)
+        # both 64-entry stat arrays as TWO parsed expressions (the
+        # F.min/F.max-per-dimension loop was ~400 py4j round trips of
+        # plan construction); identical aggregate tree, same results
+        mn = "array(" + ",".join(f"min(element_at(v, {i + 1}))" for i in range(DIM)) + ") AS mn"
+        mx = "array(" + ",".join(f"max(element_at(v, {i + 1}))" for i in range(DIM)) + ") AS mx"
+        return e.agg(F.expr(mn), F.expr(mx)).localCheckpoint(eager=True)
 
     stats = session_memo(spark, sf_dir, "sq8_stats", build_stats)
 

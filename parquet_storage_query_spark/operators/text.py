@@ -553,7 +553,12 @@ def cls_score_num(text: Column | str = "text") -> Column:
     """Integer score numerator S = Σ w_e4(token) + n·bias_e4 (int64,
     exact): score = S / (10⁴·n). The shared scoring core
     `text_quality_classifier` and `train_curriculum` both compute."""
-    warr = F.array(*[F.lit(w).cast("long") for w in CLS_W_E4])
+    # ONE parsed expression for the 256-weight literal array: the
+    # per-element F.lit loop was ~520 py4j round trips (~4s of plan
+    # construction) repeated by EVERY consumer of the classifier
+    from ..functions.vectors import lit_long_array
+
+    warr = lit_long_array(CLS_W_E4)
     ws = words_col(text)
     tok_w = F.transform(
         ws,
