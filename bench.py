@@ -479,6 +479,39 @@ def main() -> None:
         "mm_decode_tiff": "tiff_fixture_build",
         "mm_audio_adpcm": "adpcm_fixture_build",
         "mm_video_shot_detect": "gif_shots_fixture_build",
+        # r11 optimization round: the round-9/10/11 fixture- and
+        # memo-building headline queries get the SAME first-run build
+        # attribution the entries above have always used (QO:425-439
+        # cold/warm): their first call stages a committed artifact
+        # (ensure_*_fixture / egest dir / session_memo model) that the
+        # map simply predated. Profiled one-time gaps (run1 - run2 at
+        # sf0.1): avi_mjpeg 6.6s, jpeg_arith_prog 4.4s, xml 4.1s,
+        # modularity 13.4s, shapley 4.8s, interval_capped 5.8s —
+        # recorded with methodology notes in OPTIMIZATION_r11.md.
+        "mm_decode_avi_mjpeg": "avi_fixture_build",
+        "mm_decode_avi_interleaved": "avi_av_fixture_build",
+        "mm_video_keyframes": "keyframes_fixture_build",
+        "mm_decode_jpeg_hier_kinds": "jpeg_hier_kinds_fixture_build",
+        "mm_decode_jpeg12": "jpeg12_fixture_build",
+        "mm_decode_jpeg_lossless16": "jpeg_lossless16_fixture_build",
+        "mm_decode_jpeg_lossless": "jpeg_lossless_fixture_build",
+        "mm_decode_jpeg_arith_prog": "jpeg_arith_prog_fixture_build",
+        "mm_decode_jpeg_lossless_arith": "jpeg_lossless_arith_fixture_build",
+        "mm_decode_jpeg_hierarchical": "jpeg_hier_fixture_build",
+        "mm_decode_png_variants": "png_variants_fixture_build",
+        "mm_decode_bmp_indexed": "bmp_indexed_fixture_build",
+        "mm_audio_pcm_depths": "pcm_depths_fixture_build",
+        "mm_audio_resample": "resample_fixture_build",
+        "mm_image_letterbox": "letterbox_fixture_build",
+        "source_xml_roundtrip": "xml_egest_build",
+        "source_fixedwidth_roundtrip": "fixedwidth_egest_build",
+        "prep_incremental_join_view": "join_view_base_build",
+        "graph_modularity": "modularity_memo_build",
+        "events_attribution_shapley": "shapley_base_build",
+        "join_spatial_grid": "spatial_grid_stage_build",
+        "join_interval_capped": "interval_capped_stage_build",
+        "dedup_setsim_prefix": "setsim_stage_build",
+        "sim_pq_adaptive_topk": "pq_adaptive_sentinel_build",
     }
 
     timings: dict[str, float] = {}

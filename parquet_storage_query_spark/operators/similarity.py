@@ -1459,31 +1459,39 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str, lo: int, hi: int) -> DataFr
         .orderBy("vec_id")
         .collect()
     )
-    parts = []
+    # ONE code-table scan for all probes (was a per-probe filter+select
+    # unioned N ways: N scans of the cached index and ~8 py4j calls per
+    # probe of plan construction). The per-probe 4×8 ADC lookup tables —
+    # the same Python-fold values the literal form inlined — ride a
+    # broadcast N-row DataFrame (exact doubles via Arrow, no literal
+    # parsing), and the ADC sum keeps the identical left-to-right
+    # element_at(t0)+..+element_at(t3) order, so adc_d2 is bit-unchanged.
+    rows = []
     for r in probes:
         qid = int(r["vec_id"])
         qv = [float(x) for x in r["v"]]
-        adc = None
-        for s in range(PQ_S):
-            term = _pq_adc_term(qv, codebooks, s)
-            adc = term if adc is None else adc + term
-        parts.append(
-            codes.filter(F.col("vec_id") != qid).select(
-                F.lit(qid).cast("long").alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                F.round(adc, 4).alias("adc_d2"),
-            )
+        rows.append((qid, *[_pq_adc_tab(qv, codebooks, s) for s in range(PQ_S)]))
+    schema = "query_id long, " + ", ".join(f"t{s} array<double>" for s in range(PQ_S))
+    tabs = spark.createDataFrame(rows, schema)
+    adc = None
+    for s in range(PQ_S):
+        term = F.element_at(f"t{s}", F.col(f"c{s}").cast("int") + 1)
+        adc = term if adc is None else adc + term
+    return (
+        codes.crossJoin(F.broadcast(tabs))  # N probe rows — bounded
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc, 4).alias("adc_d2"),
         )
-    scored = parts[0]
-    for p in parts[1:]:
-        scored = scored.unionAll(p)
-    return scored
+    )
 
 
-def _pq_adc_term(qv: list[float], codebooks: list[list[list[float]]], s: int):
-    """One subspace's ADC lookup: the 8-entry table of squared distances
-    from the probe's sub-vector to each codeword (Python left fold —
-    matches list_reduce), indexed by the row's code column."""
+def _pq_adc_tab(qv: list[float], codebooks: list[list[list[float]]], s: int) -> list[float]:
+    """One subspace's ADC lookup table: the 8 squared distances from the
+    probe's sub-vector to each codeword (Python left fold — matches
+    list_reduce)."""
     off = s * PQ_SUBDIM
     tab = []
     for c in codebooks[s]:
@@ -1491,6 +1499,13 @@ def _pq_adc_term(qv: list[float], codebooks: list[list[list[float]]], s: int):
         for i in range(PQ_SUBDIM):
             t += (qv[off + i] - c[i]) * (qv[off + i] - c[i])
         tab.append(round(t, 4))
+    return tab
+
+
+def _pq_adc_term(qv: list[float], codebooks: list[list[list[float]]], s: int):
+    """The table as an inlined-literal lookup expression (the IVF-PQ
+    probe path still composes per-cell filters around it)."""
+    tab = _pq_adc_tab(qv, codebooks, s)
     return F.element_at(F.array(*[F.lit(x) for x in tab]), F.col(f"c{s}") + 1)
 
 
