@@ -441,7 +441,11 @@ def stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(delta_dir)
     )
-    cust = load(spark, sf_dir, "customer")
+    # project the dim to the two columns the view needs BEFORE the
+    # per-micro-batch stream-static join: the static side is re-planned
+    # (and its broadcast rebuilt) every trigger, so width paid here is
+    # paid once per batch (guide §2.3)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     updates = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey", "o_orderstatus")
