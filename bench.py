@@ -490,7 +490,6 @@ def main() -> None:
         # recorded with methodology notes in OPTIMIZATION_r11.md.
         "mm_decode_avi_mjpeg": "avi_fixture_build",
         "mm_decode_avi_interleaved": "avi_av_fixture_build",
-        "mm_video_keyframes": "keyframes_fixture_build",
         "mm_decode_jpeg_hier_kinds": "jpeg_hier_kinds_fixture_build",
         "mm_decode_jpeg12": "jpeg12_fixture_build",
         "mm_decode_jpeg_lossless16": "jpeg_lossless16_fixture_build",
@@ -501,19 +500,23 @@ def main() -> None:
         "mm_decode_png_variants": "png_variants_fixture_build",
         "mm_decode_bmp_indexed": "bmp_indexed_fixture_build",
         "mm_audio_pcm_depths": "pcm_depths_fixture_build",
-        "mm_audio_resample": "resample_fixture_build",
-        "mm_image_letterbox": "letterbox_fixture_build",
         "source_xml_roundtrip": "xml_egest_build",
         "source_fixedwidth_roundtrip": "fixedwidth_egest_build",
         "prep_incremental_join_view": "join_view_base_build",
         "graph_modularity": "modularity_memo_build",
-        "events_attribution_shapley": "shapley_base_build",
-        "join_spatial_grid": "spatial_grid_stage_build",
         "dedup_setsim_prefix": "setsim_stage_build",
         # join_interval_capped and sim_pq_adaptive_topk were attributed in
         # the first r11 pass and REVERTED after measurement: their re-run
         # cost is ~the full cost (no dominant one-time stage survives the
         # in-bench ordering), so the build run only doubled bench wall.
+        # r12 (ADVICE r11): five more attributions REVERTED —
+        # events_attribution_shapley and join_spatial_grid stage no
+        # committed artifact (shapley's localCheckpoints rebuild per call;
+        # spatial_grid is a pure load+join+agg), and mm_audio_resample /
+        # mm_image_letterbox / mm_video_keyframes read fixtures ALREADY
+        # built by earlier headline entries (ensure_wav/png/gif_shots),
+        # so their "build" run staged nothing. Their full cost is back in
+        # the serving total where it belongs.
     }
 
     timings: dict[str, float] = {}
@@ -560,13 +563,23 @@ def main() -> None:
     # sequential sf0.1→sf1 session can't clobber the sf0.1 map.
     detail_name = "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
     detail_path = str(Path(__file__).resolve().parent / detail_name)
+    detail = {"sf": sf, "serving_total_sec": total, "build_total_sec": build_total,
+              "reference_subset_total_sec": reference_subset_total,
+              "queries": timings}
     with open(detail_path, "w") as fh:
-        json.dump(
-            {"sf": sf, "serving_total_sec": total, "build_total_sec": build_total,
-             "reference_subset_total_sec": reference_subset_total,
-             "queries": timings},
-            fh, indent=1, sort_keys=True,
-        )
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    # Round-over-round judgeability (VERDICT r11 #2): BENCH_DETAIL.json is
+    # overwritten every run, so the per-query map of earlier rounds was
+    # lost and PERF could only diff the 7 aggregate totals. Every run now
+    # ALSO appends one line to BENCH_HISTORY.jsonl (never overwritten) so
+    # any two runs' ~250 common queries stay diffable; the round close-out
+    # additionally commits a BENCH_DETAIL_r{N}.json snapshot. The one-line
+    # stdout JSON contract is untouched.
+    with open(Path(__file__).resolve().parent / "BENCH_HISTORY.jsonl", "a") as fh:
+        fh.write(json.dumps(
+            {"wall_clock": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+             "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"), **detail},
+            sort_keys=True) + "\n")
     print(
         json.dumps(
             {

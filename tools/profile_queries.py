@@ -55,6 +55,7 @@ def main() -> None:
         spark.sparkContext.setJobDescription(f"profile:{name}")
         times = []
         rows = 0
+        build_s = None  # --runs 0 would otherwise NameError below (ADVICE r11)
         for i in range(args.runs):
             t0 = time.perf_counter()
             df = qd.builder(spark, args.sf_dir)
