@@ -2303,8 +2303,19 @@ def source_jsonl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).alias("total_len"),
         )
     )
+    # per-lang rollup: the key domain is the language set (single digits
+    # here, dozens on any real corpus) — one state partition holds it at
+    # any scale; map-side partial aggregation already reduces each task
+    # to O(langs) rows before the exchange (guide §2.4)
+    from ..streaming.windows import _state_partitions
+
     return (
-        _run_to_memory(agg, "source_jsonl_stream_out", "complete")
+        _run_to_memory(
+            agg,
+            "source_jsonl_stream_out",
+            "complete",
+            partitions=_state_partitions(spark, keys=8),
+        )
         .orderBy("lang")
     )
 

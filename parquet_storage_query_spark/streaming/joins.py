@@ -454,7 +454,18 @@ def stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents("o_totalprice")).alias("sc"),
         )
     )
-    all_updates = _run_to_memory(updates, "stream_join_view_out", "update")
+    # the aggregate's key domain is structurally bounded (25 nations x 3
+    # order statuses = 75 keys at ANY corpus size) — size the state
+    # partitions by the domain, not the core count (guide §2.4; measured:
+    # per-partition commit fsync dominated the batch wall at 32 partitions)
+    from .windows import _state_partitions
+
+    all_updates = _run_to_memory(
+        updates,
+        "stream_join_view_out",
+        "update",
+        partitions=_state_partitions(spark, keys=75),
+    )
     final_delta = (
         all_updates.groupBy("c_nationkey", "o_orderstatus")
         .agg(F.max_by(F.struct("n", "sc"), "n").alias("s"))
@@ -580,7 +591,18 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seq").alias("mseq"),
         F.max_by(F.struct("op", "cents", "st"), F.col("seq")).alias("s"),
     )
-    snap = _run_to_memory(state, "stream_cdc_apply_out", "update")
+    # CDC state is O(live keys) — grows with the corpus, so derive the
+    # state partition count from the change-log backlog size (floor 8),
+    # never from the local core count (guide §2.4; the 32-partition
+    # default paid ~10x the commit cost for identical state)
+    from .windows import _local_dir_bytes, _state_partitions
+
+    snap = _run_to_memory(
+        state,
+        "stream_cdc_apply_out",
+        "update",
+        partitions=_state_partitions(spark, backlog_bytes=_local_dir_bytes(shards)),
+    )
     final = (
         snap.groupBy("k")
         .agg(F.max_by(F.struct("s.op", "s.cents", "s.st"), F.col("mseq")).alias("s"))

@@ -43,15 +43,22 @@ def main() -> None:
     progresses: list[dict] = []
     orig = W._run_to_memory
 
-    def wrapped(df, name, mode):
-        q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    import pyspark.sql.streaming.query as _sq
+
+    _orig_stop = _sq.StreamingQuery.stop
+
+    def _capturing_stop(self):
         try:
-            q.processAllAvailable()
-        finally:
-            for p in q.recentProgress:
+            for p in self.recentProgress:
                 progresses.append(p if isinstance(p, dict) else json.loads(p.json))
-            q.stop()
-        return df.sparkSession.table(name)
+        except Exception:
+            pass
+        return _orig_stop(self)
+
+    _sq.StreamingQuery.stop = _capturing_stop
+
+    def wrapped(df, name, mode, partitions=None):
+        return orig(df, name, mode, partitions)
 
     W._run_to_memory = wrapped
     # some operators import _run_to_memory by name at call time via
@@ -77,7 +84,8 @@ def main() -> None:
             if so:
                 s0 = so[0]
                 st = (f" state[commitMs={s0.get('commitTimeMs')} keys={s0.get('numRowsTotal')}"
-                      f" upd={s0.get('numRowsUpdated')} mem={s0.get('memoryUsedBytes')}]")
+                      f" upd={s0.get('numRowsUpdated')} mem={s0.get('memoryUsedBytes')}"
+                      f" parts={s0.get('numShufflePartitions')}]")
             print(f"  batch {p.get('batchId')}: rows={p.get('numInputRows')}"
                   f" trigger={dur.get('triggerExecution')}ms"
                   f" addBatch={dur.get('addBatch')}ms"
