@@ -278,16 +278,27 @@ def _co_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     one order-keyed self-join no matter how many graph queries run)."""
 
     def build() -> DataFrame:
-        li = (
-            load(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
+        # ONE order-keyed pass (guide §2.4): collect the distinct part set
+        # per order and expand ordered pairs INSIDE each set row — the
+        # r11-era distinct + self-join shape paid 2 corpus scans and 4
+        # exchanges (2 distinct shuffles + join build + final groupBy) for
+        # the same multiset of pairs; this is 1 scan and 2 exchanges
+        # (order-keyed set fold, pair-keyed count). Items per order is
+        # bounded by the data model (≤7 here), so the in-row n·(n−1)
+        # expansion is a constant per order at any corpus size. collect_set
+        # ≙ the old .distinct(); pair counts don't depend on set order.
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+        pairs = sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> transform("
+                    "filter(ps, y -> y != x), y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
         )
-        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
         return (
-            a.join(b, "ok")
-            .filter(F.col("p1") != F.col("p2"))
+            pairs.select("pr.p1", "pr.p2")
             .groupBy("p1", "p2")
             .agg(F.count(F.lit(1)).alias("n_co"))
             .localCheckpoint(eager=True)
@@ -296,24 +307,58 @@ def _co_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(spark, sf_dir, "graph_co_table", build)
 
 
+def _knn_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p1, t): each part's top-10 partner list by (n_co DESC, p2) — the
+    kNN truncation, computed ONCE per session. Five consumers (colist,
+    jaccard edges, assortativity, HITS, reciprocity) previously re-ran the
+    same row_number window over the full co table per serve; this memo is
+    one per-group top-k aggregate (array_sort on (−n_co, p2) structs ≡ the
+    window's (n_co DESC, p2) order — p2 is unique within p1, so the cut is
+    the identical total order), checkpointed at O(parts) rows."""
+
+    def build() -> DataFrame:
+        co = _co_table(spark, sf_dir)
+        return (
+            co.groupBy("p1")
+            .agg(
+                F.expr(
+                    "transform(slice(array_sort(collect_list("
+                    "struct(-n_co AS nk, p2))), 1, 10), s -> s.p2) AS t"
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return session_memo(spark, sf_dir, "graph_knn_lists", build)
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN digraph exploded to (p1, p2) edges — a narrow expansion of
+    the checkpointed _knn_lists memo (no shuffle, no window)."""
+    return _knn_lists(spark, sf_dir).select("p1", F.explode("t").alias("p2"))
+
+
 def _colist_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-listing census over the truncated kNN graph: (b, c, n_lists) =
     how many parts' top-10 partner lists contain BOTH b and c (common
     in-neighbors in the kNN digraph). Top-M truncation bounds the wedge
     work at n·C(10,2) — see graph_common_neighbors docstring."""
-    from pyspark.sql import Window as W
-
     def build() -> DataFrame:
-        co = _co_table(spark, sf_dir)
-        rn = F.row_number().over(
-            W.partitionBy("p1").orderBy(F.col("n_co").desc(), "p2")
+        # wedge pairs enumerate INSIDE each top-10 list row (≤C(10,2) per
+        # part by construction) — the former knn self-join on p1 re-shuffled
+        # the exploded edge list twice for pairs that were already co-resident
+        # in one list (guide §2.4); now the only exchange is the (b, c) count
+        lists = _knn_lists(spark, sf_dir)
+        pairs = lists.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(t, b -> transform("
+                    "filter(t, c -> c > b), c -> struct(b, c))))"
+                )
+            ).alias("pr")
         )
-        knn = co.withColumn("rn", rn).filter(F.col("rn") <= 10).select("p1", "p2")
-        k1 = knn.select("p1", F.col("p2").alias("b"))
-        k2 = knn.select("p1", F.col("p2").alias("c"))
         return (
-            k1.join(k2, "p1")
-            .filter(F.col("b") < F.col("c"))
+            pairs.select("pr.b", "pr.c")
             .groupBy("b", "c")
             .agg(F.count(F.lit(1)).alias("n_lists"))
             .localCheckpoint(eager=True)
@@ -347,15 +392,16 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph\'s wedge count is Σ deg², unbounded on hub products (measured
     here: 32M candidate pairs at sf0.1 and super-linear beyond). The
     standard fix is TOP-M NEIGHBOR TRUNCATION: keep each part\'s 10
-    strongest partners (one part-keyed window over the co-occurrence
+    strongest partners (one part-keyed top-k fold over the co-occurrence
     table — deterministic (n_co DESC, id) order), and enumerate wedges
     only WITHIN those fixed-width lists: candidate work is exactly
     n·C(10,2), linear in parts at any corpus size — the kNN-graph
     construction every production recommender/ANN-graph pipeline uses.
-    Co-occurrence itself is one order-keyed self-join (items-per-order
-    is bounded), and the non-edge filter is an anti-join back against
-    the co table. Top-k cut is total-ordered (n_lists, ids). The co and
-    colist tables are session-shared with graph_jaccard_edges."""
+    Co-occurrence itself is one order-keyed set fold with in-row pair
+    expansion (items-per-order is bounded), and the non-edge filter is
+    an anti-join back against the co table. Top-k cut is total-ordered
+    (n_lists, ids). The co and colist tables are session-shared with
+    graph_jaccard_edges."""
     co = _co_table(spark, sf_dir)
     colist = _colist_table(spark, sf_dir)
     ne = colist.join(
@@ -405,10 +451,7 @@ def graph_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (driver-proof policy)."""
     co = _co_table(spark, sf_dir)
     colist = _colist_table(spark, sf_dir)
-    from pyspark.sql import Window as W
-
-    rn = F.row_number().over(W.partitionBy("p1").orderBy(F.col("n_co").desc(), "p2"))
-    knn = co.withColumn("rn", rn).filter(F.col("rn") <= 10).select("p1", "p2")
+    knn = _knn_edges(spark, sf_dir)
     indeg = knn.groupBy(F.col("p2").alias("node")).agg(F.count(F.lit(1)).alias("ind"))
     edges = colist.join(co, (colist.b == co.p1) & (colist.c == co.p2), "left_semi")
     ib = indeg.select(F.col("node").alias("b"), F.col("ind").alias("ib"))
@@ -772,14 +815,10 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly rational; r itself needs a sqrt, which has no place in a
     checked output). num² passes 10³⁴ at 30× — DECIMAL(38,0)/HUGEINT
     everywhere, sign split out of the DIV. Shape: the session-shared
-    co-table (one lineitem self-join) → top-M window → one in-degree
+    kNN edge memo (checkpointed top-10 lists, exploded) → one in-degree
     rollup broadcast-joined back to the ≤10·n edge list; every step is
     bounded by the kNN truncation, never by the raw co-occurrence fan."""
-    from pyspark.sql import Window as W
-
-    co = _co_table(spark, sf_dir)
-    rn = F.row_number().over(W.partitionBy("p1").orderBy(F.col("n_co").desc(), "p2"))
-    knn = co.withColumn("rn", rn).filter(F.col("rn") <= 10).select("p1", "p2")
+    knn = _knn_edges(spark, sf_dir)
     indeg = knn.groupBy(F.col("p2").alias("node")).agg(F.count(F.lit(1)).alias("ind"))
     e = (
         knn.join(indeg.withColumnRenamed("node", "p1"), "p1", "left")
@@ -890,14 +929,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(nodes) so round k never replays round k−1's lineage."""
     from pyspark.sql import Window as W
 
-    co = _co_table(spark, sf_dir)
-    rn = F.row_number().over(W.partitionBy("p1").orderBy(F.col("n_co").desc(), "p2"))
-    knn = (
-        co.withColumn("rn", rn)
-        .filter(F.col("rn") <= 10)
-        .select("p1", "p2")
-        .localCheckpoint(eager=True)
-    )
+    knn = _knn_edges(spark, sf_dir)
     nodes = (
         knn.select(F.col("p1").alias("node"))
         .union(knn.select(F.col("p2").alias("node")))
@@ -982,16 +1014,7 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     key pair — a LEFT SEMI join (one keyed shuffle of ≤10·n rows), then
     a single fold to (edges, reciprocal, e6 share). The oracle states
     the same thing as an EXISTS."""
-    from pyspark.sql import Window as W
-
-    co = _co_table(spark, sf_dir)
-    rn = F.row_number().over(W.partitionBy("p1").orderBy(F.col("n_co").desc(), "p2"))
-    knn = (
-        co.withColumn("rn", rn)
-        .filter(F.col("rn") <= 10)
-        .select("p1", "p2")
-        .localCheckpoint(eager=True)
-    )
+    knn = _knn_edges(spark, sf_dir)
     swapped = knn.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
     recip = knn.join(swapped, ["p1", "p2"], "left_semi")
     n = knn.agg(F.count(F.lit(1)).alias("n_edges"))
