@@ -2193,17 +2193,23 @@ def setsim_density_guard(
     import logging
 
     log = logging.getLogger(__name__)
-    census = (
+    # ONE action for the whole census (guide §2.4): the bucket-grain
+    # stats and the distinct-doc count are both 1-row aggregates, so a
+    # crossJoin folds them into a single job — the former second action
+    # (a distinct + count over the same checkpointed table) only re-paid
+    # job-launch latency per serve.
+    bucket_stats = (
         pre.groupBy("s")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
             F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0.0)).alias("pairs"),
             F.coalesce(F.max("n"), F.lit(0)).alias("worst"),
         )
-        .collect()[0]
     )
+    doc_stats = pre.agg(F.count_distinct("doc_id").alias("docs"))
+    census = bucket_stats.crossJoin(doc_stats).collect()[0]
     pairs, worst = int(census["pairs"]), int(census["worst"])
-    docs = max(1, pre.select("doc_id").distinct().count())
+    docs = max(1, int(census["docs"]))
     engaged = pairs > SETSIM_PAIRS_PER_DOC * docs
     info: dict[str, float | int | bool] = {
         "pairs": pairs,

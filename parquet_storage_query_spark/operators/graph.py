@@ -35,6 +35,29 @@ PR_ITERS = 4
 PR_ROUND = 8  # per-iteration rank rounding — cross-engine/ordering exactness
 
 
+def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (src, dst) edge list of the verified near-dup graph,
+    built ONCE per session off the memoized MinHash pair table and
+    checkpointed at O(pairs): five iterative consumers (pagerank, LPA,
+    kcore, BFS, modularity) previously each re-derived and re-
+    checkpointed the same two-way union per serve — four redundant
+    materialization jobs and four duplicate cached copies (guide §2.4)."""
+
+    def build() -> DataFrame:
+        from .dedup import dedup_minhash_lsh
+
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        return (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .unionAll(
+                pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return session_memo(spark, sf_dir, "graph_neardup_edges", build)
+
+
 def _pagerank_oracle() -> str:
     """Unrolled power iteration over the minhash pair graph. r0 is the
     uniform vector; each r{i} pulls contributions along reversed edges
@@ -92,14 +115,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of executor merge order."""
 
     def build() -> DataFrame:
-        from .dedup import dedup_minhash_lsh
-
-        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-        edges = (
-            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-            .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-            .localCheckpoint(eager=True)
-        )
+        edges = _neardup_edges(spark, sf_dir)
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         nodes = edges.select(F.col("src").alias("doc")).distinct()
         nn = nodes.agg(F.count(F.lit(1)).alias("n"))
@@ -528,14 +544,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed for cross-engine exactness."""
 
     def build() -> DataFrame:
-        from .dedup import dedup_minhash_lsh
-
-        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-        edges = (
-            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-            .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-            .localCheckpoint(eager=True)
-        )
+        edges = _neardup_edges(spark, sf_dir)
         labels = edges.select(F.col("src").alias("doc")).distinct().withColumn(
             "lbl", F.col("doc")
         )
@@ -619,16 +628,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 1-row aggregates unioned after the loop. Integer-only output."""
 
     def build() -> DataFrame:
-        from .dedup import dedup_minhash_lsh
-
-        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-        edges = (
-            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-            .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-            .localCheckpoint(eager=True)
-        )
+        edges = _neardup_edges(spark, sf_dir)
         census = []
         cur = edges
+        # LAZY per-round checkpoints (the HITS/CC r11 treatment): the round
+        # count is fixed, so the single final union action materializes
+        # every round's O(edges) checkpoint once in dependency order — one
+        # job instead of one per peel round, same algebra (guide §2.4/§4).
         for i in range(KCORE_ROUNDS + 1):
             census.append(
                 cur.agg(
@@ -648,7 +654,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cur.join(keep, "src", "left_semi")
                 .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
                 .select("src", "dst")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         out = census[0]
         for c in census[1:]:
@@ -722,20 +728,15 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-3), so later rounds cost ~nothing. Census output is O(rounds)."""
 
     def build() -> DataFrame:
-        from .dedup import dedup_minhash_lsh
-
-        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-        edges = (
-            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-            .unionAll(
-                pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-            )
-            .localCheckpoint(eager=True)
-        )
-        nodes = edges.select("src").distinct().localCheckpoint(eager=True)
+        edges = _neardup_edges(spark, sf_dir)
+        # LAZY checkpoints throughout (the HITS/CC r11 treatment): the hop
+        # count is fixed, so the final census action materializes frontier
+        # and visited checkpoints once each in dependency order — one job
+        # instead of 2 per hop + 2 setup jobs, same algebra (guide §4).
+        nodes = edges.select("src").distinct().localCheckpoint(eager=False)
         visited = nodes.filter(F.col("src") % BFS_SEED_MOD == 0).select(
             "src", F.lit(0).alias("d")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         frontier = visited.select("src")
         for r in range(1, BFS_ROUNDS + 1):
             reached = (
@@ -743,11 +744,11 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col("dst").alias("src"))
                 .distinct()
                 .join(visited.select("src"), "src", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             visited = visited.unionAll(
                 reached.select("src", F.lit(r).alias("d"))
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             frontier = reached
         census = visited.groupBy(F.col("d").alias("layer")).agg(
             F.count(F.lit(1)).alias("n_nodes")
@@ -1094,16 +1095,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates to an already-materialized partition."""
 
     def build_labels() -> DataFrame:
-        from .dedup import dedup_minhash_lsh
-
-        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-        edges = (
-            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-            .unionAll(
-                pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-            )
-            .localCheckpoint(eager=True)
-        )
+        edges = _neardup_edges(spark, sf_dir)
         labels = edges.select(F.col("src").alias("doc")).distinct().withColumn(
             "lbl", F.col("doc")
         )
