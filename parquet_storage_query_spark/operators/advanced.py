@@ -3692,8 +3692,14 @@ def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", F.coalesce("x", F.lit(0)).alias("x")
     )
     s = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
-    y = daily.crossJoin(s).select(  # 1-row scalar broadcast
-        "t", F.expr("CAST(n * x - sx AS DECIMAL(38,0))").alias("y")
+    y = (
+        daily.crossJoin(s)  # 1-row scalar broadcast
+        .select("t", F.expr("CAST(n * x - sx AS DECIMAL(38,0))").alias("y"))
+        # LAZY checkpoint at O(days) rows: y feeds den and BOTH self-join
+        # sides, so un-cut the grid-fill + moments subtree re-expanded
+        # 3x in the plan (40 Exchange/Scan nodes -> 12); the final action
+        # materializes it once (guide §2.4)
+        .localCheckpoint(eager=False)
     )
     den = y.agg(F.sum(F.expr("y * y")).alias("den"))
     a = y.select(
@@ -3788,7 +3794,9 @@ def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         grid.join(daily0, "t", "left")
         .select("t", F.coalesce("x", F.lit(0)).alias("x"))
-        .localCheckpoint(eager=True)  # O(days): feeds cusum + both segments
+        # O(days), feeds cusum + both segments; LAZY — the lo/hi collect
+        # below is the action that materializes it (guide §2.4)
+        .localCheckpoint(eager=False)
     )
     s = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
     y = daily.crossJoin(s).select(  # 1-row scalar broadcast
@@ -3816,8 +3824,13 @@ def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     off_df = spark.createDataFrame(offsets, "bucket long, off string").select(
         "bucket", F.col("off").cast("decimal(38,0)").alias("off")
     )
-    c = local.join(F.broadcast(off_df), "bucket").select(
-        "t", "x", "n", (F.col("cus_local") + F.col("off")).alias("cus")
+    c = (
+        local.join(F.broadcast(off_df), "bucket")
+        .select("t", "x", "n", (F.col("cus_local") + F.col("off")).alias("cus"))
+        # LAZY checkpoint at O(days): c feeds cmax, the argmax and the
+        # segment fold — without it the per-bucket window subtree
+        # re-expands 3x in the final plan (guide §2.4)
+        .localCheckpoint(eager=False)
     )
     mx = c.agg(F.max(F.abs(F.col("cus"))).alias("cmax"))
     cp = (

@@ -536,8 +536,14 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest asserts the fixpoint invariants instead of a SQL oracle."""
     import math
 
-    e = load_parallel(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
+    e = (
+        load_parallel(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        # lazy checkpoint, materialized by the seeds collect below: every
+        # Lloyd's round re-used this table (assign + centroid update), each
+        # time re-scanning the parquet and re-decoding the vectors (guide
+        # §2.4 — cache what iterations re-read)
+        .localCheckpoint(eager=False)
     )
     seeds = e.filter(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
     cents: list[list[float]] = [[float(x) for x in r["v"]] for r in seeds]

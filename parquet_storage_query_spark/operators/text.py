@@ -850,7 +850,7 @@ def _bpe_train_build(spark: SparkSession, sf_dir: str):
     docs = load_parallel(spark, sf_dir, "documents")
     rows = docs.select(
         "doc_id", F.posexplode(words_col()).alias("idx", "tok")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # round 1's argmax collect materializes it
     stats: list[tuple[int, str, str, int, int]] = []
     for step in range(1, BPE_MERGES + 1):
         wlead = W.partitionBy("doc_id").orderBy("idx")
@@ -890,7 +890,10 @@ def _bpe_train_build(spark: SparkSession, sf_dir: str):
                 "idx",
                 F.when(F.col("is_start"), merged_tok).otherwise(F.col("tok")).alias("tok"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the tokens_after count below is the action
+            # that materializes it, so each round pays 2 jobs (argmax
+            # collect + rewrite count) instead of 3 (guide §2.4/§4)
+            .localCheckpoint(eager=False)
         )
         stats.append((step, wa, wb, wcnt, rows.count()))
     return stats, rows
