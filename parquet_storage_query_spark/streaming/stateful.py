@@ -536,9 +536,20 @@ def streaming_join_asof(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    from .windows import _run_to_memory
+    from ..catalog import table_path
+    from .windows import _local_dir_bytes, _run_to_memory, _state_partitions
 
-    return _run_to_memory(joined, "stream_join_asof_out", "append")
+    # state grows with active users — size partitions from the replay
+    # backlog, not the core count (same rule as stream_dedup_watermarked;
+    # per-partition commit+fsync dominated the micro-batch wall here too)
+    return _run_to_memory(
+        joined,
+        "stream_join_asof_out",
+        "append",
+        partitions=_state_partitions(
+            spark, backlog_bytes=_local_dir_bytes(table_path(sf_dir, "events"))
+        ),
+    )
 
 
 @query(
