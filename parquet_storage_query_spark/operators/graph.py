@@ -327,19 +327,26 @@ def _knn_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(p1, t): each part's top-10 partner list by (n_co DESC, p2) — the
     kNN truncation, computed ONCE per session. Five consumers (colist,
     jaccard edges, assortativity, HITS, reciprocity) previously re-ran the
-    same row_number window over the full co table per serve; this memo is
-    one per-group top-k aggregate (array_sort on (−n_co, p2) structs ≡ the
-    window's (n_co DESC, p2) order — p2 is unique within p1, so the cut is
-    the identical total order), checkpointed at O(parts) rows."""
+    same row_number window over the full co table per serve; this memo runs
+    the window ONCE (codegen sort — measured 25% faster at sf1 than a
+    per-group full-array collect_list+sort), folds the ≤10 survivors per
+    part into rank order, and checkpoints at O(parts) rows."""
 
     def build() -> DataFrame:
+        from pyspark.sql import Window as W
+
         co = _co_table(spark, sf_dir)
+        rn = F.row_number().over(
+            W.partitionBy("p1").orderBy(F.col("n_co").desc(), "p2")
+        )
         return (
-            co.groupBy("p1")
+            co.withColumn("rn", rn)
+            .filter(F.col("rn") <= 10)
+            .groupBy("p1")
             .agg(
                 F.expr(
-                    "transform(slice(array_sort(collect_list("
-                    "struct(-n_co AS nk, p2))), 1, 10), s -> s.p2) AS t"
+                    "transform(array_sort(collect_list(struct(rn, p2))), "
+                    "s -> s.p2) AS t"
                 )
             )
             .localCheckpoint(eager=True)
@@ -420,8 +427,13 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_jaccard_edges."""
     co = _co_table(spark, sf_dir)
     colist = _colist_table(spark, sf_dir)
+    # merge hint: both sides are corpus-growing checkpointed tables whose
+    # LogicalRDD stats UNDERESTIMATE (the set-fold build plans small), so
+    # the planner auto-broadcast the 24M-row co side at sf1 — measured
+    # 1.7 s -> 26 s. A sort-merge join is the only shape that survives any
+    # corpus size here (same policy as the salted fact joins).
     ne = colist.join(
-        co, (colist.b == co.p1) & (colist.c == co.p2), "left_anti"
+        co.hint("merge"), (colist.b == co.p1) & (colist.c == co.p2), "left_anti"
     )
     return (
         ne.filter(F.col("n_lists") >= 3)
@@ -469,7 +481,11 @@ def graph_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     colist = _colist_table(spark, sf_dir)
     knn = _knn_edges(spark, sf_dir)
     indeg = knn.groupBy(F.col("p2").alias("node")).agg(F.count(F.lit(1)).alias("ind"))
-    edges = colist.join(co, (colist.b == co.p1) & (colist.c == co.p2), "left_semi")
+    # merge hint: see graph_common_neighbors — co's checkpoint stats
+    # underestimate and the planner auto-broadcast 24M rows at sf1
+    edges = colist.join(
+        co.hint("merge"), (colist.b == co.p1) & (colist.c == co.p2), "left_semi"
+    )
     ib = indeg.select(F.col("node").alias("b"), F.col("ind").alias("ib"))
     ic = indeg.select(F.col("node").alias("c"), F.col("ind").alias("ic"))
     scored = (

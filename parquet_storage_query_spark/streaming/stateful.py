@@ -536,20 +536,17 @@ def streaming_join_asof(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    from ..catalog import table_path
-    from .windows import _local_dir_bytes, _run_to_memory, _state_partitions
+    from .windows import _run_to_memory
 
-    # state grows with active users — size partitions from the replay
-    # backlog, not the core count (same rule as stream_dedup_watermarked;
-    # per-partition commit+fsync dominated the micro-batch wall here too)
-    return _run_to_memory(
-        joined,
-        "stream_join_asof_out",
-        "append",
-        partitions=_state_partitions(
-            spark, backlog_bytes=_local_dir_bytes(table_path(sf_dir, "events"))
-        ),
-    )
+    # DELIBERATELY NOT resized (r12 negative result, measured at 10x):
+    # backlog-derived state partitions (8) cut summed commitTimeMs 13x at
+    # sf0.1 with flat wall, but at sf1 the wall REGRESSED 4.5 -> 7.8 s —
+    # addBatch here is the per-group Python fold (CPU-bound, scales with
+    # keys), and fewer partitions starve it of cores. The fsync-bound
+    # sizing rule only fits built-in stateful aggregates whose per-task
+    # work is O(keys-in-partition) cheap; a python fold keeps the session
+    # default so executor slots stay saturated.
+    return _run_to_memory(joined, "stream_join_asof_out", "append")
 
 
 @query(
